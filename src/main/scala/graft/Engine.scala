@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * Design notes (100 TB scale): the session pins UTC, enables AQE
+  * (runtime shuffle-partition coalescing + skew-join splitting) and a
+  * realistic broadcast threshold so dimension tables (region, nation,
+  * customer at small SF; anything under the threshold at large SF)
+  * broadcast instead of shuffling the fact side. `shuffle.partitions`
+  * is a *starting* value — AQE coalesces down / splits skew at runtime,
+  * which is the setting that survives a 1000-executor scale-up.
+  */
+object Engine {
+
+  /** All driver-generated test tables (TESTDATA.md). */
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // octosql-style null-on-fail casts / OOB indexing (and DuckDB-like
+      // non-erroring semantics) instead of Spark 4's ANSI errors:
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.crossJoin.enabled", "true")
+      // testdata events.parquet uses TIMESTAMP(NANOS) which Spark's
+      // vectorized reader rejects; read as long and convert (table()).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one table from a scale-factor directory. Parquet native:
+    * column pruning + predicate pushdown reach the scan for free.
+    * `events.ts` is stored as TIMESTAMP(NANOS) (read as nanos-long under
+    * the legacy flag) — converted here to a µs timestamp.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table in `dir` as a temp view so `spark.sql` works
+    * over the whole star schema (the federation entry point).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    TableNames.foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+}

@@ -1,13 +1,632 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Octo
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline operators), each with a DuckDB
+  * oracle in `oracleSql` where SQL-expressible.
+  *
+  * Float discipline for hash parity with the oracle: re-orderable
+  * aggregations of doubles go through exact DECIMAL sums and are cast
+  * back to DOUBLE at the end (order-independent ⇒ bit-identical across
+  * engines); row-level double arithmetic keeps a fixed expression tree
+  * (IEEE-deterministic).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** Exact, order-independent sum of a double column, returned as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------
+  // Relational core (SURVEY §2.2-2.10)
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4 SimpleGroupBy: hash aggregation with sum/avg/count
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          (dsum(col("l_quantity")) / count(lit(1)).cast(DoubleType)).as("avg_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §2.2 Filter + Map: row-level projection, predicate pushdown to scan
+    "q2_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast(TimestampType)
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // §2.3 inner equi-join (broadcast dim) + aggregation
+    "q3_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    // §2.3 left outer join preserving unmatched rows
+    "q4_left_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+        .groupBy("n_name")
+        .agg(count(col("c_custkey")).as("n_cust"))
+    }),
+
+    // §2.3 multi-way join pipeline (TPC-H Q5 shape), dims broadcast
+    "q5_join5" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        // exact decimal product (both operands are 2-dec) → exact sum →
+        // double: order-independent and bit-identical across engines
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+            * (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast(DoubleType).as("revenue"))
+    }),
+
+    // §2.3 theta (non-equi) join — reference keeps these as filter over
+    // cross product; Spark: BroadcastNestedLoopJoin
+    "q6_theta_join" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      n.join(broadcast(r), n("n_regionkey") > r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // semi/anti joins (EXISTS / NOT EXISTS)
+    "q7_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select("o_custkey")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with"))
+      val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without"))
+      withO.crossJoin(without)
+    }),
+
+    // §2.2 Distinct
+    "q8_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
+
+    // §2.6 ORDER BY + LIMIT (top-k → TakeOrderedAndProject)
+    "q9_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // §2.7 set operations
+    "q10_setops" -> ((s, dir) => {
+      val ck = t(s, dir, "customer").select(col("c_nationkey").cast(LongType).as("k"))
+      val sk = t(s, dir, "supplier").select(col("s_nationkey").cast(LongType).as("k"))
+      val u = ck.union(sk).distinct().withColumn("op", lit("union"))
+      val i = ck.intersect(sk).withColumn("op", lit("intersect"))
+      val e = ck.distinct().except(sk).withColumn("op", lit("except"))
+      u.union(i).union(e).select("op", "k")
+    }),
+
+    // §2.10 string function battery (0-based substr/position preserved)
+    "q11_strings" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        Octo.substr0(col("p_name"), lit(0), lit(5)).as("pre5"),
+        Octo.position0(col("p_name"), lit("a")).as("pos_a"),
+        regexp_replace(col("p_type"), " ", "_").as("ty"),
+        Octo.len(col("p_name")).as("name_len"),
+        reverse(col("p_brand")).as("rev"),
+        concat(col("p_brand"), lit("#"), col("p_name")).as("cat"),
+        Octo.strRepeat(col("p_brand"), lit(2)).as("rep"),
+        col("p_name").like("%gre%").as("has_gre"),
+        Octo.regexMatch(col("p_type"), "^[a-z]+ ").as("re_m"))
+    }),
+
+    // CASE WHEN / COALESCE / NULLIF
+    "q12_case" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"))),
+
+    // §2.10 time functions + interval arithmetic
+    "q13_datetime" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))),
+
+    // §2.9 QueryExpression: IN-subquery (planned as semi join)
+    "q14_in_subquery" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      t(s, dir, "orders")
+        .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.2 CTE + §2.5-beyond window function (row_number top-1 per key)
+    "q15_cte_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // §2.8 range TVF
+    "q16_range" -> ((s, _) =>
+      s.range(1, 1001).select(
+        col("id").as("i"),
+        (col("id") * col("id")).as("sq"),
+        pmod(col("id"), lit(7)).as("m"))),
+
+    // §2.8 tumble TVF (batch form; streaming form in st1_stream_tumble)
+    "q17_tumble" -> ((s, dir) => {
+      Streams.tumble(t(s, dir, "events"), "ts", "1 hour")
+        .groupBy("window_start", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    }),
+
+    // §2.2 Unnest/explode
+    "q18_explode" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(explode(split(col("p_type"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))),
+
+    // §2.9 struct build + ObjectFieldAccess (obj->field)
+    "q19_struct" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        struct(col("p_brand").as("brand"), col("p_size").as("size"))
+          .getField("brand").as("brand"),
+        struct(col("p_brand").as("brand"), col("p_size").cast(LongType).as("size"))
+          .getField("size").as("size"))),
+
+    // JSON field extraction from a string column
+    "q20_json" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))),
+
+    // LATERAL (reference LOOKUP JOIN, SURVEY §2.3): top-2 nations per region
+    "q21_lateral" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT r.r_name, l.n_name
+          |FROM region r,
+          |LATERAL (SELECT n_name FROM nation n
+          |         WHERE n.n_regionkey = r.r_regionkey
+          |         ORDER BY n_name LIMIT 2) l""".stripMargin)
+    }),
+
+    // grouping sets / rollup (beyond-parity §2.4 note)
+    "q22_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"))),
+
+    // §2.4 aggregate battery: min/max/count_distinct/array_agg
+    "q23_aggs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          min(col("l_shipdate")).as("min_d"),
+          max(col("l_shipdate")).as("max_d"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+            .as("statuses"))),
+
+    // -----------------------------------------------------------------
+    // LLM-data-pipeline operators
+    // -----------------------------------------------------------------
+
+    // exact dedup: content-keyed representative + copy count
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exactStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // n-gram Jaccard near-dup pairs (word trigrams, inverted-index
+    // self-join; see Dedup.tokenShingles for why not char-grams here)
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, tokens = true)),
+
+    // MinHash + LSH banding candidates, verified with exact Jaccard
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 32, bands = 4, verifyThreshold = 0.8, tokens = true)
+        .select("id_a", "id_b", "jaccard")),
+
+    // SimHash signatures (64-bit, token-vote construction)
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+
+    // embedding near-dup pairs (cosine threshold, ids only — float-safe)
+    "d5_embed_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), 0.45)
+        .select("id_a", "id_b")),
+
+    // brute-force cosine top-k ANN (queries broadcast, corpus scanned once)
+    "s1_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; recall < 1 by construction)
+    "s2_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        bits = 6, dim = 64, tables = 3)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // language ID + token counting + fingerprint
+    "t1_langid_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.wsTokens(col("text")).as("n_tokens_ws"),
+        TextAnalysis.regexTokens(col("text")).as("n_tokens_re"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // quality scoring
+    "t2_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // multimodal: binary payload + typed metadata (SQL-checkable slice)
+    "m1_media_meta" -> ((s, dir) =>
+      Multimodal.asMediaTable(t(s, dir, "documents"))
+        .select(col("doc_id"), octet_length(col("media")).cast(LongType).as("n_bytes"),
+          col("mime"), col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"))),
+
+    // multimodal: batched per-partition feature extraction (stubbed codec)
+    "m2_media_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select("doc_id", "n_bytes", "checksum")
+    }),
+
+    // Structured Streaming tumbling aggregation (complete mode == batch)
+    "st1_stream_tumble" -> ((s, dir) =>
+      Streams.runTumblingAgg(s, s"$dir/events.parquet", "ts", "1 hour",
+        Seq("event_type"), Seq(count(lit(1)).as("n")),
+        queryName = "st1_stream_tumble"))
+  )
+
+  // -------------------------------------------------------------------
+  // DuckDB oracles (driver runs these at sf0.01 and hash-compares)
+  // -------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity > 45""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q4_left_join" ->
+      """SELECT n_name, COUNT(c_custkey) AS n_cust
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q5_join5" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q6_theta_join" ->
+      """SELECT r_name, COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey > r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q7_semi_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
+        |  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without""".stripMargin,
+
+    "q8_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q9_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q10_setops" ->
+      """WITH ck AS (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer),
+        |     sk AS (SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier)
+        |SELECT 'union' AS op, k FROM (SELECT k FROM ck UNION SELECT k FROM sk)
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM (SELECT k FROM ck INTERSECT SELECT k FROM sk)
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM (SELECT k FROM ck EXCEPT SELECT k FROM sk)""".stripMargin,
+
+    "q11_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  lower(p_brand) AS lo,
+        |  substr(p_name, 1, 5) AS pre5,
+        |  CASE WHEN strpos(p_name, 'a') = 0 THEN NULL
+        |       ELSE CAST(strpos(p_name, 'a') - 1 AS BIGINT) END AS pos_a,
+        |  replace(p_type, ' ', '_') AS ty,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  reverse(p_brand) AS rev,
+        |  p_brand || '#' || p_name AS cat,
+        |  repeat(p_brand, 2) AS rep,
+        |  p_name LIKE '%gre%' AS has_gre,
+        |  regexp_matches(p_type, '^[a-z]+ ') AS re_m
+        |FROM part""".stripMargin,
+
+    "q12_case" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS st
+        |FROM orders""".stripMargin,
+
+    "q13_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  date_trunc('month', o_orderdate) AS mon,
+        |  o_orderdate + INTERVAL 30 DAY AS due,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders""".stripMargin,
+
+    "q14_in_subquery" ->
+      """SELECT COUNT(*) AS n FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "q15_cte_window" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q16_range" ->
+      """SELECT i, i*i AS sq, i % 7 AS m
+        |FROM range(1, 1001) t(i)""".stripMargin,
+
+    "q17_tumble" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q18_explode" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin,
+
+    "q19_struct" ->
+      """SELECT p_partkey,
+        |  struct_pack(brand := p_brand, size := p_size).brand AS brand,
+        |  CAST(struct_pack(brand := p_brand, size := p_size).size AS BIGINT) AS size
+        |FROM part""".stripMargin,
+
+    "q20_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q21_lateral" ->
+      """SELECT r.r_name, l.n_name
+        |FROM region r,
+        |LATERAL (SELECT n_name FROM nation n
+        |         WHERE n.n_regionkey = r.r_regionkey
+        |         ORDER BY n_name LIMIT 2) l""".stripMargin,
+
+    "q22_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q23_aggs" ->
+      """SELECT l_returnflag,
+        |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |  min(l_shipdate) AS min_d, max(l_shipdate) AS max_d,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sz za ON za.doc_id = id_a
+        |JOIN sz zb ON zb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8""".stripMargin,
+
+    "d5_embed_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+
+    "s1_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "t1_langid_tokens" ->
+      s"""SELECT doc_id,
+         |  ${langIdSql("text")} AS lang_pred,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_re,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(text) + 1),
+         |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |derived AS (
+         |  SELECT doc_id, text, punct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(list_transform(string_split_regex(trim(lower(text)), '\\s+'), x -> x),
+         |                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+         |                (a, b) -> a + b) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS mean_word_len
+         |  FROM base)
+         |SELECT doc_id, punct_ratio, stopword_ratio, mean_word_len,
+         |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+         |    + least(stopword_ratio * 5.0, 1.0) * 0.25 AS quality
+         |FROM derived""".stripMargin,
+
+    "m1_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  'application/octet-stream' AS mime,
+        |  CAST(doc_id % 640 + 64 AS BIGINT) AS width,
+        |  CAST(doc_id % 480 + 48 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+    "st1_stream_tumble" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start
+        |FROM events GROUP BY event_type, window_start""".stripMargin
+  )
+
+  /** DuckDB SQL replica of TextAnalysis.langId (replace-count scoring,
+    * same markers, same tie-break).
+    */
+  private def langIdSql(textCol: String): String = {
+    def occ(pat: String): String = {
+      val esc = pat.replace("'", "''")
+      s"CAST((length(' ' || lower($textCol) || ' ') - length(replace(' ' || lower($textCol) || ' ', '$esc', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> ms.map(occ).mkString("(", " + ", ")")
+    }
+    val bestExpr = scores.map(_._2).reduceLeft((a, b) => s"greatest($a, $b)")
+    val cases = scores.map { case (l, s) =>
+      s"WHEN $s = $bestExpr AND $bestExpr > 0 THEN '$l'"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 'und' END)"
+  }
 }

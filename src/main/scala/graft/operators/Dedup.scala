@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant is expressed as explode → shuffle-on-key →
+  * aggregate, the inverted-index shape that distributes. Nothing is
+  * collected to the driver; candidate generation is always key-partitioned
+  * (shingle, band signature, or simhash block) so the quadratic all-pairs
+  * comparison never materializes. Frequent-key caps bound worst-case
+  * fanout on skewed corpora (a shingle occurring in k docs yields k²
+  * candidate pairs — cap k).
+  */
+object Dedup {
+
+  // ---- exact --------------------------------------------------------
+
+  /** Keep one representative row (min of `idCol`) per distinct value of
+    * `keyCols`. A single hash-aggregate: one shuffle on the content key.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val others = df.columns.filterNot(c => c == idCol || keyCols.contains(c))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-group duplicate stats: group size + representative id. */
+  def exactStats(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- shingling ----------------------------------------------------
+
+  /** Distinct character n-gram shingles of `textCol` as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    // sliding window via sequence + substring: codegen'd, no UDF
+    val idxs = sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1)))
+    array_distinct(transform(idxs, i => text.substr(i, lit(n))))
+  }
+
+  /** Distinct word n-gram shingles (space-joined token windows). On
+    * shared-vocabulary corpora these are far more discriminative than
+    * character n-grams: char-3-grams of a 31-word vocabulary collide on
+    * nearly every doc pair (degenerate MinHash buckets, quadratic
+    * inverted-index joins), while word trigrams keep per-shingle doc
+    * frequency — and thus self-join fanout — bounded.
+    */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val idxs = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
+    array_distinct(transform(idxs, i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  private[graft] def shinglesOf(text: Column, n: Int, tokens: Boolean): Column =
+    if (tokens) tokenShingles(text, n) else shingles(text, n)
+
+  /** (id, shingle) inverted index, optionally dropping shingles that
+    * occur in more than `maxDocFreq` docs (skew control at scale).
+    */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   maxDocFreq: Option[Int] = None,
+                   tokens: Boolean = false): DataFrame = {
+    val idx = df.select(col(idCol).as("id"),
+        explode(shinglesOf(col(textCol), n, tokens)).as("shingle"))
+    maxDocFreq match {
+      case None => idx
+      case Some(cap) =>
+        val freq = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        idx.join(broadcast(freq), "shingle")
+    }
+  }
+
+  // ---- n-gram Jaccard -----------------------------------------------
+
+  /** All pairs (a < b) with n-gram Jaccard similarity ≥ threshold.
+    * Inverted-index self-join: pairs are only generated for docs sharing
+    * ≥1 shingle, grouped map-side per shingle; |A∪B| from per-doc
+    * distinct-shingle counts, so no second pass over text.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxDocFreq: Option[Int] = None,
+                        tokens: Boolean = false): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n, maxDocFreq, tokens)
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = idx.toDF("id_a", "shingle")
+    val b = idx.toDF("id_b", "shingle")
+    val common = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.toDF("id_a", "sz_a")), "id_a")
+      .join(broadcast(sizes.toDF("id_b", "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  /** MinHash signature: k independent permutations approximated by
+    * xxhash64 with k salts; signature element i = min over shingles of
+    * h_i(shingle). One explode + one groupBy — two narrow shuffles total.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, tokens: Boolean = false): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n, None, tokens)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    idx.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs via banding: signature split into `bands` bands of
+    * k/bands rows; docs agreeing on any whole band collide. Collisions
+    * are found by a groupBy on (band, band-hash) — fully distributed.
+    * Pairs are then verified with exact n-gram Jaccard.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 32, bands: Int = 4,
+                      verifyThreshold: Double = 0.8,
+                      tokens: Boolean = true,
+                      maxBucket: Int = 200): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, k, tokens)
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+            .as("sig"))
+      }: _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.sig"))
+    // skew guard: a bucket of m docs yields m² candidate pairs — drop
+    // degenerate buckets (non-discriminative signatures) outright
+    val sizes = banded.groupBy("band", "sig").agg(count(lit(1)).as("m"))
+      .filter(col("m") <= maxBucket).select("band", "sig")
+    val bounded = banded.join(sizes, Seq("band", "sig"))
+    val cand = bounded.toDF("band", "sig", "id_a")
+      .join(bounded.toDF("band", "sig", "id_b"), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates exactly (joins back tiny candidate set to text)
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cand
+      .join(texts.toDF("id_a", "text_a"), "id_a")
+      .join(texts.toDF("id_b", "text_b"), "id_b")
+      .withColumn("sh_a", shinglesOf(col("text_a"), n, tokens))
+      .withColumn("sh_b", shinglesOf(col("text_b"), n, tokens))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: each token votes ±1 on each
+    * bit of xxhash64(token); bit i of the result = sign of the vote sum.
+    * Computed as explode → 64 conditional sums → bit assembly; one
+    * shuffle on doc id.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sh = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col("id"), sh.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist over SimHash, using
+    * block banding (pigeonhole: distance ≤ 3 ⇒ at least one of 4
+    * 16-bit blocks equal) for candidate generation.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val blocks = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+      ): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.blk"), col("bk.key"))
+    val cand = blocks.toDF("id_a", "sh_a", "blk", "key")
+      .join(blocks.toDF("id_b", "sh_b", "blk", "key"), Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    cand
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd built-in expressions (no UDFs), so
+  * each op is a narrow projection that stays inside whole-stage codegen
+  * and scales linearly with input splits — the 100 TB path is just "more
+  * partitions".
+  */
+object TextAnalysis {
+
+  /** Number of non-overlapping occurrences of literal `pat` in `s`,
+    * computed exactly via replace-length arithmetic (portable across
+    * engines, unlike regex dialects).
+    */
+  def occurrences(s: Column, pat: String): Column =
+    ((length(s) - length(replace(s, lit(pat), lit(""))))
+      / pat.length).cast("long")
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and literal — the point is the
+    * scalable shape (score = Σ occurrences, argmax), not lexicon size.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " que ", " los "))
+
+  /** Score for one language = total marker occurrences in the padded,
+    * lower-cased text.
+    */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map(m => occurrences(padded, m)).reduce(_ + _)
+  }
+
+  /** Predicted language: argmax over `LangMarkers` scores, first-listed
+    * language wins ties, "und" (undetermined) when all scores are 0.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+    pick
+  }
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish token count: word pieces + digits + punctuation, the usual
+    * ~4-chars-per-token heuristic made explicit as a regex tokenizer.
+    */
+  def regexTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Punctuation character ratio (0 for empty text). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double")
+        / length(text).cast("double"))
+
+  /** Stopword ratio over whitespace tokens, English stopword set. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val stops = filter(toks, t => array_contains(
+      array(EnStopwords.map(lit): _*), t))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation noise and a natural stopword rate.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text)
+    (lenScore * lit(0.5)
+      + (lit(1.0) - least(punct * lit(10.0), lit(1.0))) * lit(0.25)
+      + least(stop * lit(5.0), lit(1.0)) * lit(0.25))
+  }
+
+  /** Polynomial rolling-hash document fingerprint: left fold of
+    * `acc*31 + codepoint (mod 1e9+7)` over the characters. Exact,
+    * order-sensitive, and portable (same fold is expressible in any
+    * engine) — used for cheap exact-dup detection and content
+    * addressing.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Attach the full analysis column set to a documents DataFrame. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("lang_pred", langId(t))
+      .withColumn("n_tokens_ws", wsTokens(t))
+      .withColumn("n_tokens_re", regexTokens(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("mean_word_len", meanWordLen(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

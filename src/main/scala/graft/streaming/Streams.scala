@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming constructs mirroring the reference's TVFs (SURVEY §2.8) on
+  * Structured Streaming:
+  *  - `tumble` (table_valued_functions/tumble.go:13-192) → `window()`
+  *  - `max_diff_watermark` (max_diff_watermark.go:14-181) → `withWatermark`
+  *  - `?tail=true` lines source (files.go:27-76) → `readStream.text`
+  *
+  * The same `tumble` works on batch DataFrames (window() is just an
+  * expression), which is how the DuckDB oracle exercises it.
+  */
+object Streams {
+
+  /** Append window_start/window_end for a tumbling window of `len`
+    * (+ optional offset), like the reference's tumble TVF. Output event
+    * time column = window_end.
+    */
+  def tumble(df: DataFrame, timeCol: String, len: String,
+             offset: String = "0 seconds"): DataFrame =
+    df.withColumn("__w", window(col(timeCol), len, len, offset))
+      .withColumn("window_start", col("__w.start"))
+      .withColumn("window_end", col("__w.end"))
+      .drop("__w")
+
+  /** Bounded out-of-orderness watermark (reference max_diff_watermark):
+    * event time from `timeCol`, watermark lag = `maxDiff`. Late rows are
+    * dropped by Spark's stateful operators, matching the reference's
+    * late-record filter.
+    */
+  def maxDiffWatermark(df: DataFrame, timeCol: String, maxDiff: String): DataFrame =
+    df.withWatermark(timeCol, maxDiff)
+
+  /** Streaming tumbling count over a parquet directory, returned as a
+    * batch DataFrame after draining all available input through a
+    * memory sink (complete mode → final counts equal the batch answer).
+    */
+  def runTumblingAgg(spark: SparkSession, path: String, timeCol: String,
+                     len: String, keyCols: Seq[String], aggs: Seq[Column],
+                     queryName: String = "graft_stream"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    // the file-stream source wants a directory; for a single-file path,
+    // stream its parent with a glob filter on the file name
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(path)
+    // TIMESTAMP(NANOS) parquet arrives as nanos-long under the legacy
+    // flag — convert to a µs timestamp before windowing.
+    val src = schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
+      case _ => raw
+    }
+    val grouped = src
+      .groupBy(window(col(timeCol), len) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+    val q = grouped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}
