@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Dedup.exact keeps one row per key, min id wins") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
+    val out = Dedup.exact(df, "id", Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("tokenShingles builds word n-grams") {
+    val out = Seq("a b c d").toDF("t")
+      .select(Dedup.tokenShingles(col("t"), 3)).as[Seq[String]]
+      .collect().head
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  test("ngramJaccardPairs finds an obvious near-dup, skips distinct docs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5, tokens = true)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
+  test("minhashLshPairs agrees with exact jaccard on near-dups") {
+    val docs = (0 until 20).map(i => (i.toLong, s"unique$i " * 10 + s"tail$i"))
+      .toDF("doc_id", "text")
+      .union(Seq((100L, "a b c d e f g h i j"), (101L, "a b c d e f g h i k"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 2, k = 32, bands = 8, verifyThreshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
+  }
+
+  test("simhash: identical docs same signature, distinct docs differ") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different tokens")).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("Similarity.cosine is 1 for identical, 0 for orthogonal") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks nearest first, excludes self") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0), 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(top.forall(_.getLong(0) == 0L))
+  }
+
+  test("lshTopK returns a subset of brute-force neighbors for its queries") {
+    val emb = Engine.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, 3).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, q, 3, bits = 4, dim = 64, tables = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall isn't 1.0 by construction, but candidates must be real rows
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (qid, _) => qid < 3 })
+  }
+
+  test("TextAnalysis.langId picks the marker-dominant language") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze und der baum",
+      "le chat et le chien et les oiseaux",
+      "xyzzy plugh").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("TextAnalysis token counts and fingerprint are deterministic") {
+    val df = Seq("hello world foo").toDF("text")
+    val r = df.select(
+      TextAnalysis.wsTokens(col("text")),
+      TextAnalysis.regexTokens(col("text")),
+      TextAnalysis.fingerprint(col("text"))).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    // rolling hash of "hello world foo", base 31 mod 1e9+7, computed independently
+    val expected = "hello world foo".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    assert(r.getLong(2) == expected)
+  }
+
+  test("Multimodal pipeline: media table → features → frames") {
+    val docs = Engine.table(spark, sf, "documents").limit(10)
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+    assert(frames.count() > 0)
+  }
+}

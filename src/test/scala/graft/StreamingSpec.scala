@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch tumble assigns epoch-aligned windows") {
+    val df = Seq(
+      ("2024-01-01 00:10:00", 1), ("2024-01-01 00:50:00", 2),
+      ("2024-01-01 01:10:00", 3)).toDF("ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Streams.tumble(df, "ts", "1 hour")
+      .groupBy("window_start").agg(sum("v").as("s"))
+      .orderBy("window_start").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 3L))
+  }
+
+  test("streaming tumbling agg equals batch answer (complete mode)") {
+    val streamed = Streams.runTumblingAgg(spark, s"$sf/events.parquet",
+      "ts", "1 hour", Seq("event_type"), Seq(count(lit(1)).as("n")),
+      queryName = "spec_tumble")
+    val batch = Streams.tumble(Engine.table(spark, sf, "events"), "ts", "1 hour")
+      .groupBy("window_start", "event_type").agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    val s = streamed.select("window_start", "event_type", "n").collect().toSet
+    val b = batch.select("window_start", "event_type", "n").collect().toSet
+    assert(s == b)
+  }
+
+  test("watermark drops late rows in append-mode windowed agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Int)]
+    val df = mem.toDF().toDF("ts", "v")
+    val agg = Streams.maxDiffWatermark(df, "ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(sum("v").as("s"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-01 00:10:00"), 1), (ts("2024-01-01 00:20:00"), 2))
+    q.processAllAvailable()
+    // advance watermark far past the first window, then send a late row
+    mem.addData((ts("2024-01-01 05:00:00"), 10))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:30:00"), 100)) // late: before watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_test").collect()
+    // first window closed with s=3; late +100 never applied
+    assert(rows.exists(_.getLong(1) == 3L))
+    assert(!rows.exists(_.getLong(1) == 103L))
+  }
+}
