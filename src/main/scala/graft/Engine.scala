@@ -38,6 +38,7 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.VecExpressions.register(spark)
     spark
   }
 

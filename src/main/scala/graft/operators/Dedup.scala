@@ -87,7 +87,12 @@ object Dedup {
                         n: Int, threshold: Double,
                         maxDocFreq: Option[Int] = None,
                         tokens: Boolean = false): DataFrame = {
+    // the index feeds three consumers (sizes + both join sides): persist
+    // once instead of recomputing the explode per consumer. At data-lake
+    // scale this materialization would be a checkpoint table; the shape
+    // (build index once, self-join on shingle) is the same.
     val idx = shingleIndex(df, idCol, textCol, n, maxDocFreq, tokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = idx.toDF("id_a", "shingle")
     val b = idx.toDF("id_b", "shingle")
@@ -138,6 +143,7 @@ object Dedup {
             .as("sig"))
       }: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: a bucket of m docs yields m² candidate pairs — drop
     // degenerate buckets (non-discriminative signatures) outright
     val sizes = banded.groupBy("band", "sig").agg(count(lit(1)).as("m"))

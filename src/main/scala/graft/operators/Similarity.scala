@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.VecExpressions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -10,15 +11,21 @@ import org.apache.spark.sql.functions._
   * serving shape). Scale path: LSH bucketing via random hyperplanes cuts
   * the scanned fraction; recall is tunable with tables × bits.
   *
-  * All math is `zip_with`/`aggregate` over array columns — codegen'd
-  * Catalyst expressions, double precision, no UDFs.
+  * Vector math runs through the codegen'd `vec_dot` expression
+  * (graft.plans.VecDot) — a primitive loop inside whole-stage codegen.
+  * The HOF form (`aggregate(zip_with(...))`) is kept as `dotHof` for
+  * session-free composition, but it is interpreted and ~100× slower on
+  * all-pairs workloads. Norms are precomputed per row, not per pair.
   */
 object Similarity {
 
-  /** Dot product of two array<numeric> columns, accumulated in double,
-    * sequential left-to-right (deterministic).
+  /** Codegen'd dot product (requires `VecExpressions.register` on the
+    * session that analyzes the query — all operators here do that).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Higher-order-function fallback: portable, session-free, slow. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -29,16 +36,20 @@ object Similarity {
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
     * corpus rows (excluding identical ids), deterministic tie-break on
     * neighbor id. `queries` is broadcast — the corpus is scanned exactly
-    * once regardless of k.
+    * once regardless of k; per-row norms are computed on the scan, so
+    * each pair costs one vec_dot + one divide.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -74,6 +85,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 8, dim: Int = 64, tables: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(corpus.sparkSession)
     val perTable = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, seed = 42L + t)
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -96,17 +108,20 @@ object Similarity {
   }
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
-    * detection. Brute self-join here; swap candidate generation to
-    * `lshTopK`-style bucketing at scale.
+    * detection. Brute self-join with per-row precomputed norms; swap
+    * candidate generation to `lshTopK`-style bucketing at scale.
     */
   def cosinePairs(df: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(df.sparkSession)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
