@@ -50,8 +50,18 @@ object PathTable {
         .csv(path)
     case "tsv" =>
       read(spark, path, "csv", opts + ("sep" -> "\t"))
-    case "json" => // JSONLines, schema merged across sampled records
-      spark.read.json(path)
+    case "json" => // JSONLines, schema merged across sampled records.
+      // Reference parity: octosql infers every JSON number as Float
+      // (datasources/json/impl.go:83-89); Spark infers integers as
+      // long — widen top-level integer columns to double.
+      val df = spark.read.json(path)
+      df.columns.foldLeft(df) { (acc, c) =>
+        acc.schema(c).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            acc.withColumn(c, col(c).cast("double"))
+          case _ => acc
+        }
+      }
     case "parquet" =>
       spark.read.parquet(path)
     case "lines" | "txt" | "log" =>

@@ -1,0 +1,270 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.PathTable
+
+/** The reference engine's SQL dialect on Spark: a token-level translator
+  * to Spark SQL plus path-as-table view registration. Dialect features
+  * covered (reference grammar cites in SURVEY §2 / §7.2):
+  *
+  *  - path tables: `FROM people.csv`, `logs.json`, `d.parquet`,
+  *    `notes.lines` (physical/physical.go:65-86) → temp views over
+  *    `PathTable.resolve`
+  *  - `LOOKUP JOIN` (sql.y:2096) → plain `JOIN` (identical semantics for
+  *    a table RHS; Catalyst plans correlated RHS as lateral)
+  *  - `a -> field` / `a ->*` object access (ast.go:1822-1847) →
+  *    `a.field` / `a.*`
+  *  - `~`, `~*`, `!~`, `!~*` regex operators (functions.go:591-668) →
+  *    `RLIKE` forms (case-insensitive via `(?i)` prefix)
+  *  - `unnest(x)` → `explode(x)`
+  *  - `int(x)`/`float(x)`/`string(x)` conversions (functions.go:900-1012)
+  *    → casts (null-on-fail under non-ANSI)
+  *  - `substr(s, i[, n])` 0-based (functions.go:713) → 1-based substring
+  *  - `range(a, b)` TVF (range.go:14-109) → Spark `range` with column
+  *    renamed `id` → `i`
+  *  - `TRIGGER ...` clauses (sql.y:3000-3036) are stripped: batch
+  *    execution fires once at end-of-stream, the reference's default
+  *
+  * Everything else (SELECT/WHERE/GROUP BY/ORDER BY/LIMIT/WITH/joins/
+  * operators) is common SQL that Spark parses directly.
+  */
+object OctoSql {
+
+  private val PathTableRe =
+    """(?i)([A-Za-z0-9_\-./]+\.(?:csv|tsv|json|parquet|lines|txt|log)(?:\?[A-Za-z0-9_=&.\-]*)?)"""
+
+  /** Tokenize preserving single-quoted string literals (with '' escape)
+    * so rewrites never touch literal contents.
+    */
+  private[sql] def tokenize(sql: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = sql.length
+    val sb = new StringBuilder
+    def flush(): Unit = if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+    while (i < n) {
+      val c = sql(i)
+      if (c == '\'') {
+        flush()
+        val lit = new StringBuilder("'")
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql(i) == '\'' && i + 1 < n && sql(i + 1) == '\'') { lit ++= "''"; i += 2 }
+          else if (sql(i) == '\'') { lit += '\''; i += 1; done = true }
+          else { lit += sql(i); i += 1 }
+        }
+        out += lit.toString
+      } else if (c.isWhitespace) {
+        flush(); out += c.toString; i += 1
+      } else if ("(),".contains(c)) {
+        flush(); out += c.toString; i += 1
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '>') {
+        flush()
+        if (i + 2 < n && sql(i + 2) == '*') { out += "->*"; i += 3 }
+        else { out += "->"; i += 2 }
+      } else if (c == '!' && i + 1 < n && sql(i + 1) == '~') {
+        flush()
+        if (i + 2 < n && sql(i + 2) == '*') { out += "!~*"; i += 3 }
+        else { out += "!~"; i += 2 }
+      } else if (c == '~') {
+        flush()
+        if (i + 1 < n && sql(i + 1) == '*') { out += "~*"; i += 2 }
+        else { out += "~"; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    flush()
+    out.result()
+  }
+
+  private def isStringLit(t: String): Boolean = t.startsWith("'")
+  private def isWs(t: String): Boolean = t.length == 1 && t(0).isWhitespace
+
+  /** Find the index of the matching ")" for the "(" at `open`. */
+  private def matching(tokens: Vector[String], open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < tokens.length) {
+      if (tokens(i) == "(") depth += 1
+      else if (tokens(i) == ")") { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    tokens.length - 1
+  }
+
+  /** Register any path-table references as temp views; return rewritten
+    * SQL with view names substituted.
+    */
+  private def bindPathTables(spark: SparkSession, tokens: Vector[String]): Vector[String] =
+    tokens.map { t =>
+      if (!isStringLit(t) && t.matches(PathTableRe)) {
+        val view = "pt_" + t.replaceAll("[^A-Za-z0-9]", "_")
+        PathTable.resolve(spark, t).createOrReplaceTempView(view)
+        view
+      } else t
+    }
+
+  /** All token-level dialect rewrites. */
+  private[sql] def rewrite(tokens0: Vector[String]): String = {
+    var tokens = tokens0
+
+    // LOOKUP JOIN → JOIN
+    tokens = tokens.zipWithIndex.filter { case (t, i) =>
+      !(t.equalsIgnoreCase("LOOKUP") &&
+        tokens.indexWhere(x => !isWs(x), i + 1) >= 0 &&
+        tokens(tokens.indexWhere(x => !isWs(x), i + 1)).equalsIgnoreCase("JOIN"))
+    }.map(_._1)
+
+    // strip TRIGGER ... clause up to next major keyword
+    val majors = Set("GROUP", "ORDER", "HAVING", "LIMIT", "UNION", ")", "WITH")
+    val trigIdx = tokens.indexWhere(_.equalsIgnoreCase("TRIGGER"))
+    if (trigIdx >= 0) {
+      val end = tokens.indexWhere(t => majors.contains(t.toUpperCase), trigIdx + 1)
+      tokens = if (end < 0) tokens.take(trigIdx)
+      else tokens.take(trigIdx) ++ tokens.drop(end)
+    }
+
+    // -> and ->* object access
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < tokens.length) {
+      tokens(i) match {
+        case "->"  => b += "."; i += 1
+        case "->*" => b += ".*"; i += 1
+        case t     => b += t; i += 1
+      }
+    }
+    tokens = b.result()
+
+    // regex operators: X ~ 'p' → X RLIKE 'p', etc. (rewrite operator and,
+    // for the negated/CI forms, the following literal)
+    val c = Vector.newBuilder[String]
+    i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (t == "~" || t == "~*" || t == "!~" || t == "!~*") {
+        val j = tokens.indexWhere(x => !isWs(x), i + 1)
+        val pat = if (j >= 0 && isStringLit(tokens(j))) Some(tokens(j)) else None
+        val ci = t.endsWith("*")
+        val neg = t.startsWith("!")
+        (pat, ci) match {
+          case (Some(p), true) =>
+            val inner = p.substring(1, p.length - 1)
+            c += (if (neg) "NOT RLIKE" else "RLIKE"); c += " "
+            c += s"'(?i)$inner'"
+            i = j + 1
+          case (Some(_), false) =>
+            c += (if (neg) "NOT RLIKE" else "RLIKE"); i += 1
+          case (None, _) =>
+            c += (if (neg) "NOT RLIKE" else "RLIKE"); i += 1
+        }
+      } else { c += t; i += 1 }
+    }
+    tokens = c.result()
+
+    // range(a,b) in FROM position → subquery renaming Spark's `id` to
+    // the reference's `i` (range.go:14-109)
+    val d = Vector.newBuilder[String]
+    i = 0
+    var prevKw = ""
+    while (i < tokens.length) {
+      val t = tokens(i)
+      val nextNonWs = tokens.indexWhere(x => !isWs(x), i + 1)
+      if (t.equalsIgnoreCase("range") && nextNonWs >= 0 &&
+          tokens(nextNonWs) == "(" &&
+          (prevKw.equalsIgnoreCase("FROM") || prevKw.equalsIgnoreCase("JOIN") || prevKw == ",")) {
+        val close = matching(tokens, nextNonWs)
+        d += "("; d += "SELECT"; d += " "; d += "id"; d += " "; d += "AS"
+        d += " "; d += "i"; d += " "; d += "FROM"; d += " "; d += "range"
+        tokens.slice(nextNonWs, close + 1).foreach(d += _)
+        d += ")"
+        i = close + 1
+      } else {
+        d += t
+        if (!isWs(t)) prevKw = t
+        i += 1
+      }
+    }
+    tokens = d.result()
+
+    // function-name rewrites requiring paren matching:
+    //   unnest( → explode( ; int(x) → CAST(x AS BIGINT) ; float/string
+    //   substr(s, i[, n]) → substring(s, i+1[, n])
+    def rewriteCalls(ts: Vector[String]): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var k = 0
+      while (k < ts.length) {
+        val t = ts(k)
+        val nextNonWs = ts.indexWhere(x => !isWs(x), k + 1)
+        val isCall = nextNonWs >= 0 && ts(nextNonWs) == "(" && !isStringLit(t)
+        if (isCall && t.equalsIgnoreCase("unnest")) {
+          out += "explode"; k += 1
+        } else if (isCall && Set("int", "float", "string").contains(t.toLowerCase)) {
+          val close = matching(ts, nextNonWs)
+          val inner = rewriteCalls(ts.slice(nextNonWs + 1, close))
+          val sparkTy = t.toLowerCase match {
+            case "int" => "BIGINT"; case "float" => "DOUBLE"; case _ => "STRING"
+          }
+          out += "CAST"; out += "("
+          inner.foreach(out += _)
+          out += " "; out += "AS"; out += " "; out += sparkTy; out += ")"
+          k = close + 1
+        } else if (isCall && t.equalsIgnoreCase("substr")) {
+          // substr(s, i[, n]) 0-based → substring(s, i+1[, n])
+          val close = matching(ts, nextNonWs)
+          val inner = ts.slice(nextNonWs + 1, close)
+          // split top-level commas
+          var depth = 0
+          val args = scala.collection.mutable.ArrayBuffer(Vector.newBuilder[String])
+          inner.foreach { x =>
+            if (x == "(") depth += 1
+            if (x == ")") depth -= 1
+            if (x == "," && depth == 0) args += Vector.newBuilder[String]
+            else args.last += x
+          }
+          val parts = args.map(ab => rewriteCalls(ab.result())).toVector
+          out += "substring"; out += "("
+          parts.head.foreach(out += _)
+          out += ","; out += "("
+          parts(1).foreach(out += _)
+          out += ")"; out += "+"; out += "1"
+          if (parts.length > 2) { out += ","; parts(2).foreach(out += _) }
+          out += ")"
+          k = close + 1
+        } else { out += t; k += 1 }
+      }
+      out.result()
+    }
+    tokens = rewriteCalls(tokens)
+
+    tokens.mkString
+  }
+
+  /** Translate a reference-dialect query to Spark SQL, registering path
+    * tables on `spark` as a side effect.
+    */
+  def translate(spark: SparkSession, sql: String): String =
+    rewrite(bindPathTables(spark, tokenize(sql)))
+
+  /** Run a reference-dialect query. */
+  def run(spark: SparkSession, sql: String): DataFrame =
+    spark.sql(translate(spark, sql))
+
+  /** `--describe`: one row per output field {name, type, time_field},
+    * like cmd/describe.go:12-50.
+    */
+  def describe(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    val schema = run(spark, sql).schema
+    schema.fields.map(f =>
+      (f.name, f.dataType.simpleString,
+        f.dataType.typeName == "timestamp")).toSeq
+      .toDF("name", "type", "time_field")
+  }
+
+  /** `--explain`: the optimized + physical plan text. */
+  def explain(spark: SparkSession, sql: String): String = {
+    val qe = run(spark, sql).queryExecution
+    s"== Optimized ==\n${qe.optimizedPlan}\n== Physical ==\n${qe.executedPlan}"
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import graft.sql.OctoSql
+
+/** Dialect front-end tests, mirroring the reference's golden scenario
+  * suite (tests/scenarios) — path tables, joins, LOOKUP JOIN, object
+  * access, regex operators, conversions, range TVF.
+  */
+class OctoSqlSpec extends SparkSpec {
+
+  private lazy val dir = Files.createTempDirectory("graft_sql").toFile
+
+  private def write(name: String, content: String): String = {
+    val f = new java.io.File(dir, name)
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  private lazy val objects = write("objects.json",
+    (1 to 100).map(i => s"""{"field1": "abc", "field2": $i, "field3": "test"}""")
+      .mkString("", "\n", "\n"))
+
+  private lazy val join1 = write("join1.json",
+    """{"k": "a", "v": 1}
+      |{"k": "b", "v": 2}
+      |{"k": "a", "v": 3}
+      |""".stripMargin)
+
+  private lazy val join2 = write("join2.json",
+    """{"k": "a", "w": 10}
+      |{"k": "c", "w": 30}
+      |""".stripMargin)
+
+  private lazy val nested = write("test.json",
+    """{"field1": "value", "field2": 42, "field3": {"field4": "eulav", "field5": 24}}
+      |{"field1": "value2", "field2": 43, "field3": {"field4": "x", "field5": 25}}
+      |""".stripMargin)
+
+  test("aggregation over a json path table (datasources/json/simple.in)") {
+    val row = OctoSql.run(spark,
+      s"SELECT COUNT(*) AS c, SUM(field2) AS s FROM $objects").collect().head
+    assert(row.getLong(0) == 100L && row.getDouble(1) == 5050.0)
+  }
+
+  test("equi join between two path tables (stream_join.in)") {
+    val rows = OctoSql.run(spark,
+      s"SELECT j1.k, j1.v, j2.w FROM $join1 j1 JOIN $join2 j2 ON j1.k = j2.k")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getString(0) == "a"))
+  }
+
+  test("LOOKUP JOIN parses and behaves as inner join (lookup_join.in)") {
+    val n = OctoSql.run(spark,
+      s"SELECT j1.v, j2.w FROM $join1 j1 LOOKUP JOIN $join2 j2 ON j1.k = j2.k")
+      .count()
+    assert(n == 2)
+  }
+
+  test("object field access a->b (objects/explode.in)") {
+    val rows = OctoSql.run(spark,
+      s"SELECT field3->field4 AS f4, field3->field5 AS f5 FROM $nested")
+      .orderBy("f5").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("eulav", "x"))
+  }
+
+  test("object explosion a->* (objects/explode.in)") {
+    val df = OctoSql.run(spark, s"SELECT field3->* FROM $nested")
+    assert(df.columns.toSet == Set("field4", "field5"))
+    assert(df.count() == 2)
+  }
+
+  test("regex operators ~, ~*, !~ (functions/strings.in)") {
+    val row = OctoSql.run(spark,
+      s"""SELECT field1 ~ 'val.*' AS m, field1 ~* 'VAL.*' AS ci,
+         |field1 !~ 'zzz' AS nm FROM $nested LIMIT 1""".stripMargin)
+      .collect().head
+    assert(row.getBoolean(0) && row.getBoolean(1) && row.getBoolean(2))
+  }
+
+  test("conversions int()/float()/string() null-on-fail (functions/conversions.in)") {
+    val row = OctoSql.run(spark,
+      "SELECT int('42') AS a, int('abc') AS b, float('3.5') AS c, string(7) AS d")
+      .collect().head
+    assert(row.getLong(0) == 42L && row.isNullAt(1)
+      && row.getDouble(2) == 3.5 && row.getString(3) == "7")
+  }
+
+  test("substr is 0-based in the dialect") {
+    val row = OctoSql.run(spark, "SELECT substr('hello', 1, 3) AS s").collect().head
+    assert(row.getString(0) == "ell")
+  }
+
+  test("range TVF yields column i (simple/range.in)") {
+    val rows = OctoSql.run(spark,
+      "SELECT i FROM range(1, 5) WHERE i > 2").collect().map(_.getLong(0))
+    assert(rows.sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("TRIGGER clause is accepted and stripped") {
+    val n = OctoSql.run(spark,
+      s"SELECT k, COUNT(*) AS c FROM $join1 GROUP BY k TRIGGER COUNTING 1 ORDER BY k")
+      .count()
+    assert(n == 2)
+  }
+
+  test("unnest() explodes lists") {
+    val arr = write("arr.json", """{"xs": [1, 2, 3]}""" + "\n")
+    val n = OctoSql.run(spark, s"SELECT unnest(xs) AS x FROM $arr").count()
+    assert(n == 3)
+  }
+
+  test("csv path table with WHERE and strings (outputs/csv)") {
+    val csv = write("people.csv", "name,age\nalice,30\nbob,25\n")
+    val rows = OctoSql.run(spark,
+      s"SELECT name FROM $csv WHERE age > 26").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("alice"))
+  }
+
+  test("describe reports schema") {
+    val df = OctoSql.describe(spark, s"SELECT * FROM $join1")
+    val names = df.collect().map(_.getString(0)).toSet
+    assert(names == Set("k", "v"))
+  }
+
+  test("explain returns a physical plan") {
+    val txt = OctoSql.explain(spark, s"SELECT COUNT(*) FROM $join1")
+    assert(txt.contains("Physical"))
+  }
+
+  test("string literals are never rewritten") {
+    val row = OctoSql.run(spark,
+      "SELECT 'a -> b ~* int(x) FROM t.csv' AS s").collect().head
+    assert(row.getString(0) == "a -> b ~* int(x) FROM t.csv")
+  }
+}
