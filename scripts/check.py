@@ -18,14 +18,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        try:
+            if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+                return "<NULL>"
+        except (TypeError, ValueError):
+            pass
+        return str(v)
+
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
-        elif s.dtype == object:
-            df[c] = s.astype(str)
-        elif pd.api.types.is_bool_dtype(s):
-            df[c] = s.astype(bool)
+            df[c] = s.astype("datetime64[us]").map(cell)
+        elif s.dtype == object or pd.api.types.is_bool_dtype(s):
+            df[c] = s.map(cell)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)

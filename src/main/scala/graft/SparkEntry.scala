@@ -263,6 +263,98 @@ object SparkEntry {
           concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
             .as("statuses"))),
 
+    // §2.10 math battery (transcendentals bit-checked against oracle)
+    "q24_math" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        abs(col("p_retailprice") - 1000.0).as("a"),
+        sqrt(col("p_retailprice")).as("sq"),
+        ceil(col("p_retailprice")).cast(LongType).as("ce"),
+        floor(col("p_retailprice")).cast(LongType).as("fl"),
+        round(log(col("p_retailprice")), 9).as("ln_v"),
+        round(log2(col("p_retailprice")), 9).as("l2"),
+        round(log10(col("p_retailprice")), 9).as("l10"),
+        round(pow(col("p_retailprice"), 0.3), 9).as("pw"),
+        round(exp(col("p_retailprice") / 1000.0), 9).as("ex"))),
+
+    // §2.9 And/Or 3-valued logic + NULL tests (reference Kleene logic)
+    "q25_null_logic" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .withColumn("x", nullif(pmod(col("n_nationkey"), lit(3)), lit(0)))
+      n.select(
+        col("n_nationkey").cast(LongType).as("k"),
+        col("x").cast(LongType).as("x"),
+        (col("x") > 1).as("gt1"),
+        ((col("x") > 1) && lit(null).cast("boolean")).as("and_null"),
+        ((col("x") > 1) || lit(null).cast("boolean")).as("or_null"),
+        col("x").isNull.as("is_n"),
+        col("x").isNotNull.as("is_nn"),
+        not(col("x") > 1).as("not_gt1"))
+    }),
+
+    // §2.10 IN / NOT IN over literal tuples
+    "q26_in_tuple" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+          && !col("o_orderstatus").isin("F"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))),
+
+    // §2.4 empty-set aggregation: NULL sums/mins, zero count
+    "q27_empty_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 0)
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("c"),
+          min(col("l_shipdate")).as("m"))),
+
+    // sessionization (30-min inactivity gap) via window functions — the
+    // scalable batch form of the reference's stateful stream grouping
+    "q28_sessionize" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |              > INTERVAL '30' MINUTE
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |sess AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                     ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM g)
+          |SELECT user_id, session_id, COUNT(*) AS n_events,
+          |  MIN(ts) AS session_start, MAX(ts) AS session_end
+          |FROM sess GROUP BY user_id, session_id""".stripMargin)
+    }),
+
+    // reference avg-int truncation semantics (aggregates/average.go:47-49)
+    "q29_avg_int" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast(LongType)).as("s"),
+          count(lit(1)).as("c"))
+        .selectExpr("l_returnflag", "s div c AS avg_int")),
+
+    // §2.4 array_agg (value-sorted, aggregates/array.go:22) — JSON-encoded
+    // for engine-portable comparison
+    "q30_array_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 480000)
+        .groupBy("o_orderpriority")
+        .agg(to_json(sort_array(collect_list(col("o_orderkey")))).as("keys"))),
+
+    // §2.4 *_distinct aggregates (aggregates/distinct.go)
+    "q31_distinct_aggs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          sum_distinct(col("l_quantity").cast(LongType)).as("sd"),
+          countDistinct(col("l_partkey")).as("cd"),
+          (sum_distinct(col("l_quantity").cast(LongType))
+            / countDistinct(col("l_quantity"))).as("avg_d"))),
+
     // -----------------------------------------------------------------
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
@@ -513,6 +605,76 @@ object SparkEntry {
         |  COUNT(DISTINCT l_suppkey) AS nd_supp,
         |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q24_math" ->
+      """SELECT p_partkey,
+        |  abs(p_retailprice - 1000.0) AS a,
+        |  sqrt(p_retailprice) AS sq,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  round(ln(p_retailprice), 9) AS ln_v,
+        |  round(log2(p_retailprice), 9) AS l2,
+        |  round(log10(p_retailprice), 9) AS l10,
+        |  round(pow(p_retailprice, 0.3), 9) AS pw,
+        |  round(exp(p_retailprice / 1000.0), 9) AS ex
+        |FROM part""".stripMargin,
+
+    "q25_null_logic" ->
+      """WITH n AS (SELECT n_nationkey, nullif(n_nationkey % 3, 0) AS x FROM nation)
+        |SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(x AS BIGINT) AS x,
+        |  x > 1 AS gt1,
+        |  (x > 1) AND NULL AS and_null,
+        |  (x > 1) OR NULL AS or_null,
+        |  x IS NULL AS is_n,
+        |  x IS NOT NULL AS is_nn,
+        |  NOT (x > 1) AS not_gt1
+        |FROM n""".stripMargin,
+
+    "q26_in_tuple" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |  AND o_orderstatus NOT IN ('F')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q27_empty_agg" ->
+      """SELECT SUM(l_quantity) AS s, COUNT(*) AS c, MIN(l_shipdate) AS m
+        |FROM lineitem WHERE l_quantity < 0""".stripMargin,
+
+    "q28_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q29_avg_int" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_int
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q30_array_agg" ->
+      """SELECT o_orderpriority,
+        |  to_json(list_sort(list(o_orderkey))) AS keys
+        |FROM orders WHERE o_totalprice > 480000
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q31_distinct_aggs" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sd,
+        |  COUNT(DISTINCT l_partkey) AS cd,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / COUNT(DISTINCT l_quantity) AS avg_d
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies
