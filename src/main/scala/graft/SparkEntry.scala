@@ -355,6 +355,16 @@ object SparkEntry {
           (sum_distinct(col("l_quantity").cast(LongType))
             / countDistinct(col("l_quantity"))).as("avg_d"))),
 
+    // union/variant typing (§1.4): per-row runtime-typed JSON values,
+    // union-narrowing cast (NULL on mismatch)
+    "q32_variant" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        graft.types.UnionJson.castUnion(parse_json(col("props")), "struct<k:bigint>")
+          .getField("k").as("k"),
+        graft.types.UnionJson.unionToJson(
+          variant_get(parse_json(col("props")), "$.k", "variant")).as("k_json"))),
+
     // -----------------------------------------------------------------
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
@@ -675,6 +685,12 @@ object SparkEntry {
         |  CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS DOUBLE)
         |    / COUNT(DISTINCT l_quantity) AS avg_d
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q32_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_json
+        |FROM events""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies

