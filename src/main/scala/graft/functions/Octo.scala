@@ -26,10 +26,11 @@ object Octo {
     * Reference: functions.go:713-743.
     */
   def substr0(s: Column, start: Column): Column =
-    s.substr(start.cast(IntegerType) + lit(1), length(s))
+    s.substr(greatest(start.cast(IntegerType), lit(0)) + lit(1), length(s))
 
   def substr0(s: Column, start: Column, len: Column): Column =
-    s.substr(start.cast(IntegerType) + lit(1), len.cast(IntegerType))
+    s.substr(greatest(start.cast(IntegerType), lit(0)) + lit(1),
+      greatest(len.cast(IntegerType), lit(0)))
 
   /** 0-based index of `sub` in `s`; NULL when absent (functions.go:757-772).
     * Spark `instr` is 1-based with 0-for-absent.

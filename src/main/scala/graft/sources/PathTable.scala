@@ -31,13 +31,47 @@ object PathTable {
       case parts          => (parts.head, Map.empty)
     }
 
-  /** Resolve a table spec to a DataFrame. Accepts `path.ext[?opts]` or
-    * the reference's `ext.path` override form (e.g. `csv.data_file`).
+  /** Resolve a table spec to a DataFrame. Accepts `path.ext[?opts]`,
+    * `stdin.ext` (reference: execution/files/stdin.go), or the
+    * `docs.functions` / `docs.aggregates` self-documentation tables
+    * (datasources/docs/database.go:26-121).
     */
   def resolve(spark: SparkSession, spec: String): DataFrame = {
     val (path, opts) = splitOpts(spec)
-    val ext = path.split('.').last.toLowerCase
-    read(spark, path, ext, opts)
+    if (path.startsWith("stdin."))
+      readStdin(spark, path.stripPrefix("stdin."), opts)
+    else if (path == "docs.functions") Docs.functions(spark)
+    else if (path == "docs.aggregates") Docs.aggregates(spark)
+    else {
+      val ext = path.split('.').last.toLowerCase
+      read(spark, path, ext, opts)
+    }
+  }
+
+  /** stdin is driver-local by nature: drain it on the driver and
+    * parallelize — the reference buffers the sampled prefix the same way
+    * (files.go:102-112).
+    */
+  def readStdin(spark: SparkSession, format: String,
+                opts: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val lines = scala.io.Source.stdin.getLines().toSeq
+    val ds = spark.createDataset(lines)
+    format match {
+      case "json" => spark.read.json(ds)
+      case "csv" =>
+        spark.read.option("header", opts.getOrElse("header", "true"))
+          .option("inferSchema", "true").csv(ds)
+      case "tsv" =>
+        spark.read.option("header", opts.getOrElse("header", "true"))
+          .option("inferSchema", "true").option("sep", "\t").csv(ds)
+      case "lines" | "txt" =>
+        ds.toDF("text").withColumn("number",
+          row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
+          .select("number", "text")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported stdin format: $other")
+    }
   }
 
   def read(spark: SparkSession, path: String, format: String,

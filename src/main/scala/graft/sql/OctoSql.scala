@@ -97,7 +97,8 @@ object OctoSql {
     */
   private def bindPathTables(spark: SparkSession, tokens: Vector[String]): Vector[String] =
     tokens.map { t =>
-      if (!isStringLit(t) && t.matches(PathTableRe)) {
+      if (!isStringLit(t) &&
+          (t.matches(PathTableRe) || t == "docs.functions" || t == "docs.aggregates")) {
         val view = "pt_" + t.replaceAll("[^A-Za-z0-9]", "_")
         PathTable.resolve(spark, t).createOrReplaceTempView(view)
         view

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.Octo
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Property tests: batch-generate random inputs with ScalaCheck, run
+  * the engine expressions over them in ONE Spark job, and compare each
+  * row against an independent driver-side Scala model.
+  */
+class OctoPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString))
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+
+  test("substr0 matches a reference model on random inputs") {
+    val cases = samples(for {
+      s <- asciiText; st <- Gen.chooseNum(-2, 45); ln <- Gen.chooseNum(0, 45)
+    } yield (s, st, ln))
+    val got = cases.toDF("s", "st", "ln")
+      .select(Octo.substr0(col("s"), col("st"), col("ln"))).as[String].collect()
+    cases.zip(got).foreach { case ((s, st, ln), g) =>
+      // model: 0-based, start clamped to [0, len], window length ≥ 0
+      val expected = s.drop(math.max(st, 0)).take(math.max(ln, 0))
+      assert(Option(g).getOrElse("") == expected, s"substr0($s, $st, $ln)")
+    }
+  }
+
+  test("intDiv truncates toward zero like Go/JVM integer division") {
+    val cases = samples(for {
+      a <- Gen.chooseNum(-100000L, 100000L)
+      b <- Gen.chooseNum(-1000L, 1000L) if b != 0
+    } yield (a, b))
+    val got = cases.toDF("a", "b")
+      .select(Octo.intDiv(col("a"), col("b"))).as[Long].collect()
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(g == a / b, s"intDiv($a, $b)")
+    }
+  }
+
+  test("fingerprint equals the driver-side rolling-hash model") {
+    val cases = samples(asciiText).distinct
+    val got = cases.toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).as[Long].collect()
+    cases.zip(got).foreach { case (s, g) =>
+      val expected =
+        if (s.isEmpty) 0L
+        else s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      assert(g == expected, s"fingerprint(${s.take(20)}...)")
+    }
+  }
+
+  test("tokenShingles size and content match the model") {
+    val word = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val cases = samples(Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+    val got = cases.toDF("t")
+      .select(Dedup.tokenShingles(col("t"), 2)).as[Seq[String]].collect()
+    cases.zip(got).foreach { case (s, g) =>
+      val toks = s.trim.split("\\s+").toSeq
+      val expected =
+        if (toks.length < 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq.distinct
+      assert(g == expected, s"shingles($s)")
+    }
+  }
+
+  test("wsTokens counts whitespace tokens") {
+    val cases = samples(asciiText).filter(_.trim.nonEmpty)
+    val got = cases.toDF("t")
+      .select(TextAnalysis.wsTokens(col("t"))).as[Long].collect()
+    cases.zip(got).foreach { case (s, g) =>
+      assert(g == s.trim.split("\\s+").length.toLong, s"wsTokens($s)")
+    }
+  }
+}
