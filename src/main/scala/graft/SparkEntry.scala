@@ -355,6 +355,17 @@ object SparkEntry {
           (sum_distinct(col("l_quantity").cast(LongType))
             / countDistinct(col("l_quantity"))).as("avg_d"))),
 
+    // as-of temporal join (beyond reference; union+window formulation,
+    // one shuffle — see operators.AsOf): latest purchase ≤ each view
+    "q33_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+      operators.AsOf.asofJoin(views, purchases, "user_id", "ts", Seq("p_value"))
+    }),
+
     // union/variant typing (§1.4): per-row runtime-typed JSON values,
     // union-narrowing cast (NULL on mismatch)
     "q32_variant" -> ((s, dir) =>
@@ -685,6 +696,15 @@ object SparkEntry {
         |  CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS DOUBLE)
         |    / COUNT(DISTINCT l_quantity) AS avg_d
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q33_asof" ->
+      """SELECT v.event_id, v.user_id, v.ts, p.p_value AS asof_p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'view') v
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, max(value) AS p_value FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        |ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
 
     "q32_variant" ->
       """SELECT event_id,

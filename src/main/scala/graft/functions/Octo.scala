@@ -93,4 +93,35 @@ object Octo {
   def timeFromUnix(c: Column): Column = timestamp_seconds(c)
 
   def timeToUnix(c: Column): Column = unix_timestamp(c)
+
+  /** Translate a Go reference-time layout (the reference's parse_time
+    * uses Go layouts, functions.go:846-862) into a JDK datetime pattern.
+    * Covers the layout atoms Go documents for its reference time
+    * `Mon Jan 2 15:04:05 MST 2006`.
+    */
+  def goLayoutToJava(layout: String): String = {
+    val subs = Seq(
+      "2006" -> "yyyy", "01" -> "MM", "02" -> "dd",
+      "15" -> "HH", "03" -> "hh", "04" -> "mm", "05" -> "ss",
+      ".000" -> ".SSS", "Jan" -> "MMM", "January" -> "MMMM",
+      "Mon" -> "EEE", "Monday" -> "EEEE", "PM" -> "a",
+      "Z07:00" -> "XXX", "-07:00" -> "xxx", "MST" -> "zzz")
+    // longest-first, single pass over the layout
+    val ordered = subs.sortBy(-_._1.length)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      ordered.find { case (go, _) => layout.startsWith(go, i) } match {
+        case Some((go, jv)) => sb ++= jv; i += go.length
+        case None           => sb += layout(i); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** parse_time with a Go layout string; NULL on failure (non-ANSI
+    * to_timestamp semantics), like the reference.
+    */
+  def parseTimeGo(s: Column, goLayout: String): Column =
+    try_to_timestamp(s, lit(goLayoutToJava(goLayout)))
 }
