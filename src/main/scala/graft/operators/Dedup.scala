@@ -90,8 +90,11 @@ object Dedup {
     // the index feeds three consumers (sizes + both join sides): persist
     // once instead of recomputing the explode per consumer. At data-lake
     // scale this materialization would be a checkpoint table; the shape
-    // (build index once, self-join on shingle) is the same.
+    // (build index once, self-join on shingle) is the same. Shingles are
+    // hashed to 64-bit before the self-join: same equality classes
+    // w.h.p. (collision odds ~n²/2⁶⁴), a fraction of the shuffle bytes.
     val idx = shingleIndex(df, idCol, textCol, n, maxDocFreq, tokens)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = idx.toDF("id_a", "shingle")

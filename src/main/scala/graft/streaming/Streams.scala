@@ -108,6 +108,24 @@ object Streams {
       }
   }
 
+  /** The reference's `poll` TVF (table_valued_functions/poll.go:14-152):
+    * re-run a source every interval; each snapshot fully replaces the
+    * previous one (retract-all-and-emit) and carries a `time` column.
+    * Snapshots are pushed to `onSnapshot`; stop the returned query to
+    * end polling.
+    */
+  def poll(spark: SparkSession, read: () => DataFrame, interval: String)
+          (onSnapshot: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).load()
+    ticks.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+      .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onSnapshot(read().withColumn("time", current_timestamp()))
+      }
+      .start()
+  }
+
   /** Render a retraction stream the way the reference's stream_native
     * sink does (outputs/stream/printer.go:22-67): `+` for emissions,
     * `-` for retractions.

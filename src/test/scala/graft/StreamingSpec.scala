@@ -54,4 +54,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(_.getLong(1) == 3L))
     assert(!rows.exists(_.getLong(1) == 103L))
   }
+
+  test("poll re-reads the source every interval (poll TVF)") {
+    val dir = java.nio.file.Files.createTempDirectory("poll").toFile
+    val f = new java.io.File(dir, "d.csv")
+    java.nio.file.Files.writeString(f.toPath, "a\n1\n")
+    val snaps = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val q = Streams.poll(spark,
+      () => spark.read.option("header", "true").csv(f.getAbsolutePath),
+      "1 second") { snap => snaps.add(snap.count()) }
+    try {
+      Thread.sleep(2500)
+      java.nio.file.Files.writeString(f.toPath, "a\n1\n2\n3\n")
+      Thread.sleep(2500)
+    } finally q.stop()
+    assert(snaps.size() >= 2)
+    assert(snaps.get(0) == 1L)
+    assert(snaps.get(snaps.size() - 1) == 3L)
+  }
 }
