@@ -134,4 +134,19 @@ class OctoSqlSpec extends SparkSpec {
       "SELECT 'a -> b ~* int(x) FROM t.csv' AS s").collect().head
     assert(row.getString(0) == "a -> b ~* int(x) FROM t.csv")
   }
+
+  test("federated cross-source join: parquet x csv x json in one query") {
+    val csv = write("regions_extra.csv",
+      "r_regionkey,bonus\n0,10\n1,20\n2,30\n3,40\n4,50\n")
+    val json = write("region_tags.json",
+      (0 to 4).map(i => s"""{\"r_regionkey\": $i, \"tag\": \"t$i\"}""").mkString("\n"))
+    val rows = OctoSql.run(spark,
+      s"""SELECT r.r_name, e.bonus, t.tag
+         |FROM $sf/region.parquet r
+         |JOIN $csv e ON r.r_regionkey = e.r_regionkey
+         |JOIN $json t ON r.r_regionkey = t.r_regionkey""".stripMargin)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(2)).toSet == Set("t0", "t1", "t2", "t3", "t4"))
+  }
 }
