@@ -107,9 +107,85 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest of `nlist` centroids; a query only scans the `nprobe`
+    * centroid cells nearest to it. Centroids here are a deterministic
+    * sample of the corpus (hash-ranked) refined by one Lloyd step —
+    * cheap, fully distributed, and good enough for cell routing (real
+    * IVF quality comes from nprobe, not centroid polish).
+    *
+    * Scale shape: assignment is a broadcast of `nlist` centroids +
+    * one scan; the search joins queries to cells, so cost is
+    * |corpus| × nprobe / nlist per query instead of |corpus|.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    VecExpressions.register(spark)
+    // deterministic centroid seed: the nlist corpus rows with the
+    // smallest xxhash64(id) — order-free, reproducible, distributed
+    val seeds = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(nlist)
+      .select("cid", "cv")
+    val centroids = seeds.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)) // nlist rows only
+    def nearestCells(vec: Column, m: Int): Column = {
+      // score against every centroid (literal arrays), take top-m ids
+      val scored = array(centroids.map { case (cid, cv) =>
+        val cvLit = array(cv.map(x => lit(x.toDouble)): _*)
+        struct((dot(vec, cvLit) / (norm(vec) * sqrt(lit(cv.map(x => x.toDouble * x).sum))))
+          .as("s"), lit(cid).as("cid"))
+      }: _*)
+      slice(reverse(array_sort(scored)), 1, m)
+    }
+    val cellCorpus = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1).getField("cid"))
+      .withColumn("cn", norm(col("cv")))
+    val cellQueries = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(transform(
+        nearestCells(col("qv"), nprobe), s => s.getField("cid"))))
+      .withColumn("qn", norm(col("qv")))
+    val scored = cellCorpus.join(broadcast(cellQueries), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** LSH-bucketed near-dup pairs: sign-bucket candidates, exact cosine
+    * verify — the linear-ish scale path for `cosinePairs` (which is an
+    * exact O(n²) self-join). Multi-table union recovers recall.
+    */
+  def cosinePairsLsh(df: DataFrame, threshold: Double,
+                     bits: Int = 6, dim: Int = 64, tables: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(df.sparkSession)
+    val perTable = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, seed = 42L + t)
+      val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("bucket", lshBucket(col("v"), planes))
+      side.toDF("id_a", "va", "bucket")
+        .join(side.toDF("id_b", "vb", "bucket"), "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+    }
+    perTable.reduce(_ union _).distinct()
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     * detection. Brute self-join with per-row precomputed norms; swap
-    * candidate generation to `lshTopK`-style bucketing at scale.
+    * candidate generation to `cosinePairsLsh` at scale.
     */
   def cosinePairs(df: DataFrame, threshold: Double,
                   idCol: String = "vec_id",

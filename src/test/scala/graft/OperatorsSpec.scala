@@ -118,4 +118,28 @@ class OperatorsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
     assert(frames.count() > 0)
   }
+
+  test("ivfTopK finds mostly the same neighbors as brute force") {
+    val emb = Engine.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, 3, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == 15) // 5 queries x k=3
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("cosinePairsLsh candidates are a subset of exact pairs") {
+    val emb = Engine.table(spark, sf, "embeddings")
+    val exact = Similarity.cosinePairs(emb, 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(emb, 0.4, bits = 4, tables = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty)
+  }
 }

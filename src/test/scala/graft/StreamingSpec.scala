@@ -72,4 +72,24 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.get(0) == 1L)
     assert(snaps.get(snaps.size() - 1) == 3L)
   }
+
+  test("stream-stream inner equi-join (reference StreamJoin, both sides streamed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(String, Int)]
+    val right = MemoryStream[(String, Double)]
+    val joined = left.toDF().toDF("k", "v")
+      .join(right.toDF().toDF("k", "w"), "k")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    left.addData(("a", 1), ("b", 2))
+    right.addData(("a", 10.0))
+    q.processAllAvailable()
+    // late-arriving right row still joins buffered left state
+    right.addData(("b", 20.0), ("c", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(rows == Set(("a", 1, 10.0), ("b", 2, 20.0)))
+  }
 }
