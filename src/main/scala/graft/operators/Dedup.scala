@@ -114,15 +114,20 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------
 
-  /** MinHash signature: k independent permutations approximated by
-    * xxhash64 with k salts; signature element i = min over shingles of
-    * h_i(shingle). One explode + one groupBy — two narrow shuffles total.
+  /** MinHash signature: k permutations from TWO base hashes via the
+    * Carter-Wegman construction h_i = h1 + i·h2 (mod 2⁶⁴) — 2 hash
+    * evaluations per shingle instead of k (16× less hashing at k=32,
+    * the dominant map-side cost), with the standard pairwise-
+    * independence guarantee MinHash needs. One explode + one groupBy —
+    * two narrow shuffles total.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, tokens: Boolean = false): DataFrame = {
     val idx = shingleIndex(df, idCol, textCol, n, None, tokens)
+      .withColumn("h1", xxhash64(col("shingle")))
+      .withColumn("h2", xxhash64(lit(1), col("shingle")))
     val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     idx.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
