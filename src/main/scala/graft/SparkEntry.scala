@@ -380,6 +380,24 @@ object SparkEntry {
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
 
+    // deterministic stratified sampling (portable hash order, per-lang cap)
+    "p1_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang", perKey = 5)
+        .select("doc_id", "lang")),
+
+    // deterministic train/eval split (hash-bucket, no shuffle)
+    "p2_split" -> ((s, dir) =>
+      operators.Sampling.trainEvalSplit(t(s, dir, "documents"), "doc_id", 10)
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))),
+
+    // canonical text normalization
+    "p3_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("norm"),
+        length(TextAnalysis.normalize(col("text"))).cast(LongType).as("norm_len"))),
+
     // exact dedup: content-keyed representative + copy count
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exactStats(t(s, dir, "documents"), "doc_id", "text")),
@@ -715,6 +733,31 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "p1_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= 5""".stripMargin,
+
+    "p2_split" ->
+      """SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 10
+        |            THEN 'eval' ELSE 'train' END AS split,
+        |  lang, COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "p3_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g')) AS norm,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |       '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents""".stripMargin,
 
     "d2_ngram_jaccard" ->
       """WITH toks AS (

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * All selection is keyed on a *portable* multiplicative hash of the row
+  * id (Knuth's 2654435761 mod 2³²) rather than an RNG: reruns, retries
+  * and engine changes yield byte-identical samples — a reproducibility
+  * requirement for dataset cards, and what makes these operators
+  * oracle-checkable across engines.
+  */
+object Sampling {
+
+  /** Portable pseudo-random key in [0, 2³²). */
+  def hashKey(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic k-row sample: the k rows with the smallest hash key
+    * (distributed top-k via TakeOrderedAndProject, no full sort).
+    */
+  def deterministicSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(hashKey(col(idCol)), col(idCol)).limit(k)
+
+  /** Stratified sample: up to `perKey` rows per stratum, chosen by hash
+    * order — one shuffle on the stratum key.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       perKey: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perKey).drop("__rn")
+  }
+
+  /** Deterministic train/eval split: `evalPct` percent of rows (by hash
+    * bucket) land in eval. Pure projection — no shuffle at all.
+    */
+  def trainEvalSplit(df: DataFrame, idCol: String, evalPct: Int): DataFrame =
+    df.withColumn("split",
+      when(pmod(hashKey(col(idCol)), lit(100)) < evalPct, "eval")
+        .otherwise("train"))
+}

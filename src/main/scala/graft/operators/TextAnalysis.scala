@@ -111,6 +111,14 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
 
+  /** Canonical text normalization for dedup keys / training input:
+    * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+    * trim. Pure codegen'd projection.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

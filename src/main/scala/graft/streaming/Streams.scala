@@ -108,6 +108,33 @@ object Streams {
       }
   }
 
+  case class DistinctState(count: Long)
+
+  /** Retraction-aware streaming DISTINCT (execution/nodes/distinct.go:
+    * 26-76): per-value multiset count; emit the value on 0→1, emit a
+    * retraction on the last withdrawal (1→0). Input rows carry their
+    * own retraction bit, so upstream operators can withdraw rows.
+    */
+  def distinctStream(values: Dataset[(String, Boolean)]): Dataset[Emit] = {
+    import values.sparkSession.implicits._
+    values.groupByKey(_._1)
+      .flatMapGroupsWithState[DistinctState, Emit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Boolean)],
+         state: GroupState[DistinctState]) =>
+          var c = state.getOption.map(_.count).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Emit]
+          rows.foreach { case (_, retraction) =>
+            val next = c + (if (retraction) -1L else 1L)
+            if (c == 0L && next == 1L) out += Emit(key, 1L, retraction = false)
+            if (c == 1L && next == 0L) out += Emit(key, 1L, retraction = true)
+            c = math.max(next, 0L)
+          }
+          state.update(DistinctState(c))
+          out.iterator
+      }
+  }
+
   /** The reference's `poll` TVF (table_valued_functions/poll.go:14-152):
     * re-run a source every interval; each snapshot fully replaces the
     * previous one (retract-all-and-emit) and carries a `time` column.
