@@ -108,6 +108,67 @@ object Streams {
       }
   }
 
+  /** One emitted row of a retraction-capable streaming outer join. */
+  case class JoinEmit(key: String, left: Option[Long], right: Option[Long],
+                      retraction: Boolean)
+
+  case class JoinState(lefts: List[Long], rights: List[Long])
+
+  /** A tagged input row: side = 0 → left, 1 → right. */
+  case class Tagged(key: String, side: Int, value: Long)
+
+  /** FULL OUTER streaming join with the reference's retraction
+    * semantics (execution/nodes/outer_join.go:33-459): while a key has
+    * rows on only one side, null-padded rows are emitted immediately;
+    * when the first row of the other side arrives, every null-padded
+    * row is retracted and the real joined rows are emitted. State and
+    * emission are per-key via flatMapGroupsWithState — the same
+    * symmetric-hash algorithm, distributed over Spark's state store.
+    */
+  def outerJoinStream(left: Dataset[(String, Long)],
+                      right: Dataset[(String, Long)]): Dataset[JoinEmit] = {
+    import left.sparkSession.implicits._
+    val tagged = left.map { case (k, v) => Tagged(k, 0, v) }
+      .union(right.map { case (k, v) => Tagged(k, 1, v) })
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[JoinState, JoinEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Tagged], state: GroupState[JoinState]) =>
+          var st = state.getOption.getOrElse(JoinState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[JoinEmit]
+          rows.foreach { t =>
+            if (t.side == 0) {
+              if (st.rights.isEmpty) {
+                if (st.lefts.isEmpty && st.rights.isEmpty) {} // nothing to retract
+                out += JoinEmit(key, Some(t.value), None, retraction = false)
+              } else {
+                st.rights.reverse.foreach(r =>
+                  out += JoinEmit(key, Some(t.value), Some(r), retraction = false))
+              }
+              // first left row: retract any right-side null paddings
+              if (st.lefts.isEmpty && st.rights.nonEmpty)
+                st.rights.reverse.foreach(r =>
+                  out += JoinEmit(key, None, Some(r), retraction = true))
+              st = st.copy(lefts = t.value :: st.lefts)
+            } else {
+              if (st.lefts.isEmpty) {
+                out += JoinEmit(key, None, Some(t.value), retraction = false)
+              } else {
+                st.lefts.reverse.foreach(l =>
+                  out += JoinEmit(key, Some(l), Some(t.value), retraction = false))
+              }
+              // first right row: retract the left-side null paddings
+              if (st.rights.isEmpty && st.lefts.nonEmpty)
+                st.lefts.reverse.foreach(l =>
+                  out += JoinEmit(key, Some(l), None, retraction = true))
+              st = st.copy(rights = t.value :: st.rights)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class DistinctState(count: Long)
 
   /** Retraction-aware streaming DISTINCT (execution/nodes/distinct.go:
