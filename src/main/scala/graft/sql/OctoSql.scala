@@ -199,7 +199,22 @@ object OctoSql {
         val nextNonWs = ts.indexWhere(x => !isWs(x), k + 1)
         val isCall = nextNonWs >= 0 && ts(nextNonWs) == "(" && !isStringLit(t)
         if (isCall && t.equalsIgnoreCase("unnest")) {
-          out += "explode"; k += 1
+          // nested unnest(unnest(x)) → explode(flatten(x)): Spark
+          // rejects nested generators (reference nests them, map.go)
+          val close = matching(ts, nextNonWs)
+          val innerToks = ts.slice(nextNonWs + 1, close)
+          val innerHead = innerToks.indexWhere(x => !isWs(x))
+          if (innerHead >= 0 && innerToks(innerHead).equalsIgnoreCase("unnest")) {
+            val innerOpen = innerToks.indexWhere(_ == "(", innerHead)
+            val innerClose = matching(innerToks, innerOpen)
+            val payload = rewriteCalls(innerToks.slice(innerOpen + 1, innerClose))
+            out += "explode"; out += "("; out += "flatten"; out += "("
+            payload.foreach(out += _)
+            out += ")"; out += ")"
+            k = close + 1
+          } else {
+            out += "explode"; k += 1
+          }
         } else if (isCall && Set("int", "float", "string").contains(t.toLowerCase)) {
           val close = matching(ts, nextNonWs)
           val inner = rewriteCalls(ts.slice(nextNonWs + 1, close))

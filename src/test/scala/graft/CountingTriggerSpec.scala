@@ -42,4 +42,24 @@ class CountingTriggerSpec extends SparkSpec {
     val recs = spark.table("ct_fmt").collect().map(_.getString(0)).toSet
     assert(recs == Set("+|x|1", "-|x|1", "+|x|2"))
   }
+
+  test("DataFrame counting trigger over real key columns") {
+    val events = Engine.table(spark, sf, "events").limit(200)
+    // batch DataFrame through the same state machine via a memory stream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val types = events.select("event_type").as[String].collect()
+    val mem = MemoryStream[String]
+    val out = Streams.countingTriggerCounts(mem.toDS(), n = 20)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ct_df").start()
+    mem.addData(types.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("ct_df")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    // every emission is a multiple of 50, retractions pair with re-fires
+    assert(emitted.nonEmpty)
+    assert(emitted.forall(_._2 % 20 == 0))
+  }
 }

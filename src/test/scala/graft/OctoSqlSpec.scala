@@ -149,4 +149,21 @@ class OctoSqlSpec extends SparkSpec {
     assert(rows.length == 5)
     assert(rows.map(_.getString(2)).toSet == Set("t0", "t1", "t2", "t3", "t4"))
   }
+
+  test("nested unnest(unnest(x)) flattens (reference map.go nesting)") {
+    val arr2 = write("arr2.json", """{"xs": [[1, 2], [3]]}""" + "\n")
+    val rows = OctoSql.run(spark, s"SELECT unnest(unnest(xs)) AS x FROM $arr2")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("unnest of an empty list emits zero rows (reference unnest.go)") {
+    val arr3 = write("arr3.json",
+      """{"id": 1, "xs": [7]}
+        |{"id": 2, "xs": []}
+        |""".stripMargin)
+    val rows = OctoSql.run(spark, s"SELECT id, unnest(xs) AS x FROM $arr3").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getDouble(0) == 1.0)
+  }
 }
