@@ -225,6 +225,15 @@ object OctoSql {
           inner.foreach(out += _)
           out += " "; out += "AS"; out += " "; out += sparkTy; out += ")"
           k = close + 1
+        } else if (isCall && t.equalsIgnoreCase("position")) {
+          // position(str, sub) 0-based NULL-if-absent (functions.go:757)
+          // → nullif(instr(str, sub), 0) - 1
+          val close = matching(ts, nextNonWs)
+          val inner = rewriteCalls(ts.slice(nextNonWs + 1, close))
+          out += "("; out += "nullif"; out += "("; out += "instr"; out += "("
+          inner.foreach(out += _)
+          out += ")"; out += ","; out += "0"; out += ")"; out += "-"; out += "1"; out += ")"
+          k = close + 1
         } else if (isCall && t.equalsIgnoreCase("substr")) {
           // substr(s, i[, n]) 0-based → substring(s, i+1[, n])
           val close = matching(ts, nextNonWs)

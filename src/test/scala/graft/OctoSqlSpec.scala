@@ -166,4 +166,13 @@ class OctoSqlSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows.head.getDouble(0) == 1.0)
   }
+
+  test("position() is 0-based with NULL when absent, len() over strings") {
+    val row = OctoSql.run(spark,
+      "SELECT position('hello', 'll') AS p, position('hello', 'zz') AS np, len('abcd') AS l")
+      .collect().head
+    assert(row.getInt(0) == 2)
+    assert(row.isNullAt(1))
+    assert(row.getInt(2) == 4)
+  }
 }
