@@ -191,6 +191,10 @@ object OctoSql {
     // function-name rewrites requiring paren matching:
     //   unnest( → explode( ; int(x) → CAST(x AS BIGINT) ; float/string
     //   substr(s, i[, n]) → substring(s, i+1[, n])
+    val fnRenames = Map(
+      "panic" -> "raise_error",                 // functions.go:1135
+      "time_from_unix" -> "timestamp_seconds",  // functions.go:864
+      "time_to_unix" -> "unix_timestamp")       // functions.go:886
     def rewriteCalls(ts: Vector[String]): Vector[String] = {
       val out = Vector.newBuilder[String]
       var k = 0
@@ -198,7 +202,9 @@ object OctoSql {
         val t = ts(k)
         val nextNonWs = ts.indexWhere(x => !isWs(x), k + 1)
         val isCall = nextNonWs >= 0 && ts(nextNonWs) == "(" && !isStringLit(t)
-        if (isCall && t.equalsIgnoreCase("unnest")) {
+        if (isCall && fnRenames.contains(t.toLowerCase)) {
+          out += fnRenames(t.toLowerCase); k += 1
+        } else if (isCall && t.equalsIgnoreCase("unnest")) {
           // nested unnest(unnest(x)) → explode(flatten(x)): Spark
           // rejects nested generators (reference nests them, map.go)
           val close = matching(ts, nextNonWs)

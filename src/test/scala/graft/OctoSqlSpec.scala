@@ -175,4 +175,13 @@ class OctoSqlSpec extends SparkSpec {
     assert(row.isNullAt(1))
     assert(row.getInt(2) == 4)
   }
+
+  test("panic() raises, unix time round-trips (functions/panic.in)") {
+    intercept[Exception] {
+      OctoSql.run(spark, "SELECT panic('boom')").collect()
+    }
+    val r = OctoSql.run(spark,
+      "SELECT time_to_unix(time_from_unix(1700000000)) AS u").collect().head
+    assert(r.getLong(0) == 1700000000L)
+  }
 }
