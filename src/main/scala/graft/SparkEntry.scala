@@ -398,6 +398,10 @@ object SparkEntry {
         TextAnalysis.normalize(col("text")).as("norm"),
         length(TextAnalysis.normalize(col("text"))).cast(LongType).as("norm_len"))),
 
+    // repetition quality signals (Gopher-style top-token fraction)
+    "p4_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+
     // exact dedup: content-keyed representative + copy count
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exactStats(t(s, dir, "documents"), "doc_id", "text")),
@@ -729,6 +733,16 @@ object SparkEntry {
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_json
         |FROM events""".stripMargin,
+
+    "p4_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS distinct_tokens,
+        |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_token_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies

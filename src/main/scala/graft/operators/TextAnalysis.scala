@@ -119,6 +119,23 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Repetition quality signals (Gopher-style filters): token totals,
+    * distinct-token count, and the most-frequent token's share. Shaped
+    * as explode → two-level aggregate so the token counting distributes
+    * (per-doc maps never materialize on one node).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        (max("n").cast("double") / sum("n").cast("double")).as("top_token_frac"))
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
