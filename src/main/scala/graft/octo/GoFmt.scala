@@ -1,0 +1,132 @@
+package graft.octo
+
+/** Byte-parity replicas of the Go formatting the reference relies on for
+  * its output surface:
+  *
+  *  - `fmt.Sprint(float64)` — strconv's shortest 'g' formatting with the
+  *    shortest-mode exponent threshold (`eprec = 6`), so `42.0` renders
+  *    as `42` and `18248328.0` as `1.8248328e+07`
+  *    (reference: octosql/values.go:371 Float display).
+  *  - `time.Duration.String()` — `3s`, `2.333333333s`, `5h32m42s`, `-3s`
+  *    (values.go:383 Duration display; durations carry nanosecond
+  *    precision in the reference).
+  *  - `time.Time.Format(time.RFC3339)` — second precision, `Z` for UTC
+  *    (values.go:380).
+  *
+  * Pure JVM string code: only the driver-side output printers use these;
+  * nothing here runs per-row inside a distributed operator.
+  */
+object GoFmt {
+
+  /** Go `fmt.Sprint(f)` for a float64. Uses Java's shortest-unique
+    * decimal digits (Double.toString) re-assembled with Go's 'g'
+    * formatting rules.
+    */
+  def goFloat(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "+Inf"
+    if (d == Double.NegativeInfinity) return "-Inf"
+    val s = java.lang.Double.toString(d) // "42.0" | "2.33...5" | "1.8248328E7" | "-0.0"
+    val neg = s.startsWith("-")
+    val body = if (neg) s.substring(1) else s
+    val (mant, exp10) = body.indexOf('E') match {
+      case -1 => (body, 0)
+      case i  => (body.substring(0, i), body.substring(i + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    val digitsRaw = mant.replace(".", "")
+    // decimal point position relative to the digit string (digits before point)
+    var dp = (if (dot == -1) mant.length else dot) + exp10
+    // strip leading zeros ("0.5" -> digits "05")
+    var digits = digitsRaw.dropWhile(_ == '0')
+    dp -= (digitsRaw.length - digits.length)
+    // strip trailing zeros ("42.0" -> "420" -> "42")
+    digits = digits.reverse.dropWhile(_ == '0').reverse
+    if (digits.isEmpty) return if (neg) "-0" else "0"
+    val sb = new StringBuilder
+    if (neg) sb += '-'
+    val exp = dp - 1
+    if (exp < -4 || exp >= 6) {
+      // %e form: d[.ddd]e±XX (exponent at least two digits)
+      sb += digits(0)
+      if (digits.length > 1) { sb += '.'; sb ++= digits.substring(1) }
+      sb += 'e'
+      sb += (if (exp < 0) '-' else '+')
+      val ae = math.abs(exp)
+      if (ae < 10) sb += '0'
+      sb.append(ae)
+    } else if (exp >= 0) {
+      // %f form, point inside or after digits
+      if (digits.length > dp) {
+        sb ++= digits.substring(0, dp); sb += '.'; sb ++= digits.substring(dp)
+      } else {
+        sb ++= digits
+        var i = digits.length
+        while (i < dp) { sb += '0'; i += 1 }
+      }
+    } else {
+      sb ++= "0."
+      var i = 0
+      while (i < -dp) { sb += '0'; i += 1 }
+      sb ++= digits
+    }
+    sb.toString
+  }
+
+  /** Go `time.Duration.String()` over nanoseconds. */
+  def goDuration(nanos: Long): String = {
+    if (nanos == 0L) return "0s"
+    val neg = nanos < 0
+    var u: Long = math.abs(nanos) // Long.MinValue impossible from our sources
+    val sb = new StringBuilder
+    if (u < 1000000000L) {
+      // sub-second: ns / µs / ms with trimmed fraction
+      val (prec, unit) =
+        if (u < 1000L) (0, "ns")
+        else if (u < 1000000L) (3, "µs")
+        else (6, "ms")
+      val (frac, whole) = fmtFrac(u, prec)
+      sb.append(whole); sb ++= frac; sb ++= unit
+    } else {
+      val (frac, rest) = fmtFrac(u, 9)
+      u = rest
+      sb.append(u % 60); sb ++= frac; sb += 's'
+      u /= 60
+      if (u > 0) {
+        sb.insert(0, (u % 60).toString + "m")
+        u /= 60
+        if (u > 0) sb.insert(0, u.toString + "h")
+      }
+    }
+    (if (neg) "-" else "") + sb.toString
+  }
+
+  /** Split `v` into (trimmed ".fraction" over `prec` digits, remainder). */
+  private def fmtFrac(v: Long, prec: Int): (String, Long) = {
+    var u = v
+    var print = false
+    val buf = new StringBuilder
+    var i = 0
+    while (i < prec) {
+      val digit = u % 10
+      print = print || digit != 0
+      if (print) buf.insert(0, ('0' + digit).toChar)
+      u /= 10
+      i += 1
+    }
+    (if (print) "." + buf.toString else "", u)
+  }
+
+  private val Utc = java.time.ZoneOffset.UTC
+  private val Rfc3339 =
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ssXXX")
+
+  /** Go `t.Format(time.RFC3339)` (second precision, Z for UTC). */
+  def rfc3339(instant: java.time.Instant): String =
+    Rfc3339.format(instant.atOffset(Utc))
+
+  /** The Go zero time `time.Time{}` rendered via RFC3339 — the event
+    * time every batch record carries (execution/execution.go:73-91).
+    */
+  val ZeroTime: String = "0001-01-01T00:00:00Z"
+}
