@@ -1,53 +1,144 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import graft.sql.OctoSql
+import java.io.PrintStream
+import org.apache.spark.sql.SparkSession
+import graft.sql.Dialect
+import graft.octo.Formats
 
 /** CLI entry point mirroring the reference's `octosql "<SQL>"` surface
-  * (cmd/root.go): run a dialect query over file tables, print as a
-  * table / CSV / JSON-lines; `--describe` and `--explain` inspect
-  * instead of executing.
+  * (cmd/root.go): run a dialect query over file tables and print in one
+  * of its output formats; `--describe` / `--explain` inspect instead.
   *
-  * Usage: graft.Cli "<SQL>" [--output table|csv|json] [--describe|--explain]
+  * Usage: graft.Cli "<SQL>" [--output live_table|batch_table|csv|json|stream_native]
+  *        [--describe] [--explain]
+  *
+  * `execute` is the testable core (the golden-scenario replay drives it
+  * with captured streams and injected stdin); `main` wires the real
+  * process streams.
   */
 object Cli {
 
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: Cli \"<SQL>\" [--output table|csv|json] [--describe|--explain]"); sys.exit(2) }
-    val sql = args(0)
-    val output = args.sliding(2).collectFirst {
-      case Array("--output", v) => v }.getOrElse("table")
-    val spark = Engine.session(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
-    try {
-      if (args.contains("--describe")) OctoSql.describe(spark, sql).show(1000, truncate = false)
-      else if (args.contains("--explain")) println(OctoSql.explain(spark, sql))
-      else {
-        val df = OctoSql.run(spark, sql)
-        output match {
-          case "csv"  => printCsv(df)
-          case "json" => printJson(df)
-          case _      => df.show(1000, truncate = false)
-        }
+  /** The reference CLI's usage text, printed (with the error) on any
+    * failure — byte parity with its golden .err files (cobra output,
+    * cmd/root.go flags).
+    */
+  val Usage: String =
+    """Usage:
+      |  octosql <query> [flags]
+      |  octosql [command]
+      |
+      |Examples:
+      |octosql "SELECT * FROM myfile.json"
+      |octosql "SELECT * FROM mydir/myfile.csv"
+      |octosql "SELECT * FROM plugins.plugins"
+      |
+      |Available Commands:
+      |  completion  Generate the autocompletion script for the specified shell
+      |  help        Help about any command
+      |  plugin@PAD@
+      |
+      |Flags:
+      |      --describe         Describe query output schema.
+      |      --explain int      Describe query output schema.
+      |  -h, --help             help for octosql
+      |      --optimize         Whether OctoSQL should optimize the query. (default true)
+      |  -o, --output string    Output format to use. Available options are live_table, batch_table, csv, json and stream_native. (default "live_table")
+      |      --profile string   Enable profiling of the given type: cpu, memory, trace.
+      |  -v, --version          version for octosql
+      |
+      |Use "octosql [command] --help" for more information about a command.
+      |""".stripMargin.replace("@PAD@", "      ") // cobra pads the empty short description
+
+  case class CliArgs(sql: String, output: String = "live_table",
+                     describe: Boolean = false, explain: Boolean = false)
+
+  def parseArgs(args: Array[String]): CliArgs = {
+    var a = CliArgs(sql = args.headOption.getOrElse(""))
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "--output" | "-o" if i + 1 < args.length =>
+          a = a.copy(output = args(i + 1)); i += 2
+        case o if o.startsWith("-o") && o.length > 2 =>
+          a = a.copy(output = o.substring(2)); i += 1
+        case o if o.startsWith("--output=") =>
+          a = a.copy(output = o.substring(9)); i += 1
+        case "--describe" => a = a.copy(describe = true); i += 1
+        case "--explain" => a = a.copy(explain = true); i += 1
+        case _ => i += 1
       }
-    } finally spark.stop()
+    }
+    a
   }
 
-  /** Stream results to stdout as CSV (header + rows), like
-    * outputs/formats/csv_format.go.
-    */
-  private def printCsv(df: DataFrame): Unit = {
-    println(df.columns.mkString(","))
-    df.toLocalIterator().forEachRemaining { row =>
-      println(df.columns.indices.map { i =>
-        val v = if (row.isNullAt(i)) "" else row.get(i).toString
-        if (v.contains(",") || v.contains("\"") || v.contains("\n"))
-          "\"" + v.replace("\"", "\"\"") + "\""
-        else v
-      }.mkString(","))
+  private val PanicMarker = """GRAFTPANIC\|(\d+)\|([\s\S]*)""".r.unanchored
+
+  /** Run one CLI invocation; returns the process exit code. */
+  def execute(spark: SparkSession, args: CliArgs, baseDir: String,
+              stdin: Option[String], out: PrintStream, err: PrintStream): Int = {
+    try {
+      val prep0 = Dialect.prepare(spark, args.sql, Dialect.Ctx(baseDir, stdin))
+      if (args.explain) {
+        val qe = prep0.df.queryExecution
+        out.println(s"== Optimized ==\n${qe.optimizedPlan}\n== Physical ==\n${qe.executedPlan}")
+        return 0
+      }
+      val prep = if (args.describe) Formats.describeRows(prep0) else prep0
+      out.print(Formats.render(prep, args.output))
+      0
+    } catch {
+      case e: Dialect.TypecheckException =>
+        fail(err, s"typecheck error: ${e.getMessage}")
+      case e: Throwable =>
+        // walk the cause chain for reference-parity error classes
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12).toSeq
+        chain.collectFirst {
+          case j: graft.octo.JsonLineException => j
+        } match {
+          case Some(j) =>
+            return fail(err,
+              s"couldn't run query: couldn't run source: couldn't run source: ${j.getMessage}")
+          case None =>
+        }
+        chain.map(c => Option(c.getMessage).getOrElse("")).collectFirst {
+          case PanicMarker(idx, msg) => (idx, msg)
+        } match {
+          case Some((idx, msg)) =>
+            val m = msg.stripSuffix(". SQLSTATE: USER_RAISED_EXCEPTION")
+            fail(err, s"couldn't run query: couldn't run source: couldn't produce record: " +
+              s"couldn't evaluate $idx map expression: couldn't evaluate function: ${cleanPanic(m)}")
+          case None =>
+            fail(err, s"couldn't run query: ${Option(e.getMessage).getOrElse(e.toString)}")
+        }
     }
   }
 
-  /** Stream results as JSON lines (outputs/formats/json_format.go). */
-  private def printJson(df: DataFrame): Unit =
-    df.toJSON.toLocalIterator().forEachRemaining(println)
+  /** raise_error wraps the message in Spark's USER_RAISED_EXCEPTION
+    * template — strip everything after the marker payload.
+    */
+  private def cleanPanic(m: String): String = {
+    val cut = m.indexOf(" SQLSTATE")
+    val base = if (cut >= 0) m.substring(0, cut) else m
+    base.trim
+  }
+
+  private def fail(err: PrintStream, msg: String): Int = {
+    err.print(Usage)
+    err.println()
+    err.println(s"Error: $msg")
+    1
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: Cli \"<SQL>\" [--output fmt] [--describe|--explain]")
+      sys.exit(2)
+    }
+    val spark = Engine.session(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+    try {
+      val code = execute(spark, parseArgs(args), baseDir = ".",
+        stdin = None, out = System.out, err = System.err)
+      if (code != 0) sys.exit(code)
+    } finally spark.stop()
+  }
 }

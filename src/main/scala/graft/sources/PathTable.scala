@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Path-as-table resolution: the reference treats `people.csv`,
   * `logs.json`, `data.parquet`, `notes.txt` (lines) as table names
@@ -53,9 +52,16 @@ object PathTable {
     * (files.go:102-112).
     */
   def readStdin(spark: SparkSession, format: String,
-                opts: Map[String, String] = Map.empty): DataFrame = {
+                opts: Map[String, String] = Map.empty): DataFrame =
+    readStdinLines(spark, format, scala.io.Source.stdin.getLines().toSeq, opts)
+
+  /** stdin with the content already drained (the CLI and the golden
+    * scenario runner inject it). The line ordinal is assigned on the
+    * driver — stdin is inherently a driver-local, single-pass source.
+    */
+  def readStdinLines(spark: SparkSession, format: String, lines: Seq[String],
+                     opts: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
-    val lines = scala.io.Source.stdin.getLines().toSeq
     val ds = spark.createDataset(lines)
     format match {
       case "json" => spark.read.json(ds)
@@ -66,9 +72,8 @@ object PathTable {
         spark.read.option("header", opts.getOrElse("header", "true"))
           .option("inferSchema", "true").option("sep", "\t").csv(ds)
       case "lines" | "txt" =>
-        ds.toDF("text").withColumn("number",
-          row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
-          .select("number", "text")
+        spark.createDataset(lines.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+          .toDF("number", "text")
       case other =>
         throw new IllegalArgumentException(s"unsupported stdin format: $other")
     }
@@ -100,20 +105,57 @@ object PathTable {
       spark.read.parquet(path)
     case "lines" | "txt" | "log" =>
       // {number: Int, text: String} like the reference's lines source
-      // (datasources/lines/impl.go:13-63). number is a per-file line
-      // ordinal: at scale a global zipWithIndex would serialize, so we
-      // derive it from a per-partition monotonic id ordering instead.
-      val sep = opts.get("sep")
-      val base = sep match {
-        case Some(s) => spark.read.option("lineSep", s).text(path)
-        case None    => spark.read.text(path)
-      }
-      val w = Window.orderBy(monotonically_increasing_id())
-      base
-        .withColumn("number", row_number().over(w).cast("long") - 1)
-        .select(col("number"), col("value").as("text"))
+      // (datasources/lines/impl.go:13-63): number is a sequential
+      // per-file line ordinal.
+      if (opts.get("tail").contains("true")) tailLines(spark, path)
+      else linesWithNumbers(spark, path, opts.get("sep"))
+        .select(col("number"), col("text"))
     case other =>
       throw new IllegalArgumentException(s"unsupported table format: $other")
+  }
+
+  /** Per-file line ordinals without a single-task global window.
+    *
+    * Scale design (the round-1 `Window.orderBy(monotonically_increasing_id())`
+    * funnelled the whole dataset through one task): two passes over the
+    * same deterministic text scan —
+    *   1. count rows per (partition, file) — a tiny aggregate, one row
+    *      per file split;
+    *   2. re-scan and add `offset(partition, file) + local index`,
+    *      computed per partition with no shuffle of the data itself.
+    * Split offsets are cumulative in partition-index order: Spark plans
+    * a file's splits in offset order with stable size-descending
+    * packing, so a later byte range never lands in an earlier partition
+    * index. Output keeps per-split parallelism — a 10 GB file numbers
+    * on ~80 tasks, not 1.
+    */
+  def linesWithNumbers(spark: SparkSession, path: String,
+                       lineSep: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val reader = lineSep.foldLeft(spark.read)((r, s) => r.option("lineSep", s))
+    val base = reader.text(path)
+      .select(input_file_name().as("file"), col("value").as("text"))
+    val withPid = base.withColumn("pid", spark_partition_id())
+    val counts = withPid.groupBy("pid", "file").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+    val offsets: Map[(Int, String), Long] = {
+      val byFile = counts.groupBy(_._1._2)
+      byFile.flatMap { case (_, splits) =>
+        var acc = 0L
+        splits.sortBy(_._1._1).map { case (k, c) =>
+          val off = acc; acc += c; k -> off
+        }
+      }
+    }
+    withPid.mapPartitions { it =>
+      val local = scala.collection.mutable.HashMap[String, Long]()
+      it.map { r =>
+        val file = r.getString(0); val text = r.getString(1); val pid = r.getInt(2)
+        val i = local.getOrElse(file, 0L)
+        local(file) = i + 1
+        (offsets.getOrElse((pid, file), 0L) + i, text, file)
+      }
+    }.toDF("number", "text", "file")
   }
 
   /** Streaming variant of the lines source (`?tail=true` in the

@@ -30,7 +30,7 @@ import graft.sources.PathTable
   */
 object OctoSql {
 
-  private val PathTableRe =
+  private[sql] val PathTableRe =
     """(?i)([A-Za-z0-9_\-./]+\.(?:csv|tsv|json|parquet|lines|txt|log)(?:\?[A-Za-z0-9_=&.\-]*)?)"""
 
   /** Tokenize preserving single-quoted string literals (with '' escape)
@@ -81,7 +81,7 @@ object OctoSql {
   private def isWs(t: String): Boolean = t.length == 1 && t(0).isWhitespace
 
   /** Find the index of the matching ")" for the "(" at `open`. */
-  private def matching(tokens: Vector[String], open: Int): Int = {
+  private[sql] def matching(tokens: Vector[String], open: Int): Int = {
     var depth = 0
     var i = open
     while (i < tokens.length) {
@@ -115,6 +115,22 @@ object OctoSql {
         tokens.indexWhere(x => !isWs(x), i + 1) >= 0 &&
         tokens(tokens.indexWhere(x => !isWs(x), i + 1)).equalsIgnoreCase("JOIN"))
     }.map(_._1)
+
+    // bare `OUTER JOIN` means FULL OUTER JOIN in the reference grammar
+    // (sql.y join types); Spark requires the FULL keyword
+    tokens = {
+      val b2 = Vector.newBuilder[String]
+      var prevKw = ""
+      tokens.foreach { t =>
+        val up = t.toUpperCase
+        if (up == "OUTER" && prevKw != "LEFT" && prevKw != "RIGHT" && prevKw != "FULL") {
+          b2 += "FULL"; b2 += " "
+        }
+        b2 += t
+        if (!isWs(t)) prevKw = up
+      }
+      b2.result()
+    }
 
     // strip TRIGGER ... clause up to next major keyword
     val majors = Set("GROUP", "ORDER", "HAVING", "LIMIT", "UNION", ")", "WITH")
@@ -156,8 +172,28 @@ object OctoSql {
             i = j + 1
           case (Some(_), false) =>
             c += (if (neg) "NOT RLIKE" else "RLIKE"); i += 1
-          case (None, _) =>
+          case (None, false) =>
             c += (if (neg) "NOT RLIKE" else "RLIKE"); i += 1
+          case (None, true) =>
+            // non-literal case-insensitive pattern: `x ~* e` →
+            // `x RLIKE concat('(?i)', e)` over the next primary
+            // expression (functions.go:630-668 semantics — previously
+            // the (?i) was silently dropped)
+            val start = tokens.indexWhere(x => !isWs(x), i + 1)
+            if (start < 0)
+              throw new IllegalArgumentException(s"dangling regex operator $t")
+            val end =
+              if (tokens(start) == "(") matching(tokens, start)
+              else {
+                val callOpen = tokens.indexWhere(x => !isWs(x), start + 1)
+                if (callOpen >= 0 && tokens(callOpen) == "(") matching(tokens, callOpen)
+                else start
+              }
+            c += (if (neg) "NOT RLIKE" else "RLIKE"); c += " "
+            c += "concat"; c += "("; c += "'(?i)'"; c += ","
+            tokens.slice(start, end + 1).foreach(c += _)
+            c += ")"
+            i = end + 1
         }
       } else { c += t; i += 1 }
     }
@@ -195,6 +231,9 @@ object OctoSql {
       "panic" -> "raise_error",                 // functions.go:1135
       "time_from_unix" -> "timestamp_seconds",  // functions.go:864
       "time_to_unix" -> "unix_timestamp")       // functions.go:886
+    // `len` (functions.go:774-831) and `parse_time` (functions.go:846)
+    // are registered as analysis-time type-dispatched functions in
+    // Dialect.registerFunctions — token renames can't see types.
     def rewriteCalls(ts: Vector[String]): Vector[String] = {
       val out = Vector.newBuilder[String]
       var k = 0

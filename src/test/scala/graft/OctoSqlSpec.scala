@@ -173,7 +173,7 @@ class OctoSqlSpec extends SparkSpec {
       .collect().head
     assert(row.getInt(0) == 2)
     assert(row.isNullAt(1))
-    assert(row.getInt(2) == 4)
+    assert(row.getLong(2) == 4L) // reference len() is Int (int64)
   }
 
   test("panic() raises, unix time round-trips (functions/panic.in)") {
