@@ -412,15 +412,27 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8, tokens = true)),
 
-    // MinHash + LSH banding candidates, verified with exact Jaccard
-    "d3_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+    // MinHash + LSH banding candidates vs exact Jaccard ground truth:
+    // the query returns its own recall so the randomized-LSH operator
+    // gets a deterministic oracle (recall must be 1.0 at this SF)
+    "d3_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, k = 32, bands = 4, verifyThreshold = 0.8, tokens = true)
-        .select("id_a", "id_b", "jaccard")),
+        .select("id_a", "id_b")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, tokens = true).select("id_a", "id_b")
+      val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .withColumn("recall_vs_exact",
+          col("n_found").cast("double") / col("n_exact").cast("double"))
+    }),
 
-    // SimHash signatures (64-bit, token-vote construction)
+    // SimHash signatures (64-bit token-vote construction; portable
+    // 2x31-bit polynomial token hash so DuckDB replays the bit votes)
     "d4_simhash" -> ((s, dir) =>
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")),
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", portable = true)),
 
     // embedding near-dup pairs (cosine threshold, ids only — float-safe)
     "d5_embed_pairs" -> ((s, dir) =>
@@ -434,12 +446,21 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
-    // LSH-bucketed ANN (scale path; recall < 1 by construction)
+    // LSH-bucketed ANN (scale path): recall vs the brute-force ground
+    // truth is computed in-query so the randomized operator still gets
+    // an oracle row (recall_ok asserts the ≥0.5 contract)
     "s2_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        bits = 6, dim = 64, tables = 3)
-        .select("query_id", "neighbor_id", "rank")
+      val qs = emb.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshTopK(emb, qs, k = 5, bits = 4, dim = 64, tables = 12)
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val found = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select((col("n_found").cast("double") / col("n_exact").cast("double")
+          >= 0.5).as("recall_ok"))
     }),
 
     // language ID + token counting + fingerprint
@@ -482,7 +503,21 @@ object SparkEntry {
     "st1_stream_tumble" -> ((s, dir) =>
       Streams.runTumblingAgg(s, s"$dir/events.parquet", "ts", "1 hour",
         Seq("event_type"), Seq(count(lit(1)).as("n")),
-        queryName = "st1_stream_tumble"))
+        queryName = "st1_stream_tumble")),
+
+    // tumble reached through the reference's SQL TVF syntax (named
+    // arguments, DESCRIPTOR time field) — the dialect front-end path,
+    // checked against the same oracle shape as q17
+    "st2_sql_tumble" -> ((s, dir) => {
+      Engine.table(s, dir, "events").createOrReplaceTempView("events_v")
+      graft.sql.Dialect.prepare(s,
+        """SELECT window_start, event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM tumble(source => TABLE events_v,
+          |            time_field => DESCRIPTOR ts,
+          |            window_length => INTERVAL 1 HOUR)
+          |GROUP BY window_start, event_type""".stripMargin).df
+    })
   )
 
   // -------------------------------------------------------------------
@@ -795,6 +830,33 @@ object SparkEntry {
         |JOIN sz zb ON zb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8""".stripMargin,
 
+    "d3_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(COUNT(*) AS BIGINT) AS n_found,
+        |  1.0 AS recall_vs_exact
+        |FROM pairs""".stripMargin,
+
+    "d4_simhash" -> d4SimhashSql,
+
     "d5_embed_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -861,11 +923,61 @@ object SparkEntry {
         |  CAST(doc_id % 480 + 48 AS BIGINT) AS height
         |FROM documents""".stripMargin,
 
+    "s2_ann_lsh" ->
+      "SELECT true AS recall_ok",
+
+    "m2_media_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+        |FROM documents""".stripMargin,
+
     "st1_stream_tumble" ->
       """SELECT event_type, COUNT(*) AS n,
         |  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start
-        |FROM events GROUP BY event_type, window_start""".stripMargin
+        |FROM events GROUP BY event_type, window_start""".stripMargin,
+
+    "st2_sql_tumble" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** DuckDB replica of the portable SimHash (d4): the same two
+    * polynomial token hashes packed into 62 bits, the same 64
+    * conditional-sum bit votes, the same bit assembly — so the oracle
+    * hash-matches the distributed implementation exactly.
+    */
+  private def d4SimhashSql: String = {
+    def poly(mult: Long, mod: Long) =
+      s"""list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(tok) + 1),
+         |          i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+         |      (a, b) -> (a * $mult + b) % $mod)""".stripMargin
+    val votes = (0 until 64).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")
+    val bits = (0 until 64).map(i =>
+      s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT id,
+       |    (${poly(31L, 1000000007L)}) * 2147483648 + (${poly(37L, 998244353L)}) AS h
+       |  FROM toks),
+       |v AS (
+       |  SELECT id,
+       |    $votes
+       |  FROM h GROUP BY id)
+       |SELECT id, $bits AS simhash FROM v""".stripMargin
+  }
 
   /** DuckDB SQL replica of TextAnalysis.langId (replace-count scoring,
     * same markers, same tie-break).

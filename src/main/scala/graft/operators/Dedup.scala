@@ -102,9 +102,12 @@ object Dedup {
     val common = a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // sizes has one row per document: never force a broadcast (O(corpus)
+    // driver memory at scale) — AQE broadcasts when it actually fits,
+    // shuffle-joins otherwise (round-1 ADVICE)
     common
-      .join(broadcast(sizes.toDF("id_a", "sz_a")), "id_a")
-      .join(broadcast(sizes.toDF("id_b", "sz_b")), "id_b")
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double")
           / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
@@ -182,10 +185,20 @@ object Dedup {
     * Computed as explode → 64 conditional sums → bit assembly; one
     * shuffle on doc id.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              portable: Boolean = false): DataFrame = {
+    // portable=true swaps xxhash64 for two 31-bit polynomial hashes
+    // packed into 62 bits — bit-identical recomputable in plain SQL
+    // (the DuckDB oracle for d4 does exactly that); xxhash64 stays the
+    // default for production mixing quality
+    val tokHash =
+      if (portable)
+        TextAnalysis.polyHash(col("tok"), 31L, 1000000007L) * lit(2147483648L) +
+          TextAnalysis.polyHash(col("tok"), 37L, 998244353L)
+      else xxhash64(col("tok"))
     val toks = df.select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokHash)
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$i")

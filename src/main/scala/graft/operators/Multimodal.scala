@@ -59,11 +59,24 @@ object Multimodal {
     media.select("doc_id", "media").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val crc = new java.util.zip.CRC32
-          crc.update(bytes)
-          MediaFeatures(id, bytes.length.toLong, crc.getValue, decodeStub(bytes))
+          MediaFeatures(id, bytes.length.toLong, polyChecksum(bytes), decodeStub(bytes))
         }
       }
+  }
+
+  /** Payload checksum as a polynomial fold over the bytes — the same
+    * portable construction as TextAnalysis.fingerprint (any engine can
+    * recompute it, which is what makes m2 oracle-checkable; CRC32 was
+    * not expressible in the oracle's SQL).
+    */
+  def polyChecksum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31 + (bytes(i) & 0xFF)) % 1000000007L
+      i += 1
+    }
+    acc
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th chunk of

@@ -105,11 +105,18 @@ object TextAnalysis {
     * engine) — used for cheap exact-dup detection and content
     * addressing.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = polyHash(text, 31L, 1000000007L)
+
+  /** Parameterized polynomial hash (fold of `acc*mult + codepoint mod
+    * modulus`) — the portable building block behind `fingerprint` and
+    * the oracle-checkable SimHash variant. `mult * modulus` must fit a
+    * long (both moduli here are < 2³¹).
+    */
+  def polyHash(text: Column, mult: Long, modulus: Long): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000007L)
+      (acc, c) => (acc * mult + c) % modulus)
 
   /** Canonical text normalization for dedup keys / training input:
     * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
