@@ -46,7 +46,9 @@ object Bench {
     val li = Engine.table(spark, sfDir, "lineitem")
     val liRows = li.count()
     val csvDir = s"/tmp/graft_bench_csv/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!new java.io.File(csvDir).exists())
+    // _SUCCESS marker (not bare dir existence) so a partially-written
+    // dir from an interrupted run is rewritten, not trusted
+    if (!new java.io.File(csvDir, "_SUCCESS").exists())
       li.write.option("header", "true").mode("overwrite").csv(csvDir)
     // schema inference once, outside the timed region: the reference
     // samples 100 rows (~free); Spark's inferSchema is a full pass, so
@@ -66,9 +68,14 @@ object Bench {
     val csvSec = csvFlagship()
     val csvRps = liRows / csvSec
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""flagship_csv_groupby_sec":$csvSec,"flagship_csv_rows_per_sec":$csvRps,""" +
-      s""""baseline_octosql_rows_per_sec":1.0E6,"sf":"$sfDir"}""")
+      s""""baseline_octosql_rows_per_sec":1.0E6,"sf":"$sfDir"}"""
+    println(json)
+    // also drop the line in a file: stdout goes through sbt's logger in
+    // some launch modes, which breaks naive JSON parsing of the stream
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

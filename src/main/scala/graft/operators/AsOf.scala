@@ -24,27 +24,31 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The right payload travels as ONE struct so last(ignoreNulls) picks
+    // the whole latest right row atomically — filling columns
+    // independently could mix fields from different right rows when the
+    // latest row holds a NULL in one payload column (round-1 ADVICE).
+    val r = right.select(
+      col(keyCol), col(timeCol),
+      struct(rightCols.map(col): _*).as("__r"))
+      .withColumn("__side", lit(0))
+      .withColumns(leftCols.filterNot(Seq(keyCol, timeCol).contains)
+        .map(c => c -> lit(null)).toMap)
+    val rStructType = r.schema("__r").dataType
     // side 0 sorts before side 1 at equal timestamps, so a right row at
     // exactly leftTime matches (ASOF >= semantics)
     val l = left
       .withColumn("__side", lit(1))
-      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
-    val r = right.select(
-      (Seq(col(keyCol), col(timeCol)) ++ rightCols.map(c => col(c).as(s"__r_$c"))): _*)
-      .withColumn("__side", lit(0))
-      .withColumns(leftCols.filterNot(Seq(keyCol, timeCol).contains)
-        .map(c => c -> lit(null)).toMap)
-    val unioned = l.select(
-      (Seq(col("__side")) ++ leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c"))): _*)
-      .unionByName(r.select(
-        (Seq(col("__side")) ++ leftCols.map(col) ++ rightCols.map(c => col(s"__r_$c"))): _*))
+      .withColumn("__r", lit(null).cast(rStructType))
+    val ordered = Seq(col("__side"), col("__r")) ++ leftCols.map(col)
+    val unioned = l.select(ordered: _*).unionByName(r.select(ordered: _*))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c"))): _*)
+    unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
   }
 }

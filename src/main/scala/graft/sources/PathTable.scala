@@ -160,7 +160,11 @@ object PathTable {
 
   /** Streaming variant of the lines source (`?tail=true` in the
     * reference, execution/files/files.go:27-76) → Structured Streaming
-    * file source.
+    * file source. Semantics note: Spark's file source surfaces NEW
+    * FILES under the watched path/glob; the reference's single-file
+    * in-place append tail maps to rotating/appending new files (the
+    * standard log-shipping layout at scale). In-place appends to an
+    * already-seen file are not re-read.
     */
   def tailLines(spark: SparkSession, path: String): DataFrame =
     spark.readStream.text(path).select(col("value").as("text"))

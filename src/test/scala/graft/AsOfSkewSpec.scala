@@ -26,6 +26,21 @@ class AsOfSkewSpec extends SparkSpec {
     assert(out(2).isNullAt(3))
   }
 
+  test("asofJoin carries the latest right row atomically when it holds NULLs") {
+    // regression (round-1 ADVICE): per-column last(ignoreNulls) mixed
+    // fields across right rows when the latest row had a NULL column
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, "k", ts("2024-01-01 12:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k", ts("2024-01-01 10:00:00"), Option(100.0), Option("old")),
+      ("k", ts("2024-01-01 11:00:00"), Option.empty[Double], Option("new")))
+      .toDF("k", "ts", "v", "tag")
+    val out = AsOf.asofJoin(left, right, "k", "ts", Seq("v", "tag")).collect()(0)
+    // both payload fields come from the 11:00 row: v is NULL, tag "new"
+    assert(out.isNullAt(3))
+    assert(out.getString(4) == "new")
+  }
+
   test("saltedJoin equals the plain join under heavy key skew") {
     val big = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
       .toDF("k", "v")

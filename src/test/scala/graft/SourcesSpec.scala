@@ -61,4 +61,21 @@ class SourcesSpec extends SparkSpec {
     val df = PathTable.resolve(spark, s"$sf/nation.parquet")
     assert(df.count() == 25)
   }
+
+  test("lines numbering is per-file and the plan has no single-task Window") {
+    // two files in one glob: numbers restart per file, like the
+    // reference's per-file sequential numbering (lines/impl.go)
+    val dir = java.nio.file.Files.createTempDirectory("graftlines")
+    java.nio.file.Files.write(dir.resolve("a.log"), "a0\na1\na2\n".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.log"), "b0\nb1\n".getBytes)
+    val df = PathTable.linesWithNumbers(spark, dir.toString + "/*.log")
+    val rows = df.collect().map(r => (r.getString(2).split('/').last, r.getLong(0), r.getString(1)))
+    val byFile = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toSeq).toMap
+    assert(byFile("a.log") == Seq((0L, "a0"), (1L, "a1"), (2L, "a2")))
+    assert(byFile("b.log") == Seq((0L, "b0"), (1L, "b1")))
+    // scale guard: the round-1 implementation funnelled everything
+    // through one task via Window.orderBy(monotonically_increasing_id())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unpartitioned Window crept back into the lines plan:\n$plan")
+  }
 }

@@ -73,6 +73,25 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.get(snaps.size() - 1) == 3L)
   }
 
+  test("?tail=true on a lines path streams newly appended rows (files.go tail)") {
+    val dir = java.nio.file.Files.createTempDirectory("tail").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "one.log").toPath, "l1\nl2\n")
+    val stream = graft.sources.PathTable.resolve(spark, dir.getAbsolutePath + "/*.log?tail=true")
+    // resolve with ?tail=true must return a STREAMING plan, not a batch
+    assert(stream.isStreaming, "?tail=true should route to the streaming lines source")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("tail_lines").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_lines").count() == 2)
+      // appending a new file mid-stream surfaces its rows
+      java.nio.file.Files.writeString(new java.io.File(dir, "two.log").toPath, "l3\n")
+      q.processAllAvailable()
+      val texts = spark.table("tail_lines").collect().map(_.getString(0)).toSet
+      assert(texts == Set("l1", "l2", "l3"))
+    } finally q.stop()
+  }
+
   test("stream-stream inner equi-join (reference StreamJoin, both sides streamed)") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(String, Int)]
