@@ -463,6 +463,37 @@ object SparkEntry {
           >= 0.5).as("recall_ok"))
     }),
 
+    // IVF ANN (the other scale path): recall vs brute force in-query,
+    // same deterministic-oracle pattern as s2
+    "s3_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = 8)
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val found = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select((col("n_found").cast("double") / col("n_exact").cast("double")
+          >= 0.5).as("recall_ok"))
+    }),
+
+    // embedding near-dup via LSH buckets (the documented scale default;
+    // d5 keeps the exact form as its own oracle) — recall vs exact
+    "d6_embed_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lsh = Similarity.cosinePairsLsh(emb, 0.45, bits = 4, tables = 12)
+        .select("id_a", "id_b")
+      val exact = Similarity.cosinePairs(emb, 0.45).select("id_a", "id_b")
+      val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact"),
+          (col("n_found").cast("double") / col("n_exact").cast("double")
+            >= 0.5).as("recall_ok"))
+    }),
+
     // language ID + token counting + fingerprint
     "t1_langid_tokens" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -925,6 +956,18 @@ object SparkEntry {
 
     "s2_ann_lsh" ->
       "SELECT true AS recall_ok",
+
+    "s3_ann_ivf" ->
+      "SELECT true AS recall_ok",
+
+    "d6_embed_lsh" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, true AS recall_ok
+        |FROM pairs""".stripMargin,
 
     "m2_media_features" ->
       """SELECT doc_id,

@@ -92,18 +92,45 @@ object OctoSql {
     tokens.length - 1
   }
 
-  /** Register any path-table references as temp views; return rewritten
-    * SQL with view names substituted.
+  /** Register path-table references as temp views; return rewritten SQL
+    * with view names substituted. Position-aware (round-1 ADVICE): only
+    * tokens in FROM/JOIN/comma-in-FROM position bind, so a column
+    * reference like `t.lines` stays a column; view names carry a
+    * content hash so distinct paths can't alias to one view.
     */
-  private def bindPathTables(spark: SparkSession, tokens: Vector[String]): Vector[String] =
-    tokens.map { t =>
-      if (!isStringLit(t) &&
-          (t.matches(PathTableRe) || t == "docs.functions" || t == "docs.aggregates")) {
-        val view = "pt_" + t.replaceAll("[^A-Za-z0-9]", "_")
-        PathTable.resolve(spark, t).createOrReplaceTempView(view)
-        view
-      } else t
+  private def bindPathTables(spark: SparkSession, tokens: Vector[String]): Vector[String] = {
+    val clauseKw = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+      "UNION", "INTERSECT", "EXCEPT", "TRIGGER")
+    val out = Vector.newBuilder[String]
+    var expectRel = false
+    var inFrom = false
+    var depthAtFrom = 0
+    var depth = 0
+    tokens.foreach { t =>
+      val up = t.toUpperCase
+      if (t == "(") depth += 1
+      if (t == ")") depth -= 1
+      var emit = t
+      if (up == "FROM" || up == "JOIN" || up == "TABLE") {
+        expectRel = true
+        if (up != "TABLE") { inFrom = true; depthAtFrom = depth }
+      } else if (inFrom && depth == depthAtFrom && clauseKw.contains(up)) {
+        inFrom = false; expectRel = false
+      } else if (up == "SELECT") { inFrom = false; expectRel = false }
+      else if (inFrom && t == "," && depth == depthAtFrom) expectRel = true
+      else if (expectRel && !isWs(t) && !isStringLit(t)) {
+        if (t.matches(PathTableRe) || t == "docs.functions" || t == "docs.aggregates") {
+          val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(t)).take(8)
+          val view = "pt_" + t.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+          PathTable.resolve(spark, t).createOrReplaceTempView(view)
+          emit = view
+        }
+        expectRel = false
+      }
+      out += emit
     }
+    out.result()
+  }
 
   /** All token-level dialect rewrites. */
   private[sql] def rewrite(tokens0: Vector[String]): String = {
