@@ -417,11 +417,18 @@ object SparkEntry {
     // gets a deterministic oracle (recall must be 1.0 at this SF)
     "d3_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      // one shingle explode feeds BOTH the LSH path and the exact
+      // ground truth — built once, persisted, shared
+      val rawIdx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
+          maxDocFreq = None, tokens = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = Dedup.minhashLshPairsFromIndex(rawIdx,
+        docs.select(col("doc_id").as("id"), col("text")),
         n = 3, k = 32, bands = 4, verifyThreshold = 0.8, tokens = true)
         .select("id_a", "id_b")
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8, tokens = true).select("id_a", "id_b")
+      val exact = Dedup.ngramJaccardPairsFromIndex(
+        rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
+        threshold = 0.8).select("id_a", "id_b")
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))

@@ -86,16 +86,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDocFreq: Option[Int] = None,
-                        tokens: Boolean = false): DataFrame = {
-    // the index feeds three consumers (sizes + both join sides): persist
-    // once instead of recomputing the explode per consumer. At data-lake
-    // scale this materialization would be a checkpoint table; the shape
-    // (build index once, self-join on shingle) is the same. Shingles are
-    // hashed to 64-bit before the self-join: same equality classes
-    // w.h.p. (collision odds ~n²/2⁶⁴), a fraction of the shuffle bytes.
-    val idx = shingleIndex(df, idCol, textCol, n, maxDocFreq, tokens)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                        tokens: Boolean = false): DataFrame =
+    ngramJaccardPairsFromIndex(
+      shingleIndex(df, idCol, textCol, n, maxDocFreq, tokens)
+        .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold)
+
+  /** Jaccard pairs from a prebuilt `(id, shingle: long)` inverted index
+    * — callers that also feed MinHash from the same shingles (d3's
+    * recall query) build the explode once and share it.
+    *
+    * The index feeds three consumers (sizes + both join sides): persist
+    * once instead of recomputing the explode per consumer. At data-lake
+    * scale this materialization would be a checkpoint table; the shape
+    * (build index once, self-join on shingle) is the same. Shingles are
+    * hashed to 64-bit before the self-join: same equality classes
+    * w.h.p. (collision odds ~n²/2⁶⁴), a fraction of the shuffle bytes.
+    */
+  def ngramJaccardPairsFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = idx.toDF("id_a", "shingle")
     val b = idx.toDF("id_b", "shingle")
@@ -125,8 +134,13 @@ object Dedup {
     * two narrow shuffles total.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, tokens: Boolean = false): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n, None, tokens)
+                        n: Int, k: Int, tokens: Boolean = false): DataFrame =
+    minhashSignaturesFromIndex(
+      shingleIndex(df, idCol, textCol, n, None, tokens), k)
+
+  /** Signatures from a prebuilt `(id, shingle: string)` index. */
+  def minhashSignaturesFromIndex(rawIdx: DataFrame, k: Int): DataFrame = {
+    val idx = rawIdx
       .withColumn("h1", xxhash64(col("shingle")))
       .withColumn("h2", xxhash64(lit(1), col("shingle")))
     val mins = (0 until k).map(i =>
@@ -143,10 +157,23 @@ object Dedup {
                       n: Int = 3, k: Int = 32, bands: Int = 4,
                       verifyThreshold: Double = 0.8,
                       tokens: Boolean = true,
-                      maxBucket: Int = 200): DataFrame = {
+                      maxBucket: Int = 200): DataFrame =
+    minhashLshPairsFromIndex(
+      shingleIndex(df, idCol, textCol, n, None, tokens),
+      df.select(col(idCol).as("id"), col(textCol).as("text")),
+      n, k, bands, verifyThreshold, tokens, maxBucket)
+
+  /** LSH pairs from a prebuilt `(id, shingle: string)` index plus an
+    * `(id, text)` table for exact verification of candidates.
+    */
+  def minhashLshPairsFromIndex(rawIdx: DataFrame, texts: DataFrame,
+                               n: Int, k: Int, bands: Int,
+                               verifyThreshold: Double,
+                               tokens: Boolean,
+                               maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, k, tokens)
+    val sig = minhashSignaturesFromIndex(rawIdx, k)
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -165,7 +192,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verify candidates exactly (joins back tiny candidate set to text)
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     cand
       .join(texts.toDF("id_a", "text_a"), "id_a")
       .join(texts.toDF("id_b", "text_b"), "id_b")
