@@ -130,3 +130,27 @@ object GoFmt {
     */
   val ZeroTime: String = "0001-01-01T00:00:00Z"
 }
+
+/** Codegen-facing static entry points for the Go formatters: the
+  * `string(x)` dialect conversion returns the octosql display string
+  * (values.go:357-424) and calls these from a Catalyst `StaticInvoke`,
+  * so the expression stays inside whole-stage codegen.
+  */
+object GoFmtJ {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def goFloatU(d: Double): UTF8String = UTF8String.fromString(GoFmt.goFloat(d))
+
+  /** Duration from the dialect's DECIMAL(38,9)-seconds representation. */
+  def goDurationU(secs: org.apache.spark.sql.types.Decimal): UTF8String = {
+    val nanos = secs.toJavaBigDecimal.movePointRight(9)
+      .setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+    UTF8String.fromString(GoFmt.goDuration(nanos))
+  }
+
+  def rfc3339U(micros: Long): UTF8String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val ns = Math.floorMod(micros, 1000000L) * 1000L
+    UTF8String.fromString(GoFmt.rfc3339(java.time.Instant.ofEpochSecond(secs, ns)))
+  }
+}

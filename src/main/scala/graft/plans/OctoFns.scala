@@ -37,9 +37,45 @@ object OctoFns {
             graft.functions.Octo.goLayoutToJava(s.toString)), StringType)
         case other => other
       }
-      GetTimestamp(left, fmt, TimestampType, failOnError = false)
+      GetTimestamp(left, fmt, TimestampType,
+        timeZoneId = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone),
+        failOnError = false)
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(left = c(0), right = c(1))
+  }
+
+  /** `string(x)`: the octosql DISPLAY string of any value
+    * (functions.go:1000-1012 delegates to Value.String()): strings come
+    * back quoted, floats in Go shortest form, durations as `3s`, times
+    * as RFC3339, NULL as `<null>`. Go formatting runs through
+    * `StaticInvoke` (codegen'd), everything else is built-ins.
+    */
+  case class OctoString(child: Expression) extends Expression with RuntimeReplaceable {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    override def children: Seq[Expression] = Seq(child)
+    override lazy val replacement: Expression = {
+      val clazz = classOf[graft.octo.GoFmtJ.type]
+      val inner: Expression = child.dataType match {
+        case StringType =>
+          Concat(Seq(Literal("'"), child, Literal("'")))
+        case DoubleType | FloatType =>
+          StaticInvoke(clazz, StringType, "goFloatU",
+            Seq(Cast(child, DoubleType)), Seq(DoubleType), returnNullable = false)
+        case _: DecimalType =>
+          StaticInvoke(clazz, StringType, "goDurationU",
+            Seq(Cast(child, DecimalType(38, 9))), Seq(DecimalType(38, 9)),
+            returnNullable = false)
+        case TimestampType =>
+          StaticInvoke(clazz, StringType, "rfc3339U",
+            Seq(UnixMicros(child)), Seq(LongType), returnNullable = false)
+        case _ => Cast(child, StringType)
+      }
+      // Strict=false in the reference: string(NULL) is the display
+      // string "<null>", not NULL
+      If(IsNull(child), Literal("<null>"), inner)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(child = c(0))
   }
 }

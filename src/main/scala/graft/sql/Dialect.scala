@@ -100,6 +100,8 @@ object Dialect {
       (args: Seq[CExpr]) => graft.plans.OctoFns.OctoLen(args.head), "scala_udf")
     registry.createOrReplaceTempFunction("parse_time",
       (args: Seq[CExpr]) => graft.plans.OctoFns.OctoParseTime(args(0), args(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("octo_string",
+      (args: Seq[CExpr]) => graft.plans.OctoFns.OctoString(args.head), "scala_udf")
   }
 
   // ---- typecheck parity ---------------------------------------------

@@ -287,16 +287,18 @@ object OctoSql {
           } else {
             out += "explode"; k += 1
           }
-        } else if (isCall && Set("int", "float", "string").contains(t.toLowerCase)) {
+        } else if (isCall && Set("int", "float").contains(t.toLowerCase)) {
           val close = matching(ts, nextNonWs)
           val inner = rewriteCalls(ts.slice(nextNonWs + 1, close))
-          val sparkTy = t.toLowerCase match {
-            case "int" => "BIGINT"; case "float" => "DOUBLE"; case _ => "STRING"
-          }
+          val sparkTy = if (t.equalsIgnoreCase("int")) "BIGINT" else "DOUBLE"
           out += "CAST"; out += "("
           inner.foreach(out += _)
           out += " "; out += "AS"; out += " "; out += sparkTy; out += ")"
           k = close + 1
+        } else if (isCall && t.equalsIgnoreCase("string")) {
+          // string(x) is the octosql DISPLAY string (functions.go:1000):
+          // type-dispatched at analysis (plans.OctoFns.OctoString)
+          out += "octo_string"; k += 1
         } else if (isCall && t.equalsIgnoreCase("position")) {
           // position(str, sub) 0-based NULL-if-absent (functions.go:757)
           // → nullif(instr(str, sub), 0) - 1
@@ -344,8 +346,10 @@ object OctoSql {
     rewrite(bindPathTables(spark, tokenize(sql)))
 
   /** Run a reference-dialect query. */
-  def run(spark: SparkSession, sql: String): DataFrame =
+  def run(spark: SparkSession, sql: String): DataFrame = {
+    Dialect.registerFunctions(spark) // len/parse_time/octo_string
     spark.sql(translate(spark, sql))
+  }
 
   /** `--describe`: one row per output field {name, type, time_field},
     * like cmd/describe.go:12-50.

