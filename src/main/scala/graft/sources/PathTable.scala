@@ -35,15 +35,25 @@ object PathTable {
     * `docs.functions` / `docs.aggregates` self-documentation tables
     * (datasources/docs/database.go:26-121).
     */
+  private val PrefixForm = "^(csv|tsv|json|parquet|lines|txt|log)\\.(.+)$".r
+
   def resolve(spark: SparkSession, spec: String): DataFrame = {
     val (path, opts) = splitOpts(spec)
     if (path.startsWith("stdin."))
       readStdin(spark, path.stripPrefix("stdin."), opts)
     else if (path == "docs.functions") Docs.functions(spark)
     else if (path == "docs.aggregates") Docs.aggregates(spark)
-    else {
-      val ext = path.split('.').last.toLowerCase
-      read(spark, path, ext, opts)
+    else path match {
+      // format-prefixed names (physical.go GetDatasource database rule):
+      // `csv.myfile` reads file `myfile` with the csv handler;
+      // `lines.stdin` is the lines handler over stdin
+      case PrefixForm(fmt, rest) if rest == "stdin" =>
+        readStdin(spark, if (fmt == "txt" || fmt == "log") "lines" else fmt, opts)
+      case PrefixForm(fmt, rest) if !rest.contains('.') =>
+        read(spark, rest, fmt, opts)
+      case _ =>
+        val ext = path.split('.').last.toLowerCase
+        read(spark, path, ext, opts)
     }
   }
 

@@ -155,9 +155,15 @@ object Dialect {
     parts.length == 2 && (parts(0) == "stdin" || parts(1) == "stdin")
   }
 
-  private def isPathSpec(t: String): Boolean =
+  /** `csv.myfile` format-prefix form (physical.go database rule). */
+  private val PrefixForm = "^(csv|tsv|json|parquet|lines|txt|log)\\.([^.?]+)$".r
+
+  private def isPathSpec(t: String): Boolean = {
+    val bare = t.split('?')(0)
     t.matches(OctoSql.PathTableRe) || isStdinSpec(t) ||
+      PrefixForm.findFirstIn(bare).isDefined ||
       t == "docs.functions" || t == "docs.aggregates"
+  }
 
   private def viewNameFor(spec: String): String = {
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(spec)).take(8)
@@ -229,9 +235,12 @@ object Dialect {
           d
         } else PathTable.readStdinLines(spark, format, lines, opts)
       } else {
+        val (realPath, ext) = pathPart match {
+          case PrefixForm(fmt, rest) => (rest, fmt)
+          case _ => (pathPart, pathPart.split('.').last.toLowerCase)
+        }
         val resolved =
-          if (pathPart.startsWith("/")) pathPart else s"${ctx.baseDir}/$pathPart"
-        val ext = pathPart.split('.').last.toLowerCase
+          if (realPath.startsWith("/")) realPath else s"${ctx.baseDir}/$realPath"
         if (ext == "json") {
           val fields = OctoJson.infer(resolved)
           validations += (() => OctoJson.validate(spark, resolved))

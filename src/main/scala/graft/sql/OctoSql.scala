@@ -119,7 +119,9 @@ object OctoSql {
       } else if (up == "SELECT") { inFrom = false; expectRel = false }
       else if (inFrom && t == "," && depth == depthAtFrom) expectRel = true
       else if (expectRel && !isWs(t) && !isStringLit(t)) {
-        if (t.matches(PathTableRe) || t == "docs.functions" || t == "docs.aggregates") {
+        if (t.matches(PathTableRe) ||
+            t.split('?')(0).matches("^(csv|tsv|json|parquet|lines|txt|log)\\.[^.?]+$") ||
+            t == "docs.functions" || t == "docs.aggregates") {
           val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(t)).take(8)
           val view = "pt_" + t.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
           PathTable.resolve(spark, t).createOrReplaceTempView(view)

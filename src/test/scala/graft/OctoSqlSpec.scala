@@ -120,6 +120,17 @@ class OctoSqlSpec extends SparkSpec {
     assert(row.getBoolean(14) && row.getBoolean(15))
   }
 
+  test("format-prefixed table names: csv.file / lines.file (physical.go database rule)") {
+    val dir = java.nio.file.Files.createTempDirectory("pfx")
+    java.nio.file.Files.write(dir.resolve("plainfile"), "a,b\n1,x\n2,y\n".getBytes)
+    val rows = OctoSql.run(spark,
+      s"SELECT a, b FROM csv.${dir.toString}/plainfile").collect()
+    assert(rows.length == 2 && rows.map(_.getInt(0)).toSet == Set(1, 2))
+    val lrows = OctoSql.run(spark,
+      s"SELECT number, text FROM lines.${dir.toString}/plainfile").collect()
+    assert(lrows.length == 3 && lrows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+  }
+
   test("substr is 0-based in the dialect") {
     val row = OctoSql.run(spark, "SELECT substr('hello', 1, 3) AS s").collect().head
     assert(row.getString(0) == "ell")
