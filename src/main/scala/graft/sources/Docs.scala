@@ -14,7 +14,7 @@ object Docs {
     ("sqrt", "(Float) -> Float", "square root"),
     ("ceil", "(Float) -> Float", "round up"),
     ("floor", "(Float) -> Float", "round down"),
-    ("ln", "(Float) -> Float", "natural logarithm"),
+    ("log", "(Float) -> Float", "natural logarithm"),
     ("log2", "(Float) -> Float", "base-2 logarithm"),
     ("log10", "(Float) -> Float", "base-10 logarithm"),
     ("pow", "(Float, Float) -> Float", "power"),
@@ -28,6 +28,10 @@ object Docs {
     ("like", "(String, String) -> Boolean", "SQL LIKE pattern"),
     ("~", "(String, String) -> Boolean", "regex match"),
     ("~*", "(String, String) -> Boolean", "case-insensitive regex match"),
+    ("!~", "(String, String) -> Boolean", "negated regex match"),
+    ("!~*", "(String, String) -> Boolean", "negated case-insensitive regex match"),
+    ("unnest", "(List) -> rows", "explode list elements to rows"),
+    ("[]", "(List, Int) -> element?", "0-based index, NULL out of bounds"),
     ("int", "(Any) -> Int?", "conversion, NULL on failure"),
     ("float", "(Any) -> Float?", "conversion, NULL on failure"),
     ("string", "(Any) -> String", "display conversion"),

@@ -1,0 +1,79 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import graft.sql.Dialect
+
+/** Output-naming and typecheck rules of the strict dialect front-end,
+  * unit-tested beyond the golden corpus (reference parser.go:120-200,
+  * map.go:99-125).
+  */
+class DialectSpec extends SparkSpec {
+
+  private def runCli(sql: String, flags: String*): (String, String, Int) = {
+    val out = new ByteArrayOutputStream(); val err = new ByteArrayOutputStream()
+    val code = Cli.execute(spark, Cli.parseArgs(Array(sql) ++ flags), ".", None,
+      new PrintStream(out, true, "UTF-8"), new PrintStream(err, true, "UTF-8"))
+    (out.toString("UTF-8"), err.toString("UTF-8"), code)
+  }
+
+  private def names(sql: String): Seq[String] =
+    Dialect.prepare(spark, sql).names
+
+  test("aggregate naming: agg_field, count for star, alias wins, _N dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("dn")
+    java.nio.file.Files.write(dir.resolve("t.json"),
+      """{"k": "a", "v": 1, "w": 2}
+        |{"k": "b", "v": 3, "w": 4}
+        |""".stripMargin.getBytes)
+    val p = s"$dir/t.json"
+    assert(names(s"SELECT COUNT(*), SUM(v), SUM(w) FROM $p") ==
+      Seq("count", "sum_v", "sum_w"))
+    // qualifier stripped in aggregate field names (sum_field2 style)
+    assert(names(s"SELECT SUM(t.v) FROM $p t") == Seq("sum_v"))
+    // duplicates get _N suffixes like getUniqueName
+    assert(names(s"SELECT SUM(v), SUM(v) FROM $p") == Seq("sum_v", "sum_v_1"))
+    // aliases always win
+    assert(names(s"SELECT SUM(v) AS total, COUNT(*) FROM $p") ==
+      Seq("total", "count"))
+    // group-by keys keep their (qualifier-stripped) names
+    assert(names(s"SELECT k, COUNT(*) FROM $p GROUP BY k") == Seq("k", "count"))
+  }
+
+  test("non-aggregate naming: variables as written, col_N for expressions") {
+    assert(names("SELECT 1 + 2, 'x', true") == Seq("col_0", "col_1", "col_2"))
+    assert(names("SELECT 1 AS one, 2") == Seq("one", "col_1"))
+  }
+
+  test("outer-join typecheck rejects non-equi predicates (CLI parity)") {
+    val (_, err, code) = runCli(
+      "SELECT * FROM range(start=>1, end=>3) l LEFT JOIN range(start=>1, end=>3) r ON l.i > r.i")
+    assert(code == 1)
+    assert(err.contains("Error: typecheck error: outer join predicate must be a conjunction of equalities"))
+    // inner joins with theta predicates stay allowed
+    val (out, _, code2) = runCli(
+      "SELECT * FROM range(start=>1, end=>3) l JOIN range(start=>1, end=>3) r ON l.i > r.i")
+    assert(code2 == 0 && out.contains("| l.i | r.i |"))
+  }
+
+  test("CLI group-by renders the octosql table with sorted rows") {
+    val dir = java.nio.file.Files.createTempDirectory("dn2")
+    java.nio.file.Files.write(dir.resolve("d.csv"),
+      "k,v\nb,2\na,1\nb,4\n".getBytes)
+    val (out, _, code) = runCli(s"SELECT k, SUM(v) FROM $dir/d.csv GROUP BY k")
+    assert(code == 0)
+    // live_table sorts by octosql value order; sum named sum_v
+    assert(out ==
+      """+-----+-------+
+        ||  k  | sum_v |
+        |+-----+-------+
+        || 'a' |     1 |
+        || 'b' |     6 |
+        |+-----+-------+
+        |""".stripMargin)
+  }
+
+  test("duration arithmetic keeps nanosecond precision end to end") {
+    val (out, _, _) = runCli("SELECT INTERVAL 7 SECOND / 3")
+    assert(out.contains("2.333333333s"))
+  }
+}
