@@ -441,6 +441,15 @@ object SparkEntry {
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", portable = true)),
 
+    // near-dup clustering: pairs → connected components → one canonical
+    // doc per cluster (the step that makes pairwise dedup actionable)
+    "d7_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8, tokens = true)
+        .select("id_a", "id_b")
+      Dedup.dedupClusters(pairs)
+    }),
+
     // embedding near-dup pairs (cosine threshold, ids only — float-safe)
     "d5_embed_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), 0.45)
@@ -894,6 +903,37 @@ object SparkEntry {
         |FROM pairs""".stripMargin,
 
     "d4_simhash" -> d4SimhashSql,
+
+    "d7_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8),
+        |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (
+        |  SELECT id, id AS comp FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, lbl.comp FROM lbl JOIN edges e ON e.a = lbl.id),
+        |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
+        |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM final GROUP BY comp""".stripMargin,
 
     "d5_embed_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -204,6 +204,58 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- near-dup clustering ------------------------------------------
+
+  /** Connected components over a near-dup pair list — the step that
+    * turns pairwise similarity into "keep one canonical copy per
+    * cluster". Distributed min-label propagation: every node starts
+    * labeled with itself; each round a node takes the minimum label
+    * among itself and its neighbors; converges in O(cluster diameter)
+    * rounds (near-dup clusters are shallow — a handful of rounds).
+    *
+    * Scale shape: each round is one shuffle join + one aggregate over
+    * the edge list; nothing is collected to the driver except the
+    * per-round convergence count. At extreme graph sizes the
+    * large-star/small-star alternation halves round counts, but the
+    * per-round plan is identical — this formulation survives 100 TB of
+    * edges as long as rounds stay bounded, which near-dup clusters
+    * guarantee.
+    *
+    * Returns (id, comp) where comp = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val next = labels.select("id", "comp").union(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** One row per near-dup cluster: the canonical (minimum) id and the
+    * member count.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("comp").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"))
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on each

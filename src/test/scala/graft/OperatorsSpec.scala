@@ -4,6 +4,20 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
+
+  test("connectedComponents labels chains and keeps components apart") {
+    import spark.implicits._
+    // component {1,2,3,4} as a chain, component {10,11}, pair order mixed
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    val clusters = graft.operators.Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 4L, 10L -> 2L))
+  }
   import spark.implicits._
 
   test("Dedup.exact keeps one row per key, min id wins") {
