@@ -72,6 +72,34 @@ class DialectSpec extends SparkSpec {
         |""".stripMargin)
   }
 
+  test("tumble TVF SQL over a STREAMING source runs as a streaming agg") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Long, String)]
+    mem.toDF().toDF("epoch", "k")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("k"))
+      .createOrReplaceTempView("stream_src")
+    // the reference's TVF SQL shape, bound to a streaming view
+    val prep = Dialect.prepare(spark,
+      """SELECT window_start, k, count(*) AS n
+        |FROM tumble(source => TABLE stream_src,
+        |            time_field => DESCRIPTOR ts,
+        |            window_length => INTERVAL 1 HOUR)
+        |GROUP BY window_start, k""".stripMargin)
+    assert(prep.df.isStreaming, "tumble SQL over a stream must stay streaming")
+    val q = prep.df.writeStream.outputMode("complete")
+      .format("memory").queryName("tvf_stream").start()
+    try {
+      mem.addData((3600L, "a"), (3700L, "a"), (7300L, "b"))
+      q.processAllAvailable()
+      val rows = spark.table("tvf_stream").collect()
+        .map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((3600L, "a", 2L), (7200L, "b", 1L)))
+    } finally q.stop()
+  }
+
   test("duration arithmetic keeps nanosecond precision end to end") {
     val (out, _, _) = runCli("SELECT INTERVAL 7 SECOND / 3")
     assert(out.contains("2.333333333s"))
