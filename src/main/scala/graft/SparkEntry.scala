@@ -546,6 +546,15 @@ object SparkEntry {
         .select("doc_id", "n_bytes", "checksum")
     }),
 
+    // multimodal: frame sampling (every stride-th fixed-size chunk of
+    // the payload becomes a frame row — the video-frame shape)
+    "m3_media_frames" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"))
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+        .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          octet_length(col("frame_bytes")).cast(LongType).as("frame_len"))
+    }),
+
     // Structured Streaming tumbling aggregation (complete mode == batch)
     "st1_stream_tumble" -> ((s, dir) =>
       Streams.runTumblingAgg(s, s"$dir/events.parquet", "ts", "1 hour",
@@ -1025,6 +1034,17 @@ object SparkEntry {
         |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
         |FROM documents""".stripMargin,
+
+    "m3_media_frames" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n FROM documents),
+        |idxs AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(0, greatest(CAST(n // 64 AS INT) - 1, 0) + 1, 4)) AS fi
+        |  FROM base)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(least(64, greatest(n - fi * 64, 0)) AS BIGINT) AS frame_len
+        |FROM idxs""".stripMargin,
 
     "st1_stream_tumble" ->
       """SELECT event_type, COUNT(*) AS n,
