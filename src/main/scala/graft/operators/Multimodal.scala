@@ -79,6 +79,47 @@ object Multimodal {
     acc
   }
 
+  case class ResizedMedia(doc_id: Long, media: Array[Byte], mime: String,
+                          width: Int, height: Int)
+
+  /** Image resize stage: per-partition batched like extractFeatures.
+    * The pixel resampler is STUBBED (no image codecs in this
+    * container): the deterministic fake byte-subsamples the payload to
+    * the target size's byte budget, preserving the real pipeline
+    * contract — output metadata reflects the target dimensions, the
+    * payload column stays binary, batching stays per-partition. A real
+    * implementation swaps `resampleStub` for an imageio/ffmpeg call.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "width", "height")
+      .as[(Long, Array[Byte], String, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, mime, w, h) =>
+          ResizedMedia(id, resampleStub(bytes, w, h, targetW, targetH),
+            mime, targetW, targetH)
+        }
+      }
+  }
+
+  /** STUB resampler: deterministic byte subsample proportional to the
+    * pixel-count ratio (??? real scaler goes here).
+    */
+  private def resampleStub(bytes: Array[Byte], w: Int, h: Int,
+                           tw: Int, th: Int): Array[Byte] = {
+    if (bytes.isEmpty || w <= 0 || h <= 0) return bytes
+    val ratio = math.min(1.0, (tw.toDouble * th) / (w.toDouble * h))
+    val outLen = math.max(1, math.round(bytes.length * ratio).toInt)
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = bytes((i.toLong * bytes.length / outLen).toInt)
+      i += 1
+    }
+    out
+  }
+
   /** Frame sampling for video-like payloads: every `stride`-th chunk of
     * `frameBytes` bytes becomes a frame row (explode — distributed, no
     * per-row Python/driver hop).

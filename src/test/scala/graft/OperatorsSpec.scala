@@ -131,6 +131,14 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
     assert(frames.count() > 0)
+    // resize: target metadata applied, payload stays binary and shrinks
+    // proportionally to the pixel ratio (stubbed resampler)
+    val resized = Multimodal.resize(spark, media, targetW = 32, targetH = 24).collect()
+    assert(resized.length == 10)
+    assert(resized.forall(r => r.width == 32 && r.height == 24))
+    val orig = media.select("doc_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    assert(resized.forall(r => r.media.length <= orig(r.doc_id) && r.media.length > 0))
   }
 
   test("ivfTopK finds mostly the same neighbors as brute force") {
