@@ -43,6 +43,8 @@ object PathTable {
       readStdin(spark, path.stripPrefix("stdin."), opts)
     else if (path == "docs.functions") Docs.functions(spark)
     else if (path == "docs.aggregates") Docs.aggregates(spark)
+    else if (path.startsWith("plugins."))
+      Plugins.table(spark, path.stripPrefix("plugins."))
     else path match {
       // format-prefixed names (physical.go GetDatasource database rule):
       // `csv.myfile` reads file `myfile` with the csv handler;

@@ -162,7 +162,8 @@ object Dialect {
     val bare = t.split('?')(0)
     t.matches(OctoSql.PathTableRe) || isStdinSpec(t) ||
       PrefixForm.findFirstIn(bare).isDefined ||
-      t == "docs.functions" || t == "docs.aggregates"
+      t == "docs.functions" || t == "docs.aggregates" ||
+      bare.startsWith("plugins.")
   }
 
   private def viewNameFor(spec: String): String = {
@@ -222,6 +223,8 @@ object Dialect {
     val df: DataFrame =
       if (spec == "docs.functions") Docs.functions(spark)
       else if (spec == "docs.aggregates") Docs.aggregates(spark)
+      else if (pathPart.startsWith("plugins."))
+        graft.sources.Plugins.table(spark, pathPart.stripPrefix("plugins."))
       else if (isStdinSpec(pathPart)) {
         val parts = pathPart.split('.')
         val format = if (parts(0) == "stdin") parts(1) else parts(0)

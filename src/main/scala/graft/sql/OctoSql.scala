@@ -121,7 +121,8 @@ object OctoSql {
       else if (expectRel && !isWs(t) && !isStringLit(t)) {
         if (t.matches(PathTableRe) ||
             t.split('?')(0).matches("^(csv|tsv|json|parquet|lines|txt|log)\\.[^.?]+$") ||
-            t == "docs.functions" || t == "docs.aggregates") {
+            t == "docs.functions" || t == "docs.aggregates" ||
+            t.startsWith("plugins.")) {
           val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(t)).take(8)
           val view = "pt_" + t.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
           PathTable.resolve(spark, t).createOrReplaceTempView(view)

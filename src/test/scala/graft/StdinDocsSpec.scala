@@ -34,4 +34,18 @@ class StdinDocsSpec extends SparkSpec {
       "SELECT name FROM docs.aggregates WHERE name = 'array_agg'")
     assert(viaSql.count() == 1)
   }
+
+  test("plugins meta-datasource tables (datasources/plugins parity)") {
+    // installed tables list the built-in connectors; repo views are
+    // empty with the reference's schemas (no plugin RPC, zero egress)
+    val installed = OctoSql.run(spark,
+      "SELECT name FROM plugins.installed_plugins").collect().map(_.getString(0))
+    assert(installed.toSet.contains("parquet") && installed.toSet.contains("jdbc"))
+    assert(OctoSql.run(spark, "SELECT * FROM plugins.available_plugins").count() == 0)
+    val vers = OctoSql.run(spark,
+      "SELECT plugin_name, version FROM plugins.installed_versions")
+    assert(vers.count() == installed.length)
+    assert(OctoSql.run(spark, "SELECT * FROM plugins.repositories").columns.toSeq ==
+      Seq("slug", "name", "description"))
+  }
 }
