@@ -40,8 +40,11 @@ object OctoArith {
     case _: DecimalType => Cast(Multiply(e, Literal(Decimal(1000000L), DecimalType(20, 0))), LongType)
     case _ => Cast(e, LongType) // day-time interval casts to micros-backed long units
   }
+  private def lng(e: Expression) =
+    if (e.dataType == LongType) e else Cast(e, LongType)
   private def numPair(l: Expression, r: Expression): (Expression, Expression) =
-    if (isIntegral(l.dataType) && isIntegral(r.dataType)) (l, r) else (dbl(l), dbl(r))
+    if (isIntegral(l.dataType) && isIntegral(r.dataType)) (lng(l), lng(r))
+    else (dbl(l), dbl(r))
 
   abstract class OctoBinary extends Expression with RuntimeReplaceable {
     def left: Expression

@@ -100,6 +100,19 @@ class DialectSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("naming applies to the main select of a WITH query, not the CTEs") {
+    val dir = java.nio.file.Files.createTempDirectory("dn3")
+    java.nio.file.Files.write(dir.resolve("w.csv"), "k,v\na,1\nb,2\na,3\n".getBytes)
+    val (out, err, code) = runCli(
+      s"""WITH agg AS (SELECT k, SUM(v) AS s FROM $dir/w.csv GROUP BY k)
+         |SELECT k, s + 10 FROM agg""".stripMargin)
+    assert(code == 0, s"stderr: $err")
+    // main select: k keeps its name, the expression becomes col_1
+    assert(out.contains("|  k  | col_1 |"), s"got:\n$out")
+    assert(out.contains("| 'a' |    14 |"))
+    assert(out.contains("| 'b' |    12 |"))
+  }
+
   test("duration arithmetic keeps nanosecond precision end to end") {
     val (out, _, _) = runCli("SELECT INTERVAL 7 SECOND / 3")
     assert(out.contains("2.333333333s"))
