@@ -25,7 +25,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      System.nanoTime() - t0
+      val dt = System.nanoTime() - t0
+      spark.sqlContext.clearCache() // no cross-query cache pinning
+      dt
     }
 
     // warm-up: session machinery + every table's footer/schema

@@ -22,27 +22,37 @@ object GoFmt {
     * decimal digits (Double.toString) re-assembled with Go's 'g'
     * formatting rules.
     */
+  /** Shortest round-tripping decimal digits of `d` with the decimal
+    * point position, computed by rounding the EXACT binary value to
+    * increasing precision until it round-trips. JDK 17's
+    * Double.toString is NOT shortest (fixed only in JDK 19,
+    * JDK-4511638: e.g. 1.0E23 prints 9.999999999999999E22), so the
+    * Go-parity contract needs this search.
+    */
+  private def shortestDigits(d: Double): (String, Int) = {
+    val exact = new java.math.BigDecimal(d) // exact binary expansion
+    var p = 1
+    while (p <= 17) {
+      val r = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+      if (r.doubleValue() == d) {
+        val digits0 = r.unscaledValue.abs.toString
+        val dp = digits0.length - r.scale
+        val digits = digits0.reverse.dropWhile(_ == '0').reverse
+        return (if (digits.isEmpty) "0" else digits, dp)
+      }
+      p += 1
+    }
+    val digits0 = exact.unscaledValue.abs.toString
+    (digits0, digits0.length - exact.scale)
+  }
+
   def goFloat(d: Double): String = {
     if (d.isNaN) return "NaN"
     if (d == Double.PositiveInfinity) return "+Inf"
     if (d == Double.NegativeInfinity) return "-Inf"
-    val s = java.lang.Double.toString(d) // "42.0" | "2.33...5" | "1.8248328E7" | "-0.0"
-    val neg = s.startsWith("-")
-    val body = if (neg) s.substring(1) else s
-    val (mant, exp10) = body.indexOf('E') match {
-      case -1 => (body, 0)
-      case i  => (body.substring(0, i), body.substring(i + 1).toInt)
-    }
-    val dot = mant.indexOf('.')
-    val digitsRaw = mant.replace(".", "")
-    // decimal point position relative to the digit string (digits before point)
-    var dp = (if (dot == -1) mant.length else dot) + exp10
-    // strip leading zeros ("0.5" -> digits "05")
-    var digits = digitsRaw.dropWhile(_ == '0')
-    dp -= (digitsRaw.length - digits.length)
-    // strip trailing zeros ("42.0" -> "420" -> "42")
-    digits = digits.reverse.dropWhile(_ == '0').reverse
-    if (digits.isEmpty) return if (neg) "-0" else "0"
+    val neg = java.lang.Double.doubleToRawLongBits(d) < 0
+    if (d == 0.0) return if (neg) "-0" else "0"
+    val (digits, dp) = shortestDigits(math.abs(d))
     val sb = new StringBuilder
     if (neg) sb += '-'
     val exp = dp - 1
@@ -70,6 +80,23 @@ object GoFmt {
       while (i < -dp) { sb += '0'; i += 1 }
       sb ++= digits
     }
+    sb.toString
+  }
+
+  /** Go `strconv.FormatFloat(f, 'f', -1, 64)`: shortest digits, never
+    * scientific (csv output, csv_format.go:57).
+    */
+  def goFloatPlain(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return goFloat(d)
+    val neg = java.lang.Double.doubleToRawLongBits(d) < 0
+    if (d == 0.0) return if (neg) "-0" else "0"
+    val (digits, dp) = shortestDigits(math.abs(d))
+    val sb = new StringBuilder
+    if (neg) sb += '-'
+    if (dp <= 0) { sb ++= "0."; sb ++= "0" * (-dp); sb ++= digits }
+    else if (digits.length > dp) {
+      sb ++= digits.substring(0, dp); sb += '.'; sb ++= digits.substring(dp)
+    } else { sb ++= digits; sb ++= "0" * (dp - digits.length) }
     sb.toString
   }
 

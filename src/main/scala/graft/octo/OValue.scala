@@ -167,12 +167,7 @@ object OValue {
   /** Go strconv.FormatFloat(f, 'f', -1, 64): shortest digits, never
     * scientific (csv_format.go:57).
     */
-  def goFloatF(d: Double): String = {
-    if (d.isNaN || d.isInfinite) return GoFmt.goFloat(d)
-    val bd = new java.math.BigDecimal(java.lang.Double.toString(d))
-    val plain = bd.stripTrailingZeros.toPlainString
-    if (plain == "-0") "0" else plain
-  }
+  def goFloatF(d: Double): String = GoFmt.goFloatPlain(d)
 
   // ---- JSON (json_format.go ValueToJson) ----------------------------
 

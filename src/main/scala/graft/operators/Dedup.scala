@@ -245,6 +245,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
+    if (!converged)
+      // returning a partially-propagated labeling would silently split
+      // components — fail loudly; callers with extreme-diameter graphs
+      // raise maxIter
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds (graph diameter too large)")
     labels
   }
 

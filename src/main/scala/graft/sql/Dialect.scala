@@ -77,14 +77,25 @@ object Dialect {
     tokens = bind(spark, tokens, ctx, rels, validations)
     tokens = rewriteTvfs(spark, tokens, rels)
     val named = nameSelect(spark, tokens, rels.toMap)
-    tokens = intervalLiterals(floatLiterals(named.tokens))
+    // interval pass first: its numerals land inside string literals, so
+    // the float pass can't mangle them — and INTERVAL 1.5 SECOND parses
+    tokens = floatLiterals(intervalLiterals(named.tokens))
     val sqlText = OctoSql.rewrite(tokens)
     val plan = graft.plans.OctoArith.rewritePlan(GraftSqlBridge.parse(spark, sqlText))
     val df = GraftSqlBridge.ofRows(spark, plan)
     val names = if (named.names.nonEmpty) named.names else df.columns.toSeq
     val otypes =
       if (named.otypes.nonEmpty) named.otypes else Seq.fill(names.length)(None)
-    val ordered = tokens.exists(t => t.equalsIgnoreCase("ORDER"))
+    // only a TOP-LEVEL ORDER BY makes the output reference-ordered; an
+    // ORDER BY inside a subquery/CTE leaves the live-table value sort on
+    val ordered = {
+      var depth = 0
+      tokens.exists { t =>
+        if (t == "(") depth += 1
+        if (t == ")") depth -= 1
+        depth == 0 && t.equalsIgnoreCase("ORDER")
+      }
+    }
     val tf = named.timeField.map(names.indexOf(_)).getOrElse(-1)
     Prepared(df, names, otypes, ordered, tf, validations.result())
   }
@@ -119,21 +130,39 @@ object Dialect {
         val j = nextNonWs(tokens, i + 1)
         if (j >= 0 && (tokens(j).equalsIgnoreCase("JOIN") ||
             tokens(j).equalsIgnoreCase("OUTER"))) {
-          // find the ON clause for this join
-          val on = tokens.indexWhere(_.equalsIgnoreCase("ON"), j)
+          // find THIS join's ON: scan at depth 0 relative to the join
+          // keyword (an inner join's ON inside a parenthesized subquery
+          // must not be picked up)
+          var on = -1
+          var k0 = j + 1
+          var d0 = 0
+          while (on < 0 && k0 < tokens.length) {
+            tokens(k0) match {
+              case "(" => d0 += 1
+              case ")" => d0 -= 1
+              case x if d0 == 0 && x.equalsIgnoreCase("ON") => on = k0
+              case x if d0 == 0 && ClauseKw.contains(x.toUpperCase) => k0 = tokens.length
+              case _ =>
+            }
+            k0 += 1
+          }
           if (on >= 0) {
             var k = nextNonWs(tokens, on + 1)
             var depth = 0
             var bad = false
+            // a comparison written without spaces lives INSIDE a token
+            // (`l.x>r.x`); string literals are exempt
+            def hasBadOp(x: String): Boolean =
+              !x.startsWith("'") && x != "->" && x != "->*" &&
+                (x.contains("<") || x.contains(">") || x.contains("!="))
             while (k >= 0 && k < tokens.length &&
                    !(depth == 0 && (ClauseKw.contains(tokens(k).toUpperCase) ||
                      JoinKw.contains(tokens(k).toUpperCase) && !tokens(k).equalsIgnoreCase("AS") && !tokens(k).equalsIgnoreCase("ON")))) {
               tokens(k) match {
                 case "(" => depth += 1
                 case ")" => depth -= 1
-                case "<" | ">" | "<=" | ">=" | "!=" | "<>" => bad = true
                 case x if x.equalsIgnoreCase("OR") => bad = true
-                case x if x.length > 1 && (x.endsWith("<") || x.endsWith(">")) => bad = true
+                case x if hasBadOp(x) => bad = true
                 case _ =>
               }
               if (depth < 0) k = tokens.length
@@ -158,19 +187,6 @@ object Dialect {
   /** `csv.myfile` format-prefix form (physical.go database rule). */
   private val PrefixForm = "^(csv|tsv|json|parquet|lines|txt|log)\\.([^.?]+)$".r
 
-  private def isPathSpec(t: String): Boolean = {
-    val bare = t.split('?')(0)
-    t.matches(OctoSql.PathTableRe) || isStdinSpec(t) ||
-      PrefixForm.findFirstIn(bare).isDefined ||
-      t == "docs.functions" || t == "docs.aggregates" ||
-      bare.startsWith("plugins.")
-  }
-
-  private def viewNameFor(spec: String): String = {
-    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(spec)).take(8)
-    "pt_" + spec.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
-  }
-
   /** Position-aware path-table binding: only tokens in FROM/JOIN/
     * comma-in-FROM position are treated as tables (a column named
     * `t.lines` stays a column), and view names carry a content hash so
@@ -178,38 +194,13 @@ object Dialect {
     */
   private def bind(spark: SparkSession, tokens: Vector[String], ctx: Ctx,
                    rels: scala.collection.mutable.Map[String, RelInfo],
-                   validations: scala.collection.mutable.Builder[() => Unit, Seq[() => Unit]]): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    var expectRel = false
-    var inFrom = false
-    var depthAtFrom = 0
-    var depth = 0
-    tokens.foreach { t =>
-      val up = t.toUpperCase
-      if (t == "(") depth += 1
-      if (t == ")") depth -= 1
-      var emit = t
-      if (up == "FROM" || up == "JOIN" || up == "TABLE") {
-        expectRel = true
-        if (up != "TABLE") { inFrom = true; depthAtFrom = depth }
-      }
-      else if (inFrom && depth == depthAtFrom && ClauseKw.contains(up)) { inFrom = false; expectRel = false }
-      else if (up == "SELECT") { inFrom = false; expectRel = false }
-      else if (inFrom && t == "," && depth == depthAtFrom) expectRel = true
-      else if (expectRel && !isWs(t) && !t.startsWith("'")) {
-        if (isPathSpec(t))
-          emit = bindOne(spark, t, ctx, rels, validations)
-        expectRel = false
-      }
-      out += emit
-    }
-    out.result()
-  }
+                   validations: scala.collection.mutable.Builder[() => Unit, Seq[() => Unit]]): Vector[String] =
+    OctoSql.bindWalk(tokens)(t => bindOne(spark, t, ctx, rels, validations))
 
   private def bindOne(spark: SparkSession, spec: String, ctx: Ctx,
                       rels: scala.collection.mutable.Map[String, RelInfo],
                       validations: scala.collection.mutable.Builder[() => Unit, Seq[() => Unit]]): String = {
-    val view = viewNameFor(spec)
+    val view = OctoSql.viewNameFor(spec)
     val (pathPart, opts) = spec.split('?') match {
       case Array(p) => (p, Map.empty[String, String])
       case Array(p, o) => (p, o.split('&').filter(_.nonEmpty).map { kv =>
@@ -356,8 +347,11 @@ object Dialect {
     tvfCounter += 1
     val view = s"tvf_${name}_$tvfCounter"
     val args = namedArgs(inner)
+    def required(arg: String): Vector[String] =
+      args.getOrElse(arg, throw new TypecheckException(
+        s"$name: required argument $arg is missing"))
     def sourceDf(): (DataFrame, RelInfo) = {
-      val srcToks = args("source")
+      val srcToks = required("source")
       val rest = srcToks.dropWhile(x => isWs(x) || x.equalsIgnoreCase("TABLE"))
       val relSql = rest.mkString.trim
       val df = spark.sql(s"SELECT * FROM $relSql")
@@ -376,8 +370,8 @@ object Dialect {
 
     name match {
       case "range" =>
-        val start = args("start").filterNot(isWs).mkString.toLong
-        val end = args("end").filterNot(isWs).mkString.toLong
+        val start = required("start").filterNot(isWs).mkString.toLong
+        val end = required("end").filterNot(isWs).mkString.toLong
         val df = spark.range(start, end).select(col("id").as("i"))
         df.createOrReplaceTempView(view)
         rels(view) = RelInfo(Seq("i" -> OInt))
@@ -387,7 +381,11 @@ object Dialect {
         val tf = descriptor("time_field").orElse(info.timeField).getOrElse(
           throw new TypecheckException(
             "the source table has no implicit watermarked time field, time_field must be specified explicitly"))
-        val lenUs = (interval("window_length").get * 1000000L).toLong
+        required("window_length")
+        val lenUs = (interval("window_length").getOrElse(
+          throw new TypecheckException(
+            "tumble: window_length must be a Duration (INTERVAL n UNIT)"))
+          * 1000000L).toLong
         val offUs = interval("offset").map(s => (s * 1000000L).toLong).getOrElse(0L)
         val us = unix_micros(col(tf))
         val ws = us - pmod(us - lit(offUs), lit(lenUs))

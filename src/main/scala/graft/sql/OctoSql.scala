@@ -92,48 +92,70 @@ object OctoSql {
     tokens.length - 1
   }
 
-  /** Register path-table references as temp views; return rewritten SQL
-    * with view names substituted. Position-aware (round-1 ADVICE): only
-    * tokens in FROM/JOIN/comma-in-FROM position bind, so a column
-    * reference like `t.lines` stays a column; view names carry a
-    * content hash so distinct paths can't alias to one view.
+  private[sql] val ClauseKw = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "UNION", "INTERSECT", "EXCEPT", "TRIGGER")
+
+  /** True when a FROM/JOIN-position token names a file/stdin/docs/
+    * plugins table the engine should bind as a temp view.
     */
-  private def bindPathTables(spark: SparkSession, tokens: Vector[String]): Vector[String] = {
-    val clauseKw = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
-      "UNION", "INTERSECT", "EXCEPT", "TRIGGER")
+  private[sql] def isPathLike(t: String): Boolean = {
+    val bare = t.split('?')(0)
+    t.matches(PathTableRe) ||
+      bare.matches("^(csv|tsv|json|parquet|lines|txt|log)\\.[^.?]+$") ||
+      { val parts = bare.split('.')
+        parts.length == 2 && (parts(0) == "stdin" || parts(1) == "stdin") } ||
+      t == "docs.functions" || t == "docs.aggregates" ||
+      bare.startsWith("plugins.")
+  }
+
+  /** The shared position-aware table-binding walk (round-1 ADVICE, one
+    * implementation for both the engine and CLI binders): only tokens
+    * in FROM/JOIN/comma-in-FROM position are offered to `bindFn`, so a
+    * column named `t.lines` stays a column. FROM-context is tracked PER
+    * PAREN DEPTH — a parenthesized subquery (with its own SELECT/FROM)
+    * neither ends the outer FROM clause nor leaks its own.
+    */
+  private[sql] def bindWalk(tokens: Vector[String])(bindFn: String => String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var expectRel = false
-    var inFrom = false
-    var depthAtFrom = 0
     var depth = 0
+    // per-depth FROM-clause flag; entries above the current depth are
+    // discarded as parens close
+    val inFrom = scala.collection.mutable.Map[Int, Boolean]()
     tokens.foreach { t =>
       val up = t.toUpperCase
-      if (t == "(") depth += 1
-      if (t == ")") depth -= 1
+      if (t == "(") { depth += 1; expectRel = false }
+      if (t == ")") { inFrom.remove(depth); depth -= 1; expectRel = false }
       var emit = t
       if (up == "FROM" || up == "JOIN" || up == "TABLE") {
         expectRel = true
-        if (up != "TABLE") { inFrom = true; depthAtFrom = depth }
-      } else if (inFrom && depth == depthAtFrom && clauseKw.contains(up)) {
-        inFrom = false; expectRel = false
-      } else if (up == "SELECT") { inFrom = false; expectRel = false }
-      else if (inFrom && t == "," && depth == depthAtFrom) expectRel = true
-      else if (expectRel && !isWs(t) && !isStringLit(t)) {
-        if (t.matches(PathTableRe) ||
-            t.split('?')(0).matches("^(csv|tsv|json|parquet|lines|txt|log)\\.[^.?]+$") ||
-            t == "docs.functions" || t == "docs.aggregates" ||
-            t.startsWith("plugins.")) {
-          val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(t)).take(8)
-          val view = "pt_" + t.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
-          PathTable.resolve(spark, t).createOrReplaceTempView(view)
-          emit = view
-        }
+        if (up != "TABLE") inFrom(depth) = true
+      } else if (ClauseKw.contains(up) || up == "SELECT") {
+        inFrom(depth) = false; expectRel = false
+      } else if (t == "," && inFrom.getOrElse(depth, false)) expectRel = true
+      else if (expectRel && !isWs(t) && !isStringLit(t) && t != "(" && t != ")") {
+        if (isPathLike(t)) emit = bindFn(t)
         expectRel = false
       }
       out += emit
     }
     out.result()
   }
+
+  private[sql] def viewNameFor(spec: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(spec)).take(8)
+    "pt_" + spec.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+  }
+
+  /** Register path-table references as temp views; return rewritten SQL
+    * with view names substituted.
+    */
+  private def bindPathTables(spark: SparkSession, tokens: Vector[String]): Vector[String] =
+    bindWalk(tokens) { t =>
+      val view = viewNameFor(t)
+      PathTable.resolve(spark, t).createOrReplaceTempView(view)
+      view
+    }
 
   /** All token-level dialect rewrites. */
   private[sql] def rewrite(tokens0: Vector[String]): String = {

@@ -116,5 +116,42 @@ class DialectSpec extends SparkSpec {
   test("duration arithmetic keeps nanosecond precision end to end") {
     val (out, _, _) = runCli("SELECT INTERVAL 7 SECOND / 3")
     assert(out.contains("2.333333333s"))
+    // unquoted fractional intervals parse too (review finding: the
+    // float-literal pass used to mangle them)
+    val (out2, _, _) = runCli("SELECT INTERVAL 1.5 SECOND")
+    assert(out2.contains("1.5s"), s"got:\n$out2")
+  }
+
+  test("review regressions: binding, typecheck and ordering edge cases") {
+    val dir = java.nio.file.Files.createTempDirectory("rr")
+    java.nio.file.Files.write(dir.resolve("d.csv"), "k,v\na,2\nb,1\n".getBytes)
+    val p = s"$dir/d.csv"
+    // (1) a path table after a parenthesized subquery still binds
+    val (out1, err1, c1) = runCli(s"SELECT one, k FROM (SELECT 1 AS one) s, $p")
+    assert(c1 == 0, s"stderr: $err1")
+    assert(out1.contains("'a'") && out1.contains("'b'"))
+    // (2) unspaced non-equi outer-join predicate is still rejected
+    val (_, err2, c2) = runCli(
+      s"SELECT * FROM $p l LEFT JOIN $p r ON l.v>r.v")
+    assert(c2 == 1 && err2.contains("conjunction of equalities"))
+    // (3) an inner join's theta-ON inside a subquery must NOT trip the
+    // outer join's typecheck
+    val (_, err3, c3) = runCli(
+      s"SELECT * FROM $p a LEFT JOIN (SELECT x.k FROM $p x JOIN $p y ON x.v < y.v) s ON s.k = a.k")
+    assert(c3 == 0, s"stderr: $err3")
+    // (4) ORDER BY inside a subquery does not suppress the live-table
+    // value sort of the outer query
+    val (out4, _, _) = runCli(
+      s"SELECT k FROM (SELECT k FROM $p ORDER BY v DESC) s")
+    val aIdx = out4.indexOf("'a'"); val bIdx = out4.indexOf("'b'")
+    assert(aIdx >= 0 && bIdx >= 0 && aIdx < bIdx, s"got:\n$out4")
+    // (5) a missing required TVF argument is a typecheck error, not a
+    // None.get crash
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    spark.range(3).select(timestamp_seconds(col("id")).as("ts"))
+      .createOrReplaceTempView("tvf_err_src")
+    val (_, err5, c5) = runCli(
+      "SELECT * FROM tumble(source => TABLE tvf_err_src, time_field => DESCRIPTOR ts)")
+    assert(c5 == 1 && err5.contains("window_length"), s"stderr: $err5")
   }
 }

@@ -24,6 +24,11 @@ class OctoFmtSpec extends AnyFunSuite {
     assert(GoFmt.goFloat(2.1972245773362196) == "2.1972245773362196")
     assert(GoFmt.goFloat(0.0) == "0")
     assert(GoFmt.goFloat(123456.789) == "123456.789")
+    // JDK 17's Double.toString is NOT shortest for these (JDK-4511638);
+    // the shortest-digits search must still match Go
+    assert(GoFmt.goFloat(1.0e23) == "1e+23")
+    assert(GoFmt.goFloat(2.82879384806159e17) == "2.82879384806159e+17")
+    assert(GoFmt.goFloat(1.9e-3) == "0.0019")
   }
 
   test("goFloatF matches Go strconv.FormatFloat(f,'f',-1,64)") {
