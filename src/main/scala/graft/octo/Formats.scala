@@ -51,12 +51,18 @@ object Formats {
     TableFmt.render(names, rows)
   }
 
-  /** Go encoding/csv quoting rules (csv_format.go + stdlib csv.Writer). */
-  private def csvField(s: String): String =
-    if (s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r") ||
-        s.startsWith(" ") || s.startsWith("\t"))
+  /** Go encoding/csv quoting rules (stdlib csv.Writer fieldNeedsQuotes):
+    * delimiter / quote / CR / LF anywhere, any leading Unicode space,
+    * or the literal field `\.` (the Postgres end-of-data special case).
+    */
+  private def csvField(s: String): String = {
+    val leadingSpace = s.nonEmpty &&
+      (Character.isWhitespace(s.charAt(0)) || Character.isSpaceChar(s.charAt(0)))
+    if (s == "\\." || leadingSpace ||
+        s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
+  }
 
   def renderCsv(prep: Prepared): String = {
     val sb = new StringBuilder

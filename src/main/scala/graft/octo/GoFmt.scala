@@ -152,6 +152,11 @@ object GoFmt {
   def rfc3339(instant: java.time.Instant): String =
     Rfc3339.format(instant.atOffset(Utc))
 
+  /** Same, but at the value's own offset — Go keeps the offset parsed
+    * by `time.Parse(RFC3339)` and prints it back.
+    */
+  def rfc3339Offset(odt: java.time.OffsetDateTime): String = Rfc3339.format(odt)
+
   /** The Go zero time `time.Time{}` rendered via RFC3339 — the event
     * time every batch record carries (execution/execution.go:73-91).
     */

@@ -18,6 +18,31 @@ object OValue {
   private val mapper = new ObjectMapper()
   private val Utc = java.time.ZoneOffset.UTC
 
+  /** Unwrap a variant to the plain JVM value matching its RUNTIME JSON
+    * type, so union values compare by type id like the reference
+    * (values.go Compare on the concrete instance type).
+    */
+  private def unwrapVariant(vv: VariantVal): Any = {
+    val n = parseVariant(vv)
+    if (n == null || n.isNull) null
+    else if (n.isNumber) n.asDouble // JSON numbers are octosql Float
+    else if (n.isBoolean) n.asBoolean
+    else if (n.isTextual) {
+      val s = n.asText
+      if (OType.isRfc3339(s)) java.time.OffsetDateTime.parse(s).toInstant else s
+    }
+    else if (n.isArray) (0 until n.size).map(i => nodeValue(n.get(i)))
+    else Row.fromSeq(jsonFieldNames(n).sorted.map(k => nodeValue(n.get(k))))
+  }
+
+  private def nodeValue(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isNumber) n.asDouble
+    else if (n.isBoolean) n.asBoolean
+    else if (n.isTextual) n.asText
+    else if (n.isArray) (0 until n.size).map(i => nodeValue(n.get(i)))
+    else Row.fromSeq(jsonFieldNames(n).sorted.map(k => nodeValue(n.get(k))))
+
   /** Runtime octosql type id of a collected value (for Compare). */
   private def typeIdOf(v: Any): Int = v match {
     case null => 0
@@ -29,13 +54,17 @@ object OValue {
     case _: java.math.BigDecimal | _: BigDecimal | _: java.time.Duration => 6
     case _: scala.collection.Seq[_] => 7
     case _: Row => 8
-    case _: VariantVal => 4 // compared via rendered form; not hit in corpus
+    case vv: VariantVal => typeIdOf(unwrapVariant(vv)) // runtime union type
     case _ => 4
   }
 
   private def nanosOf(v: Any): Long = v match {
     case d: java.math.BigDecimal =>
-      d.movePointRight(9).setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+      val n = d.movePointRight(9).setScale(0, java.math.RoundingMode.DOWN)
+      // saturate like Go's int64 duration bounds instead of crashing
+      if (n.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0) Long.MaxValue
+      else if (n.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) < 0) Long.MinValue
+      else n.longValue()
     case d: BigDecimal => nanosOf(d.bigDecimal)
     case d: java.time.Duration => d.toNanos
     case _ => 0L
@@ -103,7 +132,9 @@ object OValue {
         case None     => OType.isRfc3339(s)
       }
       if (timey && OType.isRfc3339(s))
-        GoFmt.rfc3339(java.time.OffsetDateTime.parse(s).toInstant)
+        // Go time.Parse(RFC3339) keeps the parsed offset and prints it
+        // back — format at the value's own offset, not normalized UTC
+        GoFmt.rfc3339Offset(java.time.OffsetDateTime.parse(s))
       else s"'$s'"
     }
     else if (n.isBoolean) { if (n.asBoolean) "true" else "false" }
@@ -147,6 +178,8 @@ object OValue {
 
   def csv(v: Any, t: Option[OType]): String = v match {
     case null => ""
+    case d: java.sql.Date => d.toString          // inferred dates print bare
+    case d: java.time.LocalDate => d.toString
     case _: Long | _: Int | _: Short | _: Byte => longOf(v).toString
     case _: Double | _: Float => goFloatF(doubleOf(v))
     case b: Boolean => b.toString
@@ -209,7 +242,7 @@ object OValue {
     if (n == null || n.isNull) sb ++= "null"
     else if (n.isNumber) {
       // integers stay integral in the variant view; fractions follow Go
-      if (n.isIntegralNumber) sb.append(n.asLong)
+      if (n.isIntegralNumber && n.canConvertToLong) sb.append(n.asLong)
       else sb ++= GoFmt.goFloat(n.asDouble)
     }
     else if (n.isTextual) jsonString(sb, n.asText)
@@ -261,7 +294,10 @@ object OValue {
     * live/batch table's sorted final render (outputs/batch/
     * live_output.go Ascend).
     */
-  def compare(a: Any, b: Any): Int = {
+  def compare(a0: Any, b0: Any): Int = {
+    // union values compare by runtime type first (values.go Compare)
+    val a = a0 match { case v: VariantVal => unwrapVariant(v); case x => x }
+    val b = b0 match { case v: VariantVal => unwrapVariant(v); case x => x }
     val (ta, tb) = (typeIdOf(a), typeIdOf(b))
     if (ta != tb) return Integer.compare(ta, tb)
     ta match {
@@ -270,8 +306,8 @@ object OValue {
       case 2 => java.lang.Double.compare(doubleOf(a), doubleOf(b))
       case 3 => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
       case 4 =>
-        val (sa, sb) = (a match { case s: String => s; case v: VariantVal => v.toJson(Utc); case o => o.toString },
-          b match { case s: String => s; case v: VariantVal => v.toJson(Utc); case o => o.toString })
+        val (sa, sb) = (a match { case s: String => s; case o => o.toString },
+          b match { case s: String => s; case o => o.toString })
         sa.compareTo(sb)
       case 5 => instantOf(a).compareTo(instantOf(b))
       case 6 => java.lang.Long.compare(nanosOf(a), nanosOf(b))

@@ -14,8 +14,11 @@ object TableFmt {
 
   private val ColWidth = 24
 
+  // tablewriter's decimal regex (util.go isNumerical): plain decimals
+  // only — scientific notation, NaN and ±Inf are NOT right-aligned
+  private val Decimal = """^-?(?:\d{1,3}(?:,\d{3})*|\d+)(?:\.\d+)?$""".r
   private def isNumeric(s: String): Boolean =
-    s.nonEmpty && s.toDoubleOption.isDefined
+    s.nonEmpty && Decimal.matches(s)
 
   /** tablewriter WrapString: greedy word wrap on single spaces; a word
     * longer than the limit stays whole.

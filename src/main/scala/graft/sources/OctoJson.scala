@@ -35,9 +35,17 @@ object OctoJson {
   def inferLines(lines: Seq[String]): Seq[(String, OType)] =
     OType.inferJsonl(lines.iterator)
 
+  /** Variant path for a field name: dotted form only for plain
+    * identifiers; bracket-quoted otherwise so names containing `.`,
+    * spaces or quotes navigate as one key.
+    */
+  private[graft] def variantPath(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) s"$$.$name"
+    else s"$$['${name.replace("'", "\\'")}']"
+
   /** Extraction column for one inferred field off a parsed variant. */
   private def fieldCol(v: Column, name: String, t: OType): Column = {
-    val path = s"$$.${name}"
+    val path = variantPath(name)
     if (t.needsVariant) variant_get(v, path, "variant")
     else t.nonNullAlts.headOption match {
       case Some(OTime) => try_variant_get(v, path, "string").cast("timestamp")
@@ -89,9 +97,11 @@ object OctoJson {
     }
   }
 
+  private val driverMapper = new ObjectMapper()
+
   def validateLines(lines: Seq[String]): Unit =
     lines.iterator.zipWithIndex.foreach { case (text, i) =>
-      val mapper = new ObjectMapper()
+      val mapper = driverMapper
       val ok = try {
         val node = mapper.readTree(text); node != null && node.isObject
       } catch { case _: Exception =>

@@ -643,14 +643,14 @@ object Dialect {
             st.fields.foreach { case (f, ft) =>
               val extractor: Vector[String] =
                 if (ft.needsVariant)
-                  Vector("variant_get", "(") ++ varToks ++ Vector(",", s"'$$.$f'", ",", "'variant'", ")")
+                  Vector("variant_get", "(") ++ varToks ++ Vector(",", s"'${graft.sources.OctoJson.variantPath(f)}'", ",", "'variant'", ")")
                 else ft.nonNullAlts.headOption match {
                   case Some(OTime) =>
                     Vector("CAST", "(", "try_variant_get", "(") ++ varToks ++
-                      Vector(",", s"'$$.$f'", ",", "'string'", ")", " ", "AS", " ", "TIMESTAMP", ")")
+                      Vector(",", s"'${graft.sources.OctoJson.variantPath(f)}'", ",", "'string'", ")", " ", "AS", " ", "TIMESTAMP", ")")
                   case Some(s1) =>
                     Vector("try_variant_get", "(") ++ varToks ++
-                      Vector(",", s"'$$.$f'", ",", s"'${OType.toSpark(s1).sql}'", ")")
+                      Vector(",", s"'${graft.sources.OctoJson.variantPath(f)}'", ",", s"'${OType.toSpark(s1).sql}'", ")")
                   case None => Vector("NULL")
                 }
               emitItem(extractor, unique(f), Some(ft))

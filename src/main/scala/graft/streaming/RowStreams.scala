@@ -140,6 +140,13 @@ object RowStreams {
     */
   def outerJoinRows(left: DataFrame, right: DataFrame,
                     keyCols: Seq[String]): DataFrame = {
+    // non-key column names must be disjoint: the internal wide union
+    // carries both sides by name (qualify/rename on the caller side,
+    // like the reference's requalifier)
+    val clash = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
+    require(clash.isEmpty,
+      s"outerJoinRows: non-key columns present on both sides: ${clash.mkString(", ")}; " +
+        "rename one side first (the reference qualifies with relation aliases)")
     val lSchema = left.schema
     val rSchema = right.schema
     val lPayload = lSchema.fields.toSeq
