@@ -173,10 +173,16 @@ object GoFmtJ {
 
   def goFloatU(d: Double): UTF8String = UTF8String.fromString(GoFmt.goFloat(d))
 
-  /** Duration from the dialect's DECIMAL(38,9)-seconds representation. */
+  /** Duration from the dialect's DECIMAL(38,9)-seconds representation;
+    * saturates at int64 nanosecond bounds like Go durations.
+    */
   def goDurationU(secs: org.apache.spark.sql.types.Decimal): UTF8String = {
-    val nanos = secs.toJavaBigDecimal.movePointRight(9)
-      .setScale(0, java.math.RoundingMode.DOWN).longValueExact()
+    val n = secs.toJavaBigDecimal.movePointRight(9)
+      .setScale(0, java.math.RoundingMode.DOWN)
+    val nanos =
+      if (n.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0) Long.MaxValue
+      else if (n.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) < 0) Long.MinValue
+      else n.longValue()
     UTF8String.fromString(GoFmt.goDuration(nanos))
   }
 
