@@ -71,6 +71,28 @@ class OctoPropsSpec extends SparkSpec {
     }
   }
 
+  test("goFloat/goFloatPlain round-trip and are shortest on random doubles") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val doubles = Gen.oneOf(
+      Gen.choose(-1e6, 1e6),
+      Gen.choose(-1.0, 1.0),
+      Gen.choose(Double.MinValue / 2, Double.MaxValue / 2),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(l =>
+        java.lang.Double.longBitsToDouble(l)).suchThat(d => !d.isNaN && !d.isInfinite))
+    val prop = forAll(doubles) { d =>
+      val g = graft.octo.GoFmt.goFloat(d)
+      val p = graft.octo.GoFmt.goFloatPlain(d)
+      // Go-style forms parse back to the same double (shortest-unique);
+      // significant digits never exceed the 17 needed for uniqueness
+      val sig = g.takeWhile(_ != 'e').dropWhile(c => c == '-' || c == '0' || c == '.')
+        .count(_.isDigit)
+      g.toDouble == d && p.toDouble == d && sig <= 17
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("wsTokens counts whitespace tokens") {
     val cases = samples(asciiText).filter(_.trim.nonEmpty)
     val got = cases.toDF("t")
