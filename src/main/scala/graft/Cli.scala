@@ -50,22 +50,48 @@ object Cli {
       |""".stripMargin.replace("@PAD@", "      ") // cobra pads the empty short description
 
   case class CliArgs(sql: String, output: String = "live_table",
-                     describe: Boolean = false, explain: Boolean = false)
+                     describe: Boolean = false, explain: Int = 0,
+                     flagError: Option[String] = None)
 
+  private val Outputs = Set("live_table", "batch_table", "csv", "json", "stream_native")
+
+  /** cobra-compatible flag parsing (cmd/root.go:474-486): unknown flags
+    * and missing values are errors, `--explain` takes an int.
+    */
   def parseArgs(args: Array[String]): CliArgs = {
     var a = CliArgs(sql = args.headOption.getOrElse(""))
     var i = 1
+    def err(m: String): CliArgs = a.copy(flagError = Some(m))
     while (i < args.length) {
       args(i) match {
-        case "--output" | "-o" if i + 1 < args.length =>
+        case "--output" | "-o" =>
+          if (i + 1 >= args.length)
+            return err(s"flag needs an argument: ${args(i)}")
           a = a.copy(output = args(i + 1)); i += 2
-        case o if o.startsWith("-o") && o.length > 2 =>
-          a = a.copy(output = o.substring(2)); i += 1
         case o if o.startsWith("--output=") =>
           a = a.copy(output = o.substring(9)); i += 1
+        case o if o.startsWith("-o") && o.length > 2 =>
+          a = a.copy(output = o.substring(2)); i += 1
         case "--describe" => a = a.copy(describe = true); i += 1
-        case "--explain" => a = a.copy(explain = true); i += 1
-        case _ => i += 1
+        case "--explain" =>
+          if (i + 1 >= args.length)
+            return err("flag needs an argument: --explain")
+          args(i + 1).toIntOption match {
+            case Some(n) => a = a.copy(explain = n); i += 2
+            case None => return err(s"invalid argument \"${args(i + 1)}\" for \"--explain\" flag")
+          }
+        case o if o.startsWith("--explain=") =>
+          o.substring(10).toIntOption match {
+            case Some(n) => a = a.copy(explain = n); i += 1
+            case None => return err(s"invalid argument \"${o.substring(10)}\" for \"--explain\" flag")
+          }
+        case "--optimize" => i += 1 // bool flag; accepted, ignored
+        case o if o.startsWith("--optimize=") => i += 1
+        case "--profile" =>
+          if (i + 1 >= args.length) return err("flag needs an argument: --profile")
+          i += 2 // accepted, ignored
+        case o if o.startsWith("--profile=") => i += 1
+        case other => return err(s"unknown flag: $other")
       }
     }
     a
@@ -76,9 +102,13 @@ object Cli {
   /** Run one CLI invocation; returns the process exit code. */
   def execute(spark: SparkSession, args: CliArgs, baseDir: String,
               stdin: Option[String], out: PrintStream, err: PrintStream): Int = {
+    args.flagError.foreach(m => return fail(err, m))
+    if (!Outputs.contains(args.output))
+      return fail(err, s"invalid output format: '${args.output}'")
     try {
       val prep0 = Dialect.prepare(spark, args.sql, Dialect.Ctx(baseDir, stdin))
-      if (args.explain) {
+      // reference precedence (cmd/root.go): describe wins over explain
+      if (!args.describe && args.explain >= 1) {
         val qe = prep0.df.queryExecution
         out.println(s"== Optimized ==\n${qe.optimizedPlan}\n== Physical ==\n${qe.executedPlan}")
         return 0

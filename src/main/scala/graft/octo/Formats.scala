@@ -55,9 +55,19 @@ object Formats {
     * delimiter / quote / CR / LF anywhere, any leading Unicode space,
     * or the literal field `\.` (the Postgres end-of-data special case).
     */
+  /** Go unicode.IsSpace: the Unicode White_Space property — NOT the
+    * same set as Java's isWhitespace (U+0085/U+00A0 are in, the
+    * U+001C-1F separators are out).
+    */
+  private def goIsSpace(c: Char): Boolean = c match {
+    case '\t' | '\n' | 0x0B | '\f' | '\r' | ' ' | 0x85 | 0xA0 => true
+    case _ => Character.getType(c) == Character.SPACE_SEPARATOR ||
+      Character.getType(c) == Character.LINE_SEPARATOR ||
+      Character.getType(c) == Character.PARAGRAPH_SEPARATOR
+  }
+
   private def csvField(s: String): String = {
-    val leadingSpace = s.nonEmpty &&
-      (Character.isWhitespace(s.charAt(0)) || Character.isSpaceChar(s.charAt(0)))
+    val leadingSpace = s.nonEmpty && goIsSpace(s.charAt(0))
     if (s == "\\." || leadingSpace ||
         s.contains(",") || s.contains("\"") || s.contains("\n") || s.contains("\r"))
       "\"" + s.replace("\"", "\"\"") + "\""
@@ -79,14 +89,21 @@ object Formats {
 
   def renderJson(prep: Prepared): String = {
     val names = withoutQualifiers(prep.names)
+    // duplicate output names: fastjson Object.Set overwrites in place,
+    // so the LAST value wins at the FIRST occurrence's position
+    val lastIdx = names.zipWithIndex.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    val emitOrder = names.zipWithIndex
+      .filter { case (n, i) => lastIdx(n) == i }
+      .sortBy { case (n, _) => names.indexOf(n) }
     val sb = new StringBuilder
     collect(prep).foreach { row =>
       sb += '{'
       var first = true
-      row.zipWithIndex.foreach { case (v, i) =>
+      emitOrder.foreach { case (n, i) =>
         if (!first) sb += ','; first = false
-        OValue.jsonString(sb, names(i)); sb += ':'
-        OValue.json(sb, v, prep.otypes.applyOrElse(i, (_: Int) => None))
+        OValue.jsonString(sb, n); sb += ':'
+        OValue.json(sb, row(i), prep.otypes.applyOrElse(i, (_: Int) => None))
       }
       sb ++= "}\n"
     }

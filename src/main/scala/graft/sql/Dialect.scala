@@ -77,12 +77,24 @@ object Dialect {
     tokens = bind(spark, tokens, ctx, rels, validations)
     tokens = rewriteTvfs(spark, tokens, rels)
     val named = nameSelect(spark, tokens, rels.toMap)
-    // interval pass first: its numerals land inside string literals, so
-    // the float pass can't mangle them — and INTERVAL 1.5 SECOND parses
-    tokens = floatLiterals(intervalLiterals(named.tokens))
-    val sqlText = OctoSql.rewrite(tokens)
-    val plan = graft.plans.OctoArith.rewritePlan(GraftSqlBridge.parse(spark, sqlText))
-    val df = GraftSqlBridge.ofRows(spark, plan)
+    def build(ts: Vector[String]): (Vector[String], DataFrame) = {
+      // interval pass first: its numerals land inside string literals,
+      // so the float pass can't mangle them — INTERVAL 1.5 SECOND parses
+      val ts2 = floatLiterals(intervalLiterals(ts))
+      val sqlText = OctoSql.rewrite(ts2)
+      val plan = graft.plans.OctoArith.rewritePlan(GraftSqlBridge.parse(spark, sqlText))
+      (ts2, GraftSqlBridge.ofRows(spark, plan))
+    }
+    // the reference's output btree breaks ORDER-BY-key ties by full
+    // record values (live_output.go outputItem.Less) — make Spark's
+    // sort total by appending every output column as a trailing key;
+    // fall back when a column isn't sortable (variant)
+    val tied = appendOrderTieBreak(named.tokens, named.names)
+    val (finalTokens, df) =
+      if (tied eq named.tokens) build(named.tokens)
+      else try build(tied)
+      catch { case _: Exception => build(named.tokens) }
+    tokens = finalTokens
     val names = if (named.names.nonEmpty) named.names else df.columns.toSeq
     val otypes =
       if (named.otypes.nonEmpty) named.otypes else Seq.fill(names.length)(None)
@@ -98,6 +110,28 @@ object Dialect {
     }
     val tf = named.timeField.map(names.indexOf(_)).getOrElse(-1)
     Prepared(df, names, otypes, ordered, tf, validations.result())
+  }
+
+  /** Append the named output columns as trailing ascending keys of a
+    * TOP-LEVEL ORDER BY, so tied sort keys render in the reference's
+    * value order (deterministic across partitionings too).
+    */
+  private def appendOrderTieBreak(tokens: Vector[String], names: Seq[String]): Vector[String] = {
+    if (names.isEmpty) return tokens
+    var depth = 0
+    var orderIdx = -1
+    var insertAt = -1
+    tokens.zipWithIndex.foreach { case (t, i) =>
+      if (t == "(") depth += 1
+      if (t == ")") depth -= 1
+      if (depth == 0 && t.equalsIgnoreCase("ORDER")) orderIdx = i
+      if (depth == 0 && orderIdx >= 0 && insertAt < 0 &&
+          (t.equalsIgnoreCase("LIMIT") || t.equalsIgnoreCase("TRIGGER"))) insertAt = i
+    }
+    if (orderIdx < 0) return tokens
+    val extras = names.flatMap(n => Vector(",", " ", s"`$n`", " "))
+    val at = if (insertAt < 0) tokens.length else insertAt
+    tokens.take(at) ++ extras ++ tokens.drop(at)
   }
 
   /** Analysis-time type-dispatched scalar functions the token rewriter

@@ -145,6 +145,18 @@ class DialectSpec extends SparkSpec {
       s"SELECT k FROM (SELECT k FROM $p ORDER BY v DESC) s")
     val aIdx = out4.indexOf("'a'"); val bIdx = out4.indexOf("'b'")
     assert(aIdx >= 0 && bIdx >= 0 && aIdx < bIdx, s"got:\n$out4")
+    // (4b) ORDER BY ties render in octosql value order (reference
+    // breaks btree-key ties by full record values)
+    java.nio.file.Files.write(dir.resolve("ties.csv"),
+      "g,v\nx,2\nx,1\ny,9\n".getBytes)
+    val (outT, _, _) = runCli(s"SELECT g, v FROM $dir/ties.csv ORDER BY g")
+    val idx1 = outT.indexOf("| 1 |"); val idx2 = outT.indexOf("| 2 |")
+    assert(idx1 >= 0 && idx2 >= 0 && idx1 < idx2, s"got:\n$outT")
+    // (4c) flag-surface parity: unknown flags and bad output formats err
+    val (_, errF, cF) = runCli("SELECT 1", "--banana")
+    assert(cF == 1 && errF.contains("unknown flag: --banana"))
+    val (_, errO, cO) = runCli("SELECT 1", "-o", "csvv")
+    assert(cO == 1 && errO.contains("invalid output format: 'csvv'"))
     // (5) a missing required TVF argument is a typecheck error, not a
     // None.get crash
     import org.apache.spark.sql.functions.{col, timestamp_seconds}

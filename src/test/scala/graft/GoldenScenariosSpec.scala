@@ -26,6 +26,7 @@ object GoldenRunner {
     val CmdRe(producer, sql, flagStr) = text
     val stdin = Option(producer).map(_.trim).filter(_.nonEmpty).map { p =>
       val pb = new ProcessBuilder("bash", "-c", p)
+      pb.directory(inFile.getParent.toFile) // tester runs in the scenario dir
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
       proc.waitFor()
@@ -67,6 +68,12 @@ class GoldenScenariosSpec extends SparkSpec {
         s"  line ${i + 1}:\n    want: ${e.applyOrElse(i, (_: Int) => "<missing>")}\n    got:  ${a.applyOrElse(i, (_: Int) => "<missing>")}"
     }
     s"$name mismatch (${lines.size} differing lines):\n" + lines.take(8).mkString("\n")
+  }
+
+  test("golden corpus is present (guard against silent skip)") {
+    assert(Files.isDirectory(root),
+      s"reference scenario corpus missing at $root — the golden replay would silently skip")
+    assert(scenarios.size == 30, s"expected 30 scenarios, found ${scenarios.size}")
   }
 
   scenarios.foreach { in =>
