@@ -34,7 +34,13 @@ object Bench {
     Engine.TableNames.foreach(n => Engine.table(spark, sfDir, n).count())
     force("q1_agg")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // SPARK_GRAFT_ONLY=q1_agg,t1_langid_tokens limits the run while
+    // iterating on one operator; unset = full suite (driver mode)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       name -> force(name) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -272,6 +272,7 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               portable: Boolean = false): DataFrame = {
+    graft.plans.PolyHashExpr.register(df.sparkSession)
     // portable=true swaps xxhash64 for two 31-bit polynomial hashes
     // packed into 62 bits — bit-identical recomputable in plain SQL
     // (the DuckDB oracle for d4 does exactly that); xxhash64 stays the

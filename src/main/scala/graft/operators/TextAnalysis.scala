@@ -110,13 +110,13 @@ object TextAnalysis {
   /** Parameterized polynomial hash (fold of `acc*mult + codepoint mod
     * modulus`) — the portable building block behind `fingerprint` and
     * the oracle-checkable SimHash variant. `mult * modulus` must fit a
-    * long (both moduli here are < 2³¹).
+    * long (both moduli here are < 2³¹). Backed by the codegen'd
+    * [[graft.plans.PolyHash]] expression (registered by Engine /
+    * `analyze` / Dedup entry points), which folds UTF-8 code points
+    * without materializing a per-character array.
     */
   def polyHash(text: Column, mult: Long, modulus: Long): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * mult + c) % modulus)
+    call_function("poly_hash", text, lit(mult), lit(modulus))
 
   /** Canonical text normalization for dedup keys / training input:
     * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
@@ -145,6 +145,7 @@ object TextAnalysis {
 
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.plans.PolyHashExpr.register(docs.sparkSession)
     val t = col(textCol)
     docs
       .withColumn("lang_pred", langId(t))

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static polynomial-hash kernel shared by interpreted eval and
+  * generated code. Decodes UTF-8 code points straight off the string's
+  * byte array (no per-character array, no String allocation) and folds
+  * `acc = (acc * mult + codePoint) % modulus` left-to-right.
+  *
+  * Portability contract: the fold is over Unicode code points, which is
+  * exactly what DuckDB's `ascii(substr(text, i, 1))` yields, so the
+  * driver's oracle SQL replays the hash bit-for-bit (on ASCII input it
+  * is also bit-identical to the previous HOF formulation this kernel
+  * replaced). `mult * modulus` must fit in a signed long — both callers
+  * use moduli < 2³¹.
+  */
+object PolyHashUtil {
+  def hash(s: UTF8String, mult: Long, modulus: Long): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if (b0 < 0xe0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2
+      } else if (b0 < 0xf0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); len = 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); len = 4
+      }
+      acc = (acc * mult + cp) % modulus
+      i += len
+    }
+    acc
+  }
+}
+
+/** Codegen'd polynomial rolling hash over a string column.
+  *
+  * Replaces the interpreted higher-order-function formulation
+  * (`aggregate(transform(split(text, ""), ascii), ...)`), which fell
+  * out of whole-stage codegen and materialized a per-character array
+  * per row — measured 1.5-2× slowdowns on t1/d4 at sf0.1. This
+  * expression is a single static call inside the generated code: no
+  * lambda dispatch, no intermediate arrays, codegen span preserved.
+  *
+  * `mult`/`modulus` are plan-time constants (they parameterize the hash
+  * family, they are not data), so they are case-class fields rather
+  * than child expressions and get baked into the generated code as
+  * literals.
+  */
+case class PolyHash(child: Expression, mult: Long, modulus: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"poly_hash expects a string column, got $other")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashUtil.hash(input.asInstanceOf[UTF8String], mult, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.PolyHashUtil.hash($c, ${mult}L, ${modulus}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHashExpr {
+  /** Register `poly_hash(text, mult, modulus)` in the session registry
+    * (idempotent); mult/modulus must be literal longs.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash",
+      exprs => {
+        def longOf(e: Expression): Long = e.eval() match {
+          case l: Long  => l
+          case i: Int   => i.toLong
+          case other    => throw new IllegalArgumentException(
+            s"poly_hash mult/modulus must be literal integers, got $other")
+        }
+        PolyHash(exprs(0), longOf(exprs(1)), longOf(exprs(2)))
+      },
+      "built-in")
+}
