@@ -34,6 +34,7 @@ sealed trait OType {
     case OStruct(fs) => fs.map { case (n, t) => s"$n: ${t.display}" }.mkString("{", "; ", "}")
     case OTuple(es)  => es.map(_.display).mkString("(", ", ", ")")
     case OUnion(as)  => as.map(_.display).mkString(" | ")
+    case OAny        => "Any"
   }
   /** Non-null alternatives (a `NULL | X` union is just a nullable X). */
   def nonNullAlts: Seq[OType] = this match {
@@ -64,6 +65,10 @@ case class OList(elem: Option[OType]) extends OType { val typeId = 7 }
 case class OStruct(fields: Seq[(String, OType)]) extends OType { val typeId = 8 }
 case class OTuple(elems: Seq[OType]) extends OType { val typeId = 9 }
 case class OUnion(alts: Seq[OType]) extends OType { val typeId = 10 }
+/** The reference's signature wildcard (types.go TypeIDAny) — only ever
+  * appears in function/aggregate descriptors, never in inferred data.
+  */
+case object OAny extends OType { val typeId = 11 }
 
 object OType {
 
@@ -168,6 +173,7 @@ object OType {
     */
   def toSpark(t: OType): DataType = t match {
     case _ if t.needsVariant => VariantType
+    case OAny        => StringType // signature wildcard; never a stored column
     case ONull       => StringType // all-null column; any nullable type works
     case OInt        => LongType
     case OFloat      => DoubleType

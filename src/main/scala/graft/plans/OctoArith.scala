@@ -6,21 +6,26 @@ import org.apache.spark.sql.types._
 
 /** The reference dialect's type-directed arithmetic, as Catalyst
   * `RuntimeReplaceable` expressions (reference: functions/functions.go
-  * `+` 230-320, `-` 330-420, `*` 280-329, `/` 322-430):
+  * `+` 156-207, `-` 208-267, `*` 268-319, `/` 320-355):
   *
   *  - `string + string` concatenates, `string * int` repeats
   *  - `int / int` is integer division truncating toward zero
   *  - durations (dialect convention: DECIMAL(38,9) seconds, giving the
   *    reference's nanosecond precision that Spark's microsecond
   *    intervals cannot represent): `dur / int → dur`,
-  *    `dur / dur → float`, `time ± dur → time`, `time - time → dur`
-  *  - everything else falls through to Spark's native operators
+  *    `dur / dur → float`, `time ± dur → time`
+  *  - reference strictness via [[OctoResolve.gate]]: combinations with
+  *    no descriptor — `Int + Float`, `Time - Time`, `1 / 2.0` — throw
+  *    the reference's `unknown function: +(Int, Float)` typecheck error
+  *    instead of falling back to Spark's implicit coercions. Arguments
+  *    outside octosql's algebra (VARIANT) skip the gate and take the
+  *    native operator.
   *
   * The dialect front-end swaps parsed `Add`/`Subtract`/`Multiply`/
-  * `Divide` nodes for these before analysis; children resolve normally,
-  * the `replacement` is chosen once child types are known, and the
-  * optimizer's ReplaceExpressions inlines it — so the final plan is
-  * 100% built-in codegen'd expressions, no UDFs.
+  * `Divide` nodes for these before analysis ([[OctoResolve.rewritePlan]]);
+  * children resolve normally, the `replacement` is chosen once child
+  * types are known, and the optimizer's ReplaceExpressions inlines it —
+  * so the final plan is 100% built-in codegen'd expressions, no UDFs.
   */
 object OctoArith {
 
@@ -46,14 +51,9 @@ object OctoArith {
     if (isIntegral(l.dataType) && isIntegral(r.dataType)) (lng(l), lng(r))
     else (dbl(l), dbl(r))
 
-  abstract class OctoBinary extends Expression with RuntimeReplaceable {
-    def left: Expression
-    def right: Expression
-    override def children: Seq[Expression] = Seq(left, right)
-  }
-
-  case class OctoAdd(left: Expression, right: Expression) extends OctoBinary {
-    override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+  /** `+` implementation per matched descriptor (type-driven, total). */
+  private[plans] def buildAdd(left: Expression, right: Expression): Expression =
+    (left.dataType, right.dataType) match {
       case (l, r) if isStr(l) && isStr(r) => Concat(Seq(left, right))
       case (l, r) if isTime(l) && isDur(r) =>
         MicrosToTimestamp(Add(UnixMicros(left), durMicros(right)))
@@ -63,28 +63,18 @@ object OctoArith {
         val (a, b) = numPair(left, right); Add(a, b)
       case _ => Add(left, right)
     }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-      copy(left = c(0), right = c(1))
-  }
 
-  case class OctoSub(left: Expression, right: Expression) extends OctoBinary {
-    override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+  private[plans] def buildSub(left: Expression, right: Expression): Expression =
+    (left.dataType, right.dataType) match {
       case (l, r) if isTime(l) && isDur(r) =>
         MicrosToTimestamp(Subtract(UnixMicros(left), durMicros(right)))
-      case (l, r) if isTime(l) && isTime(r) =>
-        // time - time → duration (decimal seconds)
-        Cast(Divide(Cast(Subtract(UnixMicros(left), UnixMicros(right)), DecimalType(38, 9)),
-          Literal(Decimal(1000000L), DecimalType(20, 0))), DecimalType(38, 9))
       case (l, r) if isNum(l) && isNum(r) =>
         val (a, b) = numPair(left, right); Subtract(a, b)
       case _ => Subtract(left, right)
     }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-      copy(left = c(0), right = c(1))
-  }
 
-  case class OctoMul(left: Expression, right: Expression) extends OctoBinary {
-    override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+  private[plans] def buildMul(left: Expression, right: Expression): Expression =
+    (left.dataType, right.dataType) match {
       case (l, r) if isStr(l) && isIntegral(r) => StringRepeat(left, Cast(right, IntegerType))
       case (l, r) if isIntegral(l) && isStr(r) => StringRepeat(right, Cast(left, IntegerType))
       case (l, r) if isDur(l) && isIntegral(r) =>
@@ -97,12 +87,9 @@ object OctoArith {
         val (a, b) = numPair(left, right); Multiply(a, b)
       case _ => Multiply(left, right)
     }
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-      copy(left = c(0), right = c(1))
-  }
 
-  case class OctoDiv(left: Expression, right: Expression) extends OctoBinary {
-    override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+  private[plans] def buildDiv(left: Expression, right: Expression): Expression =
+    (left.dataType, right.dataType) match {
       case (l, r) if isIntegral(l) && isIntegral(r) =>
         // Go integer division truncates toward zero (functions.go:322-329)
         IntegralDivide(Cast(left, LongType), Cast(right, LongType))
@@ -121,16 +108,51 @@ object OctoArith {
       case (l, r) if isNum(l) && isNum(r) => Divide(dbl(left), dbl(right))
       case _ => Divide(left, right)
     }
+
+  abstract class OctoBinary extends Expression with RuntimeReplaceable {
+    def left: Expression
+    def right: Expression
+    override def children: Seq[Expression] = Seq(left, right)
+  }
+
+  case class OctoAdd(left: Expression, right: Expression) extends OctoBinary {
+    override lazy val replacement: Expression = {
+      OctoResolve.gate("+", children)
+      buildAdd(left, right)
+    }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(left = c(0), right = c(1))
   }
 
-  /** Swap parsed arithmetic for the octo dialect forms (pre-analysis). */
-  def rewritePlan(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
-      case Add(l, r, _) => OctoAdd(l, r)
-      case Subtract(l, r, _) => OctoSub(l, r)
-      case Multiply(l, r, _) => OctoMul(l, r)
-      case Divide(l, r, _) => OctoDiv(l, r)
+  case class OctoSub(left: Expression, right: Expression) extends OctoBinary {
+    override lazy val replacement: Expression = {
+      OctoResolve.gate("-", children)
+      buildSub(left, right)
     }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(left = c(0), right = c(1))
+  }
+
+  case class OctoMul(left: Expression, right: Expression) extends OctoBinary {
+    override lazy val replacement: Expression = {
+      OctoResolve.gate("*", children)
+      buildMul(left, right)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(left = c(0), right = c(1))
+  }
+
+  case class OctoDiv(left: Expression, right: Expression) extends OctoBinary {
+    override lazy val replacement: Expression = {
+      OctoResolve.gate("/", children)
+      buildDiv(left, right)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(left = c(0), right = c(1))
+  }
+
+  /** Swap parsed arithmetic (and everything else the resolver gates) for
+    * the octo dialect forms — kept as an alias of the full rewrite.
+    */
+  def rewritePlan(plan: LogicalPlan): LogicalPlan = OctoResolve.rewritePlan(plan)
 }

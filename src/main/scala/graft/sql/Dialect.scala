@@ -50,6 +50,15 @@ object Dialect {
 
   class TypecheckException(msg: String) extends RuntimeException(msg)
 
+  /** Resolver typecheck errors thrown inside lazy `replacement` vals can
+    * surface wrapped in Spark's analysis exceptions — dig the original
+    * out of the cause chain so the CLI renders the reference's
+    * `Error: typecheck error: ...` shape.
+    */
+  def unwrapTypecheck(e: Throwable): Throwable =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+      .collectFirst { case t: TypecheckException => t }.getOrElse(e)
+
   private val ClauseKw = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
     "UNION", "INTERSECT", "EXCEPT", "TRIGGER")
   private val JoinKw = Set("JOIN", "LEFT", "RIGHT", "FULL", "OUTER", "INNER",
@@ -82,8 +91,9 @@ object Dialect {
       // so the float pass can't mangle them — INTERVAL 1.5 SECOND parses
       val ts2 = floatLiterals(intervalLiterals(ts))
       val sqlText = OctoSql.rewrite(ts2)
-      val plan = graft.plans.OctoArith.rewritePlan(GraftSqlBridge.parse(spark, sqlText))
-      (ts2, GraftSqlBridge.ofRows(spark, plan))
+      val plan = graft.plans.OctoResolve.rewritePlan(GraftSqlBridge.parse(spark, sqlText))
+      try (ts2, GraftSqlBridge.ofRows(spark, plan))
+      catch { case e: Throwable => throw unwrapTypecheck(e) }
     }
     // the reference's output btree breaks ORDER-BY-key ties by full
     // record values (live_output.go outputItem.Less) — make Spark's

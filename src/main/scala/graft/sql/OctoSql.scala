@@ -17,9 +17,11 @@ import graft.sources.PathTable
   *  - `~`, `~*`, `!~`, `!~*` regex operators (functions.go:591-668) →
   *    `RLIKE` forms (case-insensitive via `(?i)` prefix)
   *  - `unnest(x)` → `explode(x)`
-  *  - `int(x)`/`float(x)`/`string(x)` conversions (functions.go:900-1012)
-  *    → casts (null-on-fail under non-ANSI)
-  *  - `substr(s, i[, n])` 0-based (functions.go:713) → 1-based substring
+  *  - scalar/aggregate function calls stay as-written: they resolve
+  *    through the typed overload resolver at analysis time
+  *    ([[Resolver]] + [[graft.plans.OctoResolve]]), which enforces the
+  *    reference's strict signatures and builds the Spark-native
+  *    implementations (0-based substr, display-format string(), ...)
   *  - `range(a, b)` TVF (range.go:14-109) → Spark `range` with column
   *    renamed `id` → `i`
   *  - `TRIGGER ...` clauses (sql.y:3000-3036) are stripped: batch
@@ -276,16 +278,16 @@ object OctoSql {
     }
     tokens = d.result()
 
-    // function-name rewrites requiring paren matching:
-    //   unnest( → explode( ; int(x) → CAST(x AS BIGINT) ; float/string
-    //   substr(s, i[, n]) → substring(s, i+1[, n])
-    val fnRenames = Map(
-      "panic" -> "raise_error",                 // functions.go:1135
-      "time_from_unix" -> "timestamp_seconds",  // functions.go:864
-      "time_to_unix" -> "unix_timestamp")       // functions.go:886
-    // `len` (functions.go:774-831) and `parse_time` (functions.go:846)
-    // are registered as analysis-time type-dispatched functions in
-    // Dialect.registerFunctions — token renames can't see types.
+    // function-name rewrites requiring paren matching. Everything else
+    // (int/float/string/substr/position/time_from_unix/... and the
+    // aggregates) resolves through the typed overload resolver at
+    // analysis ([[graft.sql.Resolver]] via plans.OctoResolve) — token
+    // renames can't see types, so only the two genuinely token-level
+    // forms remain:
+    //   panic( → raise_error( (functions.go:1135; the Dialect front-end
+    //     tags these with their select index first)
+    //   unnest( → explode( (a generator, not a scalar function)
+    val fnRenames = Map("panic" -> "raise_error")
     def rewriteCalls(ts: Vector[String]): Vector[String] = {
       val out = Vector.newBuilder[String]
       var k = 0
@@ -312,49 +314,6 @@ object OctoSql {
           } else {
             out += "explode"; k += 1
           }
-        } else if (isCall && Set("int", "float").contains(t.toLowerCase)) {
-          val close = matching(ts, nextNonWs)
-          val inner = rewriteCalls(ts.slice(nextNonWs + 1, close))
-          val sparkTy = if (t.equalsIgnoreCase("int")) "BIGINT" else "DOUBLE"
-          out += "CAST"; out += "("
-          inner.foreach(out += _)
-          out += " "; out += "AS"; out += " "; out += sparkTy; out += ")"
-          k = close + 1
-        } else if (isCall && t.equalsIgnoreCase("string")) {
-          // string(x) is the octosql DISPLAY string (functions.go:1000):
-          // type-dispatched at analysis (plans.OctoFns.OctoString)
-          out += "octo_string"; k += 1
-        } else if (isCall && t.equalsIgnoreCase("position")) {
-          // position(str, sub) 0-based NULL-if-absent (functions.go:757)
-          // → nullif(instr(str, sub), 0) - 1
-          val close = matching(ts, nextNonWs)
-          val inner = rewriteCalls(ts.slice(nextNonWs + 1, close))
-          out += "("; out += "nullif"; out += "("; out += "instr"; out += "("
-          inner.foreach(out += _)
-          out += ")"; out += ","; out += "0"; out += ")"; out += "-"; out += "1"; out += ")"
-          k = close + 1
-        } else if (isCall && t.equalsIgnoreCase("substr")) {
-          // substr(s, i[, n]) 0-based → substring(s, i+1[, n])
-          val close = matching(ts, nextNonWs)
-          val inner = ts.slice(nextNonWs + 1, close)
-          // split top-level commas
-          var depth = 0
-          val args = scala.collection.mutable.ArrayBuffer(Vector.newBuilder[String])
-          inner.foreach { x =>
-            if (x == "(") depth += 1
-            if (x == ")") depth -= 1
-            if (x == "," && depth == 0) args += Vector.newBuilder[String]
-            else args.last += x
-          }
-          val parts = args.map(ab => rewriteCalls(ab.result())).toVector
-          out += "substring"; out += "("
-          parts.head.foreach(out += _)
-          out += ","; out += "("
-          parts(1).foreach(out += _)
-          out += ")"; out += "+"; out += "1"
-          if (parts.length > 2) { out += ","; parts(2).foreach(out += _) }
-          out += ")"
-          k = close + 1
         } else { out += t; k += 1 }
       }
       out.result()
@@ -370,10 +329,22 @@ object OctoSql {
   def translate(spark: SparkSession, sql: String): String =
     rewrite(bindPathTables(spark, tokenize(sql)))
 
-  /** Run a reference-dialect query. */
+  /** Run a reference-dialect query: translate, parse, swap in the
+    * resolver-gated expression forms ([[graft.plans.OctoResolve]]), then
+    * analyze — typecheck failures surface as
+    * [[Dialect.TypecheckException]] like the reference's panics.
+    */
   def run(spark: SparkSession, sql: String): DataFrame = {
     Dialect.registerFunctions(spark) // len/parse_time/octo_string
-    spark.sql(translate(spark, sql))
+    // literal typing parity: INTERVAL → DECIMAL(38,9) seconds first, then
+    // float literals → DOUBLE (Spark would type 1.5 as DECIMAL = the
+    // dialect's Duration), same as Dialect.prepare's build pass
+    val tokens = Dialect.floatLiterals(Dialect.intervalLiterals(
+      tokenize(translate(spark, sql))))
+    val plan = graft.plans.OctoResolve.rewritePlan(
+      org.apache.spark.sql.GraftSqlBridge.parse(spark, tokens.mkString))
+    try org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+    catch { case e: Throwable => throw Dialect.unwrapTypecheck(e) }
   }
 
   /** `--describe`: one row per output field {name, type, time_field},

@@ -166,4 +166,74 @@ class DialectSpec extends SparkSpec {
       "SELECT * FROM tumble(source => TABLE tvf_err_src, time_field => DESCRIPTOR ts)")
     assert(c5 == 1 && err5.contains("window_length"), s"stderr: $err5")
   }
+
+  // ---- typed overload resolver: negative matrix ----------------------
+  // Off-corpus type combinations the reference rejects at typecheck
+  // (logical/function.go, logical/group_by.go, functions/functions.go
+  // strict signatures). Before the resolver these silently took Spark's
+  // implicit coercions; now they must produce the reference's exact
+  // `unknown function/aggregate` text.
+
+  private def typecheckError(sql: String): String =
+    intercept[Dialect.TypecheckException](Dialect.prepare(spark, sql)).getMessage
+
+  test("resolver negative matrix: arithmetic and comparisons") {
+    assert(typecheckError("SELECT 1 + 2.0") == "unknown function: +(Int, Float)")
+    assert(typecheckError("SELECT 1 - 'a'") == "unknown function: -(Int, String)")
+    assert(typecheckError("SELECT 2.0 * 3") == "unknown function: *(Float, Int)")
+    assert(typecheckError("SELECT 7 / 2.0") == "unknown function: /(Int, Float)")
+    assert(typecheckError("SELECT now() - now()") == "unknown function: -(Time, Time)")
+    assert(typecheckError("SELECT 1 < 2.0") == "unknown function: <(Int, Float)")
+    assert(typecheckError("SELECT 1 >= 'a'") == "unknown function: >=(Int, String)")
+    assert(typecheckError("SELECT 1 < NULL") == "unknown function: <(Int, NULL)")
+  }
+
+  test("resolver negative matrix: scalar functions") {
+    assert(typecheckError("SELECT sqrt(49)") == "unknown function: sqrt(Int)")
+    assert(typecheckError("SELECT upper(1)") == "unknown function: upper(Int)")
+    assert(typecheckError("SELECT substr('abc', 1.0)") ==
+      "unknown function: substr(String, Float)")
+    assert(typecheckError("SELECT not(1)") == "unknown function: not(Int)")
+    assert(typecheckError("SELECT len(1)") == "unknown function: len(Int)")
+    assert(typecheckError("SELECT int(now())") == "unknown function: int(Time)")
+    assert(typecheckError("SELECT time_to_unix('abc')") ==
+      "unknown function: time_to_unix(String)")
+    assert(typecheckError("SELECT 'a' ~ 1") == "unknown function: ~(String, Int)")
+    assert(typecheckError("SELECT 'a' LIKE 1") == "unknown function: like(String, Int)")
+    assert(typecheckError("SELECT pow(2.0, 3)") == "unknown function: pow(Float, Int)")
+  }
+
+  test("resolver negative matrix: aggregates (group_by.go:114-172)") {
+    val r = "range(start=>1, end=>4) r"
+    assert(typecheckError(s"SELECT sum('a') FROM $r") == "unknown aggregate: sum(String)")
+    assert(typecheckError(s"SELECT avg(true) FROM $r") == "unknown aggregate: avg(Boolean)")
+    assert(typecheckError(s"SELECT sum_distinct('a') FROM $r") ==
+      "unknown aggregate: sum_distinct(String)")
+    // min has no Time overload while max does (aggregates/min.go vs max.go)
+    assert(typecheckError(s"SELECT min(now()) FROM $r") == "unknown aggregate: min(Time)")
+    val maxRows = Dialect.prepare(spark, s"SELECT max(now()) FROM $r").df.collect()
+    assert(maxRows.length == 1 && maxRows(0).get(0) != null)
+  }
+
+  test("resolver positive controls: legal shapes still compute") {
+    def one(sql: String): Any =
+      Dialect.prepare(spark, sql).df.collect()(0).get(0)
+    assert(one("SELECT 1 + 2") == 3L || one("SELECT 1 + 2") == 3)
+    assert(one("SELECT NULL < NULL") == null)       // NULL < NULL typechecks
+    assert(one("SELECT 'a' < 'b'") == true)
+    assert(one("SELECT abs(-42)") == 42L)
+    assert(one("SELECT substr('test', 1, 2)") == "es")
+    // avg(Int) truncates toward zero like Go integer division
+    assert(one("SELECT avg(i) FROM range(start=>1, end=>3) r") == 1L)
+    assert(one("SELECT avg(i) FROM range(start=>1, end=>4) r") == 2L)
+    // array_agg is value-sorted (reference btree state)
+    assert(one("SELECT array_agg(v) FROM (SELECT i * 7 AS v FROM range(start=>1, end=>4) r) s")
+      .asInstanceOf[scala.collection.Seq[_]].toList == List(7L, 14L, 21L))
+    // int(Duration) is the nanosecond count, like Go int64(d)
+    assert(one("SELECT int(INTERVAL 2 SECOND)") == 2000000000L)
+    // CLI renders resolver errors with the reference's error shape
+    val (_, err, code) = runCli("SELECT 1 + 2.0")
+    assert(code == 1 &&
+      err.contains("Error: typecheck error: unknown function: +(Int, Float)"), err)
+  }
 }

@@ -24,7 +24,11 @@ class OctoArithSpec extends SparkSpec {
     assert(run1("SELECT 7 / 3") == Seq(2L))
     assert(run1("SELECT -7 / 3") == Seq(-2L))
     assert(run1("SELECT CAST(7.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)") == Seq(7.0 / 3.0))
-    assert(run1("SELECT 7 / CAST(3.0 AS DOUBLE)") == Seq(7.0 / 3.0))
+    // Int / Float has no descriptor — the reference rejects it
+    // (functions.go:320-355; no implicit Int↔Float coercion)
+    val e = intercept[graft.sql.Dialect.TypecheckException](
+      run1("SELECT 7 / CAST(3.0 AS DOUBLE)"))
+    assert(e.getMessage == "unknown function: /(Int, Float)")
   }
 
   test("duration (decimal seconds) arithmetic") {
@@ -40,12 +44,14 @@ class OctoArithSpec extends SparkSpec {
     assert(run1("SELECT CAST(7.0 AS DECIMAL(38,9)) / CAST(3.0 AS DECIMAL(38,9))") == Seq(7.0 / 3.0))
   }
 
-  test("time ± duration and time - time") {
+  test("time ± duration; time - time is a reference type error") {
     val r = run1("SELECT timestamp_seconds(1655931949) + CAST(2.0 AS DECIMAL(38,9))")
     assert(r.head.asInstanceOf[java.sql.Timestamp].toInstant.getEpochSecond == 1655931951L)
     val s = run1("SELECT timestamp_seconds(1655931949) - CAST(2.0 AS DECIMAL(38,9))")
     assert(s.head.asInstanceOf[java.sql.Timestamp].toInstant.getEpochSecond == 1655931947L)
-    val d = run1("SELECT timestamp_seconds(1655931952) - timestamp_seconds(1655931949)")
-    assert(d.head.asInstanceOf[java.math.BigDecimal].doubleValue == 3.0)
+    // the reference `-` has no (Time, Time) descriptor (functions.go:208-267)
+    val e = intercept[graft.sql.Dialect.TypecheckException](
+      run1("SELECT timestamp_seconds(1655931952) - timestamp_seconds(1655931949)"))
+    assert(e.getMessage == "unknown function: -(Time, Time)")
   }
 }

@@ -215,7 +215,7 @@ class OctoSqlSpec extends SparkSpec {
     val row = OctoSql.run(spark,
       "SELECT position('hello', 'll') AS p, position('hello', 'zz') AS np, len('abcd') AS l")
       .collect().head
-    assert(row.getInt(0) == 2)
+    assert(row.getLong(0) == 2L) // reference position() is Int (int64)
     assert(row.isNullAt(1))
     assert(row.getLong(2) == 4L) // reference len() is Int (int64)
   }
