@@ -1,68 +1,72 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sql.Resolver
 
-/** Self-documentation tables, like the reference's docs datasource
-  * (datasources/docs/database.go:26-121): `docs.functions` and
-  * `docs.aggregates` list the engine's scalar/aggregate surface with
-  * signatures.
+/** Self-documentation tables generated from the typed overload
+  * resolver's registry, like the reference's docs datasource
+  * (datasources/docs/database.go:26-121):
+  *
+  *  - `docs.functions` / `docs.aggregates`: (name, description), sorted
+  *    by name, entries with empty descriptions skipped (the operators)
+  *  - `docs.function_signatures`: one row per descriptor —
+  *    (name, argument_types, output_type, strict, simple_signature);
+  *    TypeFn descriptors have no static signature, so their types render
+  *    as the zero value and `simple_signature` is false
+  *    (function_signatures.go:32-73)
+  *  - `docs.aggregate_signatures`: (name, argument_type, output_type,
+  *    simple_signature) per descriptor (aggregate_signatures.go:32-67)
+  *
+  * Because the rows come straight from [[Resolver.functions]] /
+  * [[Resolver.aggregates]], the docs can never drift from what the
+  * typechecker actually accepts.
   */
 object Docs {
 
-  private val scalarFunctions: Seq[(String, String, String)] = Seq(
-    ("abs", "(Int|Float) -> same", "absolute value"),
-    ("sqrt", "(Float) -> Float", "square root"),
-    ("ceil", "(Float) -> Float", "round up"),
-    ("floor", "(Float) -> Float", "round down"),
-    ("log", "(Float) -> Float", "natural logarithm"),
-    ("log2", "(Float) -> Float", "base-2 logarithm"),
-    ("log10", "(Float) -> Float", "base-10 logarithm"),
-    ("pow", "(Float, Float) -> Float", "power"),
-    ("upper", "(String) -> String", "uppercase"),
-    ("lower", "(String) -> String", "lowercase"),
-    ("reverse", "(String) -> String", "reverse characters"),
-    ("substr", "(String, Int[, Int]) -> String", "0-based substring"),
-    ("replace", "(String, String, String) -> String", "replace all occurrences"),
-    ("position", "(String, String) -> Int?", "0-based index, NULL if absent"),
-    ("len", "(String|List|Struct) -> Int", "length / element count"),
-    ("like", "(String, String) -> Boolean", "SQL LIKE pattern"),
-    ("~", "(String, String) -> Boolean", "regex match"),
-    ("~*", "(String, String) -> Boolean", "case-insensitive regex match"),
-    ("!~", "(String, String) -> Boolean", "negated regex match"),
-    ("!~*", "(String, String) -> Boolean", "negated case-insensitive regex match"),
-    ("unnest", "(List) -> rows", "explode list elements to rows"),
-    ("[]", "(List, Int) -> element?", "0-based index, NULL out of bounds"),
-    ("int", "(Any) -> Int?", "conversion, NULL on failure"),
-    ("float", "(Any) -> Float?", "conversion, NULL on failure"),
-    ("string", "(Any) -> String", "display conversion"),
-    ("now", "() -> Time", "current timestamp"),
-    ("parse_time", "(String, String) -> Time?", "parse with layout"),
-    ("time_from_unix", "(Int|Float) -> Time", "epoch seconds to timestamp"),
-    ("time_to_unix", "(Time) -> Int", "timestamp to epoch seconds"),
-    ("coalesce", "(Any...) -> Any", "first non-NULL"),
-    ("in", "(Any, List|Tuple) -> Boolean", "membership"),
-    ("panic", "(String) -> never", "raise error"),
-    ("vec_dot", "(List<Float>, List<Float>) -> Float", "codegen'd dot product (extension)"))
-
-  private val aggregateFunctions: Seq[(String, String, String)] = Seq(
-    ("count", "(Any) -> Int", "row count, NULLs skipped"),
-    ("sum", "(Int|Float|Duration) -> same", "sum"),
-    ("avg", "(Int|Float) -> same", "mean (Int truncates)"),
-    ("min", "(Int|Float|Time|Duration) -> same", "minimum"),
-    ("max", "(Int|Float|Time|Duration) -> same", "maximum"),
-    ("array_agg", "(Any) -> List", "collect, value-sorted"),
-    ("count_distinct", "(Any) -> Int", "distinct count"),
-    ("sum_distinct", "(Int|Float) -> same", "distinct sum"),
-    ("avg_distinct", "(Int|Float) -> same", "distinct mean"),
-    ("array_agg_distinct", "(Any) -> List", "distinct collect"))
-
   def functions(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    scalarFunctions.toDF("name", "signature", "description")
+    Resolver.functions.toSeq.sortBy(_._1)
+      .collect { case (name, d) if d.description.nonEmpty => (name, d.description) }
+      .toDF("name", "description")
   }
 
   def aggregates(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    aggregateFunctions.toDF("name", "signature", "description")
+    Resolver.aggregates.toSeq.sortBy(_._1)
+      .collect { case (name, (desc, _)) if desc.nonEmpty => (name, desc) }
+      .toDF("name", "description")
   }
+
+  def functionSignatures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Resolver.functions.toSeq.sortBy(_._1).flatMap { case (name, d) =>
+      if (d.description.isEmpty) Nil
+      else d.descriptors.map { desc =>
+        (name, desc.argumentTypes.map(_.display), desc.outputType.display,
+          desc.strict, desc.typeFn.isEmpty)
+      }
+    }.toDF("name", "argument_types", "output_type", "strict", "simple_signature")
+  }
+
+  def aggregateSignatures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Resolver.aggregates.toSeq.sortBy(_._1).flatMap { case (name, (desc, ds)) =>
+      if (desc.isEmpty) Nil
+      else ds.map { d =>
+        (name, d.argumentType.display, d.outputType.display, d.typeFn.isEmpty)
+      }
+    }.toDF("name", "argument_type", "output_type", "simple_signature")
+  }
+
+  /** All docs tables by unqualified name (database.go GetTable). */
+  def table(spark: SparkSession, name: String): DataFrame = name match {
+    case "functions"            => functions(spark)
+    case "aggregates"           => aggregates(spark)
+    case "function_signatures"  => functionSignatures(spark)
+    case "aggregate_signatures" => aggregateSignatures(spark)
+    case other => throw new IllegalArgumentException(s"unknown table: $other")
+  }
+
+  val TableNames: Set[String] =
+    Set("functions", "aggregates", "function_signatures", "aggregate_signatures")
 }

@@ -41,8 +41,9 @@ object PathTable {
     val (path, opts) = splitOpts(spec)
     if (path.startsWith("stdin."))
       readStdin(spark, path.stripPrefix("stdin."), opts)
-    else if (path == "docs.functions") Docs.functions(spark)
-    else if (path == "docs.aggregates") Docs.aggregates(spark)
+    else if (path.startsWith("docs.") &&
+             Docs.TableNames.contains(path.stripPrefix("docs.")))
+      Docs.table(spark, path.stripPrefix("docs."))
     else if (path.startsWith("plugins."))
       Plugins.table(spark, path.stripPrefix("plugins."))
     else path match {

@@ -256,8 +256,9 @@ object Dialect {
       case parts => (parts.head, Map.empty[String, String])
     }
     val df: DataFrame =
-      if (spec == "docs.functions") Docs.functions(spark)
-      else if (spec == "docs.aggregates") Docs.aggregates(spark)
+      if (pathPart.startsWith("docs.") &&
+          Docs.TableNames.contains(pathPart.stripPrefix("docs.")))
+        Docs.table(spark, pathPart.stripPrefix("docs."))
       else if (pathPart.startsWith("plugins."))
         graft.sources.Plugins.table(spark, pathPart.stripPrefix("plugins."))
       else if (isStdinSpec(pathPart)) {

@@ -106,7 +106,8 @@ object OctoSql {
       bare.matches("^(csv|tsv|json|parquet|lines|txt|log)\\.[^.?]+$") ||
       { val parts = bare.split('.')
         parts.length == 2 && (parts(0) == "stdin" || parts(1) == "stdin") } ||
-      t == "docs.functions" || t == "docs.aggregates" ||
+      (bare.startsWith("docs.") &&
+        graft.sources.Docs.TableNames.contains(bare.stripPrefix("docs."))) ||
       bare.startsWith("plugins.")
   }
 

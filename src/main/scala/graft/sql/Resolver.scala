@@ -344,11 +344,11 @@ object Resolver {
     "not" -> FnDetails("Returns the negation of the argument.",
       Seq(sig(OBoolean, OBoolean))),
     // strings (functions.go:487-831)
-    "like" -> FnDetails("Implements the LIKE operator.",
+    "like" -> FnDetails("Implements the LIKE operator. Returns whether the first argument matches the pattern in the seconds one. '_' can be used to match a single arbitrary character and '%' can be used to match any number (including 0) of characters.",
       Seq(sig(OBoolean, OString, OString))),
-    "~" -> FnDetails("Implements the ~ operator.",
+    "~" -> FnDetails("Implements the ~ operator. Returns whether the first argument matches the regex pattern in the second one.",
       Seq(sig(OBoolean, OString, OString))),
-    "~*" -> FnDetails("Implements the ~* operator (case insensitive).",
+    "~*" -> FnDetails("Implements the ~* operator. Returns whether the first argument matches the regex pattern in the second one. Case insensitive.",
       Seq(sig(OBoolean, OString, OString))),
     "upper" -> FnDetails("Returns the argument upper cased.",
       Seq(sig(OString, OString))),
@@ -356,7 +356,7 @@ object Resolver {
       Seq(sig(OString, OString))),
     "reverse" -> FnDetails("Returns the argument reversed.",
       Seq(sig(OString, OString))),
-    "substr" -> FnDetails("Returns a 0-based substring of the first argument.",
+    "substr" -> FnDetails("Returns a substring of the first argument beginning at the index provided in the second argument and optionally limiting the length using the third argument.",
       Seq(sig(OString, OString, OInt), sig(OString, OString, OInt, OInt))),
     "replace" -> FnDetails(
       "Replaces all occurrences of the second argument in the first argument by the third argument.",
@@ -377,7 +377,7 @@ object Resolver {
     // time (functions.go:833-897)
     "now" -> FnDetails("Returns the current time.", Seq(sig(OTime))),
     "parse_time" -> FnDetails(
-      "Parses the time in the second argument using the pattern in the first argument.",
+      "Parses the time in the second argument using the pattern in the first argument. The pattern should be specified as in the Go standard library time.Parse function: https://pkg.go.dev/time#pkg-constants",
       Seq(sig(OUnion(Seq(ONull, OTime)), OString, OString))),
     "time_from_unix" -> FnDetails("Parses the unix timestamp as a time.",
       Seq(sig(OTime, OInt), sig(OTime, OFloat))),

@@ -27,9 +27,33 @@ class StdinDocsSpec extends SparkSpec {
     } finally System.setIn(orig)
   }
 
-  test("docs.functions and docs.aggregates catalog tables") {
-    assert(Docs.functions(spark).count() > 20)
-    assert(Docs.aggregates(spark).count() >= 10)
+  test("docs tables are generated from the resolver registry") {
+    import graft.sql.Resolver
+    // docs.functions == registry entries with descriptions, name-sorted
+    // (reference docs/functions.go:32-49 skips empty descriptions)
+    val fn = Docs.functions(spark).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expectedFn = Resolver.functions.toSeq
+      .filter(_._2.description.nonEmpty)
+      .map { case (n, d) => (n, d.description) }.sortBy(_._1)
+    assert(fn == expectedFn && fn.length > 20)
+    val ag = Docs.aggregates(spark).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expectedAg = Resolver.aggregates.toSeq
+      .filter(_._2._1.nonEmpty)
+      .map { case (n, (d, _)) => (n, d) }.sortBy(_._1)
+    assert(ag == expectedAg && ag.length == 10)
+    // per-descriptor signature tables (docs/function_signatures.go,
+    // docs/aggregate_signatures.go), reachable through dialect SQL
+    val sumSigs = OctoSql.run(spark,
+      "SELECT argument_type FROM docs.aggregate_signatures WHERE name = 'sum'")
+      .collect().map(_.getString(0)).toSeq
+    assert(sumSigs == Seq("Int", "Float", "Duration"))
+    val substrSigs = OctoSql.run(spark,
+      "SELECT argument_types, output_type FROM docs.function_signatures WHERE name = 'substr'")
+      .collect()
+    assert(substrSigs.length == 2)
+    assert(substrSigs.map(_.getSeq[String](0).toList).toSet ==
+      Set(List("String", "Int"), List("String", "Int", "Int")))
+    assert(substrSigs.forall(_.getString(1) == "String"))
     val viaSql = OctoSql.run(spark,
       "SELECT name FROM docs.aggregates WHERE name = 'array_agg'")
     assert(viaSql.count() == 1)
