@@ -110,13 +110,19 @@ object Similarity {
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nlist` centroids; a query only scans the `nprobe`
     * centroid cells nearest to it. Centroids here are a deterministic
-    * sample of the corpus (hash-ranked) refined by one Lloyd step —
-    * cheap, fully distributed, and good enough for cell routing (real
-    * IVF quality comes from nprobe, not centroid polish).
+    * hash-ranked sample of the corpus — cheap, fully distributed, and
+    * good enough for cell routing (real IVF quality comes from nprobe,
+    * not centroid polish).
     *
-    * Scale shape: assignment is a broadcast of `nlist` centroids +
-    * one scan; the search joins queries to cells, so cost is
-    * |corpus| × nprobe / nlist per query instead of |corpus|.
+    * Scale shape: cell assignment is per-row codegen against a single
+    * plan-reference centroid matrix ([[graft.plans.VecTopCells]]) — one
+    * compact double[][] shipped per task, NOT O(nlist×dim) literal
+    * expression nodes, so the plan stays constant-size as nlist grows to
+    * production values (thousands). No assignment shuffle either: a
+    * broadcast-join argmax would materialize |corpus|×nlist rows through
+    * an aggregation; the codegen'd argmax touches each row once. The
+    * search joins queries to cells, so cost is |corpus| × nprobe / nlist
+    * per query instead of |corpus|.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
@@ -126,27 +132,25 @@ object Similarity {
     // deterministic centroid seed: the nlist corpus rows with the
     // smallest xxhash64(id) — order-free, reproducible, distributed
     val seeds = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        xxhash64(col(idCol)).as("h"))
+      .select(col(vecCol).as("cv"), xxhash64(col(idCol)).as("h"))
       .orderBy("h").limit(nlist)
-      .select("cid", "cv")
-    val centroids = seeds.collect().map(r =>
-      (r.getLong(0), r.getSeq[Float](1).toArray)) // nlist rows only
-    def nearestCells(vec: Column, m: Int): Column = {
-      // score against every centroid (literal arrays), take top-m ids
-      val scored = array(centroids.map { case (cid, cv) =>
-        val cvLit = array(cv.map(x => lit(x.toDouble)): _*)
-        struct((dot(vec, cvLit) / (norm(vec) * sqrt(lit(cv.map(x => x.toDouble * x).sum))))
-          .as("s"), lit(cid).as("cid"))
-      }: _*)
-      slice(reverse(array_sort(scored)), 1, m)
+      .select("cv")
+    // L2-normalized so cosine argmax == dot argmax (query norm scales
+    // all its scores equally); cell id = centroid row index
+    val centroids: Array[Array[Double]] = seeds.collect().map { r =>
+      val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
     }
+    def topCells(vec: Column, m: Int): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.plans.VecTopCells(
+          org.apache.spark.sql.GraftSqlBridge.expression(vec), centroids, m))
     val cellCorpus = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1).getField("cid"))
+      .withColumn("cell", element_at(topCells(col("cv"), 1), 1))
       .withColumn("cn", norm(col("cv")))
     val cellQueries = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(transform(
-        nearestCells(col("qv"), nprobe), s => s.getField("cid"))))
+      .withColumn("cell", explode(topCells(col("qv"), nprobe)))
       .withColumn("qn", norm(col("qv")))
     val scored = cellCorpus.join(broadcast(cellQueries), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -84,6 +84,116 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-m nearest-centroid cell ids for a vector column, with the
+  * centroid matrix carried as ONE plan reference object instead of
+  * nlist×dim literal expression nodes.
+  *
+  * Why: building `array(struct(dot(vec, array(lit,...)), ...))` per
+  * centroid puts O(nlist×dim) literal NODES in the plan, re-analyzed and
+  * interpreted per row — invisible at nlist=16, an analysis-time and
+  * plan-size killer at production nlist (thousands). Here the matrix is
+  * a single `addReferenceObj` (compact double[][] shipped once per task
+  * via the codegen references array), and scoring is a primitive loop
+  * inside whole-stage codegen, like [[VecDot]].
+  *
+  * Centroids must be L2-normalized by the caller: cosine argmax over
+  * normalized centroids equals dot argmax (the query's own norm scales
+  * all scores equally), so no norms are needed per row. Cell ids are the
+  * centroid row indices 0..nlist-1; ties break toward the lower index.
+  */
+case class VecTopCells(child: Expression, centroids: Array[Array[Double]], m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private val take = math.min(m, centroids.length)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_top_cells expects array<float|double>, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val nC = centroids.length
+    val scores = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      val row = centroids(c)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += row(i) * (if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+        i += 1
+      }
+      scores(c) = s
+      c += 1
+    }
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](nC)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bs = Double.NegativeInfinity
+      var j = 0
+      while (j < nC) {
+        if (!used(j) && scores(j) > bs) { bs = scores(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val scores = ctx.freshName("scores")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val best = ctx.freshName("best")
+      val bs = ctx.freshName("bs")
+      s"""
+         |double[] $scores = new double[$mat.length];
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] row = $mat[$c];
+         |  int n = row.length < $v.numElements() ? row.length : $v.numElements();
+         |  double s = 0.0;
+         |  for (int $i = 0; $i < n; $i++) s += row[$i] * (double)$v.$get($i);
+         |  $scores[$c] = s;
+         |}
+         |int[] $out = new int[$take];
+         |boolean[] $used = new boolean[$mat.length];
+         |for (int $r = 0; $r < $take; $r++) {
+         |  int $best = -1; double $bs = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $mat.length; $c++) {
+         |    if (!$used[$c] && $scores[$c] > $bs) { $bs = $scores[$c]; $best = $c; }
+         |  }
+         |  $used[$best] = true; $out[$r] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecTopCells =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Register `vec_dot` in the session's function registry (idempotent)
     * so it's callable via `call_function` / SQL.

@@ -155,6 +155,30 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("ivfTopK at production nlist: constant-size plan, no literal blowup") {
+    val emb = Engine.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    // nlist larger than the corpus sample is clamped by the seed limit;
+    // 256 cells at sf0.001 still exercises the wide-centroid path that
+    // used to embed nlist×dim literal nodes per expression
+    val df = Similarity.ivfTopK(emb, q, 3, nlist = 256, nprobe = 64)
+    val analyzed = df.queryExecution.analyzed.toString
+    // the centroid matrix must ride as ONE reference object: the plan
+    // text stays small and mentions vec_top_cells, not thousands of
+    // per-component literals
+    assert(analyzed.contains("vectopcells") || analyzed.contains("VecTopCells"),
+      s"expected VecTopCells in plan")
+    assert(analyzed.length < 100000, s"plan text blew up: ${analyzed.length} chars")
+    val rows = df.collect()
+    assert(rows.length == 9) // 3 queries x k=3
+    // with nprobe=nlist/4 over a small corpus recall should be high
+    val brute = Similarity.bruteForceTopK(emb, q, 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((brute & got).size.toDouble / brute.size >= 0.4)
+  }
+
   test("cosinePairsLsh candidates are a subset of exact pairs") {
     val emb = Engine.table(spark, sf, "embeddings")
     val exact = Similarity.cosinePairs(emb, 0.4)
