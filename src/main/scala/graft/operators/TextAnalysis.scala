@@ -110,13 +110,16 @@ object TextAnalysis {
   /** Parameterized polynomial hash (fold of `acc*mult + codepoint mod
     * modulus`) — the portable building block behind `fingerprint` and
     * the oracle-checkable SimHash variant. `mult * modulus` must fit a
-    * long (both moduli here are < 2³¹). Backed by the codegen'd
-    * [[graft.plans.PolyHash]] expression (registered by Engine /
-    * `analyze` / Dedup entry points), which folds UTF-8 code points
-    * without materializing a per-character array.
+    * long (both moduli here are < 2³¹). Constructs the codegen'd
+    * [[graft.plans.PolyHash]] expression directly, so it works on ANY
+    * session — no dependency on `poly_hash` being registered in the
+    * session's function registry (that registration remains for SQL
+    * callers via Engine.session).
     */
   def polyHash(text: Column, mult: Long, modulus: Long): Column =
-    call_function("poly_hash", text, lit(mult), lit(modulus))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), mult, modulus))
 
   /** Canonical text normalization for dedup keys / training input:
     * lowercase, strip non-alphanumerics to spaces, collapse whitespace,

@@ -28,15 +28,24 @@ object PolyHashUtil {
       val b0 = bytes(i) & 0xff
       var cp = 0
       var len = 1
+      // UTF8String does not guarantee valid UTF-8 (web/Parquet text can
+      // carry truncated sequences); a multi-byte lead whose continuation
+      // bytes run past the buffer degrades to one code point per byte
+      // instead of reading out of bounds
       if (b0 < 0x80) { cp = b0 }
       else if (b0 < 0xe0) {
-        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2
+        if (i + 1 < n) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2 }
+        else cp = b0
       } else if (b0 < 0xf0) {
-        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
-          (bytes(i + 2) & 0x3f); len = 3
+        if (i + 2 < n) {
+          cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+            (bytes(i + 2) & 0x3f); len = 3
+        } else cp = b0
       } else {
-        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); len = 4
+        if (i + 3 < n) {
+          cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); len = 4
+        } else cp = b0
       }
       acc = (acc * mult + cp) % modulus
       i += len
@@ -92,11 +101,19 @@ object PolyHashExpr {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash",
       exprs => {
-        def longOf(e: Expression): Long = e.eval() match {
-          case l: Long  => l
-          case i: Int   => i.toLong
-          case other    => throw new IllegalArgumentException(
-            s"poly_hash mult/modulus must be literal integers, got $other")
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"poly_hash expects (text, mult, modulus), got ${exprs.length} arguments")
+        def longOf(e: Expression): Long = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              s"poly_hash mult/modulus must be literal integers, got non-literal $e")
+          e.eval() match {
+            case l: Long => l
+            case i: Int  => i.toLong
+            case other   => throw new IllegalArgumentException(
+              s"poly_hash mult/modulus must be literal integers, got $other")
+          }
         }
         PolyHash(exprs(0), longOf(exprs(1)), longOf(exprs(2)))
       },

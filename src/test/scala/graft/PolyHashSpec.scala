@@ -58,6 +58,39 @@ class PolyHashSpec extends SparkSpec {
     assert(h4 == 0x10348L)
   }
 
+  test("PolyHash degrades on malformed UTF-8 instead of crashing") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.PolyHashUtil
+    // truncated sequences: a 2-byte lead, a 3-byte lead with one
+    // continuation, a 4-byte lead with two — all at end of buffer.
+    // Spark's UTF8String doesn't guarantee valid UTF-8 (web/Parquet
+    // text), so these must fold byte-wise, not read out of bounds.
+    val cases = Seq(
+      Array(0xC3.toByte),
+      Array('a'.toByte, 0xE2.toByte, 0x82.toByte),
+      Array('x'.toByte, 0xF0.toByte, 0x90.toByte, 0x8D.toByte))
+    cases.foreach { bytes =>
+      val h = PolyHashUtil.hash(UTF8String.fromBytes(bytes), 31L, 1000000007L)
+      assert(h >= 0L) // no ArrayIndexOutOfBoundsException, stable result
+    }
+    // valid input is unaffected by the guard
+    assert(PolyHashUtil.hash(UTF8String.fromString("é"), 31L, 1000000007L) == 0xE9L)
+  }
+
+  test("poly_hash registry builder rejects bad arity and non-literal params") {
+    graft.plans.PolyHashExpr.register(spark)
+    val df = Seq(("a", 31L)).toDF("t", "m")
+    df.createOrReplaceTempView("ph_neg")
+    val e1 = intercept[Throwable](
+      spark.sql("SELECT poly_hash(t) FROM ph_neg").collect())
+    assert(Iterator.iterate(e1)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => Option(c.getMessage).exists(_.contains("got 1 arguments"))), e1.toString)
+    val e2 = intercept[Throwable](
+      spark.sql("SELECT poly_hash(t, m, m) FROM ph_neg").collect())
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => Option(c.getMessage).exists(_.contains("non-literal"))), e2.toString)
+  }
+
   test("PolyHash stays inside whole-stage codegen") {
     val docs = Engine.table(spark, sf, "documents")
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
