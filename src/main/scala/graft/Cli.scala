@@ -49,21 +49,66 @@ object Cli {
       |Use "octosql [command] --help" for more information about a command.
       |""".stripMargin.replace("@PAD@", "      ") // cobra pads the empty short description
 
+  /** The reference's source-build version string (cmd/root.go:50
+    * `VERSION = "dev"`; releases override it at link time).
+    */
+  val Version = "dev"
+
+  /** cobra help for the bare `plugin` command (cmd/plugin.go — empty
+    * Short/Long, two subcommands, name column padded like cobra).
+    */
+  val PluginUsage: String =
+    """Usage:
+      |  octosql plugin [command]
+      |
+      |Available Commands:
+      |  install@PAD5@
+      |  repository@PAD2@
+      |
+      |Flags:
+      |  -h, --help   help for plugin
+      |
+      |Use "octosql plugin [command] --help" for more information about a command.
+      |""".stripMargin.replace("@PAD5@", "     ").replace("@PAD2@", "  ")
+
+  val PluginRepositoryUsage: String =
+    """Usage:
+      |  octosql plugin repository [command]
+      |
+      |Available Commands:
+      |  add@PAD@
+      |
+      |Flags:
+      |  -h, --help   help for repository
+      |
+      |Use "octosql plugin repository [command] --help" for more information about a command.
+      |""".stripMargin.replace("@PAD@", "        ")
+
   case class CliArgs(sql: String, output: String = "live_table",
                      describe: Boolean = false, explain: Int = 0,
-                     flagError: Option[String] = None)
+                     flagError: Option[String] = None,
+                     help: Boolean = false, version: Boolean = false,
+                     pluginArgs: Option[List[String]] = None)
 
   private val Outputs = Set("live_table", "batch_table", "csv", "json", "stream_native")
 
-  /** cobra-compatible flag parsing (cmd/root.go:474-486): unknown flags
-    * and missing values are errors, `--explain` takes an int.
+  /** cobra-compatible parsing (cmd/root.go): unknown flags and missing
+    * values are errors, `--explain` takes an int, `-h/--help` and
+    * `-v/--version` short-circuit (help before arg-count validation,
+    * like cobra), `plugin` routes to the subcommand tree, and the root
+    * command takes exactly one positional argument.
     */
   def parseArgs(args: Array[String]): CliArgs = {
-    var a = CliArgs(sql = args.headOption.getOrElse(""))
-    var i = 1
+    if (args.headOption.contains("plugin"))
+      return CliArgs(sql = "", pluginArgs = Some(args.drop(1).toList))
+    var a = CliArgs(sql = "")
+    val positionals = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
     def err(m: String): CliArgs = a.copy(flagError = Some(m))
     while (i < args.length) {
       args(i) match {
+        case "-h" | "--help"    => a = a.copy(help = true); i += 1
+        case "-v" | "--version" => a = a.copy(version = true); i += 1
         case "--output" | "-o" =>
           if (i + 1 >= args.length)
             return err(s"flag needs an argument: ${args(i)}")
@@ -91,26 +136,75 @@ object Cli {
           if (i + 1 >= args.length) return err("flag needs an argument: --profile")
           i += 2 // accepted, ignored
         case o if o.startsWith("--profile=") => i += 1
-        case other => return err(s"unknown flag: $other")
+        case o if o.startsWith("-") && o.length > 1 =>
+          return err(s"unknown flag: $o")
+        case p => positionals += p; i += 1
       }
     }
+    a = a.copy(sql = positionals.headOption.getOrElse(""))
+    // cobra checks the help/version flags before Args validation
+    if (!a.help && !a.version && positionals.length != 1)
+      a = a.copy(flagError = Some(s"accepts 1 arg(s), received ${positionals.length}"))
     a
   }
 
   private val PanicMarker = """GRAFTPANIC\|(\d+)\|([\s\S]*)""".r.unanchored
 
+  /** The `plugin` subcommand tree (cmd/plugin.go, plugin_install.go,
+    * plugin_repository*.go), accept-and-stub: this engine's connectors
+    * are built in (see [[graft.sources.Plugins]]), there is no plugin
+    * RPC or repository download, so install of a built-in succeeds as a
+    * no-op and anything needing the network errors honestly.
+    */
+  private def runPlugin(args: List[String], out: PrintStream, err: PrintStream): Int =
+    args match {
+      case Nil | ("-h" | "--help") :: _ =>
+        out.print(PluginUsage); 0
+      case "install" :: rest =>
+        rest.filterNot(_.startsWith("-")) match {
+          case Nil => 0 // reference installs config-listed plugins; none configured
+          case names =>
+            names.foldLeft(0) { (code, n) =>
+              val bare = n.split("/").last
+              if (graft.sources.Plugins.installedNames.contains(bare)) code
+              else {
+                err.println(s"Error: couldn't install plugin '$n': " +
+                  "plugin repositories are unavailable in this build (connectors are built in)")
+                1
+              }
+            }
+        }
+      case "repository" :: Nil | "repository" :: ("-h" | "--help") :: _ =>
+        out.print(PluginRepositoryUsage); 0
+      case "repository" :: "add" :: _ =>
+        err.println("Error: couldn't add repository: " +
+          "plugin repositories are unavailable in this build (connectors are built in)")
+        1
+      case other :: _ =>
+        err.println(s"""Error: unknown command "$other" for "octosql plugin"""")
+        err.println("""Run 'octosql plugin --help' for usage.""")
+        1
+    }
+
   /** Run one CLI invocation; returns the process exit code. */
   def execute(spark: SparkSession, args: CliArgs, baseDir: String,
               stdin: Option[String], out: PrintStream, err: PrintStream): Int = {
+    args.pluginArgs.foreach(pa => return runPlugin(pa, out, err))
+    // cobra precedence: help, then version, then flag/arg errors
+    if (args.help) { out.print(Usage); return 0 }
+    if (args.version) { out.println(s"octosql version $Version"); return 0 }
     args.flagError.foreach(m => return fail(err, m))
     if (!Outputs.contains(args.output))
       return fail(err, s"invalid output format: '${args.output}'")
     try {
       val prep0 = Dialect.prepare(spark, args.sql, Dialect.Ctx(baseDir, stdin))
-      // reference precedence (cmd/root.go): describe wins over explain
+      // reference precedence (cmd/root.go): describe wins over explain.
+      // --explain 1|2 emits the optimized physical plan as graphviz dot
+      // (physical/explain.go; 2 adds type info), like the reference's
+      // `dot -Tpng` pipeline but printing the dot source.
       if (!args.describe && args.explain >= 1) {
-        val qe = prep0.df.queryExecution
-        out.println(s"== Optimized ==\n${qe.optimizedPlan}\n== Physical ==\n${qe.executedPlan}")
+        out.print(graft.octo.DotPlan.render(
+          prep0.df.queryExecution.executedPlan, args.explain >= 2))
         return 0
       }
       val prep = if (args.describe) Formats.describeRows(prep0) else prep0
@@ -160,15 +254,18 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
-      System.err.println("usage: Cli \"<SQL>\" [--output fmt] [--describe|--explain]")
-      sys.exit(2)
-    }
-    val spark = Engine.session(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+    val parsed = parseArgs(args)
+    // help/version/plugin/flag-error paths don't need (or want) a Spark
+    // session — cobra answers these instantly
+    val needsEngine = parsed.flagError.isEmpty && !parsed.help &&
+      !parsed.version && parsed.pluginArgs.isEmpty
+    val spark =
+      if (needsEngine) Engine.session(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      else null
     try {
-      val code = execute(spark, parseArgs(args), baseDir = ".",
+      val code = execute(spark, parsed, baseDir = ".",
         stdin = None, out = System.out, err = System.err)
       if (code != 0) sys.exit(code)
-    } finally spark.stop()
+    } finally if (spark != null) spark.stop()
   }
 }

@@ -14,13 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Plugins {
 
   /** Built-in handlers — the Spark-native "installed plugins". */
-  private val installed: Seq[(String, String)] = Seq(
+  private[graft] val installed: Seq[(String, String)] = Seq(
     ("csv", "builtin/spark"),
     ("tsv", "builtin/spark"),
     ("json", "builtin/spark"),
     ("parquet", "builtin/spark"),
     ("lines", "builtin/spark"),
     ("jdbc", "builtin/spark"))
+
+  /** Names of the built-in connectors (the CLI's plugin-install stub). */
+  val installedNames: Set[String] = installed.map(_._1).toSet
 
   def table(spark: SparkSession, name: String): DataFrame = {
     import spark.implicits._

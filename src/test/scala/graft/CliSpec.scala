@@ -1,0 +1,96 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+/** The cobra-parity CLI surface beyond queries: -h/--help, -v/--version,
+  * arg-count validation, and the `plugin` subcommand tree
+  * (cmd/root.go, cmd/plugin*.go).
+  */
+class CliSpec extends SparkSpec {
+
+  private def run(args: String*): (String, String, Int) = {
+    val out = new ByteArrayOutputStream(); val err = new ByteArrayOutputStream()
+    val code = Cli.execute(spark, Cli.parseArgs(args.toArray), ".", None,
+      new PrintStream(out, true, "UTF-8"), new PrintStream(err, true, "UTF-8"))
+    (out.toString("UTF-8"), err.toString("UTF-8"), code)
+  }
+
+  test("-h/--help print the root help to stdout and exit 0") {
+    for (flag <- Seq("-h", "--help")) {
+      val (out, err, code) = run(flag)
+      assert(code == 0 && err.isEmpty)
+      assert(out == Cli.Usage)
+    }
+    // help wins even alongside a query (cobra checks help before Args)
+    val (out2, _, code2) = run("SELECT 1", "-h")
+    assert(code2 == 0 && out2 == Cli.Usage)
+  }
+
+  test("-v/--version print the cobra version line and exit 0") {
+    for (flag <- Seq("-v", "--version")) {
+      val (out, err, code) = run(flag)
+      assert(code == 0 && err.isEmpty)
+      assert(out == s"octosql version ${Cli.Version}\n")
+    }
+  }
+
+  test("arg-count validation matches cobra ExactArgs(1)") {
+    val (_, err0, code0) = run()
+    assert(code0 == 1 && err0.contains("Error: accepts 1 arg(s), received 0"))
+    assert(err0.contains("Usage:")) // usage text accompanies the error
+    val (_, err2, code2) = run("SELECT 1", "SELECT 2")
+    assert(code2 == 1 && err2.contains("Error: accepts 1 arg(s), received 2"))
+  }
+
+  test("plugin subcommand tree: help, install stub, repository stub") {
+    val (outP, _, codeP) = run("plugin")
+    assert(codeP == 0 && outP == Cli.PluginUsage)
+    val (outH, _, codeH) = run("plugin", "--help")
+    assert(codeH == 0 && outH == Cli.PluginUsage)
+    // install with no args: reference installs config-listed plugins
+    // (none configured here) — success no-op
+    val (_, _, codeI) = run("plugin", "install")
+    assert(codeI == 0)
+    // built-in connectors "install" as no-ops
+    val (_, errB, codeB) = run("plugin", "install", "parquet")
+    assert(codeB == 0 && errB.isEmpty)
+    // unknown plugins fail honestly (no repositories, no egress)
+    val (_, errU, codeU) = run("plugin", "install", "postgres")
+    assert(codeU == 1 && errU.contains("couldn't install plugin 'postgres'"))
+    val (outR, _, codeR) = run("plugin", "repository")
+    assert(codeR == 0 && outR == Cli.PluginRepositoryUsage)
+    val (_, errA, codeA) = run("plugin", "repository", "add", "http://x")
+    assert(codeA == 1 && errA.contains("couldn't add repository"))
+    val (_, errX, codeX) = run("plugin", "frobnicate")
+    assert(codeX == 1 &&
+      errX.contains("""unknown command "frobnicate" for "octosql plugin""""))
+  }
+
+  test("--explain 1|2 emit well-formed dot with the plan's operator names") {
+    val dir = java.nio.file.Files.createTempDirectory("dotx")
+    java.nio.file.Files.write(dir.resolve("e.csv"), "k,v\na,1\nb,2\n".getBytes)
+    val (out1, err1, code1) =
+      run(s"SELECT k, SUM(v) FROM $dir/e.csv GROUP BY k", "--explain", "1")
+    assert(code1 == 0, s"stderr: $err1")
+    assert(out1.startsWith("digraph {"), out1.take(120))
+    assert(out1.contains("rankdir=LR"))
+    assert(out1.contains("shape=record"))
+    assert(out1.contains("->")) // edges present
+    // operator names from the actual plan
+    assert(out1.contains("HashAggregate"), out1)
+    assert(out1.contains("Scan"), out1)
+    assert(out1.trim.endsWith("}"))
+    // --explain 2 adds per-operator output types to the labels
+    val (out2, _, code2) =
+      run(s"SELECT k, SUM(v) FROM $dir/e.csv GROUP BY k", "--explain", "2")
+    assert(code2 == 0)
+    assert(out2.contains("bigint") || out2.contains("string"), out2)
+    assert(out2.length > out1.length)
+  }
+
+  test("query flags still parse with flags before the query") {
+    val (out, err, code) = run("-o", "json", "SELECT 1 AS a")
+    assert(code == 0, s"stderr: $err")
+    assert(out.contains("{\"a\":1}"), out)
+  }
+}
