@@ -230,14 +230,24 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist() caches the DATA but the PLAN still stacks one join+agg
+    // per round — at diameter ≳20 re-analysis cost and lineage depth
+    // grow without bound. localCheckpoint every k rounds truncates the
+    // lineage to the materialized partitions, keeping the per-round plan
+    // O(k) regardless of iteration count. (On a multi-executor cluster
+    // prefer a reliable checkpoint dir for fault tolerance; local
+    // truncation is the right single-process trade.)
+    val checkpointEvery = 5
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("comp"))
-      val next = labels.select("id", "comp").union(prop)
+      val grouped = labels.select("id", "comp").union(prop)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) grouped.localCheckpoint(true)
+        else grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).count()
       labels.unpersist()

@@ -18,6 +18,22 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(1L -> 4L, 10L -> 2L))
   }
+
+  test("connectedComponents survives a diameter-50 chain (checkpointed lineage)") {
+    import spark.implicits._
+    // a 51-node chain: min-label needs one round per hop, so 50+ rounds
+    // — without periodic localCheckpoint the per-round plan stacks one
+    // join+agg per iteration and re-analysis cost blows up with depth
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    val comp = graft.operators.Dedup.connectedComponents(chain, maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(comp.size == 51 && comp.values.forall(_ == 0L))
+    // budget: bounded-lineage rounds stay cheap; an unbounded plan stack
+    // pushes this far beyond the limit as analysis cost compounds
+    assert(secs < 120.0, s"diameter-50 clustering took ${secs}s")
+  }
   import spark.implicits._
 
   test("Dedup.exact keeps one row per key, min id wins") {
