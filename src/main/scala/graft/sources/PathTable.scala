@@ -172,13 +172,21 @@ object PathTable {
   }
 
   /** Streaming variant of the lines source (`?tail=true` in the
-    * reference, execution/files/files.go:27-76) → Structured Streaming
-    * file source. Semantics note: Spark's file source surfaces NEW
-    * FILES under the watched path/glob; the reference's single-file
-    * in-place append tail maps to rotating/appending new files (the
-    * standard log-shipping layout at scale). In-place appends to an
-    * already-seen file are not re-read.
+    * reference, execution/files/files.go:27-76).
+    *
+    * A single regular file routes to [[TailFileProvider]] — a DSv2
+    * micro-batch source following the file by BYTE OFFSET, so in-place
+    * appends to the already-seen file surface as new rows with their
+    * lines-table ordinals (the reference's `tail -f` semantics). A
+    * glob/directory path takes Spark's file stream, which is new-FILE
+    * granularity — the rotating-log layout at scale.
     */
-  def tailLines(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.text(path).select(col("value").as("text"))
+  def tailLines(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    if (f.isFile)
+      spark.readStream.format(classOf[TailFileProvider].getName)
+        .option("path", f.getAbsolutePath).load()
+    else
+      spark.readStream.text(path).select(col("value").as("text"))
+  }
 }

@@ -92,6 +92,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("?tail=true on a single file follows in-place appends (files.go:27-76)") {
+    val dir = java.nio.file.Files.createTempDirectory("tailf").toFile
+    val file = new java.io.File(dir, "app.log")
+    java.nio.file.Files.writeString(file.toPath, "l1\n")
+    val stream = graft.sources.PathTable.resolve(
+      spark, file.getAbsolutePath + "?tail=true")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("tail_file").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_file").count() == 1)
+      // appending to the SAME file mid-stream surfaces the new rows —
+      // Spark's built-in file stream would never re-read a seen file
+      java.nio.file.Files.writeString(file.toPath, "l2\nl3\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val rows = spark.table("tail_file").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((0L, "l1"), (1L, "l2"), (2L, "l3")))
+      // a partial line (no newline yet) is held back until completed,
+      // like the reference's line scanner
+      java.nio.file.Files.writeString(file.toPath, "part",
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      assert(spark.table("tail_file").count() == 3)
+      java.nio.file.Files.writeString(file.toPath, "ial\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val all = spark.table("tail_file").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(all.contains((3L, "partial")))
+    } finally q.stop()
+  }
+
   test("stream-stream inner equi-join (reference StreamJoin, both sides streamed)") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(String, Int)]
