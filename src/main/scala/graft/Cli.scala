@@ -156,11 +156,22 @@ object Cli {
     * RPC or repository download, so install of a built-in succeeds as a
     * no-op and anything needing the network errors honestly.
     */
+  val PluginInstallUsage: String =
+    """Usage:
+      |  octosql plugin install [flags]
+      |
+      |Flags:
+      |  -h, --help   help for install
+      |""".stripMargin
+
   private def runPlugin(args: List[String], out: PrintStream, err: PrintStream): Int =
     args match {
       case Nil | ("-h" | "--help") :: _ =>
         out.print(PluginUsage); 0
       case "install" :: rest =>
+        if (rest.exists(a => a == "-h" || a == "--help")) {
+          out.print(PluginInstallUsage); return 0
+        }
         rest.filterNot(_.startsWith("-")) match {
           case Nil => 0 // reference installs config-listed plugins; none configured
           case names =>
@@ -179,6 +190,10 @@ object Cli {
       case "repository" :: "add" :: _ =>
         err.println("Error: couldn't add repository: " +
           "plugin repositories are unavailable in this build (connectors are built in)")
+        1
+      case "repository" :: other :: _ =>
+        err.println(s"""Error: unknown command "$other" for "octosql plugin repository"""")
+        err.println("""Run 'octosql plugin repository --help' for usage.""")
         1
       case other :: _ =>
         err.println(s"""Error: unknown command "$other" for "octosql plugin"""")

@@ -45,6 +45,21 @@ object OctoResolve {
     val ots = args.map(e => Resolver.ofDataType(e.dataType, e.nullable))
     if (ots.forall(_.isDefined))
       Resolver.resolveFunction(name, ots.map(_.get))
+    else {
+      // VARIANT-ish arguments skip the type check, but ARITY is still
+      // checkable against the table — without this, buildScalar's
+      // args(1)/args(2) would throw a raw IndexOutOfBoundsException
+      // instead of the reference's error
+      val ds = Resolver.functions.get(name).map(_.descriptors).getOrElse(Nil)
+      val arityOk = ds.exists(d =>
+        d.typeFn.isDefined || d.argumentTypes.length == args.length)
+      if (ds.nonEmpty && !arityOk) {
+        val shown = args.lazyZip(ots).map((e, t) =>
+          t.map(_.display).getOrElse(e.dataType.simpleString))
+        throw new graft.sql.Dialect.TypecheckException(
+          s"unknown function: $name(${shown.mkString(", ")})")
+      }
+    }
   }
 
   private def lng(e: Expression) =
@@ -192,9 +207,12 @@ object OctoResolve {
       case "~"     => RLike(a0, a1)
       case "not"   => Not(a0)
       case "substr" =>
-        // 0-based with clamping (functions.go:713-743): Spark substring
-        // is 1-based and clamps the same way for pos >= 1
-        val pos = Cast(Add(lng(args(1)), Literal(1L)), IntegerType)
+        // 0-based (functions.go:713-743): Spark substring is 1-based and
+        // clamps identically for pos >= 1. A negative start PANICS in
+        // the reference (Go slice bounds); clamp to the string start
+        // here rather than inherit Spark's count-from-the-end surprise.
+        val pos = Greatest(Seq(
+          Cast(Add(lng(args(1)), Literal(1L)), IntegerType), Literal(1)))
         val len = if (args.length > 2) Cast(args(2), IntegerType)
                   else Literal(Integer.MAX_VALUE)
         Substring(args(0), pos, len)

@@ -148,6 +148,12 @@ case class VecTopCells(child: Expression, centroids: Array[Array[Double]], m: In
         if (!used(j) && scores(j) > bs) { bs = scores(j); best = j }
         j += 1
       }
+      if (best < 0) {
+        // all remaining scores NaN (bad vector component): degrade to
+        // the lowest unused index rather than crash the task
+        var k = 0
+        while (best < 0 && k < nC) { if (!used(k)) best = k; k += 1 }
+      }
       used(best) = true
       out(r) = best
       r += 1
@@ -182,6 +188,11 @@ case class VecTopCells(child: Expression, centroids: Array[Array[Double]], m: In
          |  int $best = -1; double $bs = Double.NEGATIVE_INFINITY;
          |  for (int $c = 0; $c < $mat.length; $c++) {
          |    if (!$used[$c] && $scores[$c] > $bs) { $bs = $scores[$c]; $best = $c; }
+         |  }
+         |  if ($best < 0) { // all remaining NaN: degrade, don't crash
+         |    for (int $c = 0; $best < 0 && $c < $mat.length; $c++) {
+         |      if (!$used[$c]) $best = $c;
+         |    }
          |  }
          |  $used[$best] = true; $out[$r] = $best;
          |}

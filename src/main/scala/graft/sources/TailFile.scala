@@ -69,6 +69,13 @@ object TailOffset {
   }
 }
 
+object TailFileStream {
+  /** Per-micro-batch read cap: bounds driver/executor memory and keeps
+    * the byte-range arithmetic safely inside Int.
+    */
+  val MaxBatchBytes: Long = 128L * 1024 * 1024
+}
+
 class TailFileStream(path: String) extends MicroBatchStream {
 
   private var last = TailOffset(0L, 0L)
@@ -79,14 +86,17 @@ class TailFileStream(path: String) extends MicroBatchStream {
     val f = new java.io.File(path)
     val len = if (f.isFile) f.length() else 0L
     if (len > last.bytes) {
-      // advance to the last complete line in the appended region; count
-      // newlines for the running `number` ordinal. The delta is read
-      // once here (driver) and once by the executor — a tail source's
-      // deltas are small by nature.
+      // advance to the last complete line in the appended region,
+      // counting newlines for the running `number` ordinal. The region
+      // is capped per micro-batch (a pre-existing multi-GB backlog
+      // would otherwise be materialized as ONE byte array — and
+      // `(len - bytes).toInt` would wrap past 2 GB); a large backlog
+      // drains over several batches instead.
+      val end = math.min(len, last.bytes + TailFileStream.MaxBatchBytes)
       val raf = new RandomAccessFile(path, "r")
       try {
         raf.seek(last.bytes)
-        val buf = new Array[Byte]((len - last.bytes).toInt)
+        val buf = new Array[Byte]((end - last.bytes).toInt)
         raf.readFully(buf)
         var lastNl = -1
         var count = 0L
@@ -138,9 +148,11 @@ class TailReader(p: TailPartition) extends PartitionReader[InternalRow] {
       raf.seek(p.startByte)
       val buf = new Array[Byte]((p.endByte - p.startByte).toInt)
       raf.readFully(buf)
-      // the region ends at a '\n' by construction → drop the trailing ""
+      // the region ends at a '\n' by construction → drop the trailing
+      // ""; strip a trailing '\r' so CRLF files match the batch lines
+      // source (Hadoop's line reader strips it too)
       val parts = new String(buf, StandardCharsets.UTF_8).split("\n", -1)
-      parts.dropRight(1)
+      parts.dropRight(1).map(s => if (s.endsWith("\r")) s.dropRight(1) else s)
     } finally raf.close()
   }
   private var i = -1

@@ -64,6 +64,13 @@ class CliSpec extends SparkSpec {
     val (_, errX, codeX) = run("plugin", "frobnicate")
     assert(codeX == 1 &&
       errX.contains("""unknown command "frobnicate" for "octosql plugin""""))
+    // install's own help, and unknown repository subcommands blame the
+    // right command (review findings)
+    val (outIH, _, codeIH) = run("plugin", "install", "--help")
+    assert(codeIH == 0 && outIH == Cli.PluginInstallUsage)
+    val (_, errRX, codeRX) = run("plugin", "repository", "remove", "x")
+    assert(codeRX == 1 &&
+      errRX.contains("""unknown command "remove" for "octosql plugin repository""""))
   }
 
   test("--explain 1|2 emit well-formed dot with the plan's operator names") {

@@ -131,6 +131,22 @@ class OctoSqlSpec extends SparkSpec {
     assert(lrows.length == 3 && lrows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
   }
 
+  test("substr clamps a negative start to the string start") {
+    // the reference panics on negative starts (Go slice bounds); we
+    // clamp rather than inherit Spark's count-from-the-end semantics
+    val row = OctoSql.run(spark, "SELECT substr('hello', 0 - 3) AS s").collect().head
+    assert(row.getString(0) == "hello")
+  }
+
+  test("arity of VARIANT-ish (untypeable) calls is still checked") {
+    import org.apache.spark.sql.functions._
+    spark.range(1).select(lit(Array[Byte](1, 2)).as("b"))
+      .createOrReplaceTempView("bin_v")
+    val e = intercept[graft.sql.Dialect.TypecheckException](
+      OctoSql.run(spark, "SELECT pow(b) FROM bin_v").collect())
+    assert(e.getMessage == "unknown function: pow(binary)")
+  }
+
   test("substr is 0-based in the dialect") {
     val row = OctoSql.run(spark, "SELECT substr('hello', 1, 3) AS s").collect().head
     assert(row.getString(0) == "ell")

@@ -195,6 +195,22 @@ class OperatorsSpec extends SparkSpec {
     assert((brute & got).size.toDouble / brute.size >= 0.4)
   }
 
+  test("ivfTopK degrades on NaN embedding components instead of crashing") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val df = Seq(
+      (1L, Array(Float.NaN, 1.0f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val cells = df.select(GraftSqlBridge.column(
+      graft.plans.VecTopCells(
+        GraftSqlBridge.expression(col("embedding")), centroids, 2)).as("c"))
+      .collect().map(_.getSeq[Int](0).toList)
+    // NaN scores pick deterministic fallback cells; no task crash
+    assert(cells.length == 3)
+    assert(cells.forall(c => c.toSet.size == 2 && c.forall(i => i == 0 || i == 1)))
+  }
+
   test("cosinePairsLsh candidates are a subset of exact pairs") {
     val emb = Engine.table(spark, sf, "embeddings")
     val exact = Similarity.cosinePairs(emb, 0.4)
