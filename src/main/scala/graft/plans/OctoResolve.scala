@@ -174,10 +174,87 @@ object OctoResolve {
     override def children: Seq[Expression] = args
     override lazy val replacement: Expression = {
       gate(name, args)
-      buildScalar(name, args)
+      buildScalar(name, assertVariants(name, args))
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(args = c)
+  }
+
+  /** The Maybe-pass TypeAssertion analog for VARIANT arguments
+    * (logical/function.go:81-125 + execution/expressions.go:62-77): a
+    * union-typed argument is narrowed at runtime toward the first
+    * arity-matching descriptor's parameter type via `variant_get`, which
+    * errors on a wrong runtime type exactly where the reference's
+    * TypeAssertion raises `invalid type: X, expected: Y`. Without this,
+    * `upper(union_col)` died in analysis with an internal
+    * "replacement is unresolved" error.
+    *
+    * The conversion functions are excluded: `int`/`float`/`string` over
+    * VARIANT already cast natively with the reference's null-on-fail
+    * semantics (oracle-verified), which a strict assertion would break.
+    */
+  private def assertVariants(name: String, args: Seq[Expression]): Seq[Expression] = {
+    if (!args.exists(_.dataType == VariantType)) return args
+    if (name == "int" || name == "float" || name == "string") return args
+    val ds = Resolver.functions.get(name).map(_.descriptors).getOrElse(Nil)
+    ds.find(d => d.typeFn.isEmpty && d.argumentTypes.length == args.length) match {
+      case Some(d) =>
+        args.lazyZip(d.argumentTypes).map { (e, t) =>
+          val nn = Resolver.nonNullable(t)
+          val target = graft.octo.OType.toSpark(nn)
+          if (e.dataType != VariantType || t == graft.octo.OAny ||
+              target == VariantType) e
+          else variantAssert(e, target, nn.display)
+        }.toSeq
+      case None => args
+    }
+  }
+
+  /** Runtime type assertion on one VARIANT value: the runtime type must
+    * BE the expected octosql type — `variant_get` alone would silently
+    * coerce (a variant Int casts to "17" as a string), where the
+    * reference errors `invalid type: Int, expected: String`
+    * (execution/expressions.go:62-77). NULL passes through (strict
+    * descriptors' assertion targets are summed with NULL).
+    */
+  private def variantAssert(e: Expression, target: DataType,
+                            expectedName: String): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.variant.{SchemaOfVariant, VariantGet}
+    val sch = SchemaOfVariant(e)
+    def eq(s: String) = EqualTo(sch, Literal(s))
+    def pre(s: String) = StartsWith(sch, Literal(s))
+    def any(cs: Expression*) = cs.reduce(Or(_, _))
+    val isInt = any(eq("BIGINT"), eq("INT"), eq("SMALLINT"), eq("TINYINT"))
+    val isFloat = any(eq("DOUBLE"), eq("FLOAT"), pre("DECIMAL"))
+    val typeOk: Expression = target match {
+      case StringType                => eq("STRING")
+      case LongType | IntegerType    => isInt
+      case DoubleType                => isFloat
+      case BooleanType               => eq("BOOLEAN")
+      case TimestampType             => pre("TIMESTAMP")
+      case _: DecimalType            => pre("DECIMAL")
+      case _                         => Literal(true)
+    }
+    // the runtime type's octosql display name for the error text
+    val actualName = CaseWhen(Seq(
+      (eq("STRING"), Literal("String")),
+      (isInt, Literal("Int")),
+      (isFloat, Literal("Float")),
+      (eq("BOOLEAN"), Literal("Boolean")),
+      (pre("TIMESTAMP"), Literal("Time")),
+      (pre("ARRAY"), Literal("List")),
+      (pre("OBJECT"), Literal("Object"))), Some(sch))
+    // timeZoneId set explicitly: TimeZoneAware nodes built inside
+    // replacements are never visited by the analyzer's ResolveTimeZone
+    val get = VariantGet(e, Literal("$"), target, failOnError = false,
+      timeZoneId = Some(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    If(Or(IsNull(e), eq("VOID")),
+      Literal.create(null, target),
+      If(typeOk, get,
+        Cast(RaiseError(Concat(Seq(
+          Literal("invalid type: "), actualName,
+          Literal(s", expected: $expectedName")))), target)))
   }
 
   /** Spark-native implementations per function (functions.go semantics;

@@ -138,6 +138,25 @@ class OctoSqlSpec extends SparkSpec {
     assert(row.getString(0) == "hello")
   }
 
+  test("VARIANT args get runtime type assertions (Maybe-pass analog)") {
+    // a union-typed (VARIANT) argument narrows at runtime toward the
+    // descriptor type — string values compute, wrong runtime types fail
+    // like the reference's TypeAssertion (invalid type: X, expected: Y)
+    val ok = OctoSql.run(spark,
+      """SELECT upper(parse_json('"abc"')) AS u, len(parse_json('"abcd"')) AS l""")
+      .collect().head
+    assert(ok.getString(0) == "ABC" && ok.getLong(1) == 4L)
+    val e = intercept[Throwable](
+      OctoSql.run(spark, "SELECT upper(parse_json('17'))").collect())
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain.exists(c => Option(c.getMessage).exists(
+      _.contains("invalid type: Int, expected: String"))), e.toString)
+    // NULL passes through strict assertions (targets are summed w/ NULL)
+    val n = OctoSql.run(spark, "SELECT upper(parse_json('null')) AS u")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("arity of VARIANT-ish (untypeable) calls is still checked") {
     import org.apache.spark.sql.functions._
     spark.range(1).select(lit(Array[Byte](1, 2)).as("b"))
