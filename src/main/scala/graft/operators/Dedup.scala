@@ -138,14 +138,25 @@ object Dedup {
     minhashSignaturesFromIndex(
       shingleIndex(df, idCol, textCol, n, None, tokens), k)
 
-  /** Signatures from a prebuilt `(id, shingle: string)` index. */
+  /** Signatures from a prebuilt `(id, shingle: string)` index, as one
+    * `sig: array<bigint>` column of length k — a single
+    * [[graft.plans.MinHashAgg]] buffer instead of k separate min
+    * aggregate columns, so the partial-aggregation row through the
+    * shuffle is one blob and the plan width is k-independent (matters at
+    * production k of 128-256 permutations). Hash evaluation stays in the
+    * upstream codegen'd projection; the aggregate reads two long fields.
+    */
   def minhashSignaturesFromIndex(rawIdx: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     val idx = rawIdx
       .withColumn("h1", xxhash64(col("shingle")))
       .withColumn("h2", xxhash64(lit(1), col("shingle")))
-    val mins = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
-    idx.groupBy("id").agg(mins.head, mins.tail: _*)
+    val agg = GraftSqlBridge.column(
+      graft.plans.MinHashAgg(
+        GraftSqlBridge.expression(col("h1")),
+        GraftSqlBridge.expression(col("h2")), k)
+        .toAggregateExpression(isDistinct = false))
+    idx.groupBy("id").agg(agg.as("sig"))
   }
 
   /** Candidate pairs via banding: signature split into `bands` bands of
@@ -176,9 +187,11 @@ object Dedup {
     val sig = minhashSignaturesFromIndex(rawIdx, k)
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map { b =>
+        // band signature = hash of the band's slice of the array (slice
+        // is 1-based); same-bucket grouping is identical to hashing the
+        // individual values — only the opaque bucket ids differ
         struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
-            .as("sig"))
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("sig"))
       }: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -211,6 +211,25 @@ class OperatorsSpec extends SparkSpec {
     assert(cells.forall(c => c.toSet.size == 2 && c.forall(i => i == 0 || i == 1)))
   }
 
+  test("MinHashAgg equals the k-column min formulation bit-for-bit") {
+    val docs = Engine.table(spark, sf, "documents").limit(200)
+    val rawIdx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3, tokens = true)
+    val k = 16
+    // new: one TypedImperativeAggregate buffer → array<bigint>
+    val viaAgg = Dedup.minhashSignaturesFromIndex(rawIdx, k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    // old: k separate min(h1 + i*h2) aggregate columns
+    val idx = rawIdx
+      .withColumn("h1", xxhash64(col("shingle")))
+      .withColumn("h2", xxhash64(lit(1), col("shingle")))
+    val mins = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
+    val viaCols = idx.groupBy("id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toList).toMap
+    assert(viaAgg.keySet == viaCols.keySet && viaAgg.nonEmpty)
+    viaAgg.foreach { case (id, sig) => assert(sig == viaCols(id), s"doc $id") }
+  }
+
   test("cosinePairsLsh candidates are a subset of exact pairs") {
     val emb = Engine.table(spark, sf, "embeddings")
     val exact = Similarity.cosinePairs(emb, 0.4)

@@ -117,6 +117,46 @@ class ResolverSpec extends AnyFunSuite {
     assert(r.assertion == Some(OInt) && r.outputType == OInt)
   }
 
+  test("table-driven: every positional descriptor resolves to itself") {
+    // feeding each descriptor its own declared argument types must
+    // resolve (exact pass) and yield its declared output — guards the
+    // table against typos as it grows with the reference
+    Resolver.functions.foreach { case (name, details) =>
+      details.descriptors.zipWithIndex
+        .filter(_._1.typeFn.isEmpty)
+        .foreach { case (d, _) =>
+          val r = resolveFunction(name, d.argumentTypes)
+          // modulo NULL-widening: an Any parameter admits NULL, which
+          // triggers the strict pass-through on its own signature
+          assert(isRel(nonNullable(r.outputType), d.outputType) == Is,
+            s"$name(${d.argumentTypes.map(_.display).mkString(", ")}) -> " +
+              s"${r.outputType.display}, table says ${d.outputType.display}")
+          assert(r.assertions.forall(_.isEmpty), s"$name needed Maybe pass")
+        }
+    }
+    Resolver.aggregates.foreach { case (name, (_, ds)) =>
+      ds.filter(_.typeFn.isEmpty).foreach { d =>
+        val r = resolveAggregate(name, d.argumentType)
+        assert(isRel(nonNullable(r.outputType), d.outputType) == Is, s"$name")
+      }
+    }
+  }
+
+  test("table-driven: one-past-arity calls are unknown functions") {
+    // appending one extra Int to every fixed-arity signature must fail
+    // (the reference has no variadic positional descriptors)
+    Resolver.functions.foreach { case (name, details) =>
+      val arities = details.descriptors.filter(_.typeFn.isEmpty)
+        .map(_.argumentTypes.length).toSet
+      val hasTypeFn = details.descriptors.exists(_.typeFn.isDefined)
+      if (!hasTypeFn && arities.nonEmpty) {
+        val maxA = arities.max
+        val args = Seq.fill(maxA + 1)(OInt: OType)
+        intercept[Dialect.TypecheckException](resolveFunction(name, args))
+      }
+    }
+  }
+
   test("Spark→octosql type mapping (dialect storage conventions)") {
     import org.apache.spark.sql.types._
     assert(ofDataType(LongType, nullable = false) == Some(OInt))
