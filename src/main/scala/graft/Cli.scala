@@ -247,7 +247,20 @@ object Cli {
             fail(err, s"couldn't run query: couldn't run source: couldn't produce record: " +
               s"couldn't evaluate $idx map expression: couldn't evaluate function: ${cleanPanic(m)}")
           case None =>
-            fail(err, s"couldn't run query: ${Option(e.getMessage).getOrElse(e.toString)}")
+            // runtime TypeAssertion failures (variant narrowing,
+            // execution/expressions.go:75) surface as USER_RAISED
+            // errors — render the reference's error text, not Spark's
+            // stage-failure wrapper
+            chain.map(c => Option(c.getMessage).getOrElse("")).collectFirst {
+              case m if m.contains("invalid type: ") =>
+                val start = m.indexOf("invalid type: ")
+                cleanPanic(m.substring(start).takeWhile(_ != '\n')).stripSuffix(".")
+            } match {
+              case Some(assertion) =>
+                fail(err, s"couldn't run query: couldn't evaluate function: $assertion")
+              case None =>
+                fail(err, s"couldn't run query: ${Option(e.getMessage).getOrElse(e.toString)}")
+            }
         }
     }
   }

@@ -49,10 +49,12 @@ object OctoResolve {
       // VARIANT-ish arguments skip the type check, but ARITY is still
       // checkable against the table — without this, buildScalar's
       // args(1)/args(2) would throw a raw IndexOutOfBoundsException
-      // instead of the reference's error
+      // (or silently ignore extra arguments) instead of the
+      // reference's error
       val ds = Resolver.functions.get(name).map(_.descriptors).getOrElse(Nil)
       val arityOk = ds.exists(d =>
-        d.typeFn.isDefined || d.argumentTypes.length == args.length)
+        if (d.typeFn.isDefined) d.typeFnArity.forall(_ == args.length)
+        else d.argumentTypes.length == args.length)
       if (ds.nonEmpty && !arityOk) {
         val shown = args.lazyZip(ots).map((e, t) =>
           t.map(_.display).getOrElse(e.dataType.simpleString))
@@ -197,7 +199,12 @@ object OctoResolve {
     if (!args.exists(_.dataType == VariantType)) return args
     if (name == "int" || name == "float" || name == "string") return args
     val ds = Resolver.functions.get(name).map(_.descriptors).getOrElse(Nil)
-    ds.find(d => d.typeFn.isEmpty && d.argumentTypes.length == args.length) match {
+    // LAST arity-matching descriptor, mirroring the resolver's own
+    // last-match-wins descriptor loops — for (Int),(Float) overload
+    // chains like abs/time_from_unix this asserts toward Float, which
+    // is also what the reference's static union types (JSON numbers are
+    // all Float) would Maybe-match
+    ds.reverse.find(d => d.typeFn.isEmpty && d.argumentTypes.length == args.length) match {
       case Some(d) =>
         args.lazyZip(d.argumentTypes).map { (e, t) =>
           val nn = Resolver.nonNullable(t)
@@ -216,6 +223,12 @@ object OctoResolve {
     * reference errors `invalid type: Int, expected: String`
     * (execution/expressions.go:62-77). NULL passes through (strict
     * descriptors' assertion targets are summed with NULL).
+    *
+    * Cost note: `schema_of_variant` appears in several branch
+    * conditions; on the PASS path at most ~3 evaluate per row (the
+    * null/VOID guard and the target's type test) — the wider CaseWhen
+    * computing the octosql name only runs on the error path, right
+    * before a raise.
     */
   private def variantAssert(e: Expression, target: DataType,
                             expectedName: String): Expression = {
@@ -288,8 +301,12 @@ object OctoResolve {
         // clamps identically for pos >= 1. A negative start PANICS in
         // the reference (Go slice bounds); clamp to the string start
         // here rather than inherit Spark's count-from-the-end surprise.
-        val pos = Greatest(Seq(
-          Cast(Add(lng(args(1)), Literal(1L)), IntegerType), Literal(1)))
+        // Greatest SKIPS nulls, so guard explicitly: a NULL start must
+        // stay NULL (strict descriptor), not clamp to 1.
+        val rawPos = Cast(Add(lng(args(1)), Literal(1L)), IntegerType)
+        val pos = If(IsNull(args(1)),
+          Literal.create(null, IntegerType),
+          Greatest(Seq(rawPos, Literal(1))))
         val len = if (args.length > 2) Cast(args(2), IntegerType)
                   else Literal(Integer.MAX_VALUE)
         Substring(args(0), pos, len)

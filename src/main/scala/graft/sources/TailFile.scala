@@ -87,26 +87,37 @@ class TailFileStream(path: String) extends MicroBatchStream {
     val len = if (f.isFile) f.length() else 0L
     if (len > last.bytes) {
       // advance to the last complete line in the appended region,
-      // counting newlines for the running `number` ordinal. The region
-      // is capped per micro-batch (a pre-existing multi-GB backlog
-      // would otherwise be materialized as ONE byte array — and
-      // `(len - bytes).toInt` would wrap past 2 GB); a large backlog
-      // drains over several batches instead.
-      val end = math.min(len, last.bytes + TailFileStream.MaxBatchBytes)
+      // counting newlines for the running `number` ordinal. The scan
+      // streams through a 64 KB buffer (O(1) memory for any backlog)
+      // and stops after MaxBatchBytes ONCE a newline has been seen —
+      // but keeps going while none has, so a single line longer than
+      // the cap still completes (that batch then exceeds the cap by
+      // the line's tail instead of stalling forever).
       val raf = new RandomAccessFile(path, "r")
       try {
         raf.seek(last.bytes)
-        val buf = new Array[Byte]((end - last.bytes).toInt)
-        raf.readFully(buf)
-        var lastNl = -1
+        val chunk = new Array[Byte](64 * 1024)
+        var pos = last.bytes
+        var lastNl = -1L
         var count = 0L
-        var i = 0
-        while (i < buf.length) {
-          if (buf(i) == '\n') { lastNl = i; count += 1 }
-          i += 1
+        var done = false
+        while (!done && pos < len) {
+          val want = math.min(chunk.length.toLong, len - pos).toInt
+          val n = raf.read(chunk, 0, want)
+          if (n <= 0) done = true
+          else {
+            var i = 0
+            while (i < n) {
+              if (chunk(i) == '\n') { lastNl = pos + i; count += 1 }
+              i += 1
+            }
+            pos += n
+            if (lastNl >= 0 && pos - last.bytes >= TailFileStream.MaxBatchBytes)
+              done = true
+          }
         }
         if (lastNl >= 0)
-          last = TailOffset(last.bytes + lastNl + 1, last.lines + count)
+          last = TailOffset(lastNl + 1, last.lines + count)
       } finally raf.close()
     }
     last

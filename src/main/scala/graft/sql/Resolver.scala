@@ -132,7 +132,12 @@ object Resolver {
       argumentTypes: Seq[OType] = Nil,
       outputType: OType = ONull,
       strict: Boolean = true,
-      typeFn: Option[Seq[OType] => Option[OType]] = None)
+      typeFn: Option[Seq[OType] => Option[OType]] = None,
+      // typeFn descriptors have no positional signature, but every one
+      // in the reference still takes a fixed number of arguments (its
+      // fn checks the length); recorded here so arity stays checkable
+      // when argument TYPES can't be mapped (VARIANT paths)
+      typeFnArity: Option[Int] = None)
 
   final case class FnDetails(description: String, descriptors: Seq[FnDescriptor])
 
@@ -288,10 +293,10 @@ object Resolver {
     FnDescriptor(argumentTypes = args.toSeq, outputType = out, strict = true)
 
   val functions: Map[String, FnDetails] = Map(
-    "<"  -> FnDetails("", Seq(FnDescriptor(typeFn = Some(cmpTypeFn)))),
-    "<=" -> FnDetails("", Seq(FnDescriptor(typeFn = Some(cmpTypeFn)))),
-    ">=" -> FnDetails("", Seq(FnDescriptor(typeFn = Some(cmpTypeFn)))),
-    ">"  -> FnDetails("", Seq(FnDescriptor(typeFn = Some(cmpTypeFn)))),
+    "<"  -> FnDetails("", Seq(FnDescriptor(typeFn = Some(cmpTypeFn), typeFnArity = Some(2)))),
+    "<=" -> FnDetails("", Seq(FnDescriptor(typeFn = Some(cmpTypeFn), typeFnArity = Some(2)))),
+    ">=" -> FnDetails("", Seq(FnDescriptor(typeFn = Some(cmpTypeFn), typeFnArity = Some(2)))),
+    ">"  -> FnDetails("", Seq(FnDescriptor(typeFn = Some(cmpTypeFn), typeFnArity = Some(2)))),
     "="  -> FnDetails("", Seq(sig(OBoolean, OAny, OAny))),
     "!=" -> FnDetails("", Seq(sig(OBoolean, OAny, OAny))),
     "is null" -> FnDetails("Returns true only if the argument is null.",
@@ -369,11 +374,14 @@ object Resolver {
       Seq(
         sig(OInt, OString),
         FnDescriptor(typeFn = Some(ts =>
-          if (ts.length == 1 && ts.head.isInstanceOf[OList]) Some(OInt) else None)),
+          if (ts.length == 1 && ts.head.isInstanceOf[OList]) Some(OInt) else None),
+          typeFnArity = Some(1)),
         FnDescriptor(typeFn = Some(ts =>
-          if (ts.length == 1 && ts.head.isInstanceOf[OStruct]) Some(OInt) else None)),
+          if (ts.length == 1 && ts.head.isInstanceOf[OStruct]) Some(OInt) else None),
+          typeFnArity = Some(1)),
         FnDescriptor(typeFn = Some(ts =>
-          if (ts.length == 1 && ts.head.isInstanceOf[OTuple]) Some(OInt) else None)))),
+          if (ts.length == 1 && ts.head.isInstanceOf[OTuple]) Some(OInt) else None),
+          typeFnArity = Some(1)))),
     // time (functions.go:833-897)
     "now" -> FnDetails("Returns the current time.", Seq(sig(OTime))),
     "parse_time" -> FnDetails(
@@ -403,17 +411,21 @@ object Resolver {
         case Seq(OList(el), i) if nonNullable(i) == OInt =>
           Some(el.fold(ONull: OType)(e => OType.typeSum(ONull, e)))
         case _ => None
-      })))),
+      }), typeFnArity = Some(2)))),
     "in" -> FnDetails("", Seq(
       FnDescriptor(typeFn = Some(ts =>
-        if (ts.length == 2 && nonNullable(ts(1)).isInstanceOf[OList]) Some(OBoolean) else None)),
+        if (ts.length == 2 && nonNullable(ts(1)).isInstanceOf[OList]) Some(OBoolean) else None),
+        typeFnArity = Some(2)),
       FnDescriptor(typeFn = Some(ts =>
-        if (ts.length == 2 && nonNullable(ts(1)).isInstanceOf[OTuple]) Some(OBoolean) else None)))),
+        if (ts.length == 2 && nonNullable(ts(1)).isInstanceOf[OTuple]) Some(OBoolean) else None),
+        typeFnArity = Some(2)))),
     "not in" -> FnDetails("", Seq(
       FnDescriptor(typeFn = Some(ts =>
-        if (ts.length == 2 && nonNullable(ts(1)).isInstanceOf[OList]) Some(OBoolean) else None)),
+        if (ts.length == 2 && nonNullable(ts(1)).isInstanceOf[OList]) Some(OBoolean) else None),
+        typeFnArity = Some(2)),
       FnDescriptor(typeFn = Some(ts =>
-        if (ts.length == 2 && nonNullable(ts(1)).isInstanceOf[OTuple]) Some(OBoolean) else None)))),
+        if (ts.length == 2 && nonNullable(ts(1)).isInstanceOf[OTuple]) Some(OBoolean) else None),
+        typeFnArity = Some(2)))),
     // utility
     "panic" -> FnDetails("Fails the execution of OctoSQL and prints the argument.",
       Seq(FnDescriptor(Seq(OAny), OAny, strict = false))))

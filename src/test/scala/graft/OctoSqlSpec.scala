@@ -136,6 +136,11 @@ class OctoSqlSpec extends SparkSpec {
     // clamp rather than inherit Spark's count-from-the-end semantics
     val row = OctoSql.run(spark, "SELECT substr('hello', 0 - 3) AS s").collect().head
     assert(row.getString(0) == "hello")
+    // ...but a NULL start stays NULL (strict descriptor; Greatest alone
+    // would skip the null and clamp to position 1)
+    val n = OctoSql.run(spark,
+      "SELECT substr('hello', CAST(NULL AS BIGINT)) AS s").collect().head
+    assert(n.isNullAt(0))
   }
 
   test("VARIANT args get runtime type assertions (Maybe-pass analog)") {
@@ -164,6 +169,19 @@ class OctoSqlSpec extends SparkSpec {
     val e = intercept[graft.sql.Dialect.TypecheckException](
       OctoSql.run(spark, "SELECT pow(b) FROM bin_v").collect())
     assert(e.getMessage == "unknown function: pow(binary)")
+    // typeFn descriptors carry their arity too: len takes exactly one
+    // argument even when a VARIANT blinds the type check
+    val e2 = intercept[graft.sql.Dialect.TypecheckException](
+      OctoSql.run(spark, "SELECT len('a', parse_json('1'))").collect())
+    assert(e2.getMessage.startsWith("unknown function: len(String, "))
+  }
+
+  test("variant numerics assert toward Float (JSON numbers are Float)") {
+    // abs/time_from_unix have (Int) then (Float) overloads; the variant
+    // assertion narrows to the LAST arity match, like the resolver's
+    // own last-wins loops — JSON-derived numbers then flow as Float
+    val r = OctoSql.run(spark, "SELECT abs(parse_json('-1.5')) AS a").collect().head
+    assert(r.getDouble(0) == 1.5)
   }
 
   test("substr is 0-based in the dialect") {
