@@ -46,6 +46,11 @@ object PathTable {
       Docs.table(spark, path.stripPrefix("docs."))
     else if (path.startsWith("plugins."))
       Plugins.table(spark, path.stripPrefix("plugins."))
+    else if (path.count(_ == '.') == 1 &&
+             OctoConfig.database(path.split('.')(0)).isDefined)
+      // octosql.yml-configured database: FROM mydb.mytable → JDBC
+      OctoConfig.table(spark,
+        OctoConfig.database(path.split('.')(0)).get, path.split('.')(1))
     else path match {
       // format-prefixed names (physical.go GetDatasource database rule):
       // `csv.myfile` reads file `myfile` with the csv handler;

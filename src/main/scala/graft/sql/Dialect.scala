@@ -273,6 +273,12 @@ object Dialect {
           rels(view) = RelInfo(fields)
           d
         } else PathTable.readStdinLines(spark, format, lines, opts)
+      } else if (pathPart.count(_ == '.') == 1 &&
+                 graft.sources.OctoConfig.database(pathPart.split('.')(0)).isDefined) {
+        // octosql.yml-configured database: FROM mydb.mytable → JDBC
+        val parts = pathPart.split('.')
+        graft.sources.OctoConfig.table(spark,
+          graft.sources.OctoConfig.database(parts(0)).get, parts(1))
       } else {
         val (realPath, ext) = pathPart match {
           case PrefixForm(fmt, rest) => (rest, fmt)

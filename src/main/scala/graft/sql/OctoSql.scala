@@ -108,7 +108,10 @@ object OctoSql {
         parts.length == 2 && (parts(0) == "stdin" || parts(1) == "stdin") } ||
       (bare.startsWith("docs.") &&
         graft.sources.Docs.TableNames.contains(bare.stripPrefix("docs."))) ||
-      bare.startsWith("plugins.")
+      bare.startsWith("plugins.") ||
+      { // octosql.yml-configured databases: FROM mydb.mytable
+        val parts = bare.split('.')
+        parts.length == 2 && graft.sources.OctoConfig.database(parts(0)).isDefined }
   }
 
   /** The shared position-aware table-binding walk (round-1 ADVICE, one

@@ -215,6 +215,30 @@ class DialectSpec extends SparkSpec {
     assert(maxRows.length == 1 && maxRows(0).get(0) != null)
   }
 
+  test("resolver aggregates compose: HAVING, ORDER BY agg, expressions, DISTINCT") {
+    val dir = java.nio.file.Files.createTempDirectory("hv")
+    java.nio.file.Files.write(dir.resolve("t.csv"),
+      "k,v\na,1\na,2\nb,5\nb,1\nc,1\n".getBytes)
+    val p = s"$dir/t.csv"
+    val having = Dialect.prepare(spark,
+      s"SELECT k, sum(v) AS s FROM $p GROUP BY k HAVING sum(v) > 2").df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(having == Set(("a", 3L), ("b", 6L)))
+    val orderAgg = Dialect.prepare(spark,
+      s"SELECT k FROM $p GROUP BY k ORDER BY sum(v) DESC LIMIT 1").df
+      .collect().map(_.getString(0)).toList
+    assert(orderAgg == List("b"))
+    // aggregate over an expression — avg(Int) still truncates per-group
+    val aggExpr = Dialect.prepare(spark,
+      s"SELECT k, avg(v + 1) AS a FROM $p GROUP BY k").df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(aggExpr == Map("a" -> 2L, "b" -> 4L, "c" -> 2L))
+    // Spark's DISTINCT syntax routes through the same typed aggregate
+    val cd = Dialect.prepare(spark,
+      s"SELECT count(distinct v) AS cd FROM $p").df.collect().head.getLong(0)
+    assert(cd == 3L)
+  }
+
   test("resolver positive controls: legal shapes still compute") {
     def one(sql: String): Any =
       Dialect.prepare(spark, sql).df.collect()(0).get(0)

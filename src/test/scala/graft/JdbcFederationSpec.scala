@@ -30,6 +30,44 @@ class JdbcFederationSpec extends SparkSpec {
     ins.executeBatch()
   }
 
+  test("octosql.yml databases bind as FROM <db>.<table> (config.go parity)") {
+    setupTable()
+    val cfg = java.nio.file.Files.createTempFile("octosql", ".yml")
+    java.nio.file.Files.writeString(cfg,
+      s"""databases:
+         |  - name: labelsdb
+         |    type: jdbc
+         |    config:
+         |      url: $url
+         |      driver: $driver
+         |""".stripMargin)
+    val prev = sys.props.get("graft.octosql.config")
+    sys.props("graft.octosql.config") = cfg.toString
+    try {
+      // parse shape
+      val dbs = graft.sources.OctoConfig.databases
+      assert(dbs.contains("labelsdb") && dbs("labelsdb").dbType == "jdbc")
+      // full dialect path: config db named like a table qualifier
+      val rows = graft.sql.OctoSql.run(spark,
+        "SELECT label FROM labelsdb.region_labels WHERE r_key >= 1").collect()
+      assert(rows.map(_.getString(0)).toSet == Set("america", "asia"))
+      // CLI/strict front-end path too
+      val prep = graft.sql.Dialect.prepare(spark,
+        "SELECT r_key, label FROM labelsdb.region_labels")
+      assert(prep.df.count() == 3)
+      // unknown database types error honestly
+      val e = intercept[IllegalArgumentException](
+        graft.sources.OctoConfig.table(spark,
+          graft.sources.OctoConfig.DbConfig("x", "mongodb", Map.empty), "t"))
+      assert(e.getMessage.contains("not built into this engine"))
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.octosql.config") = p
+        case None    => sys.props.remove("graft.octosql.config")
+      }
+    }
+  }
+
   test("jdbc scan joins against parquet tables (plugin-database parity)") {
     setupTable()
     val jdbc = spark.read.format("jdbc")
