@@ -49,8 +49,19 @@ object Dedup {
     * nearly every doc pair (degenerate MinHash buckets, quadratic
     * inverted-index joins), while word trigrams keep per-shingle doc
     * frequency — and thus self-join fanout — bounded.
+    *
+    * Backed by the codegen'd [[graft.plans.TokenShingles]] kernel (one
+    * static call in whole-stage codegen); [[tokenShinglesHof]] is the
+    * portable HOF formulation it bit-for-bit replaces, kept as the
+    * differential-test reference.
     */
-  def tokenShingles(text: Column, n: Int): Column = {
+  def tokenShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.TokenShingles(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+
+  /** HOF formulation of [[tokenShingles]] — interpreted, session-free. */
+  def tokenShinglesHof(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
     val idxs = sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1)))
     array_distinct(transform(idxs, i => array_join(slice(toks, i, lit(n)), " ")))

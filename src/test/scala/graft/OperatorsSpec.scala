@@ -211,6 +211,32 @@ class OperatorsSpec extends SparkSpec {
     assert(cells.forall(c => c.toSet.size == 2 && c.forall(i => i == 0 || i == 1)))
   }
 
+  test("TokenShingles codegen kernel equals the HOF formulation bit-for-bit") {
+    val docs = Engine.table(spark, sf, "documents")
+    for (n <- Seq(2, 3)) {
+      val both = docs.select(
+        Dedup.tokenShingles(col("text"), n).as("fast"),
+        Dedup.tokenShinglesHof(col("text"), n).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1))
+      }
+    }
+    // edge shapes: empty, single token, fewer tokens than n, repeats,
+    // leading tab (trim only strips spaces — a leading empty token
+    // survives, like Spark's split)
+    val edge = Seq("", "one", "a b", "x x x x", "\tlead tab text", "  sp  ")
+      .toDF("text").select(
+        Dedup.tokenShingles(col("text"), 3).as("fast"),
+        Dedup.tokenShinglesHof(col("text"), 3).as("hof"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+    // stays inside whole-stage codegen
+    val plan = docs.select(Dedup.tokenShingles(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("MinHashAgg equals the k-column min formulation bit-for-bit") {
     val docs = Engine.table(spark, sf, "documents").limit(200)
     val rawIdx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3, tokens = true)
