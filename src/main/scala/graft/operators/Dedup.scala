@@ -300,17 +300,32 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on each
-    * bit of xxhash64(token); bit i of the result = sign of the vote sum.
-    * Computed as explode → 64 conditional sums → bit assembly; one
-    * shuffle on doc id.
+    * bit of its hash; bit i of the result = sign of the vote sum.
+    *
+    * A pure map-side projection through the codegen'd
+    * [[graft.plans.SimHash64]] kernel — ZERO shuffles (the previous
+    * formulation exploded tokens to rows and re-grouped on doc id).
+    * `portable=true` uses two 31-bit polynomial hashes packed into 62
+    * bits — bit-identical recomputable in plain SQL (the DuckDB oracle
+    * for d4 does exactly that); xxhash64 stays the default for
+    * production mixing quality. [[simhashViaAgg]] keeps the old
+    * formulation as the differential-test reference.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              portable: Boolean = false): DataFrame = {
+              portable: Boolean = false): DataFrame =
+    df.select(col(idCol).as("id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.plans.SimHash64(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+          portable)).as("simhash"))
+
+  /** Explode → 64 conditional sums → bit assembly formulation of
+    * [[simhash]] (one shuffle on doc id) — portable, session-free, the
+    * differential-test reference for the codegen kernel.
+    */
+  private[graft] def simhashViaAgg(df: DataFrame, idCol: String, textCol: String,
+                                   portable: Boolean = false): DataFrame = {
     graft.plans.PolyHashExpr.register(df.sparkSession)
-    // portable=true swaps xxhash64 for two 31-bit polynomial hashes
-    // packed into 62 bits — bit-identical recomputable in plain SQL
-    // (the DuckDB oracle for d4 does exactly that); xxhash64 stays the
-    // default for production mixing quality
     val tokHash =
       if (portable)
         TextAnalysis.polyHash(col("tok"), 31L, 1000000007L) * lit(2147483648L) +

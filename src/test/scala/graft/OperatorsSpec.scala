@@ -237,6 +237,22 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("SimHash64 kernel equals the explode+agg formulation bit-for-bit") {
+    val docs = Engine.table(spark, sf, "documents")
+    for (portable <- Seq(true, false)) {
+      val fast = Dedup.simhash(docs, "doc_id", "text", portable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = Dedup.simhashViaAgg(docs, "doc_id", "text", portable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast.nonEmpty && fast == slow, s"portable=$portable")
+    }
+    // zero shuffles: the plan is a single codegen'd projection
+    val plan = Dedup.simhash(docs, "doc_id", "text", portable = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("MinHashAgg equals the k-column min formulation bit-for-bit") {
     val docs = Engine.table(spark, sf, "documents").limit(200)
     val rawIdx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3, tokens = true)
