@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Octo
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -532,6 +532,22 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
+    // TF-IDF characteristic terms: two-level distributed agg + per-doc
+    // top-k window; integer output columns so ranks hash-compare exactly
+    "t3_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // benchmark decontamination: Bloom-prefiltered shingle overlap of the
+    // corpus (source<>'src0') against a held-out benchmark (source='src0');
+    // exact result — the Bloom phase only prunes the shuffle
+    "d8_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.scores(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, tokens = true)
+    }),
+
     // multimodal: binary payload + typed metadata (SQL-checkable slice)
     "m1_media_meta" -> ((s, dir) =>
       Multimodal.asMediaTable(t(s, dir, "documents"))
@@ -1001,6 +1017,47 @@ object SparkEntry {
          |    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
          |    + least(stopword_ratio * 5.0, 1.0) * 0.25 AS quality
          |FROM derived""".stripMargin,
+
+    "t3_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM terms WHERE len(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df_docs,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE)
+        |        * ln((CAST(n_docs AS DOUBLE) + 1.0)
+        |             / (CAST(df_docs AS DOUBLE) + 1.0)) DESC, term) AS rank
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df_docs, CAST(rank AS BIGINT) AS rank
+        |FROM scored WHERE rank <= 3""".stripMargin,
+
+    "d8_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+        |cont AS (
+        |  SELECT doc_id, COUNT(*) AS n_contam
+        |  FROM corpus JOIN bench USING (shingle) GROUP BY 1)
+        |SELECT sz.doc_id, n_shingles,
+        |  COALESCE(n_contam, CAST(0 AS BIGINT)) AS n_contam,
+        |  CAST(COALESCE(n_contam, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |    AS contam_frac
+        |FROM sz LEFT JOIN cont USING (doc_id)""".stripMargin,
 
     "m1_media_meta" ->
       """SELECT doc_id,

@@ -146,6 +146,40 @@ object TextAnalysis {
         (max("n").cast("double") / sum("n").cast("double")).as("top_token_frac"))
   }
 
+  /** Top-k characteristic terms per document by TF-IDF (tf × ln((N+1)/
+    * (df+1)), ties broken by term asc). Output: `(doc_id, term, tf,
+    * df_docs, rank)` for rank ≤ k — integer columns only, so results
+    * hash-compare exactly across engines; the float tfidf score is
+    * used for ordering and dropped.
+    *
+    * Distributed shape: explode → (doc,term) hash-agg (map-side
+    * combine) → term-level doc-frequency agg → join back on term (AQE
+    * decides broadcast vs shuffle — vocabularies can be huge) → per-doc
+    * top-k window. The corpus size N rides along as a broadcast scalar,
+    * not a driver action, so the whole thing stays one lazy plan.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", k: Int = 3): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double")
+        * log((col("n_docs").cast("double") + 1.0)
+          / (col("df_docs").cast("double") + 1.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)

@@ -272,6 +272,56 @@ class OperatorsSpec extends SparkSpec {
     viaAgg.foreach { case (id, sig) => assert(sig == viaCols(id), s"doc $id") }
   }
 
+  test("Decontaminate: bloom-prefiltered scores equal the exact join, plan shows might_contain") {
+    val docs = Engine.table(spark, sf, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed =
+      graft.operators.Decontaminate.scores(corpus, bench, "doc_id", "text")
+    val exact =
+      graft.operators.Decontaminate.scores(corpus, bench, "doc_id", "text",
+        bloomPrefilter = false)
+    assert(key(bloomed) == key(exact))
+    assert(key(bloomed).nonEmpty)
+    // one row per corpus doc, none for benchmark docs
+    assert(bloomed.count() == corpus.count())
+    // the scale path really is bloom-prefiltered before the exact join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    // shared-vocabulary corpus: contamination must actually fire
+    assert(bloomed.filter(col("n_contam") > 0).count() > 0)
+  }
+
+  test("Decontaminate: empty benchmark yields all-zero contamination") {
+    val docs = Engine.table(spark, sf, "documents")
+    val out = graft.operators.Decontaminate.scores(
+      docs, docs.limit(0), "doc_id", "text")
+    assert(out.filter(col("n_contam") =!= 0).count() == 0)
+    assert(out.count() == docs.count())
+  }
+
+  test("tfidfTopK: k rows per doc, rare terms outrank ubiquitous ones") {
+    val docs = Seq(
+      (1L, "alpha beta beta common common"),
+      (2L, "gamma gamma common common common"),
+      (3L, "delta common common common common"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    // every doc contributes exactly k rows (it has >= k distinct terms)
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+    // 'common' appears in every doc → idf ln(4/4)=0 → never ranks above
+    // a doc-specific term
+    val top1 = out.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    assert(top1 == Map(1L -> "beta", 2L -> "gamma", 3L -> "delta"))
+    // empty doc produces no rows
+    val withEmpty = TextAnalysis.tfidfTopK(
+      docs.union(Seq((9L, "")).toDF("doc_id", "text")), "doc_id", "text", 2)
+    assert(withEmpty.filter(col("doc_id") === 9L).count() == 0)
+  }
+
   test("cosinePairsLsh candidates are a subset of exact pairs") {
     val emb = Engine.table(spark, sf, "embeddings")
     val exact = Similarity.cosinePairs(emb, 0.4)
