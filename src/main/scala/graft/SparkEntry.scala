@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Octo
-import graft.operators.{Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -495,6 +495,12 @@ object SparkEntry {
           >= 0.5).as("recall_ok"))
     }),
 
+    // k-means clustering (Lloyd): zero-shuffle codegen'd assignment +
+    // k×dim mean shuffle per iteration; centroids rounded to 6 dp each
+    // round so the unrolled DuckDB oracle reaches identical assignments
+    "s4_kmeans" -> ((s, dir) =>
+      Clustering.kmeans(t(s, dir, "embeddings"), k = 10, iters = 3)),
+
     // embedding near-dup via LSH buckets (the documented scale default;
     // d5 keeps the exact form as its own oracle) — recall vs exact
     "d6_embed_lsh" -> ((s, dir) => {
@@ -536,6 +542,17 @@ object SparkEntry {
     // top-k window; integer output columns so ranks hash-compare exactly
     "t3_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // unigram-LM quality scoring (CCNet-style): corpus-trained token
+    // frequencies → per-doc mean negative log-likelihood
+    "t4_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
+
+    // cross-doc common-phrase (boilerplate) detection: word trigrams in
+    // ≥5 docs, top-200 by document frequency
+    "p5_boilerplate" -> ((s, dir) =>
+      TextAnalysis.commonPhrases(t(s, dir, "documents"),
+        n = 3, minDocs = 5, topK = 200)),
 
     // benchmark decontamination: Bloom-prefiltered shingle overlap of the
     // corpus (source<>'src0') against a held-out benchmark (source='src0');
@@ -1037,6 +1054,33 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df_docs, CAST(rank AS BIGINT) AS rank
         |FROM scored WHERE rank <= 3""".stripMargin,
 
+    "t4_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS n_total FROM counts)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(-SUM(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)))
+        |        / COUNT(*), 6) AS avg_neg_logp
+        |FROM tk JOIN counts USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    "p5_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks)
+        |SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1
+        |HAVING COUNT(*) >= 5
+        |ORDER BY n_docs DESC, shingle LIMIT 200""".stripMargin,
+
     "d8_decontam" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
@@ -1072,6 +1116,8 @@ object SparkEntry {
 
     "s3_ann_ivf" ->
       "SELECT true AS recall_ok",
+
+    "s4_kmeans" -> s4KmeansSql(k = 10, iters = 3, dim = 64),
 
     "d6_embed_lsh" ->
       """WITH pairs AS (
@@ -1114,6 +1160,52 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** Unrolled DuckDB replica of Lloyd's k-means (s4), iteration by
+    * iteration, mirroring graft.operators.Clustering.kmeans bit for bit:
+    * same smallest-id init, the same left-fold Σ(vᵢ−cᵢ)² distance as the
+    * codegen'd VecNearestCell loop, the same lower-cell tie-break, the
+    * same round(avg, 6) centroid quantization (which absorbs summation-
+    * order noise between engines), the same keep-previous-centroid rule
+    * for empty cells.
+    */
+  private def s4KmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val distFold =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+         |        i -> (p.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+         |             * (p.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))),
+         |        (a, b) -> a + b)""".stripMargin
+    def assign(a: String, cPrev: String) =
+      s"""$a AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (
+         |      SELECT p.vec_id, c.cell, $distFold AS dist
+         |      FROM pts p CROSS JOIN $cPrev c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(cNext: String, a: String, cPrev: String) =
+      s"""$cNext AS (
+         |  SELECT prev.cell, coalesce(g.cv, prev.cv) AS cv
+         |  FROM $cPrev prev LEFT JOIN (
+         |    SELECT cell, list(mv ORDER BY d) AS cv FROM (
+         |      SELECT a.cell, d.d, round(avg(d.x), 6) AS mv
+         |      FROM $a a JOIN dims d USING (vec_id) GROUP BY 1, 2)
+         |    GROUP BY 1) g USING (cell))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, d, v[d] AS x FROM pts, unnest(range(1, ${dim + 1})) AS t(d)),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assign("afinal", s"c$iters")}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM afinal""".stripMargin
+  }
 
   /** DuckDB replica of the portable SimHash (d4): the same two
     * polynomial token hashes packed into 62 bits, the same 64

@@ -180,6 +180,58 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Per-document unigram language-model score — the CCNet-style
+    * "perplexity" quality filter, with the LM trained on the corpus
+    * itself in the same plan: token → corpus frequency → per-token
+    * `ln(c/N)` → per-doc mean negative log-likelihood. High
+    * `avg_neg_logp` = improbable word mix (noise, boilerplate, wrong
+    * language); low = repetitive/templated text.
+    *
+    * Distributed shape: one explode feeding both the count aggregation
+    * and the scoring join (map-side combined everywhere); the
+    * vocabulary join is AQE-decided (broadcast when the vocab fits,
+    * shuffle when it doesn't — web-scale vocabularies don't), and the
+    * corpus total rides along as a broadcast scalar, never a driver
+    * action. Output doubles are rounded to 6 dp so summation order
+    * (partitioning, engine) can't leak into comparisons.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("n_total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("logp",
+        log(col("c").cast("double") / col("n_total").cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(col("logp")) / count(lit(1)), 6).as("avg_neg_logp"))
+  }
+
+  /** Cross-document common-phrase detection: word `n`-gram shingles
+    * occurring in at least `minDocs` distinct documents, most frequent
+    * first (ties toward the lexicographically smaller phrase). This is
+    * the boilerplate/template scan a pipeline runs before line- or
+    * phrase-level dedup: its output IS the removal list.
+    *
+    * Scale shape: the shingle explode is the codegen'd
+    * [[graft.plans.TokenShingles]] kernel (per-doc distinct, so the
+    * count is a true document frequency), the count is one map-side-
+    * combined aggregation keyed by shingle, and the result is a bounded
+    * `TakeOrderedAndProject` top-k — no driver-side anything.
+    */
+  def commonPhrases(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3,
+                    minDocs: Int = 2, topK: Int = 200): DataFrame =
+    Dedup.shingleIndex(docs, idCol, textCol, n, None, tokens = true)
+      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("shingle"))
+      .limit(topK)
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)

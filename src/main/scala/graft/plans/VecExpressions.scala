@@ -205,6 +205,88 @@ case class VecTopCells(child: Expression, centroids: Array[Array[Double]], m: In
     copy(child = newChild)
 }
 
+/** Nearest-centroid cell id by squared L2 distance — the k-means
+  * assignment kernel. Same plan-shape discipline as [[VecTopCells]]:
+  * the centroid matrix is ONE `addReferenceObj` (a compact double[][]
+  * shipped once per task), never O(k×dim) literal expression nodes, and
+  * the distance loop is primitive arithmetic inside whole-stage codegen.
+  * Assignment therefore shuffles nothing: each Lloyd iteration is one
+  * map-side pass plus the small (k×dim)-row mean aggregation.
+  *
+  * Distance is the left-to-right fold of (v_i − c_i)² in dimension
+  * order, and ties break toward the lower cell index — bit-for-bit the
+  * contract of the DuckDB oracle's `list_reduce` fold with
+  * `ORDER BY dist, cell`, so assignments hash-compare exactly.
+  * All-NaN distances (bad vector) degrade to cell 0 rather than crash.
+  */
+case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_nearest_cell expects array<float|double>, got $other")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    var best = -1
+    var bd = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val row = centroids(c)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = (if (fl) v.getFloat(i).toDouble else v.getDouble(i)) - row(i)
+        s += diff * diff
+        i += 1
+      }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    if (best < 0) 0 else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd")
+      s"""
+         |int $best = -1; double $bd = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] row = $mat[$c];
+         |  int n = row.length < $v.numElements() ? row.length : $v.numElements();
+         |  double s = 0.0;
+         |  for (int $i = 0; $i < n; $i++) {
+         |    double diff = (double)$v.$get($i) - row[$i];
+         |    s += diff * diff;
+         |  }
+         |  if (s < $bd) { $bd = s; $best = $c; }
+         |}
+         |${ev.value} = $best < 0 ? 0 : $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecNearestCell =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Register `vec_dot` in the session's function registry (idempotent)
     * so it's callable via `call_function` / SQL.

@@ -331,4 +331,62 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh.nonEmpty)
   }
+
+  test("kmeans separates well-separated blobs and is rerun-deterministic") {
+    import graft.operators.Clustering
+    // two tight blobs far apart; seeds (ids 0 and 1) start in blob A, so
+    // convergence to the true split exercises the centroid updates
+    val pts = (0L until 6L).map(i => (i, Array(0.01f * i, 0f))) ++
+      (6L until 12L).map(i => (i, Array(5f + 0.01f * i, 1f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Clustering.kmeans(df, k = 2, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blobA = (0L until 6L).map(got).toSet
+    val blobB = (6L until 12L).map(got).toSet
+    assert(blobA.size == 1 && blobB.size == 1 && blobA != blobB)
+    val rerun = Clustering.kmeans(df, k = 2, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rerun == got)
+  }
+
+  test("kmeans on the corpus: full coverage, k cells, constant-size plan") {
+    import graft.operators.Clustering
+    val emb = Engine.table(spark, sf, "embeddings")
+    val out = Clustering.kmeans(emb, k = 10, iters = 2)
+    // assignment is a codegen'd reference-object kernel: the analyzed
+    // plan must not grow with k×dim literal nodes (same discipline as
+    // VecTopCells — see the production-nlist IVF test above)
+    val planSize = out.queryExecution.analyzed.toString.length
+    assert(planSize < 10000, s"plan unexpectedly large: $planSize chars")
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    val clusters = rows.map(_.getLong(1)).toSet
+    assert(clusters.subsetOf((0L until 10L).toSet) && clusters.size == 10)
+  }
+
+  test("unigramLogProb matches hand-computed corpus LM scores") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // counts: a=2 b=2 c=1, N=5
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6(-(2 * math.log(2.0 / 5) + math.log(2.0 / 5)) / 3)
+    val d2 = r6(-(math.log(2.0 / 5) + math.log(1.0 / 5)) / 2)
+    assert(got(1L) == ((3L, d1)))
+    assert(got(2L) == ((2L, d2)))
+  }
+
+  test("commonPhrases finds shared trigrams with exact doc frequencies") {
+    val docs = Seq(
+      (1L, "click here to unsubscribe now"),
+      (2L, "click here to continue"),
+      (3L, "click here to unsubscribe today"),
+      (4L, "totally unrelated text body")).toDF("doc_id", "text")
+    val got = TextAnalysis.commonPhrases(docs, minDocs = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head == ("click here to" -> 3L))
+    assert(got.toMap.get("here to unsubscribe").contains(2L))
+    // ordering: frequency desc, then phrase asc
+    assert(got.map(-_._2).zip(got.map(_._1)).sorted.map(_._2).toSeq == got.map(_._1).toSeq)
+  }
 }
