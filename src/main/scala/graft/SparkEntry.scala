@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Octo
-import graft.operators.{Clustering, Decontaminate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Decontaminate, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -554,6 +554,36 @@ object SparkEntry {
       TextAnalysis.commonPhrases(t(s, dir, "documents"),
         n = 3, minDocs = 5, topK = 200)),
 
+    // Gopher-style quality rules: one codegen'd projection, no shuffle
+    "t5_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"))),
+
+    // PII detect + redact. The synthetic corpus has no PII, so the query
+    // first derives a text column with deterministic doc_id-keyed PII
+    // (email, IP, phone) — the oracle replays the same derivation — then
+    // counts and redacts it. Zero-shuffle codegen'd regex projection.
+    "p6_pii" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(".")).as("text"))
+      Pii.scan(d)
+    }),
+
+    // exact distributed percentiles (linear interpolation, DuckDB
+    // quantile_cont semantics) per event type — beyond the reference's
+    // aggregate set; Spark's percentile is a partial-merge aggregate,
+    // so the shuffle carries per-group sketch state, not rows
+    "q34_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(avg(col("value")), 6).as("mean"))),
+
     // benchmark decontamination: Bloom-prefiltered shingle overlap of the
     // corpus (source<>'src0') against a held-out benchmark (source='src0');
     // exact result — the Bloom phase only prunes the shuffle
@@ -593,6 +623,12 @@ object SparkEntry {
       Streams.runTumblingAgg(s, s"$dir/events.parquet", "ts", "1 hour",
         Seq("event_type"), Seq(count(lit(1)).as("n")),
         queryName = "st1_stream_tumble")),
+
+    // streaming exact dedup: watermark-bounded per-key state, append
+    // mode; final drained output = the batch DISTINCT (the oracle)
+    "st3_stream_dedup" -> ((s, dir) =>
+      Streams.runStreamingDedup(s, s"$dir/events.parquet", "ts", "1 hour",
+        Seq("user_id", "event_type"), queryName = "st3_stream_dedup")),
 
     // tumble reached through the reference's SQL TVF syntax (named
     // arguments, DESCRIPTOR time field) — the dialect front-end path,
@@ -1080,6 +1116,63 @@ object SparkEntry {
         |SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1
         |HAVING COUNT(*) >= 5
         |ORDER BY n_docs DESC, shingle LIMIT 200""".stripMargin,
+
+    "t5_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  round(list_aggregate(list_transform(ws, x -> len(x)), 'sum')
+        |        / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+        |  round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |        / CAST(len(ws) AS DOUBLE), 6) AS alpha_frac,
+        |  CAST(len(list_filter(ws, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it'],
+        |    lower(x)))) AS BIGINT) AS n_stopwords,
+        |  (len(ws) >= 50 AND len(ws) <= 100000
+        |   AND list_aggregate(list_transform(ws, x -> len(x)), 'sum')
+        |       / CAST(len(ws) AS DOUBLE) >= 3.0
+        |   AND list_aggregate(list_transform(ws, x -> len(x)), 'sum')
+        |       / CAST(len(ws) AS DOUBLE) <= 10.0
+        |   AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |       / CAST(len(ws) AS DOUBLE) >= 0.8
+        |   AND len(list_filter(ws, x -> list_contains(
+        |     ['the','a','an','and','or','of','to','in','is','it'],
+        |     lower(x)))) >= 2) AS passes
+        |FROM w""".stripMargin,
+
+    "p6_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 10.'
+        |      || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+        |      || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || '.' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM d""".stripMargin,
+
+    "q34_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(avg(value), 6) AS mean
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "st3_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "d8_decontam" ->
       """WITH toks AS (

@@ -232,6 +232,40 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("shingle"))
       .limit(topK)
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", §A1.1), adapted to word-level signals: word count in
+    * [50, 100k], mean word length in [3, 10], ≥80% of words contain an
+    * alphabetic character, and ≥2 stopwords. Output carries the metrics
+    * (rounded to 6 dp so engine summation order can't leak) plus the
+    * composite `passes` flag.
+    *
+    * Scale shape: one narrow codegen'd projection over higher-order
+    * array functions — no explode, no shuffle, no UDFs; the rules run
+    * at scan speed and the flag is a pushable filter for the next
+    * pipeline stage.
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val nWords = size(ws).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val meanLen = sumLen.cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double") /
+      nWords.cast("double")
+    val stops = array(EnStopwords.map(lit): _*)
+    val nStop = size(filter(ws, x => array_contains(stops, lower(x)))).cast("long")
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stopwords"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        alphaFrac >= 0.8 && nStop >= 2).as("passes"))
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)

@@ -71,6 +71,48 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming exact deduplication on `keyCols` over a parquet file/dir,
+    * drained through a memory sink and returned as a batch DataFrame of
+    * the distinct keys — the streaming form of the pipeline's exact-dedup
+    * stage (batch form: [[graft.operators.Dedup.exact]]).
+    *
+    * Scale shape: `dropDuplicatesWithinWatermark` keeps per-key state
+    * only until the watermark passes `delay` behind the key's event
+    * time, so state is bounded by the distinct keys inside the lag
+    * window — not by the unbounded history a plain streaming
+    * `dropDuplicates` would accumulate. State is hash-partitioned on the
+    * key columns across executors. Only the key columns are emitted
+    * (arrival order decides which duplicate's other fields survive, so
+    * emitting them would be nondeterministic).
+    */
+  def runStreamingDedup(spark: SparkSession, path: String, timeCol: String,
+                        delay: String, keyCols: Seq[String],
+                        queryName: String = "graft_dedup"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(path)
+    val src = schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
+      case _ => raw
+    }
+    val deduped = src
+      .withWatermark(timeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .select(keyCols.map(col): _*)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** One emitted record of a retraction stream: `retraction = true`
     * withdraws the previously emitted value for the key — the
     * reference's Record.Retraction bit (execution/execution.go:58-62).

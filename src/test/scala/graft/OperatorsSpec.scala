@@ -376,6 +376,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((2L, d2)))
   }
 
+  test("Pii.scan counts and redacts emails, IPs, and phones") {
+    import graft.operators.Pii
+    val docs = Seq(
+      (1L, "mail jane.doe+spam@mail.example.org or 192.168.1.10 ext 555-1234"),
+      (2L, "no pii here, just 1.2 numbers and an at sign @ alone"),
+      (3L, "two mails: a@b.co c@d.io")).toDF("doc_id", "text")
+    val got = Pii.scan(docs).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, "mail <EMAIL> or <IP> ext <PHONE>")))
+    assert(got(2L) ==
+      ((0L, 0L, 0L, "no pii here, just 1.2 numbers and an at sign @ alone")))
+    assert(got(3L) == ((2L, 0L, 0L, "two mails: <EMAIL> <EMAIL>")))
+  }
+
+  test("gopherRules computes word stats and the composite flag") {
+    val short = "the cat sat on the mat"
+    val good = ("the quick brown fox jumps over a lazy dog and it is fine "
+      * 5).trim
+    val docs = Seq((1L, short), (2L, good)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    // 6 words, mean len 17/6 < 3, "the" twice → fails on count and length
+    assert(got(1L)._1 == 6L && got(1L)._4 == 2L && !got(1L)._5)
+    assert(got(1L)._2 == BigDecimal(17.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // 65 words, mean len 44/13, all-alpha, 25 stopwords → passes
+    assert(got(2L)._1 == 65L && got(2L)._3 == 1.0 && got(2L)._5)
+  }
+
   test("commonPhrases finds shared trigrams with exact doc frequencies") {
     val docs = Seq(
       (1L, "click here to unsubscribe now"),

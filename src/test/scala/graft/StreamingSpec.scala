@@ -32,6 +32,34 @@ class StreamingSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("streaming dedup emits each key exactly once (watermark-bounded state)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, "click", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 00:10:00"),
+      (2L, "view", "2024-01-01 00:20:00"),
+      (1L, "view", "2024-01-01 00:30:00"),
+      (2L, "view", "2024-01-01 00:40:00"))
+      .toDF("user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+    val got = Streams.runStreamingDedup(spark, dir, "ts", "1 hour",
+        Seq("user_id", "event_type"), queryName = "spec_dedup")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "click"), (2L, "view"), (1L, "view")))
+  }
+
+  test("streaming dedup on events equals batch DISTINCT") {
+    val got = Streams.runStreamingDedup(spark, s"$sf/events.parquet", "ts",
+      "1 hour", Seq("user_id", "event_type"), queryName = "spec_dedup_ev")
+    val batch = Engine.table(spark, sf, "events")
+      .select("user_id", "event_type").distinct()
+    assert(got.count() == batch.count())
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      batch.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("watermark drops late rows in append-mode windowed agg") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Int)]
