@@ -554,6 +554,19 @@ object SparkEntry {
       TextAnalysis.commonPhrases(t(s, dir, "documents"),
         n = 3, minDocs = 5, topK = 200)),
 
+    // hopping (sliding) window agg — beyond the reference's tumble; one
+    // Expand pass (len/hop fan-out), no self-join; SQL TVF form in
+    // DialectSpec
+    "q35_hop" -> ((s, dir) =>
+      Streams.hop(t(s, dir, "events"), "ts", "1 hour", "30 minutes")
+        .groupBy("window_start", "event_type")
+        .agg(count(lit(1)).as("n"))),
+
+    // embedding L2-normalize + int8 quantization, exploded to (id, i, q)
+    // long form for exact cross-engine hashing
+    "s5_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+
     // Gopher-style quality rules: one codegen'd projection, no shuffle
     "t5_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"))),
@@ -1116,6 +1129,28 @@ object SparkEntry {
         |SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1
         |HAVING COUNT(*) >= 5
         |ORDER BY n_docs DESC, shingle LIMIT 200""".stripMargin,
+
+    "q35_hop" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |    - k.k * INTERVAL '30 minutes' AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        |GROUP BY 1, 2""".stripMargin,
+
+    "s5_quantize" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM n)
+        |SELECT vec_id, CAST(i AS BIGINT) AS i,
+        |  CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / nrm * 127)
+        |       AS BIGINT) AS q
+        |FROM e""".stripMargin,
 
     "t5_gopher_rules" ->
       """WITH w AS (

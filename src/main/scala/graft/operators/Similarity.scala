@@ -187,6 +187,29 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** L2-normalize and symmetric-int8-quantize embeddings, exploded to
+    * `(id, i, q)` with 1-based dimension index `i` and `q = round(x /
+    * ‖v‖ × 127)` — the storage/serving compression step before ANN
+    * indexing (4× smaller than float32, dot products stay ±1%).
+    *
+    * Scale shape: one codegen'd projection + generator, no shuffle; the
+    * exploded long-form output is what makes the op exactly
+    * hash-checkable across engines (array columns stringify
+    * differently). The fold for ‖v‖ and the divide/round sequence use a
+    * fixed expression tree, so IEEE doubles — and the rounding
+    * boundaries — are bit-identical everywhere.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(emb.sparkSession)
+    val v = col(vecCol)
+    emb.select(col(idCol), norm(v).as("nrm"), posexplode(v).as(Seq("pos", "x")))
+      .select(col(idCol),
+        (col("pos") + 1).cast("long").as("i"),
+        round(col("x").cast("double") / col("nrm") * 127, 0)
+          .cast("long").as("q"))
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     * detection. Brute self-join with per-row precomputed norms; swap
     * candidate generation to `cosinePairsLsh` at scale.

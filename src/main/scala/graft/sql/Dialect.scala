@@ -302,7 +302,7 @@ object Dialect {
 
   // ---- TVFs ----------------------------------------------------------
 
-  private val TvfNames = Set("tumble", "max_diff_watermark", "poll", "range")
+  private val TvfNames = Set("tumble", "hop", "max_diff_watermark", "poll", "range")
   private var tvfCounter = 0
 
   /** Parse `INTERVAL <n> <unit>` (or `INTERVAL '<n>' <unit>`) starting
@@ -443,6 +443,31 @@ object Dialect {
         val df = src
           .withColumn("window_start", timestamp_micros(ws))
           .withColumn("window_end", timestamp_micros(ws + lit(lenUs)))
+        df.createOrReplaceTempView(view)
+        rels(view) = RelInfo(
+          info.cols ++ Seq("window_start" -> OTime, "window_end" -> OTime),
+          timeField = Some("window_end"))
+        view
+      case "hop" =>
+        // hopping (sliding) window — beyond the reference's tumble;
+        // named-arg surface mirrors Flink's HOP TVF. Each row lands in
+        // window_length / hop_length overlapping windows via Expand.
+        val (src, info) = sourceDf()
+        val tf = descriptor("time_field").orElse(info.timeField).getOrElse(
+          throw new TypecheckException(
+            "the source table has no implicit watermarked time field, time_field must be specified explicitly"))
+        required("window_length")
+        required("hop_length")
+        val lenUs = (interval("window_length").getOrElse(
+          throw new TypecheckException(
+            "hop: window_length must be a Duration (INTERVAL n UNIT)"))
+          * 1000000L).toLong
+        val hopUs = (interval("hop_length").getOrElse(
+          throw new TypecheckException(
+            "hop: hop_length must be a Duration (INTERVAL n UNIT)"))
+          * 1000000L).toLong
+        val df = graft.streaming.Streams.hop(src, tf,
+          s"$lenUs microseconds", s"$hopUs microseconds")
         df.createOrReplaceTempView(view)
         rels(view) = RelInfo(
           info.cols ++ Seq("window_start" -> OTime, "window_end" -> OTime),

@@ -26,6 +26,18 @@ object Streams {
       .withColumn("window_end", col("__w.end"))
       .drop("__w")
 
+  /** Append window_start/window_end for a hopping (sliding) window —
+    * beyond the reference's tumble: each row lands in `len`/`slide`
+    * overlapping windows. Spark expands this via the `Expand` operator
+    * (one pass, no self-join), so it scales like a projection with a
+    * bounded fan-out factor.
+    */
+  def hop(df: DataFrame, timeCol: String, len: String, slide: String): DataFrame =
+    df.withColumn("__w", window(col(timeCol), len, slide))
+      .withColumn("window_start", col("__w.start"))
+      .withColumn("window_end", col("__w.end"))
+      .drop("__w")
+
   /** Bounded out-of-orderness watermark (reference max_diff_watermark):
     * event time from `timeCol`, watermark lag = `maxDiff`. Late rows are
     * dropped by Spark's stateful operators, matching the reference's

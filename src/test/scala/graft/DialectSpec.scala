@@ -100,6 +100,26 @@ class DialectSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hop TVF (named args) equals the DataFrame hop") {
+    import org.apache.spark.sql.functions._
+    Engine.table(spark, sf, "events").createOrReplaceTempView("hop_src")
+    val sqlForm = Dialect.prepare(spark,
+      """SELECT window_start, event_type, count(*) AS n
+        |FROM hop(source => TABLE hop_src,
+        |         time_field => DESCRIPTOR ts,
+        |         window_length => INTERVAL 1 HOUR,
+        |         hop_length => INTERVAL 30 MINUTE)
+        |GROUP BY window_start, event_type""".stripMargin).df
+    val dfForm = graft.streaming.Streams
+      .hop(Engine.table(spark, sf, "events"), "ts", "1 hour", "30 minutes")
+      .groupBy("window_start", "event_type").agg(count(lit(1)).as("n"))
+    val s = sqlForm.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val d = dfForm.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(s == d && s.nonEmpty)
+  }
+
   test("naming applies to the main select of a WITH query, not the CTEs") {
     val dir = java.nio.file.Files.createTempDirectory("dn3")
     java.nio.file.Files.write(dir.resolve("w.csv"), "k,v\na,1\nb,2\na,3\n".getBytes)

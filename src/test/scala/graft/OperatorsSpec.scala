@@ -390,6 +390,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0L, "two mails: <EMAIL> <EMAIL>")))
   }
 
+  test("quantizeInt8 normalizes then rounds to symmetric int8") {
+    import graft.operators.Similarity
+    // norm(3,4) = 5 → q = round(x/5*127): 76.2 → 76, 101.6 → 102
+    val df = Seq((7L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 76L), (2L, 102L)))
+  }
+
   test("gopherRules computes word stats and the composite flag") {
     val short = "the cat sat on the mat"
     val good = ("the quick brown fox jumps over a lazy dog and it is fine "
