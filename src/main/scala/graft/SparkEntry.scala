@@ -567,6 +567,11 @@ object SparkEntry {
     "s5_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"))),
 
+    // JL random projection 64→16: deterministic arithmetic sign matrix,
+    // zero-state codegen map pass; long form for exact hashing
+    "s6_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), outDim = 16)),
+
     // Gopher-style quality rules: one codegen'd projection, no shuffle
     "t5_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"))),
@@ -1151,6 +1156,17 @@ object SparkEntry {
         |  CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / nrm * 127)
         |       AS BIGINT) AS q
         |FROM e""".stripMargin,
+
+    "s6_random_projection" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding, unnest(range(1, 17)) AS j
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  round(list_aggregate(list_transform(embedding, (x, i) ->
+        |    CAST(x AS DOUBLE)
+        |      * (CASE WHEN ((i*2654435761 + j*2246822519) % 4294967296) >> 31 = 0
+        |         THEN 1.0 ELSE -1.0 END)), 'sum') / sqrt(16.0), 6) AS y
+        |FROM p""".stripMargin,
 
     "t5_gopher_rules" ->
       """WITH w AS (

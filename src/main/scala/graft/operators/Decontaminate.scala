@@ -38,12 +38,19 @@ object Decontaminate {
     * `bloomPrefilter=false` skips the Bloom phase (exact join only) —
     * the differential-test reference; results are identical by
     * construction.
+    *
+    * `bloomExpectedItems` sizes the filter; the default (-1) counts the
+    * benchmark shingle set first — one extra job over the persisted
+    * SMALL side — so the filter is ~9.6 bits/item instead of a fixed
+    * multi-MB literal when the eval set is tiny (and under-sized never
+    * breaks correctness, only the pruning rate, thanks to the exact
+    * join behind it).
     */
   def scores(corpus: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String, n: Int = 3,
              tokens: Boolean = true,
              bloomPrefilter: Boolean = true,
-             bloomExpectedItems: Long = 4L << 20): DataFrame = {
+             bloomExpectedItems: Long = -1L): DataFrame = {
     val corpusIdx = Dedup.shingleIndex(corpus, idCol, textCol, n, None, tokens)
       .select(col("id"), xxhash64(col("shingle")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -56,10 +63,13 @@ object Decontaminate {
         // one aggregate over the benchmark shingle hashes; the filter
         // bytes are bounded by numBits (not by benchmark size) and are
         // order-independent, so the build is deterministic
+        val items =
+          if (bloomExpectedItems > 0) bloomExpectedItems
+          else math.max(benchSet.count(), 1024L)
         val bloomBytes = benchSet
           .agg(GraftSqlBridge.column(
             new BloomFilterAggregate(
-              GraftSqlBridge.expression(col("h")), bloomExpectedItems)
+              GraftSqlBridge.expression(col("h")), items)
               .toAggregateExpression()).as("bf"))
           .head().getAs[Array[Byte]](0)
         if (bloomBytes == null) corpusIdx.limit(0) // empty benchmark

@@ -210,6 +210,23 @@ object Similarity {
           .cast("long").as("q"))
   }
 
+  /** Johnson-Lindenstrauss dimension reduction to `outDim`, long form
+    * `(id, j, y)` with 1-based output index and y rounded to 6 dp. The
+    * projection matrix is a deterministic arithmetic sign pattern (see
+    * [[graft.plans.VecRandomProject]]) — no state, no shuffle, one
+    * codegen map pass; the pre-reduction step before ANN indexing when
+    * the native dimension is too wide to bucket.
+    */
+  def randomProject(emb: DataFrame, outDim: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val proj = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.VecRandomProject(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(vecCol)), outDim))
+    emb.select(col(idCol), posexplode(proj).as(Seq("pos", "y")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("j"),
+        round(col("y"), 6).as("y"))
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     * detection. Brute self-join with per-row precomputed norms; swap
     * candidate generation to `cosinePairsLsh` at scale.

@@ -287,6 +287,90 @@ case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Johnson-Lindenstrauss random projection to `outDim` dimensions with a
+  * deterministic ±1 sign matrix generated ARITHMETICALLY from (i, j) —
+  * no carried matrix at all: `sign(i,j) = bit31((i·2654435761 +
+  * j·2246822519) mod 2³²) == 0 ? +1 : −1` with 1-based indices, output
+  * scaled by 1/√outDim. The same formula is replayable in any engine
+  * (the DuckDB oracle uses an indexed list lambda), which is what makes
+  * a *random* projection oracle-checkable: the "randomness" is a fixed
+  * universal-hash sign pattern, as in feature hashing.
+  *
+  * Scale shape: a pure codegen'd projection — dimension reduction of a
+  * 100 TB embedding corpus is one map pass with zero shuffle, zero
+  * driver state, zero plan growth (contrast: a literal matrix would add
+  * O(outDim×dim) plan nodes; even a reference object must ship with the
+  * task binary). Accumulation is sequential in i per output j, matching
+  * the oracle's list fold bit-for-bit.
+  */
+case class VecRandomProject(child: Expression, outDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) if outDim > 0 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_random_project expects array<float|double> and outDim > 0, got $other / $outDim")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val n = v.numElements()
+    val scale = math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var j = 1
+    while (j <= outDim) {
+      var s = 0.0
+      var i = 1
+      while (i <= n) {
+        val h = (i * 2654435761L + j * 2246822519L) & 0xFFFFFFFFL
+        val sign = if ((h >>> 31) == 0L) 1.0 else -1.0
+        val x = if (fl) v.getFloat(i - 1).toDouble else v.getDouble(i - 1)
+        s += x * sign
+        i += 1
+      }
+      out(j - 1) = s / scale
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |double[] $out = new double[$outDim];
+         |double scale = Math.sqrt((double)$outDim);
+         |for (int $j = 1; $j <= $outDim; $j++) {
+         |  double $s = 0.0;
+         |  for (int $i = 1; $i <= $v.numElements(); $i++) {
+         |    long $h = ($i * 2654435761L + $j * 2246822519L) & 0xFFFFFFFFL;
+         |    $s += (double)$v.$get($i - 1) * (($h >>> 31) == 0L ? 1.0 : -1.0);
+         |  }
+         |  $out[$j - 1] = $s / scale;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecRandomProject =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Register `vec_dot` in the session's function registry (idempotent)
     * so it's callable via `call_function` / SQL.

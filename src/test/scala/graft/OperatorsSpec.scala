@@ -399,6 +399,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 76L), (2L, 102L)))
   }
 
+  test("randomProject is linear, deterministic, and matches interpreted eval") {
+    import graft.operators.Similarity
+    // integer-valued floats keep every intermediate sum exactly
+    // representable, so linearity holds bit-exactly
+    val a = Array.tabulate(8)(i => (i % 5 - 2).toFloat)
+    val b = Array.tabulate(8)(i => ((i * 3) % 7 - 3).toFloat)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val df = Seq((1L, a), (2L, b), (3L, ab)).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df, outDim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 12)
+    (1L to 4L).foreach { j =>
+      assert(got((3L, j)) == got((1L, j)) + got((2L, j)))
+    }
+    // interpreted eval agrees with the codegen'd path
+    val expr = graft.plans.VecRandomProject(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        a, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), 4)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    (1 to 4).foreach { j =>
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((1L, j.toLong)) == r6(interp(j - 1)))
+    }
+  }
+
   test("gopherRules computes word stats and the composite flag") {
     val short = "the cat sat on the mat"
     val good = ("the quick brown fox jumps over a lazy dog and it is fine "
