@@ -572,6 +572,22 @@ object SparkEntry {
     "s6_random_projection" -> ((s, dir) =>
       Similarity.randomProject(t(s, dir, "embeddings"), outDim = 16)),
 
+    // native session windows (gap merge) — the windowing-operator form
+    // of q28's SQL sessionization; one shuffle on user_id, state merges
+    // sorted runs per key
+    "q36_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n"))),
+
+    // exact substring-span dedup (Lee et al.): doc pairs sharing ≥1
+    // exact 8-token span, ranked by distinct shared spans
+    "d9_substring_dup" -> ((s, dir) =>
+      Dedup.substringDupPairs(t(s, dir, "documents"), n = 8)),
+
     // Gopher-style quality rules: one codegen'd projection, no shuffle
     "t5_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"))),
@@ -1167,6 +1183,39 @@ object SparkEntry {
         |      * (CASE WHEN ((i*2654435761 + j*2246822519) % 4294967296) >> 31 = 0
         |         THEN 1.0 ELSE -1.0 END)), 'sum') / sqrt(16.0), 6) AS y
         |FROM p""".stripMargin,
+
+    "q36_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
+        |            >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "d9_substring_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 7, 1) + 1),
+        |      i -> list_aggregate(ts[CAST(i AS INT):CAST(i AS INT) + 7],
+        |                          'string_agg', ' '))) AS shingle
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM sh a JOIN sh b USING (shingle)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "t5_gopher_rules" ->
       """WITH w AS (

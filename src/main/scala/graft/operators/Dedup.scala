@@ -105,6 +105,34 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       threshold)
 
+  /** Exact substring-span duplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", the suffix-array
+    * substring dedup, re-expressed as a shingle join): pairs of
+    * documents sharing ≥ `minShared` exact `n`-token spans, with the
+    * count of distinct shared spans. A 50-token exact overlap shows up
+    * as 50−n+1 shared spans, so ranking by `n_shared` surfaces the
+    * worst offenders first.
+    *
+    * Scale shape: identical to the Jaccard inverted index — one
+    * codegen'd TokenShingles explode (per-doc distinct), 64-bit hashed
+    * spans, key-partitioned self-join (never all-pairs), `maxDocFreq`
+    * cap against boilerplate spans that would blow up the bucket join.
+    */
+  def substringDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 8,
+                        minShared: Int = 1,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq, tokens = true)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = idx.toDF("id_a", "h")
+    val b = idx.toDF("id_b", "h")
+    a.join(b, "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Jaccard pairs from a prebuilt `(id, shingle: long)` inverted index
     * — callers that also feed MinHash from the same shingles (d3's
     * recall query) build the explode once and share it.

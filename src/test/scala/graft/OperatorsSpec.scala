@@ -427,6 +427,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("substringDupPairs counts distinct shared n-token spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f g h i q"),
+      (3L, "totally different words here with no overlap at all ok"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringDupPairs(docs, n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1 spans: a..h, b..i, c..j; doc2 contains a..h and b..i
+    assert(got.toSeq == Seq((1L, 2L, 2L)))
+  }
+
   test("gopherRules computes word stats and the composite flag") {
     val short = "the cat sat on the mat"
     val good = ("the quick brown fox jumps over a lazy dog and it is fine "
