@@ -588,6 +588,18 @@ object SparkEntry {
     "d9_substring_dup" -> ((s, dir) =>
       Dedup.substringDupPairs(t(s, dir, "documents"), n = 8)),
 
+    // URL extraction + per-host stats (domain-frequency table for
+    // blocklist filtering); URLs injected deterministically like p6
+    "p8_urls" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://site"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/page/"), col("doc_id").cast("string"),
+          lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
+          lit(".example.org")).as("text"))
+      TextAnalysis.urlHostStats(d)
+    }),
+
     // Gopher-style quality rules: one codegen'd projection, no shuffle
     "t5_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"))),
@@ -1216,6 +1228,22 @@ object SparkEntry {
         |FROM sh a JOIN sh b USING (shingle)
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "p8_urls" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 20) || '.example.com/page/'
+        |         || doc_id || ' and http://cdn' || (doc_id % 5)
+        |         || '.example.org' AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text,
+        |    'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/-]*)?')) AS url
+        |  FROM d)
+        |SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS host,
+        |  COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT doc_id) AS n_docs
+        |FROM u GROUP BY host""".stripMargin,
 
     "t5_gopher_rules" ->
       """WITH w AS (

@@ -266,6 +266,30 @@ object TextAnalysis {
         alphaFrac >= 0.8 && nStop >= 2).as("passes"))
   }
 
+  /** URL pattern in the Java-regex ∩ RE2 portable subset (non-capturing
+    * group, no lookaround) — shared with the oracle verbatim.
+    */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/-]*)?"
+
+  /** Per-host URL statistics over a corpus: `(host, n_urls, n_docs)` —
+    * the domain-frequency table a pipeline builds before domain
+    * filtering/blocklisting.
+    *
+    * Scale shape: codegen'd regex extract + generator (no UDFs), then
+    * one map-side-combined aggregation keyed by host. `countDistinct`
+    * expands to the standard two-phase distinct aggregation, so no
+    * per-host doc set ever materializes on one node.
+    */
+  def urlHostStats(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+          .as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1).as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)

@@ -60,6 +60,32 @@ class StreamingSpec extends SparkSpec {
       batch.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("streaming session windows emit watermark-closed sessions (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val sessions = mem.toDF().toDF("epoch", "k")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("k"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("sw.start").as("s"), col("sw.end").as("e"), col("n"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("session_stream").start()
+    try {
+      // user a: two sessions (100,200 | 2500); sentinel advances the
+      // watermark far past both so append mode releases them
+      mem.addData((100L, "a"), (200L, "a"), (2500L, "a"))
+      q.processAllAvailable()
+      mem.addData((100000L, "z"))
+      q.processAllAvailable()
+      val rows = spark.table("session_stream").collect().map(r =>
+        (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond,
+          r.getTimestamp(2).toInstant.getEpochSecond, r.getLong(3))).toSet
+      assert(rows == Set(("a", 100L, 2000L, 2L), ("a", 2500L, 4300L, 1L)))
+    } finally q.stop()
+  }
+
   test("watermark drops late rows in append-mode windowed agg") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Int)]
