@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Octo
-import graft.operators.{Clustering, Decontaminate, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Decontaminate, Dedup, Multimodal, Pii, RangeJoin, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -582,6 +582,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n"))),
+
+    // token-budget-capped sampling: each source keeps hash-ordered docs
+    // until its running char total exceeds the budget (source mixing)
+    "p9_token_budget" -> ((s, dir) =>
+      operators.Sampling.tokenBudgetSample(t(s, dir, "documents"),
+          "doc_id", "source", "n_chars", budget = 4000L)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))),
+
+    // canonical-doc selection: cluster near-dups, keep each cluster's
+    // largest member (ties → min id); singletons keep themselves
+    "d10_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, tokens = true).select("id_a", "id_b")
+      Dedup.canonicalDocs(docs, pairs)
+    }),
+
+    // binned range join: events joined to 20 overlapping 72h campaign
+    // windows (36h spacing) — equi-join on day bins, not a nested loop
+    "q37_range_join" -> ((s, dir) => {
+      val campaigns = s.range(20).select(
+        col("id").as("campaign_id"),
+        timestamp_seconds(lit(1704067200L) + col("id") * 129600L)
+          .as("start_ts"),
+        timestamp_seconds(lit(1704067200L) + col("id") * 129600L + 259200L)
+          .as("end_ts"))
+      RangeJoin.rangeJoin(t(s, dir, "events"), "ts",
+          campaigns, "start_ts", "end_ts")
+        .groupBy("campaign_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+    }),
 
     // exact substring-span dedup (Lee et al.): doc pairs sharing ≥1
     // exact 8-token span, ranked by distinct shared spans
@@ -1213,6 +1246,71 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "p9_token_budget" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id) AS cum
+        |  FROM h)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM c WHERE cum <= 4000""".stripMargin,
+
+    "d10_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8),
+        |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (
+        |  SELECT id, id AS comp FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, lbl.comp FROM lbl JOIN edges e ON e.a = lbl.id),
+        |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(f.comp, d.doc_id) AS cluster, d.n_chars
+        |  FROM documents d LEFT JOIN final f ON f.id = d.doc_id),
+        |w AS (
+        |  SELECT cluster, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY cluster
+        |                       ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM lab)
+        |SELECT doc_id AS keep_doc_id, n_members,
+        |  CAST(n_chars AS BIGINT) AS kept_chars
+        |FROM w WHERE rn = 1""".stripMargin,
+
+    "q37_range_join" ->
+      """WITH c AS (
+        |  SELECT i AS campaign_id,
+        |    TIMESTAMP '2024-01-01' + to_seconds(129600 * i) AS start_ts,
+        |    TIMESTAMP '2024-01-01' + to_seconds(129600 * i + 259200) AS end_ts
+        |  FROM range(20) t(i))
+        |SELECT c.campaign_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN c
+        |  ON e.ts >= c.start_ts AND e.ts < c.end_ts
+        |GROUP BY 1""".stripMargin,
 
     "d9_substring_dup" ->
       """WITH toks AS (

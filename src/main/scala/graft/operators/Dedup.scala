@@ -343,6 +343,38 @@ object Dedup {
       .groupBy(col("comp").as("keep_id"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** Canonical-document selection — the "keep best" step that turns a
+    * near-dup pair list into a deduplicated corpus: every document joins
+    * its cluster label (documents in no pair are their own singleton
+    * cluster) and each cluster keeps its largest member, ties broken to
+    * the smallest id.
+    *
+    * Scale shape: one left join of the corpus to the (small) component
+    * labeling, then a single struct-max aggregation — the argmax rides
+    * map-side combine, so no window sort over the full corpus and no
+    * per-cluster row list ever materializes.
+    *
+    * Returns (keep_doc_id, n_members, kept_chars).
+    */
+  def canonicalDocs(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id",
+                    sizeCol: String = "n_chars"): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val labeled = docs
+      .join(comp, docs(idCol) === comp("id"), "left")
+      .select(coalesce(col("comp"), docs(idCol)).as("cluster"),
+        docs(idCol).cast("long").as("__id"),
+        docs(sizeCol).cast("long").as("__sz"))
+    // max over (size, -id) = largest doc, smallest id on ties; ids are
+    // non-negative so the negation is a safe total-order inversion
+    labeled.groupBy("cluster")
+      .agg(max(struct(col("__sz").as("sz"), (-col("__id")).as("nid")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select((-col("best.nid")).as("keep_doc_id"), col("n_members"),
+        col("best.sz").as("kept_chars"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on each

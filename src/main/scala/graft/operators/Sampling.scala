@@ -42,4 +42,23 @@ object Sampling {
     df.withColumn("split",
       when(pmod(hashKey(col(idCol)), lit(100)) < evalPct, "eval")
         .otherwise("train"))
+
+  /** Token-budget-capped sampling — the source-mixing step of a training
+    * pipeline ("cap every source at N tokens"): each group's rows are
+    * ordered by the portable hash and kept while the running token total
+    * stays within `budget`.
+    *
+    * One shuffle on the group key; the running sum is a window cumsum
+    * over a unique (hash, id) order, so the kept set is deterministic
+    * and engine-independent. Groups cheaper than the budget pass
+    * through whole.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
 }

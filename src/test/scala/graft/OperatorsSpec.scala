@@ -36,6 +36,26 @@ class OperatorsSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("RangeJoin matches the naive inequality join, without a nested loop") {
+    val left = (0L until 500L).map(i => (i, i * 977L % 100000L))
+      .toDF("eid", "sec")
+      .select(col("eid"), timestamp_seconds(col("sec")).as("ts"))
+    val right = (0L until 30L).map(i => (i, i * 3000L, i * 3000L + 7200L))
+      .toDF("iid", "s", "e")
+      .select(col("iid"), timestamp_seconds(col("s")).as("start_ts"),
+        timestamp_seconds(col("e")).as("end_ts"))
+    val binned = graft.operators.RangeJoin
+      .rangeJoin(left, "ts", right, "start_ts", "end_ts", binSeconds = 3600L)
+    val naive = left.join(right,
+      col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("eid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(binned) == pairs(naive) && pairs(binned).nonEmpty)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("Dedup.exact keeps one row per key, min id wins") {
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
     val out = Dedup.exact(df, "id", Seq("k")).orderBy("k")

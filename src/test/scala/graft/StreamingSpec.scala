@@ -86,6 +86,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with their impression") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val imps = MemoryStream[(Long, Long)]   // (epoch, ad_id)
+    val clicks = MemoryStream[(Long, Long)]
+    val impDf = imps.toDF().toDF("iepoch", "ad_id")
+      .select(timestamp_seconds(col("iepoch")).as("imp_ts"), col("ad_id"))
+      .withWatermark("imp_ts", "10 minutes")
+    val clickDf = clicks.toDF().toDF("cepoch", "cad_id")
+      .select(timestamp_seconds(col("cepoch")).as("click_ts"), col("cad_id"))
+      .withWatermark("click_ts", "10 minutes")
+    // a click joins the impression of the same ad within the next hour —
+    // the watermark + range condition bound both sides' state
+    val joined = impDf.join(clickDf,
+      expr("""ad_id = cad_id AND
+              click_ts >= imp_ts AND
+              click_ts <= imp_ts + interval 1 hour"""))
+      .select(col("ad_id"),
+        col("imp_ts").cast("long").as("i"),
+        col("click_ts").cast("long").as("c"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      imps.addData((1000L, 1L), (1000L, 2L), (9000L, 3L))
+      clicks.addData((1500L, 1L), (8000L, 1L), (1500L, 9L), (9100L, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // ad 1: the click 500s after joins; the one 7000s after is past
+      // the 1h bound. ad 9's click has no impression at all.
+      assert(rows == Set((1L, 1000L, 1500L), (3L, 9000L, 9100L)))
+    } finally q.stop()
+  }
+
   test("watermark drops late rows in append-mode windowed agg") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Int)]
