@@ -583,6 +583,12 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n"))),
 
+    // code-point Shannon entropy per doc: one codegen'd projection, no
+    // explode/groupBy; rounded 6dp (cross-engine summation order)
+    "t6_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))),
+
     // token-budget-capped sampling: each source keeps hash-ordered docs
     // until its running char total exceeds the budget (source mixing)
     "p9_token_budget" -> ((s, dir) =>
@@ -1246,6 +1252,17 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "t6_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |f AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(k) AS n FROM f GROUP BY 1)
+        |SELECT f.doc_id,
+        |  round(-SUM((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)),
+        |    6) AS entropy
+        |FROM f JOIN n ON f.doc_id = n.doc_id
+        |GROUP BY 1""".stripMargin,
 
     "p9_token_budget" ->
       """WITH h AS (

@@ -121,6 +121,17 @@ object TextAnalysis {
       graft.plans.PolyHash(
         org.apache.spark.sql.GraftSqlBridge.expression(text), mult, modulus))
 
+  /** Code-point Shannon entropy (bits) of a string column via the
+    * codegen'd single-pass [[graft.plans.CharEntropy]] kernel — low
+    * entropy flags repetitive gibberish, high entropy flags
+    * compressed/binary junk in a text column. Constructed directly, so
+    * it works on any session (no registry dependency).
+    */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.CharEntropy(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   /** Canonical text normalization for dedup keys / training input:
     * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
     * trim. Pure codegen'd projection.

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static Shannon-entropy kernel shared by interpreted eval and
+  * generated code: the entropy (in bits) of the string's code-point
+  * distribution, `-Σ (k/n)·log2(k/n)`.
+  *
+  * Low entropy flags gibberish (aaaaa…, boilerplate padding), high
+  * entropy flags compressed/binary junk that leaked into a text column —
+  * a standard cheap quality signal next to the length/stopword rules.
+  *
+  * Decodes UTF-8 code points with the same truncation-tolerant walk as
+  * [[PolyHashUtil]]; ASCII counts live in a flat array and rarer high
+  * code points in a small open map. The per-class accumulation order is
+  * fixed (ASCII ascending, then high code points in first-seen order) so
+  * results are deterministic run-to-run; cross-engine comparison still
+  * rounds (summation order differs in SQL replays).
+  */
+object CharEntropyUtil {
+  def entropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val ascii = new Array[Int](128)
+    // open-addressed (cp, count) pairs for cp >= 128; grown on demand
+    var hiKeys: Array[Int] = null
+    var hiCounts: Array[Int] = null
+    var hiSize = 0
+    var n = 0L
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      var step = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if (b0 < 0xe0) {
+        if (i + 1 < len) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); step = 2 }
+        else cp = b0
+      } else if (b0 < 0xf0) {
+        if (i + 2 < len) {
+          cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+            (bytes(i + 2) & 0x3f); step = 3
+        } else cp = b0
+      } else {
+        if (i + 3 < len) {
+          cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); step = 4
+        } else cp = b0
+      }
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (hiKeys == null) { hiKeys = new Array[Int](8); hiCounts = new Array[Int](8) }
+        var j = 0
+        var found = false
+        while (j < hiSize && !found) {
+          if (hiKeys(j) == cp) { hiCounts(j) += 1; found = true }
+          j += 1
+        }
+        if (!found) {
+          if (hiSize == hiKeys.length) {
+            hiKeys = java.util.Arrays.copyOf(hiKeys, hiSize * 2)
+            hiCounts = java.util.Arrays.copyOf(hiCounts, hiSize * 2)
+          }
+          hiKeys(hiSize) = cp; hiCounts(hiSize) = 1; hiSize += 1
+        }
+      }
+      n += 1
+      i += step
+    }
+    if (n == 0L) return 0.0
+    val dn = n.toDouble
+    val log2 = math.log(2.0)
+    var acc = 0.0
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) { val p = k / dn; acc -= p * (math.log(p) / log2) }
+      c += 1
+    }
+    var j = 0
+    while (j < hiSize) {
+      val p = hiCounts(j) / dn
+      acc -= p * (math.log(p) / log2)
+      j += 1
+    }
+    acc
+  }
+}
+
+/** Codegen'd code-point Shannon entropy of a string column: a single
+  * static call inside whole-stage codegen — no per-character array, no
+  * explode/groupBy shuffle pair (the naive SQL formulation shuffles the
+  * corpus twice on (doc, char)).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy expects a string column, got $other")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyUtil.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.CharEntropyUtil.entropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropyExpr {
+  /** Register `char_entropy(text)` in the session registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy",
+      exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"char_entropy expects (text), got ${exprs.length} arguments")
+        CharEntropy(exprs(0))
+      },
+      "built-in")
+}
