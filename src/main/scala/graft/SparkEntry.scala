@@ -583,6 +583,11 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n"))),
 
+    // per-doc n-gram novelty: fraction of a doc's distinct 3-gram
+    // shingles appearing in no other doc (inverted index, no all-pairs)
+    "t7_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(t(s, dir, "documents"), n = 3)),
+
     // code-point Shannon entropy per doc: one codegen'd projection, no
     // explode/groupBy; rounded 6dp (cross-engine summation order)
     "t6_entropy" -> ((s, dir) =>
@@ -1252,6 +1257,23 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "t7_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN df USING (shingle)
+        |GROUP BY 1""".stripMargin,
 
     "t6_entropy" ->
       """WITH ch AS (

@@ -301,6 +301,29 @@ object TextAnalysis {
       .groupBy("host")
       .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * `n`-token shingles that appear in no other document — 1.0 means
+    * fully original text, 0.0 means every phrase also occurs elsewhere
+    * (template/boilerplate corpora score low). The complement of the
+    * d2/d9 duplication signals, useful as a quality feature on its own.
+    *
+    * Scale shape: codegen'd TokenShingles explode (per-doc distinct),
+    * 64-bit hashed shingles, one groupBy for corpus document frequency,
+    * one key-partitioned join back, one groupBy per doc — no all-pairs
+    * stage, same inverted-index discipline as the dedup suite.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val idx = Dedup.shingleIndex(docs, idCol, textCol, n, tokens = true)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    idx.join(df, "h")
+      .groupBy(col("id").as(idCol))
+      .agg((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("novelty"))
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)
