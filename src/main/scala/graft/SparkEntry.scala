@@ -583,6 +583,16 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n"))),
 
+    // per-language top-10 vocabulary: map-side-combined token counts,
+    // rank window over vocab-sized data only
+    "t8_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 10)),
+
+    // C4-style chunk-level dedup: every 8-token chunk kept only at its
+    // first corpus-wide occurrence (one shuffle keyed by chunk)
+    "d11_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(t(s, dir, "documents"), chunkTokens = 8)),
+
     // per-doc n-gram novelty: fraction of a doc's distinct 3-gram
     // shingles appearing in no other doc (inverted index, no all-pairs)
     "t7_novelty" -> ((s, dir) =>
@@ -1257,6 +1267,37 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "t8_vocab" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |w AS (
+        |  SELECT lang, token, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token)
+        |      AS rank
+        |  FROM c)
+        |SELECT lang, token, n, rank FROM w WHERE rank <= 10""".stripMargin,
+
+    "d11_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(
+        |        range(1, CAST(ceil(len(ts) / 8.0) AS INT) + 1),
+        |        j -> {'pos': j - 1,
+        |              'chunk': array_to_string(ts[(j-1)*8+1 : j*8], ' ')}))
+        |        AS u
+        |    FROM toks)),
+        |w AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM ch)
+        |SELECT doc_id, pos, chunk FROM w WHERE rn = 1""".stripMargin,
 
     "t7_novelty" ->
       """WITH toks AS (

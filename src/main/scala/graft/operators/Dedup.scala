@@ -384,6 +384,37 @@ object Dedup {
         col("best.sz").as("kept_chars"))
   }
 
+  /** C4-style line-level dedup, re-expressed over fixed-size token
+    * chunks (the synthetic corpus has no newline structure; on real web
+    * text pass the text pre-split on '\n' instead): every non-overlapping
+    * `chunkTokens`-token chunk is kept only at its first occurrence
+    * corpus-wide (min (doc_id, pos)), removing boilerplate lines
+    * repeated across documents while leaving each document's remaining
+    * chunks addressable by (doc_id, pos) for reassembly.
+    *
+    * Scale shape: one codegen'd projection explodes chunks, then a
+    * single shuffle partitioned BY CHUNK (cardinality ~corpus size, so
+    * it spreads over all executors; identical chunks co-locate, which is
+    * exactly the skew a boilerplate line creates — heavy keys stay one
+    * partition wide because only rank-1 survives, no re-join needed).
+    *
+    * Returns the kept (doc_id, pos, chunk) rows.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", chunkTokens: Int = 8): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        j => concat_ws(" ", slice(toks, j * chunkTokens + 1, lit(chunkTokens)))))
+        .as(Seq("pos", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("doc_id", "pos")
+    chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on each

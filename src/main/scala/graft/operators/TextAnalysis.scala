@@ -324,6 +324,28 @@ object TextAnalysis {
         count(lit(1)).cast("double")).as("novelty"))
   }
 
+  /** Per-group vocabulary extraction: the `k` most frequent whitespace
+    * tokens per group (language, source, …) with counts — the corpus
+    * statistic behind tokenizer training and stopword-list induction.
+    *
+    * Scale shape: token counting is a map-side-combined groupBy (the
+    * corpus shuffles only its distinct (group, token) partial counts);
+    * the rank window then runs over vocabulary-sized data, orders of
+    * magnitude smaller than the corpus. Ties break lexicographically so
+    * the result is deterministic.
+    */
+  def vocabTopK(docs: DataFrame, groupCol: String = "lang",
+                textCol: String = "text", k: Int = 10): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(split(trim(col(textCol)), "\\s+"))
+        .as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)

@@ -56,6 +56,18 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("chunkDedup keeps first occurrence; short docs form one chunk") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // chunks: "a..h", "i j"
+      (2L, "a b c d e f g h x y"),   // first chunk duplicates doc 1's
+      (3L, "i j")                    // whole short doc = one chunk, dup of doc 1 pos 1
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.chunkDedup(docs, chunkTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(kept == Set(
+      (1L, 0L, "a b c d e f g h"), (1L, 1L, "i j"), (2L, 1L, "x y")))
+  }
+
   test("Dedup.exact keeps one row per key, min id wins") {
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
     val out = Dedup.exact(df, "id", Seq("k")).orderBy("k")
