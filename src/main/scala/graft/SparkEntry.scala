@@ -583,6 +583,13 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n"))),
 
+    // sequence packing: hash-ordered docs per source assigned to
+    // ~2000-char training shards by cumulative size (never split)
+    "p10_pack" -> ((s, dir) =>
+      operators.Sampling.packShards(t(s, dir, "documents"),
+          "doc_id", "source", "n_chars", budget = 2000L)
+        .select(col("doc_id"), col("source"), col("shard"))),
+
     // per-language top-10 vocabulary: map-side-combined token counts,
     // rank window over vocab-sized data only
     "t8_vocab" -> ((s, dir) =>
@@ -1267,6 +1274,19 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "p10_pack" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id) AS cum
+        |  FROM h)
+        |SELECT doc_id, source,
+        |  CAST(floor((cum - n_chars) / 2000) AS BIGINT) AS shard
+        |FROM c""".stripMargin,
 
     "t8_vocab" ->
       """WITH tok AS (

@@ -61,4 +61,25 @@ object Sampling {
     df.withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
       .filter(col("__cum") <= budget).drop("__cum")
   }
+
+  /** Sequence packing: assign each group's documents to fixed-budget
+    * training shards — shard k holds the hash-ordered run of documents
+    * whose cumulative token count starts inside `(k·budget, (k+1)·budget]`.
+    * The classic "pack shuffled docs into ~N-token files" step; documents
+    * may straddle a boundary (they are never split), which is the
+    * standard greedy-by-cumsum packing.
+    *
+    * Deterministic (hash order), and partitioned per group — no global
+    * cumsum bottleneck: each group's window sorts only its own rows, so
+    * sharding 100 TB across many sources stays parallel.
+    */
+  def packShards(df: DataFrame, idCol: String, groupCol: String,
+                 tokensCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("shard",
+      floor((sum(col(tokensCol).cast("long")).over(w) -
+        col(tokensCol).cast("long")) / budget))
+  }
 }
