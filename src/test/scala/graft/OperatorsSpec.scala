@@ -56,6 +56,32 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("BinnedRangeJoinRule rewrites a pure range join away from BNLJ") {
+    val left = (0L until 400L).map(i => (i, i * 977L % 90000L))
+      .toDF("eid", "sec")
+      .select(col("eid"), timestamp_seconds(col("sec")).as("ts"))
+    val right = (0L until 25L).map(i => (i, i * 3000L, i * 3000L + 7200L))
+      .toDF("iid", "s", "e")
+      .select(col("iid"), timestamp_seconds(col("s")).as("start_ts"),
+        timestamp_seconds(col("e")).as("end_ts"))
+    def naive = left.join(right,
+      col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("eid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // off (default): nested loop join
+    val offPlan = naive.queryExecution.executedPlan.toString
+    assert(offPlan.contains("BroadcastNestedLoopJoin"), offPlan)
+    val expected = pairs(naive)
+    spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "3600")
+    try {
+      val onDf = naive
+      val onPlan = onDf.queryExecution.executedPlan.toString
+      assert(!onPlan.contains("BroadcastNestedLoopJoin"), onPlan)
+      assert(pairs(onDf) == expected && expected.nonEmpty)
+    } finally spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "0")
+  }
+
   test("chunkDedup keeps first occurrence; short docs form one chunk") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),   // chunks: "a..h", "i j"
