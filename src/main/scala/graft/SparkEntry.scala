@@ -583,6 +583,18 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n"))),
 
+    // HyperLogLog distinct-count contract: the sketch (one pass, tiny
+    // fixed state per group — the 100 TB path where exact distinct
+    // needs a full shuffle of the keys) must land within 10% of exact;
+    // same in-query-contract oracle pattern as the ANN recall checks
+    "q38_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+          countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id", 0.02).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * 0.1).as("approx_ok"))),
+
     // sequence packing: hash-ordered docs per source assigned to
     // ~2000-char training shards by cumulative size (never split)
     "p10_pack" -> ((s, dir) =>
@@ -1274,6 +1286,11 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q38_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     "p10_pack" ->
       """WITH h AS (
