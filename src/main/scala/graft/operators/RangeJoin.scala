@@ -37,9 +37,13 @@ object RangeJoin {
     val lb = left.withColumn("__bin", bin(col(leftTime)))
     // hi is bin(end) rather than bin(end - 1s): at most one spurious
     // replica per interval, removed by the residual filter — cheaper
-    // than being clever about sub-second end boundaries.
+    // than being clever about sub-second end boundaries. greatest()
+    // guards inverted intervals (end < start): sequence() would throw
+    // where the naive join just matches nothing; the residual filter
+    // then drops the single spurious replica.
+    val lo = bin(col(startCol))
     val rb = right.withColumn(
-      "__bin", explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+      "__bin", explode(sequence(lo, greatest(lo, bin(col(endCol))))))
     lb.join(rb, lb("__bin") === rb("__bin") &&
         col(leftTime) >= col(startCol) && col(leftTime) < col(endCol))
       .drop("__bin")

@@ -55,6 +55,7 @@ object Sampling {
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
                         tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(hashKey(col(idCol)), col(idCol))
@@ -75,6 +76,7 @@ object Sampling {
     */
   def packShards(df: DataFrame, idCol: String, groupCol: String,
                  tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(hashKey(col(idCol)), col(idCol))

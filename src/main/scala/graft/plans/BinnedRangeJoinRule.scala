@@ -94,8 +94,11 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     val binB = AttributeReference("__graft_bin_r", LongType, nullable = false)()
     val newBuild = Generate(
       // Sequence is TimeZoneAwareExpression: without a timezone it stays
-      // unresolved and the optimizer rejects the rewritten plan
-      Explode(Sequence(binOf(lo, binSec), binOf(hi, binSec),
+      // unresolved and the optimizer rejects the rewritten plan.
+      // Greatest guards inverted intervals (end < start): sequence()
+      // throws where the original nested-loop join matched nothing.
+      Explode(Sequence(binOf(lo, binSec),
+        Greatest(Seq(binOf(lo, binSec), binOf(hi, binSec))),
         Some(Literal(1L)), Some(conf.sessionLocalTimeZone))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(binB), child = build)

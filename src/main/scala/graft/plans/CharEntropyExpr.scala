@@ -15,17 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * a standard cheap quality signal next to the length/stopword rules.
   *
   * Decodes UTF-8 code points with the same truncation-tolerant walk as
-  * [[PolyHashUtil]]; ASCII counts live in a flat array and rarer high
-  * code points in a small open map. The per-class accumulation order is
-  * fixed (ASCII ascending, then high code points in first-seen order) so
-  * results are deterministic run-to-run; cross-engine comparison still
-  * rounds (summation order differs in SQL replays).
+  * [[PolyHashUtil]]; ASCII counts live in a flat array and higher code
+  * points in an open-addressed hash table (linear probing, grown at 60%
+  * load), so CJK-alphabet documents stay O(n) rather than O(n·distinct).
+  * The per-class accumulation order is fixed (ASCII ascending, then high
+  * code points in table order) so results are deterministic run-to-run;
+  * cross-engine comparison still rounds (summation order differs in SQL
+  * replays).
   */
 object CharEntropyUtil {
   def entropy(s: UTF8String): Double = {
     val bytes = s.getBytes
     val ascii = new Array[Int](128)
-    // open-addressed (cp, count) pairs for cp >= 128; grown on demand
+    // open-addressed (cp+1, count) slots for cp >= 128 (0 = empty)
     var hiKeys: Array[Int] = null
     var hiCounts: Array[Int] = null
     var hiSize = 0
@@ -53,20 +55,27 @@ object CharEntropyUtil {
       }
       if (cp < 128) ascii(cp) += 1
       else {
-        if (hiKeys == null) { hiKeys = new Array[Int](8); hiCounts = new Array[Int](8) }
-        var j = 0
-        var found = false
-        while (j < hiSize && !found) {
-          if (hiKeys(j) == cp) { hiCounts(j) += 1; found = true }
-          j += 1
-        }
-        if (!found) {
-          if (hiSize == hiKeys.length) {
-            hiKeys = java.util.Arrays.copyOf(hiKeys, hiSize * 2)
-            hiCounts = java.util.Arrays.copyOf(hiCounts, hiSize * 2)
+        if (hiKeys == null) { hiKeys = new Array[Int](64); hiCounts = new Array[Int](64) }
+        else if (hiSize * 5 >= hiKeys.length * 3) { // grow past 60% load
+          val oldK = hiKeys; val oldC = hiCounts
+          hiKeys = new Array[Int](oldK.length * 2)
+          hiCounts = new Array[Int](oldK.length * 2)
+          var m = 0
+          while (m < oldK.length) {
+            if (oldK(m) != 0) {
+              var sl = ((oldK(m) - 1) * 0x9E3779B1) & (hiKeys.length - 1)
+              while (hiKeys(sl) != 0) sl = (sl + 1) & (hiKeys.length - 1)
+              hiKeys(sl) = oldK(m); hiCounts(sl) = oldC(m)
+            }
+            m += 1
           }
-          hiKeys(hiSize) = cp; hiCounts(hiSize) = 1; hiSize += 1
         }
+        val mask = hiKeys.length - 1
+        var sl = (cp * 0x9E3779B1) & mask
+        while (hiKeys(sl) != 0 && hiKeys(sl) != cp + 1)
+          sl = (sl + 1) & mask
+        if (hiKeys(sl) == 0) { hiKeys(sl) = cp + 1; hiCounts(sl) = 1; hiSize += 1 }
+        else hiCounts(sl) += 1
       }
       n += 1
       i += step
@@ -81,11 +90,15 @@ object CharEntropyUtil {
       if (k > 0) { val p = k / dn; acc -= p * (math.log(p) / log2) }
       c += 1
     }
-    var j = 0
-    while (j < hiSize) {
-      val p = hiCounts(j) / dn
-      acc -= p * (math.log(p) / log2)
-      j += 1
+    if (hiKeys != null) {
+      var j = 0
+      while (j < hiKeys.length) {
+        if (hiKeys(j) != 0) {
+          val p = hiCounts(j) / dn
+          acc -= p * (math.log(p) / log2)
+        }
+        j += 1
+      }
     }
     acc
   }

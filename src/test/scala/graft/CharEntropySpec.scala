@@ -43,6 +43,16 @@ class CharEntropySpec extends SparkSpec {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("CharEntropy handles many distinct high code points (table growth)") {
+    // 300 distinct CJK code points, each once → entropy = log2(300);
+    // forces the open-addressed table through several growth rounds
+    val s = (0 until 300).map(i => new String(Character.toChars(0x4E00 + i))).mkString
+    val got = Seq(Tuple1(s)).toDF("t")
+      .select(TextAnalysis.charEntropy(col("t")).as("e"))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - math.log(300.0) / math.log(2.0)) < 1e-9, got)
+  }
+
   test("CharEntropy projection stays in whole-stage codegen") {
     val docs = Engine.table(spark, sf, "documents")
     val plan = docs.select(TextAnalysis.charEntropy(col("text")))

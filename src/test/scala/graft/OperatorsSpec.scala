@@ -54,6 +54,13 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs(binned) == pairs(naive) && pairs(binned).nonEmpty)
     val plan = binned.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // inverted interval (end < start): must match nothing, not throw
+    // (sequence() alone would fail on a descending range)
+    val inverted = right.select(col("iid"),
+      col("end_ts").as("start_ts"), col("start_ts").as("end_ts"))
+    val none = graft.operators.RangeJoin
+      .rangeJoin(left, "ts", inverted, "start_ts", "end_ts", binSeconds = 3600L)
+    assert(none.count() == 0)
   }
 
   test("BinnedRangeJoinRule rewrites a pure range join away from BNLJ") {
