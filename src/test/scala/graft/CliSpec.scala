@@ -95,6 +95,23 @@ class CliSpec extends SparkSpec {
     assert(out2.length > out1.length)
   }
 
+  test("pipeline kernels are reachable from CLI SQL (char_entropy, poly_hash)") {
+    val f = java.io.File.createTempFile("graft_cli_entropy", ".csv")
+    try {
+      java.nio.file.Files.write(f.toPath,
+        "t\nab\naaaa\n".getBytes("UTF-8"))
+      val (out, err, code) = run(
+        s"SELECT char_entropy(t) AS e, poly_hash(t, 31, 1000000007) AS h FROM ${f.getAbsolutePath} ORDER BY e",
+        "--output", "csv")
+      assert(code == 0, err)
+      // entropy: 'aaaa' → 0, 'ab' → 1 bit; hashes: fold of 31·acc+cp
+      val a = 97L
+      val hAaaa = (((a * 31 + a) * 31 + a) * 31 + a) % 1000000007L
+      val hAb = (a * 31 + 98L) % 1000000007L
+      assert(out == s"e,h\n0,$hAaaa\n1,$hAb\n", out)
+    } finally f.delete()
+  }
+
   test("query flags still parse with flags before the query") {
     val (out, err, code) = run("-o", "json", "SELECT 1 AS a")
     assert(code == 0, s"stderr: $err")

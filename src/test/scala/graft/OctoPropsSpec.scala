@@ -101,4 +101,30 @@ class OctoPropsSpec extends SparkSpec {
       assert(g == s.trim.split("\\s+").length.toLong, s"wsTokens($s)")
     }
   }
+
+  test("charEntropy matches a code-point histogram model on random unicode") {
+    // mixed ASCII / Latin-1 / CJK / astral code points
+    val uniChar: Gen[String] = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.chooseNum(0xA0, 0x2FF).map(cp => new String(Character.toChars(cp))),
+      2 -> Gen.chooseNum(0x4E00, 0x9FFF).map(cp => new String(Character.toChars(cp))),
+      1 -> Gen.chooseNum(0x1F300, 0x1F5FF).map(cp => new String(Character.toChars(cp))))
+    val uniText: Gen[String] =
+      Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, uniChar).map(_.mkString))
+    val cases = samples(uniText)
+    val got = cases.toDF("s")
+      .select(TextAnalysis.charEntropy(col("s"))).as[Double].collect()
+    cases.zip(got).foreach { case (s, g) =>
+      val cps = s.codePoints().toArray
+      val expected =
+        if (cps.isEmpty) 0.0
+        else {
+          val n = cps.length.toDouble
+          cps.groupBy(identity).values
+            .map(k => -(k.length / n) * (math.log(k.length / n) / math.log(2.0)))
+            .sum
+        }
+      assert(math.abs(g - expected) < 1e-9, s"charEntropy(${s.take(20)}...)")
+    }
+  }
 }
