@@ -583,6 +583,19 @@ object SparkEntry {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n"))),
 
+    // approx-percentile sketch contract: the one-pass bounded-memory
+    // quantile sketch must land between the exact 45th and 55th
+    // percentiles; exact median rounded for cross-engine hashing
+    "q39_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+          round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+          expr("approx_percentile(value, 0.5, 10000)").as("ap"),
+          expr("percentile(value, 0.45)").as("lo"),
+          expr("percentile(value, 0.55)").as("hi"))
+        .select(col("event_type"), col("exact_p50"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi"))
+            .as("approx_ok"))),
+
     // HyperLogLog distinct-count contract: the sketch (one pass, tiny
     // fixed state per group — the 100 TB path where exact distinct
     // needs a full shuffle of the keys) must land within 10% of exact;
@@ -1286,6 +1299,12 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q39_approx_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q38_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
