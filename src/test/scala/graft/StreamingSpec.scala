@@ -86,6 +86,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text pipeline composes in streaming: quality + langid + dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    val mem = MemoryStream[(Long, Long, String)] // (epoch, id, text)
+    // the batch operators are pure projections, so the same column
+    // exprs drop into a streaming plan; dedup keys on normalized text
+    // with watermark-bounded state
+    val piped = mem.toDF().toDF("epoch", "id", "text")
+      .select(timestamp_seconds(col("epoch")).as("ts"),
+        col("id"), col("text"))
+      .withWatermark("ts", "10 minutes")
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("key", TextAnalysis.normalize(col("text")))
+      .filter(col("quality") > 0.0)
+      .dropDuplicatesWithinWatermark("key")
+      .select("id", "lang")
+    val q = piped.writeStream.outputMode("append")
+      .format("memory").queryName("text_pipe").start()
+    try {
+      mem.addData(
+        (100L, 1L, "the quick brown fox jumps over the lazy dog and it was good"),
+        (110L, 2L, "THE QUICK BROWN FOX jumps over the lazy dog and it was good"),
+        (120L, 3L, "der schnelle braune fuchs springt und der hund war das gut sehr"))
+      q.processAllAvailable()
+      val rows = spark.table("text_pipe").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // doc 2 normalizes to doc 1's key → deduped; langid keeps en/de
+      assert(rows.map(_._1) == Set(1L, 3L), rows.toString)
+      assert(rows.toMap.apply(1L) == "en" && rows.toMap.apply(3L) == "de",
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with their impression") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
