@@ -79,24 +79,31 @@ object Similarity {
 
   /** LSH-bucketed ANN: both sides hashed into sign-pattern buckets, the
     * join only compares vectors in the same bucket. Trades recall for a
-    * ~2^bits reduction in compared pairs; increase recall by repeating
-    * with several seeds (multi-table LSH) and unioning.
+    * ~2^bits reduction in compared pairs; recall rises with several
+    * plane sets (multi-table LSH).
+    *
+    * All `tables` bucket ids are computed in ONE pass over each side
+    * and exploded to (tbl, bucket) rows — a per-table union would
+    * re-scan the corpus `tables` times (12× the I/O at the default
+    * recall setting, fatal on a 100 TB corpus); candidates are then a
+    * single (tbl, bucket) equi-join.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 8, dim: Int = 64, tables: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
-    val perTable = (0 until tables).map { t =>
-      val planes = hyperplanes(dim, bits, seed = 42L + t)
-      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-        .withColumn("bucket", lshBucket(col("qv"), planes))
-      val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-        .withColumn("bucket", lshBucket(col("cv"), planes))
-      c.join(broadcast(q), "bucket")
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
-    }
-    val cands = perTable.reduce(_ union _).distinct()
+    def withBuckets(d: DataFrame, id: String, v: String): DataFrame =
+      d.select(col(idCol).as(id), col(vecCol).as(v))
+        .select(col(id), col(v),
+          posexplode(array((0 until tables).map(t =>
+            lshBucket(col(v), hyperplanes(dim, bits, seed = 42L + t))): _*))
+            .as(Seq("tbl", "bucket")))
+    val c = withBuckets(corpus, "neighbor_id", "cv")
+    val q = withBuckets(queries, "query_id", "qv")
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "qv", "cv")
+      .distinct()
     val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -165,23 +172,26 @@ object Similarity {
 
   /** LSH-bucketed near-dup pairs: sign-bucket candidates, exact cosine
     * verify — the linear-ish scale path for `cosinePairs` (which is an
-    * exact O(n²) self-join). Multi-table union recovers recall.
+    * exact O(n²) self-join). Multiple plane sets recover recall — all
+    * bucket ids come from one corpus pass (see [[lshTopK]]).
     */
   def cosinePairsLsh(df: DataFrame, threshold: Double,
                      bits: Int = 6, dim: Int = 64, tables: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     VecExpressions.register(df.sparkSession)
-    val perTable = (0 until tables).map { t =>
-      val planes = hyperplanes(dim, bits, seed = 42L + t)
-      val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("bucket", lshBucket(col("v"), planes))
-      side.toDF("id_a", "va", "bucket")
-        .join(side.toDF("id_b", "vb", "bucket"), "bucket")
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-    }
-    perTable.reduce(_ union _).distinct()
+    // one pass computes every table's bucket (vs `tables`× corpus scans
+    // from a per-table union); self-join on (tbl, bucket)
+    val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("v"), hyperplanes(dim, bits, seed = 42L + t))): _*))
+          .as(Seq("tbl", "bucket")))
+    side.toDF("id_a", "va", "tbl", "bucket")
+      .join(side.toDF("id_b", "vb", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb")
+      .distinct()
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
