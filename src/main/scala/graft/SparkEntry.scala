@@ -495,6 +495,25 @@ object SparkEntry {
           >= 0.5).as("recall_ok"))
     }),
 
+    // IVF with TRAINED cells (the production build: k-means the corpus,
+    // route by learned centroids) — recall vs brute force in-query,
+    // same deterministic-oracle pattern as s2/s3
+    "s7_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val cents = Clustering.kmeansCentroids(emb, k = 16, iters = 2)
+      val ivf = Similarity.ivfTopK(emb, qs, k = 5, nlist = 16, nprobe = 8,
+          trainedCentroids = Some(cents))
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val found = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select((col("n_found").cast("double") / col("n_exact").cast("double")
+          >= 0.5).as("recall_ok"))
+    }),
+
     // k-means clustering (Lloyd): zero-shuffle codegen'd assignment +
     // k×dim mean shuffle per iteration; centroids rounded to 6 dp each
     // round so the unrolled DuckDB oracle reaches identical assignments
@@ -1570,6 +1589,9 @@ object SparkEntry {
       "SELECT true AS recall_ok",
 
     "s3_ann_ivf" ->
+      "SELECT true AS recall_ok",
+
+    "s7_ann_ivf_kmeans" ->
       "SELECT true AS recall_ok",
 
     "s4_kmeans" -> s4KmeansSql(k = 10, iters = 3, dim = 64),

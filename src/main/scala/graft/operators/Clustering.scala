@@ -35,12 +35,14 @@ object Clustering {
     org.apache.spark.sql.GraftSqlBridge.column(
       VecNearestCell(org.apache.spark.sql.GraftSqlBridge.expression(vec), centroids))
 
-  /** `iters` Lloyd iterations from the deterministic smallest-id seed,
-    * then a final assignment under the converged centroids. Returns
-    * `(idCol, cluster)` with `cluster` in `0..k-1`.
+  /** The Lloyd centroid loop alone: deterministic smallest-id seed,
+    * `iters` mean updates, returns the k×dim centroid matrix. Reusable
+    * as the trained-cell input to [[Similarity.ivfTopK]] (the standard
+    * production IVF build: k-means the corpus, route by learned cells).
     */
-  def kmeans(df: DataFrame, k: Int, iters: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"k=$k and iters=$iters must be positive")
     val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -64,11 +66,20 @@ object Clustering {
       means.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
       centroids = next
     }
-    val out = pts
+    pts.unpersist(blocking = false)
+    centroids
+  }
+
+  /** `iters` Lloyd iterations from the deterministic smallest-id seed,
+    * then a final assignment under the converged centroids. Returns
+    * `(idCol, cluster)` with `cluster` in `0..k-1`.
+    */
+  def kmeans(df: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(df, k, iters, idCol, vecCol)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cluster", nearestCell(col("v"), centroids).cast(LongType))
       .select(col("id").as(idCol), col("cluster"))
-    pts.unpersist(blocking = false) // lazy: the returned plan recomputes if consumed later
-    out
   }
 
   /** Per-cluster profile of a k-means result joined back to its input:

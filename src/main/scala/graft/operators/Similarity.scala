@@ -133,19 +133,24 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     VecExpressions.register(spark)
-    // deterministic centroid seed: the nlist corpus rows with the
-    // smallest xxhash64(id) — order-free, reproducible, distributed
-    val seeds = corpus
-      .select(col(vecCol).as("cv"), xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(nlist)
-      .select("cv")
+    // cells: caller-trained centroids (e.g. Clustering.kmeansCentroids —
+    // the production IVF build) or the deterministic hash-ranked corpus
+    // sample (order-free, reproducible, distributed)
+    val raw: Array[Array[Double]] = trainedCentroids.getOrElse {
+      corpus
+        .select(col(vecCol).as("cv"), xxhash64(col(idCol)).as("h"))
+        .orderBy("h").limit(nlist)
+        .select("cv")
+        .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    }
+    require(raw.nonEmpty, "ivfTopK needs at least one centroid")
     // L2-normalized so cosine argmax == dot argmax (query norm scales
     // all its scores equally); cell id = centroid row index
-    val centroids: Array[Array[Double]] = seeds.collect().map { r =>
-      val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+    val centroids: Array[Array[Double]] = raw.map { v =>
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
     }
