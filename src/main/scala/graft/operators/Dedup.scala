@@ -367,8 +367,17 @@ object Dedup {
     */
   def canonicalDocs(docs: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id",
-                    sizeCol: String = "n_chars"): DataFrame = {
-    val comp = connectedComponents(pairs)
+                    sizeCol: String = "n_chars"): DataFrame =
+    canonicalDocsFromLabels(docs, connectedComponents(pairs), idCol, sizeCol)
+
+  /** [[canonicalDocs]] over a precomputed `(id, comp)` labeling — the
+    * production path when clustering and selection run in one pipeline:
+    * compute [[connectedComponents]] once, feed both the cluster report
+    * and the canonical selection.
+    */
+  def canonicalDocsFromLabels(docs: DataFrame, comp: DataFrame,
+                              idCol: String = "doc_id",
+                              sizeCol: String = "n_chars"): DataFrame = {
     val labeled = docs
       .join(comp, docs(idCol) === comp("id"), "left")
       .select(coalesce(col("comp"), docs(idCol)).as("cluster"),

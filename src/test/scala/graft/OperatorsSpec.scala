@@ -36,6 +36,20 @@ class OperatorsSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("canonicalDocsFromLabels matches canonicalDocs on shared labeling") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = rows(graft.operators.Dedup.canonicalDocs(docs, pairs))
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    val viaLabels = rows(
+      graft.operators.Dedup.canonicalDocsFromLabels(docs, labels))
+    // cluster {1,2,3}: 2 and 3 tie at 30 chars → min id 2 wins; 4 solo
+    assert(direct == Set((2L, 3L, 30L), (4L, 1L, 5L)) && viaLabels == direct)
+  }
+
   test("RangeJoin matches the naive inequality join, without a nested loop") {
     val left = (0L until 500L).map(i => (i, i * 977L % 100000L))
       .toDF("eid", "sec")
