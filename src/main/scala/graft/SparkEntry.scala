@@ -495,6 +495,16 @@ object SparkEntry {
           >= 0.5).as("recall_ok"))
     }),
 
+    // embedding norm-outlier screening; every 97th vector is scaled 5×
+    // in-query so the 3σ flag actually fires (clean margin both engines)
+    "s8_embed_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => x * when(col("vec_id") % 97 === 0, 5.0f).otherwise(1.0f))
+          .as("embedding"))
+      Similarity.embedOutliers(emb, z = 3.0)
+    }),
+
     // IVF with TRAINED cells (the production build: k-means the corpus,
     // route by learned centroids) — recall vs brute force in-query,
     // same deterministic-oracle pattern as s2/s3
@@ -633,6 +643,22 @@ object SparkEntry {
       operators.Sampling.packShards(t(s, dir, "documents"),
           "doc_id", "source", "n_chars", budget = 2000L)
         .select(col("doc_id"), col("source"), col("shard"))),
+
+    // incremental-ingest dedup: a batch of 100 new docs + ~57 simulated
+    // re-crawls (uppercased/punctuated corpus copies, which normalize
+    // equalizes) anti-joined against the existing corpus
+    "d12_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000).as("doc_id"),
+            concat(upper(col("text")), lit("!!")).as("text"),
+            col("n_chars")))
+      Dedup.incrementalNew(batch, corpus)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
 
     // per-language top-10 vocabulary: map-side-combined token counts,
     // rank window over vocab-sized data only
@@ -1343,6 +1369,28 @@ object SparkEntry {
         |  CAST(floor((cum - n_chars) / 2000) AS BIGINT) AS shard
         |FROM c""".stripMargin,
 
+    "d12_incremental" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000, upper(text) || '!!', n_chars
+        |  FROM documents WHERE doc_id < 400 AND doc_id % 7 = 0),
+        |bk AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS k,
+        |    n_chars
+        |  FROM batch)
+        |SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars
+        |FROM bk b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM nrm c WHERE c.doc_id < 400 AND c.k = b.k)""".stripMargin,
+
     "t8_vocab" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
@@ -1593,6 +1641,17 @@ object SparkEntry {
 
     "s7_ann_ivf_kmeans" ->
       "SELECT true AS recall_ok",
+
+    "s8_embed_outliers" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0 THEN 5.0 ELSE 1.0 END
+        |      * sqrt(list_aggregate(list_transform(embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings),
+        |st AS (SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sd FROM n)
+        |SELECT n.vec_id, (abs(n.nrm - st.mu) > 3 * st.sd) AS is_outlier
+        |FROM n, st""".stripMargin,
 
     "s4_kmeans" -> s4KmeansSql(k = 10, iters = 3, dim = 64),
 

@@ -424,6 +424,25 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
   }
 
+  /** Incremental-ingest dedup: keep only the batch rows whose
+    * normalized content is absent from the existing corpus — the shape
+    * of every continuous ingestion pipeline ("is this new crawl page
+    * already in the training set?").
+    *
+    * Scale shape: one left-anti hash join keyed on the normalized text.
+    * The corpus side reduces to its distinct keys (project + partial
+    * distinct before the exchange); at production scale put a Bloom
+    * filter of corpus keys in front like [[graft.operators.Decontaminate]]
+    * — the anti-join here is the exact backstop either way.
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+                     textCol: String = "text"): DataFrame = {
+    val key = graft.operators.TextAnalysis.normalize(col(textCol))
+    batch.withColumn("__k", key)
+      .join(corpus.select(key.as("__k")).distinct(), Seq("__k"), "left_anti")
+      .drop("__k")
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on each

@@ -175,6 +175,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Embedding sanity screening: flag vectors whose L2 norm lies more
+    * than `z` population standard deviations from the corpus mean —
+    * the cheap first-line catch for corrupted rows, failed encoder
+    * batches (all-zero / exploded vectors) and scale drift between
+    * embedding shards.
+    *
+    * Scale shape: one codegen'd norm projection, a 2-number global
+    * aggregate, and a broadcast of those stats back over the corpus —
+    * two passes, no wide shuffle.
+    */
+  def embedOutliers(df: DataFrame, z: Double = 3.0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(df.sparkSession)
+    val n = df.select(col(idCol), norm(col(vecCol)).as("nrm"))
+    val st = n.agg(avg("nrm").as("mu"), stddev_pop("nrm").as("sd"))
+    n.crossJoin(broadcast(st))
+      .select(col(idCol),
+        (abs(col("nrm") - col("mu")) > col("sd") * z).as("is_outlier"))
+  }
+
   /** LSH-bucketed near-dup pairs: sign-bucket candidates, exact cosine
     * verify — the linear-ish scale path for `cosinePairs` (which is an
     * exact O(n²) self-join). Multiple plane sets recover recall — all
