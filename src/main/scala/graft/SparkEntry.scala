@@ -357,6 +357,18 @@ object SparkEntry {
 
     // as-of temporal join (beyond reference; union+window formulation,
     // one shuffle — see operators.AsOf): latest purchase ≤ each view
+    // as-of with staleness bound (pandas merge_asof tolerance): matches
+    // older than 1h are nulled — a stale quote is worse than none
+    "q40_asof_tolerance" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+      operators.AsOf.asofJoin(views, purchases, "user_id", "ts",
+        Seq("p_value"), toleranceSeconds = Some(3600L))
+    }),
+
     "q33_asof" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val views = e.filter(col("event_type") === "view")
@@ -1055,6 +1067,18 @@ object SparkEntry {
         |  CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS DOUBLE)
         |    / COUNT(DISTINCT l_quantity) AS avg_d
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q40_asof_tolerance" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, max(value) AS p_value FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  CASE WHEN epoch_ns(v.ts) - epoch_ns(p.ts)
+        |            <= CAST(3600 AS BIGINT) * 1000000000
+        |       THEN p.p_value END AS asof_p_value
+        |FROM v ASOF LEFT JOIN p
+        |ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
 
     "q33_asof" ->
       """SELECT v.event_id, v.user_id, v.ts, p.p_value AS asof_p_value

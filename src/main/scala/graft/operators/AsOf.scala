@@ -20,17 +20,23 @@ object AsOf {
     * @param keyCol     equality key present on both sides
     * @param timeCol    event-time column present on both sides
     * @param rightCols  right-side payload columns to carry
+    * @param toleranceSeconds  if set, a match older than this many
+    *                   seconds before the left time is nulled out
+    *                   (pandas `merge_asof(tolerance=...)` semantics) —
+    *                   a stale quote is usually worse than no quote
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               timeCol: String, rightCols: Seq[String]): DataFrame = {
+               timeCol: String, rightCols: Seq[String],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // The right payload travels as ONE struct so last(ignoreNulls) picks
     // the whole latest right row atomically — filling columns
     // independently could mix fields from different right rows when the
     // latest row holds a NULL in one payload column (round-1 ADVICE).
+    // The right event time rides along as __t for the tolerance check.
     val r = right.select(
       col(keyCol), col(timeCol),
-      struct(rightCols.map(col): _*).as("__r"))
+      struct((rightCols.map(col) :+ col(timeCol).as("__t")): _*).as("__r"))
       .withColumn("__side", lit(0))
       .withColumns(leftCols.filterNot(Seq(keyCol, timeCol).contains)
         .map(c => c -> lit(null)).toMap)
@@ -45,10 +51,20 @@ object AsOf {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val matched = unioned
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) ++
-        rightCols.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
+    // µs-exact staleness check — whole-second truncation would disagree
+    // with a sub-second oracle at the boundary
+    val keep = toleranceSeconds match {
+      case None => lit(true)
+      case Some(tol) =>
+        unix_micros(col(timeCol)) - unix_micros(col("__asof.__t")) <=
+          tol * 1000000L
+    }
+    matched.select((leftCols.map(col) ++
+      rightCols.map(c =>
+        when(keep, col(s"__asof.$c")).otherwise(lit(null))
+          .as(s"asof_$c"))): _*)
   }
 }
