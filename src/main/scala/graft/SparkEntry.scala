@@ -507,6 +507,12 @@ object SparkEntry {
           >= 0.5).as("recall_ok"))
     }),
 
+    // SemDeDup: k-means the embedding space, cosine-compare only within
+    // clusters (exact oracle: the s4 kmeans replica + in-cluster join)
+    "d13_semdedup" -> ((s, dir) =>
+      Dedup.semDedupPairs(t(s, dir, "embeddings"), k = 10, iters = 3,
+        threshold = 0.45)),
+
     // embedding norm-outlier screening; every 97th vector is scaled 5×
     // in-query so the 3σ flag actually fires (clean margin both engines)
     "s8_embed_outliers" -> ((s, dir) => {
@@ -1678,6 +1684,18 @@ object SparkEntry {
         |FROM n, st""".stripMargin,
 
     "s4_kmeans" -> s4KmeansSql(k = 10, iters = 3, dim = 64),
+
+    "d13_semdedup" ->
+      s"""WITH asg AS (
+         |${s4KmeansSql(k = 10, iters = 3, dim = 64)}
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM asg a JOIN asg b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                             CAST(eb.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
 
     "d6_embed_lsh" ->
       """WITH pairs AS (

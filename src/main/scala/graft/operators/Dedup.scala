@@ -424,6 +424,31 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    * clustering — k-means the embedding space, then compare cosine only
+    * WITHIN each cluster. The cluster pass cuts the pair space from
+    * O(n²) to Σ|cell|², trading a little recall (cross-cluster near-dups
+    * are missed by design) for tractability on web-scale corpora; the
+    * within-cell verify is exact.
+    *
+    * Scale shape: codegen'd assignment ([[Clustering.kmeans]]), then a
+    * self-join partitioned by cluster id — never all-pairs; cell sizes
+    * are bounded by k chosen ∝ corpus size.
+    */
+  def semDedupPairs(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assign = Clustering.kmeans(emb, k, iters, idCol, vecCol)
+    val side = emb.join(assign, idCol)
+      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    side.toDF("cluster", "id_a", "va")
+      .join(side.toDF("cluster", "id_b", "vb"), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Incremental-ingest dedup: keep only the batch rows whose
     * normalized content is absent from the existing corpus — the shape
     * of every continuous ingestion pipeline ("is this new crawl page
