@@ -678,6 +678,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     }),
 
+    // shard export: one row per packed shard with the newline-joined
+    // payload in deterministic pack order (the training-file write)
+    "p11_export" -> ((s, dir) =>
+      operators.Sampling.exportShards(t(s, dir, "documents"),
+        "doc_id", "source", "n_chars", "text", budget = 2000L)),
+
     // per-language top-10 vocabulary: map-side-combined token counts,
     // rank window over vocab-sized data only
     "t8_vocab" -> ((s, dir) =>
@@ -1385,6 +1391,26 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS approx_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "p11_export" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_chars, text, hk,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id) AS cum
+        |  FROM h),
+        |sh AS (
+        |  SELECT source,
+        |    CAST(floor((cum - n_chars) / 2000) AS BIGINT) AS shard,
+        |    doc_id, text, hk, n_chars
+        |  FROM c)
+        |SELECT source, shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+        |  string_agg(text, chr(10) ORDER BY hk, doc_id) AS payload
+        |FROM sh GROUP BY 1, 2""".stripMargin,
 
     "p10_pack" ->
       """WITH h AS (

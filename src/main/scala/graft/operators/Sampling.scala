@@ -84,4 +84,28 @@ object Sampling {
       floor((sum(col(tokensCol).cast("long")).over(w) -
         col(tokensCol).cast("long")) / budget))
   }
+
+  /** Shard export — the last pipeline step: each [[packShards]] shard
+    * becomes ONE row `(group, shard, n_docs, shard_chars, payload)`
+    * with the member documents concatenated newline-separated in the
+    * deterministic pack order, ready to write as training files.
+    *
+    * The per-shard collect is bounded by the shard budget itself (a
+    * shard IS the file-sized unit), so the aggregation state per key is
+    * ~budget characters — safe at any corpus size.
+    */
+  def exportShards(df: DataFrame, idCol: String, groupCol: String,
+                   tokensCol: String, textCol: String,
+                   budget: Long): DataFrame =
+    packShards(df, idCol, groupCol, tokensCol, budget)
+      .groupBy(col(groupCol), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("shard_chars"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(
+              hashKey(col(idCol)).as("hk"),
+              col(idCol).cast("long").as("id"),
+              col(textCol).as("t")))),
+            x => x.getField("t"))).as("payload"))
 }
