@@ -694,6 +694,11 @@ object SparkEntry {
     "d11_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(t(s, dir, "documents"), chunkTokens = 8)),
 
+    // distributed BPE merge learning (tokenizer prep): 5 merges over
+    // the corpus word-frequency table, 1-row argmax per round
+    "t9_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 5)),
+
     // per-doc n-gram novelty: fraction of a doc's distinct 3-gram
     // shingles appearing in no other doc (inverted index, no all-pairs)
     "t7_novelty" -> ((s, dir) =>
@@ -1478,6 +1483,8 @@ object SparkEntry {
         |  FROM ch)
         |SELECT doc_id, pos, chunk FROM w WHERE rn = 1""".stripMargin,
 
+    "t9_bpe" -> bpeSql(rounds = 5),
+
     "t7_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
@@ -1773,6 +1780,45 @@ object SparkEntry {
     * order noise between engines), the same keep-previous-centroid rule
     * for empty cells.
     */
+  /** DuckDB replica of the distributed BPE trainer (t9): same word-freq
+    * table, same double-space segmentations, same (count desc, pair asc)
+    * argmax, same one-pass replace application — unrolled per round
+    * like the kmeans oracle.
+    */
+  private def bpeSql(rounds: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT pair, SUM(f) AS c FROM (
+         |    SELECT f, unnest(list_transform(range(1, len(sy)),
+         |      j -> sy[CAST(j AS INT)] || '  ' || sy[CAST(j AS INT) + 1])) AS pair
+         |    FROM (SELECT f, string_split(seg, '  ') AS sy FROM $prev)
+         |    WHERE len(sy) >= 2)
+         |  GROUP BY 1),
+         |b$i AS (
+         |  SELECT $i AS round, replace(pair, '  ', '') AS merged, pair, c
+         |  FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |s$i AS (
+         |  SELECT w, f,
+         |    trim(replace(' ' || seg || ' ',
+         |      ' ' || (SELECT pair FROM b$i) || ' ',
+         |      ' ' || (SELECT merged FROM b$i) || ' ')) AS seg
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH w AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT w, f, array_to_string(string_split(w, ''), '  ') AS seg
+       |  FROM w),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |${(1 to rounds)
+          .map(i => s"SELECT CAST(round AS BIGINT) AS round, merged, CAST(c AS BIGINT) AS pair_count FROM b$i")
+          .mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private def s4KmeansSql(k: Int, iters: Int, dim: Int): String = {
     val distFold =
       s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),

@@ -346,6 +346,59 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Distributed BPE merge learning — the tokenizer-training prep step:
+    * `rounds` byte-pair-encoding merges learned over the corpus's word
+    * frequencies. Returns one row per round `(round, merged, pair_count)`.
+    *
+    * Scale shape: the corpus collapses to its distinct-word/frequency
+    * table up front (vocabulary-sized); every round is one distributed
+    * bigram count over that table plus a 1-row argmax to the driver
+    * (the merge decision is inherently global). Segmentations use a
+    * DOUBLE-space symbol separator so the one-pass non-overlapping
+    * `replace` reproduces classic BPE application ("aaaa" → "aa aa")
+    * identically in Spark and in plain SQL — single-space separators
+    * would share the boundary space between adjacent matches and
+    * diverge on runs.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int,
+                textCol: String = "text"): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var segs = words
+      .select(col("w"), col("f"), concat_ws("  ", split(col("w"), "")).as("seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to rounds) {
+      val sy = split(col("seg"), "  ")
+      val best = segs
+        .filter(size(sy) >= 2)
+        .select(col("f"), explode(transform(sequence(lit(1), size(sy) - 1),
+          j => concat(element_at(sy, j), lit("  "), element_at(sy, j + 1))))
+          .as("pair"))
+        .groupBy("pair").agg(sum("f").as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val merged = pair.replace("  ", "")
+        out += ((r.toLong, merged, best(0).getLong(1)))
+        val next = segs.select(col("w"), col("f"),
+          trim(call_function("replace",
+            concat(lit(" "), col("seg"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("seg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        segs.unpersist()
+        segs = next
+      }
+    }
+    segs.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("round", "merged", "pair_count")
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)
