@@ -727,6 +727,14 @@ object SparkEntry {
       Dedup.canonicalDocs(docs, pairs)
     }),
 
+    // CUBE: all grouping-set combinations in one pass (Expand operator,
+    // one shuffle) — q22 covers ROLLUP, this adds the full lattice
+    "q41_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
     // binned range join: events joined to 20 overlapping 72h campaign
     // windows (36h spacing) — equi-join on day bins, not a nested loop
     "q37_range_join" -> ((s, dir) => {
@@ -1000,6 +1008,12 @@ object SparkEntry {
         |LATERAL (SELECT n_name FROM nation n
         |         WHERE n.n_regionkey = r.r_regionkey
         |         ORDER BY n_name LIMIT 2) l""".stripMargin,
+
+    "q41_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q22_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
