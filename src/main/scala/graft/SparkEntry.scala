@@ -727,6 +727,15 @@ object SparkEntry {
       Dedup.canonicalDocs(docs, pairs)
     }),
 
+    // PIVOT with an explicit value list (no extra distinct scan — the
+    // 100 TB form; pivot-without-values collects distinct keys first)
+    "q42_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))),
+
     // CUBE: all grouping-set combinations in one pass (Expand operator,
     // one shuffle) — q22 covers ROLLUP, this adds the full lattice
     "q41_cube" -> ((s, dir) =>
@@ -1008,6 +1017,15 @@ object SparkEntry {
         |LATERAL (SELECT n_name FROM nation n
         |         WHERE n.n_regionkey = r.r_regionkey
         |         ORDER BY n_name LIMIT 2) l""".stripMargin,
+
+    "q42_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q41_cube" ->
       """SELECT l_returnflag, l_linestatus,
