@@ -102,6 +102,26 @@ class OctoPropsSpec extends SparkSpec {
     }
   }
 
+  test("chunkDedup matches a first-occurrence model on random corpora") {
+    val word: Gen[String] = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val text: Gen[String] = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    // small alphabet + short words → plenty of cross-doc chunk collisions
+    val docs = samples(text, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.Dedup
+      .chunkDedup(docs.toDF("doc_id", "text"), chunkTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // model: chunks of 4 tokens per doc, global first (doc, pos) wins
+    val all = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").grouped(4).zipWithIndex
+        .map { case (cs, p) => (id, p.toLong, cs.mkString(" ")) }
+    }
+    val expected = all.groupBy(_._3).values
+      .map(_.minBy(r => (r._1, r._2))).toSet
+    assert(got == expected && got.size < all.size)
+  }
+
   test("charEntropy matches a code-point histogram model on random unicode") {
     // mixed ASCII / Latin-1 / CJK / astral code points
     val uniChar: Gen[String] = Gen.frequency(
