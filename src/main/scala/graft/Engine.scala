@@ -46,6 +46,19 @@ object Engine {
     // (len over string vs list, parse_time's Go layouts) — registered
     // once here so SQL behavior doesn't depend on which entry point ran
     graft.sql.Dialect.registerFunctions(spark)
+    // optional runtime-conf overrides, e.g.
+    // SPARK_GRAFT_CONF="spark.graft.rangeJoin.binSeconds=3600;spark.sql.x=y"
+    // — lets a driver toggle engine knobs (the range-join rewrite rule,
+    // AQE settings) without a code change
+    sys.env.get("SPARK_GRAFT_CONF").foreach { conf =>
+      conf.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entries must be key=value, got: $kv")
+        }
+      }
+    }
     spark
   }
 
