@@ -727,6 +727,31 @@ object SparkEntry {
       Dedup.canonicalDocs(docs, pairs)
     }),
 
+    // explicit window frame: 5-row trailing sum/count per user (ROWS
+    // BETWEEN) — decimal-exact so frame arithmetic hashes cross-engine
+    "q43_moving_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        sum(round(col("value"), 6).cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("n_frame"))
+    }),
+
+    // ranking functions: spend quartiles + percent_rank over per-user
+    // totals (window input is user-cardinality, not the corpus)
+    "q44_ranking" -> ((s, dir) => {
+      val totals = t(s, dir, "events").groupBy("user_id")
+        .agg(sum(round(col("value"), 2).cast(DecimalType(18, 2)))
+          .cast("double").as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("total").desc, col("user_id"))
+      totals.select(col("user_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+    }),
+
     // PIVOT with an explicit value list (no extra distinct scan — the
     // 100 TB form; pivot-without-values collects distinct keys first)
     "q42_pivot" -> ((s, dir) =>
@@ -1017,6 +1042,29 @@ object SparkEntry {
         |LATERAL (SELECT n_name FROM nation n
         |         WHERE n.n_regionkey = r.r_regionkey
         |         ORDER BY n_name LIMIT 2) l""".stripMargin,
+
+    "q43_moving_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+        |  COUNT(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_frame
+        |FROM events""".stripMargin,
+
+    "q44_ranking" ->
+      """WITH totals AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(ntile(4) OVER (ORDER BY total DESC, user_id) AS BIGINT)
+        |    AS quartile,
+        |  round(percent_rank() OVER (ORDER BY total DESC, user_id), 6)
+        |    AS pct_rank
+        |FROM totals""".stripMargin,
 
     "q42_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
