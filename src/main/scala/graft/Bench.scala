@@ -53,7 +53,22 @@ object Bench {
     val results = names.map { name =>
       name -> force(name) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Driver contract: ONE JSON line on stdout, and the driver's tail
+    // capture keeps only the last 2000 bytes of output (sbt prints a
+    // ~76-char "[success]" line after us). Round-4's full-precision
+    // line was ~3.5 KB and got truncated -> parsed:null. So the stdout
+    // line is compacted (2-decimal seconds, trailing zeros stripped,
+    // minimal fields) and the full-precision record goes to
+    // BENCH_LOCAL.json, which is committed alongside.
+    def short(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT,
+        if (v >= 10) "%.1f" else "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + short(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -90,15 +105,22 @@ object Bench {
     val csvSec = samples(samples.length / 2)
     val csvRps = liRows / csvSec
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // sf as a bare number ("/root/testdata/sf0.1" -> 0.1) keeps the
+    // line short; the full dir path is in BENCH_LOCAL.json.
+    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    val json = s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
+      s""""queries":$qs,"flagship_csv_rows_per_sec":${csvRps.toLong},""" +
+      s""""sf":$sfNum}"""
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""flagship_csv_groupby_sec":$csvSec,"flagship_csv_rows_per_sec":$csvRps,""" +
       s""""flagship_samples_sec":${samples.mkString("[", ",", "]")},""" +
       s""""baseline_octosql_rows_per_sec":1.0E6,"sf":"$sfDir"}"""
-    println(json)
-    // also drop the line in a file: stdout goes through sbt's logger in
-    // some launch modes, which breaks naive JSON parsing of the stream
+    // full-precision record to a file: stdout goes through sbt's logger
+    // in some launch modes, and the driver's tail capture is bounded
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes("UTF-8"))
-    spark.stop()
+      (jsonFull + "\n").getBytes("UTF-8"))
+    spark.stop() // before the JSON line: shutdown logging must not follow it
+    println(json)
   }
 }

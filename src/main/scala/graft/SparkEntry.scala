@@ -753,13 +753,19 @@ object SparkEntry {
     }),
 
     // PIVOT with an explicit value list (no extra distinct scan — the
-    // 100 TB form; pivot-without-values collects distinct keys first)
-    "q42_pivot" -> ((s, dir) =>
+    // 100 TB form; pivot-without-values collects distinct keys first).
+    // Empty (bucket, type) cells pivot to NULL in Spark but COUNT(*)
+    // FILTER gives 0 in the oracle — coalesce to 0 so the match holds
+    // on any data distribution, not just ones where every cell is hit.
+    "q42_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
       t(s, dir, "events")
         .groupBy((col("user_id") % 10).as("user_bucket"))
-        .pivot("event_type",
-          Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))),
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_bucket") +:
+          types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    }),
 
     // CUBE: all grouping-set combinations in one pass (Expand operator,
     // one shuffle) — q22 covers ROLLUP, this adds the full lattice

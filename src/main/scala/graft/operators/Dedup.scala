@@ -22,7 +22,6 @@ object Dedup {
     * `keyCols`. A single hash-aggregate: one shuffle on the content key.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val others = df.columns.filterNot(c => c == idCol || keyCols.contains(c))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(idCol))
@@ -82,9 +81,14 @@ object Dedup {
     maxDocFreq match {
       case None => idx
       case Some(cap) =>
-        val freq = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shingle")
-        idx.join(broadcast(freq), "shingle")
+        // Broadcast the FREQUENT shingles (df > cap) and anti-join: the
+        // heavy-hitter set is bounded by |index| / cap (tiny for any
+        // useful cap), while the kept set is ~vocabulary-sized — the
+        // round-4 form broadcast the kept list, a driver-OOM hazard the
+        // day the cap is enabled at corpus scale.
+        val hot = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        idx.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
 
@@ -282,20 +286,28 @@ object Dedup {
     * Returns (id, comp) where comp = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Materialize the (usually expensive) pair pipeline ONCE before the
-    // symmetric union: both union branches read the cache instead of
-    // each recomputing the upstream candidate-generation job — measured
-    // ~2× on d7/d10, whose pairs come from the full Jaccard index.
+    // Symmetrize in ONE pass — explode(array(fwd, rev)) instead of
+    // union(p, p.reversed) — so the (usually expensive) upstream pair
+    // pipeline appears exactly once in the plan. The round-4 union form
+    // read it twice and needed an eager cache-priming count() of the
+    // pair list to avoid both branches recomputing candidate generation.
     val p = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    val edges = p
-      .union(p.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = p.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One DELIBERATE eager job before the loop: materialize labels (and
+    // transitively the edges cache) down a single linear stage chain.
+    // Left lazy, round 1's first job would hit the edges cache from two
+    // independent map stages (the label distinct and the propagation
+    // join) racing to fill it — each running the full candidate
+    // pipeline. Priming costs one cheap distinct over cached edges.
+    labels.count()
     // persist() caches the DATA but the PLAN still stacks one round of
     // operators per iteration — localCheckpoint every k rounds truncates
     // the lineage to the materialized partitions, keeping the per-round
@@ -334,7 +346,6 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    p.unpersist()
     if (!converged)
       // returning a partially-propagated labeling would silently split
       // components — fail loudly; callers with extreme-diameter graphs
@@ -402,10 +413,12 @@ object Dedup {
     * chunks addressable by (doc_id, pos) for reassembly.
     *
     * Scale shape: one codegen'd projection explodes chunks, then a
-    * single shuffle partitioned BY CHUNK (cardinality ~corpus size, so
-    * it spreads over all executors; identical chunks co-locate, which is
-    * exactly the skew a boilerplate line creates — heavy keys stay one
-    * partition wide because only rank-1 survives, no re-join needed).
+    * single hash-aggregate keyed BY CHUNK taking min (doc_id, pos) —
+    * first-occurrence selection rides map-side partial aggregation, so
+    * a boilerplate chunk repeated a million times collapses to one row
+    * per input partition BEFORE the shuffle (a window/rank formulation
+    * would instead sort every replica of the hot chunk in one task —
+    * exactly the skew this operator exists to remove).
     *
     * Returns the kept (doc_id, pos, chunk) rows.
     */
@@ -417,11 +430,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), nChunks - 1),
         j => concat_ws(" ", slice(toks, j * chunkTokens + 1, lit(chunkTokens)))))
         .as(Seq("pos", "chunk")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("chunk").orderBy("doc_id", "pos")
-    chunks.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
+    chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.pos").cast("long").as("pos"), col("chunk"))
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding

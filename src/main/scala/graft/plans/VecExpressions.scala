@@ -351,16 +351,21 @@ case class VecRandomProject(child: Expression, outDim: Int)
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val h = ctx.freshName("h")
+      // every local must be ctx.freshName'd: a fixed name collides when
+      // two VecRandomProject calls land in one codegen'd projection
+      // (duplicate declaration -> janino failure -> silent interpreted
+      // fallback)
+      val scale = ctx.freshName("scale")
       s"""
          |double[] $out = new double[$outDim];
-         |double scale = Math.sqrt((double)$outDim);
+         |double $scale = Math.sqrt((double)$outDim);
          |for (int $j = 1; $j <= $outDim; $j++) {
          |  double $s = 0.0;
          |  for (int $i = 1; $i <= $v.numElements(); $i++) {
          |    long $h = ($i * 2654435761L + $j * 2246822519L) & 0xFFFFFFFFL;
          |    $s += (double)$v.$get($i - 1) * (($h >>> 31) == 0L ? 1.0 : -1.0);
          |  }
-         |  $out[$j - 1] = $s / scale;
+         |  $out[$j - 1] = $s / $scale;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -74,6 +74,13 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("window.start"))
       .drop("window")
+    // TEST-HARNESS DRAIN, not the production sink: complete-mode memory
+    // sink materializes the whole result table on the driver, which is
+    // exactly what you don't do at scale. The production shape of this
+    // query is outputMode("update"/"append") + watermark into a real
+    // sink (kafka/delta/parquet), where state and output stay
+    // partitioned across executors; only the drain differs, the
+    // windowed-aggregation plan is identical.
     val q = grouped.writeStream
       .outputMode("complete")
       .format("memory")
@@ -96,6 +103,15 @@ object Streams {
     * key columns across executors. Only the key columns are emitted
     * (arrival order decides which duplicate's other fields survive, so
     * emitting them would be nondeterministic).
+    *
+    * Oracle-equivalence caveat: the result equals batch DISTINCT (the
+    * st3 oracle) only when the whole input drains in ONE micro-batch —
+    * with incremental arrival, a key recurring more than `delay` apart
+    * is correctly re-emitted (that IS the operator's semantics, just not
+    * DISTINCT's). The file source with no `maxFilesPerTrigger` reads all
+    * available files in a single batch; the assertion below fails loudly
+    * if a config pass-through (e.g. SPARK_GRAFT_CONF) ever changes that,
+    * instead of letting the oracle comparison drift.
     */
   def runStreamingDedup(spark: SparkSession, path: String, timeCol: String,
                         delay: String, keyCols: Seq[String],
@@ -121,7 +137,16 @@ object Streams {
       .format("memory")
       .queryName(queryName)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches > 1)
+        throw new IllegalStateException(
+          s"runStreamingDedup drained $dataBatches micro-batches; the " +
+            "batch-DISTINCT oracle is only valid for a single-batch drain " +
+            "(keys recurring beyond the watermark delay re-emit). Unset " +
+            "maxFilesPerTrigger or raise the delay past the data's span.")
+    } finally q.stop()
     spark.table(queryName)
   }
 
