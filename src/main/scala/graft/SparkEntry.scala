@@ -419,10 +419,16 @@ object SparkEntry {
       Dedup.exactStats(t(s, dir, "documents"), "doc_id", "text")),
 
     // n-gram Jaccard near-dup pairs (word trigrams, inverted-index
-    // self-join; see Dedup.tokenShingles for why not char-grams here)
+    // self-join; see Dedup.tokenShingles for why not char-grams here).
+    // maxDocFreq=50 is the default skew cap on every Jaccard-pipeline
+    // query: boilerplate shingles in >50 docs are dropped before the
+    // self-join (each contributes df² candidate pairs). The oracle SQL
+    // applies the identical cap, and at the test SFs no shingle exceeds
+    // df=25 (measured), so results here are byte-identical to uncapped —
+    // the cap exists for clone-heavy corpora at soak/production scale.
     "d2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8, tokens = true)),
+        n = 3, threshold = 0.8, tokens = true, maxDocFreq = Some(50))),
 
     // MinHash + LSH banding candidates vs exact Jaccard ground truth:
     // the query returns its own recall so the randomized-LSH operator
@@ -431,12 +437,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       // one shingle explode feeds BOTH the LSH path and the exact
       // ground truth — built once, persisted, shared
-      val rawIdx = Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
-          maxDocFreq = None, tokens = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rawIdx = Dedup.capDocFreq(
+        Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
+            maxDocFreq = None, tokens = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        Some(50))
       val lsh = Dedup.minhashLshPairsFromIndex(rawIdx,
-        docs.select(col("doc_id").as("id"), col("text")),
-        n = 3, k = 32, bands = 4, verifyThreshold = 0.8, tokens = true)
+        k = 32, bands = 4, verifyThreshold = 0.8)
         .select("id_a", "id_b")
       val exact = Dedup.ngramJaccardPairsFromIndex(
         rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
@@ -457,7 +464,8 @@ object SparkEntry {
     // doc per cluster (the step that makes pairwise dedup actionable)
     "d7_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 3, threshold = 0.8, tokens = true)
+        "doc_id", "text", n = 3, threshold = 0.8, tokens = true,
+        maxDocFreq = Some(50))
         .select("id_a", "id_b")
       Dedup.dedupClusters(pairs)
     }),
@@ -723,8 +731,31 @@ object SparkEntry {
     "d10_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8, tokens = true).select("id_a", "id_b")
+        n = 3, threshold = 0.8, tokens = true, maxDocFreq = Some(50))
+        .select("id_a", "id_b")
       Dedup.canonicalDocs(docs, pairs)
+    }),
+
+    // one-pipeline dedup: pair generation + connected components run
+    // ONCE and the persisted labeling feeds BOTH the cluster report
+    // (n_linked) and canonical-doc selection — the production
+    // composition d7/d10 pay for twice when run as separate queries
+    // (canonicalDocsFromLabels exists exactly for this reuse)
+    "d14_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, tokens = true, maxDocFreq = Some(50))
+        .select("id_a", "id_b")
+      val labels = Dedup.connectedComponents(pairs) // persisted inside
+      val linked = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_linked"))
+      val canon = Dedup.canonicalDocsFromLabels(docs, labels)
+      canon
+        .join(labels.toDF("kid", "kcomp"),
+          canon("keep_doc_id") === col("kid"), "left")
+        .withColumn("cluster", coalesce(col("kcomp"), col("keep_doc_id")))
+        .join(linked.toDF("c2", "n_linked"), col("cluster") === col("c2"), "left")
+        .select(col("cluster"), col("keep_doc_id"), col("n_members"),
+          col("kept_chars"), coalesce(col("n_linked"), lit(0L)).as("n_linked"))
     }),
 
     // explicit window frame: 5-row trailing sum/count per user (ROWS
@@ -792,9 +823,11 @@ object SparkEntry {
     }),
 
     // exact substring-span dedup (Lee et al.): doc pairs sharing ≥1
-    // exact 8-token span, ranked by distinct shared spans
+    // exact 8-token span, ranked by distinct shared spans (same df≤50
+    // boilerplate cap as d2, replicated in the oracle)
     "d9_substring_dup" -> ((s, dir) =>
-      Dedup.substringDupPairs(t(s, dir, "documents"), n = 8)),
+      Dedup.substringDupPairs(t(s, dir, "documents"), n = 8,
+        maxDocFreq = Some(50))),
 
     // URL extraction + per-host stats (domain-frequency table for
     // blocklist filtering); URLs injected deterministically like p6
@@ -1241,12 +1274,14 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
         |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
         |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
         |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -1263,12 +1298,14 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
         |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
         |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
         |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -1290,12 +1327,14 @@ object SparkEntry {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
         |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
         |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
         |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -1575,12 +1614,14 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
         |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
         |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
         |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
         |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1615,12 +1656,14 @@ object SparkEntry {
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
         |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
         |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
         |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -1652,6 +1695,51 @@ object SparkEntry {
         |  CAST(n_chars AS BIGINT) AS kept_chars
         |FROM w WHERE rn = 1""".stripMargin,
 
+    "d14_dedup_pipeline" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8),
+        |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (
+        |  SELECT id, id AS comp FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, lbl.comp FROM lbl JOIN edges e ON e.a = lbl.id),
+        |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(f.comp, d.doc_id) AS cluster, d.n_chars
+        |  FROM documents d LEFT JOIN final f ON f.id = d.doc_id),
+        |w AS (
+        |  SELECT cluster, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY cluster
+        |                       ORDER BY n_chars DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM lab),
+        |linked AS (SELECT comp, COUNT(*) AS n_linked FROM final GROUP BY comp)
+        |SELECT w.cluster, w.doc_id AS keep_doc_id, w.n_members,
+        |  CAST(w.n_chars AS BIGINT) AS kept_chars,
+        |  COALESCE(l.n_linked, CAST(0 AS BIGINT)) AS n_linked
+        |FROM w LEFT JOIN linked l ON l.comp = w.cluster WHERE rn = 1""".stripMargin,
+
     "q37_range_join" ->
       """WITH c AS (
         |  SELECT i AS campaign_id,
@@ -1668,12 +1756,14 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(ts) - 7, 1) + 1),
         |      i -> list_aggregate(ts[CAST(i AS INT):CAST(i AS INT) + 7],
         |                          'string_agg', ' '))) AS shingle
-        |  FROM toks)
+        |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
         |FROM sh a JOIN sh b USING (shingle)
         |WHERE a.doc_id < b.doc_id

@@ -78,18 +78,27 @@ object Dedup {
                    tokens: Boolean = false): DataFrame = {
     val idx = df.select(col(idCol).as("id"),
         explode(shinglesOf(col(textCol), n, tokens)).as("shingle"))
-    maxDocFreq match {
-      case None => idx
-      case Some(cap) =>
-        // Broadcast the FREQUENT shingles (df > cap) and anti-join: the
-        // heavy-hitter set is bounded by |index| / cap (tiny for any
-        // useful cap), while the kept set is ~vocabulary-sized — the
-        // round-4 form broadcast the kept list, a driver-OOM hazard the
-        // day the cap is enabled at corpus scale.
-        val hot = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("shingle")
-        idx.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }
+    capDocFreq(idx, maxDocFreq)
+  }
+
+  /** Drop index entries whose shingle occurs in more than `cap` docs —
+    * the skew control for inverted-index self-joins (a shingle in k
+    * docs contributes k² candidate pairs; boilerplate spans push k to
+    * corpus scale). The heavy-hitter list is bounded by |index| / cap,
+    * so it broadcasts; the kept set (~vocabulary-sized) never moves.
+    * Call on a persisted index: the doc-frequency aggregate and the
+    * anti-join probe both re-read the cache instead of re-exploding.
+    */
+  def capDocFreq(idx: DataFrame, cap: Option[Int]): DataFrame = cap match {
+    case None => idx
+    case Some(c) =>
+      val hot = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > c).select("shingle")
+      // re-select in the input's column order: a USING join moves the
+      // key to the front, which would silently break downstream
+      // positional renames (toDF)
+      idx.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .select(idx.columns.map(col).toIndexedSeq: _*)
   }
 
   // ---- n-gram Jaccard -----------------------------------------------
@@ -102,12 +111,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDocFreq: Option[Int] = None,
-                        tokens: Boolean = false): DataFrame =
-    ngramJaccardPairsFromIndex(
-      shingleIndex(df, idCol, textCol, n, maxDocFreq, tokens)
-        .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      threshold)
+                        tokens: Boolean = false): DataFrame = {
+    // persist BEFORE the cap so the frequency pass and the anti-join
+    // probe share one explode (capping inside shingleIndex would run
+    // the explode twice on an unpersisted plan)
+    val idx = shingleIndex(df, idCol, textCol, n, None, tokens)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ngramJaccardPairsFromIndex(capDocFreq(idx, maxDocFreq), threshold)
+  }
 
   /** Exact substring-span duplication (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", the suffix-array
@@ -126,9 +138,11 @@ object Dedup {
                         textCol: String = "text", n: Int = 8,
                         minShared: Int = 1,
                         maxDocFreq: Option[Int] = None): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq, tokens = true)
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val raw = shingleIndex(docs, idCol, textCol, n, None, tokens = true)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = capDocFreq(raw, maxDocFreq)
+      .select(col("id"), col("shingle").as("h"))
     val a = idx.toDF("id_a", "h")
     val b = idx.toDF("id_b", "h")
     a.join(b, "h")
@@ -212,19 +226,26 @@ object Dedup {
                       n: Int = 3, k: Int = 32, bands: Int = 4,
                       verifyThreshold: Double = 0.8,
                       tokens: Boolean = true,
-                      maxBucket: Int = 200): DataFrame =
+                      maxBucket: Int = 200,
+                      maxDocFreq: Option[Int] = None): DataFrame =
     minhashLshPairsFromIndex(
-      shingleIndex(df, idCol, textCol, n, None, tokens),
-      df.select(col(idCol).as("id"), col(textCol).as("text")),
-      n, k, bands, verifyThreshold, tokens, maxBucket)
+      capDocFreq(
+        shingleIndex(df, idCol, textCol, n, None, tokens)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        maxDocFreq),
+      k, bands, verifyThreshold, maxBucket)
 
-  /** LSH pairs from a prebuilt `(id, shingle: string)` index plus an
-    * `(id, text)` table for exact verification of candidates.
+  /** LSH pairs from a prebuilt `(id, shingle)` index. Candidate pairs
+    * are verified EXACTLY against the same index that fed the
+    * signatures (shared-shingle counts + per-doc sizes — the
+    * [[ngramJaccardPairsFromIndex]] formula restricted to candidates),
+    * so a `maxDocFreq`-capped index yields a self-consistent
+    * (signatures, verification, ground truth) triple and the raw text
+    * is never re-shingled.
     */
-  def minhashLshPairsFromIndex(rawIdx: DataFrame, texts: DataFrame,
-                               n: Int, k: Int, bands: Int,
+  def minhashLshPairsFromIndex(rawIdx: DataFrame,
+                               k: Int, bands: Int,
                                verifyThreshold: Double,
-                               tokens: Boolean,
                                maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
@@ -248,15 +269,20 @@ object Dedup {
       .join(bounded.toDF("band", "sig", "id_b"), Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates exactly (joins back tiny candidate set to text)
+    // verify candidates exactly from the index: shared-shingle count
+    // per pair via two hash joins keyed on id (the candidate set is
+    // tiny relative to the index), |A∪B| from per-doc distinct counts
+    val h = rawIdx.select(col("id"), xxhash64(col("shingle")).as("h"))
+    val docSz = h.groupBy("id").agg(count(lit(1)).as("n_sh"))
     cand
-      .join(texts.toDF("id_a", "text_a"), "id_a")
-      .join(texts.toDF("id_b", "text_b"), "id_b")
-      .withColumn("sh_a", shinglesOf(col("text_a"), n, tokens))
-      .withColumn("sh_b", shinglesOf(col("text_b"), n, tokens))
+      .join(h.toDF("id_a", "h"), "id_a")
+      .join(h.toDF("id_b", "h"), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(docSz.toDF("id_a", "sz_a"), "id_a")
+      .join(docSz.toDF("id_b", "sz_b"), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("n_common").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= verifyThreshold)
       .select("id_a", "id_b", "jaccard")
   }

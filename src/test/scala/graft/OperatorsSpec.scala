@@ -140,6 +140,36 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
 
+  test("capDocFreq drops hot shingles, broadcasts only the hot side, keeps column order") {
+    import spark.implicits._
+    // "x y z" is boilerplate in all 5 docs (df=5 > cap=3); tails are unique
+    val docs = (1 to 5).map(i => (i.toLong, s"x y z tail$i more$i words$i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3, None, tokens = true)
+    val capped = Dedup.capDocFreq(idx, Some(3))
+    // column order preserved: downstream positional renames (toDF) rely on it
+    assert(capped.columns.toSeq == idx.columns.toSeq)
+    val kept = capped.select("shingle").as[String].collect()
+    assert(!kept.contains("x y z") && kept.nonEmpty)
+    // the hot (df>cap) list is the broadcast side of the anti-join — the
+    // ~vocabulary-sized kept set must never move to the driver
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // end-to-end: uncapped links every pair through the boilerplate
+    // shingle; the cap removes it and with it every pair
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      tokens = true)
+    val cappedPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxDocFreq = Some(3), tokens = true)
+    assert(uncapped.count() == 10 && cappedPairs.count() == 0)
+    // the shingleIndex maxDocFreq parameter routes through the same cap
+    val viaIndex = Dedup.shingleIndex(docs, "doc_id", "text", 3,
+      Some(3), tokens = true)
+    assert(viaIndex.columns.toSeq == idx.columns.toSeq)
+    assert(viaIndex.count() == capped.count())
+  }
+
   test("minhashLshPairs agrees with exact jaccard on near-dups") {
     val docs = (0 until 20).map(i => (i.toLong, s"unique$i " * 10 + s"tail$i"))
       .toDF("doc_id", "text")
