@@ -905,6 +905,33 @@ object SparkEntry {
           octet_length(col("frame_bytes")).cast(LongType).as("frame_len"))
     }),
 
+    // multimodal: REAL javax.imageio codec round trip, hash-verified —
+    // encode a solid-gray PNG whose dims/level derive from doc_id,
+    // decode it back, bilinear-resize to half size, decode again. PNG
+    // is lossless and a constant image is resize-invariant, so the
+    // oracle predicts every decoded value arithmetically; any codec
+    // regression (dims, color model, scaler) breaks the hash.
+    "m4_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 64 + 16).toInt
+            val h = (id % 48 + 16).toInt
+            val g = (id % 256).toInt
+            val png = Multimodal.encodeSolidPng(w, h, g)
+            val d = Multimodal.decodeImage(png).get
+            val half = Multimodal
+              .resizeImageBytes(png, math.max(w / 2, 1), math.max(h / 2, 1)).get
+            val r = Multimodal.decodeImage(half).get
+            (id, d.width.toLong, d.height.toLong, math.round(d.meanLuma),
+              r.width.toLong, r.height.toLong, math.round(r.meanLuma))
+          }
+        }
+        .toDF("doc_id", "dec_w", "dec_h", "dec_luma",
+          "rs_w", "rs_h", "rs_luma")
+    }),
+
     // Structured Streaming tumbling aggregation (complete mode == batch)
     "st1_stream_tumble" -> ((s, dir) =>
       Streams.runTumblingAgg(s, s"$dir/events.parquet", "ts", "1 hour",
@@ -1935,6 +1962,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
         |  CAST(least(64, greatest(n - fi * 64, 0)) AS BIGINT) AS frame_len
         |FROM idxs""".stripMargin,
+
+    "m4_media_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 64 + 16 AS BIGINT) AS dec_w,
+        |  CAST(doc_id % 48 + 16 AS BIGINT) AS dec_h,
+        |  CAST(doc_id % 256 AS BIGINT) AS dec_luma,
+        |  CAST(greatest((doc_id % 64 + 16) // 2, 1) AS BIGINT) AS rs_w,
+        |  CAST(greatest((doc_id % 48 + 16) // 2, 1) AS BIGINT) AS rs_h,
+        |  CAST(doc_id % 256 AS BIGINT) AS rs_luma
+        |FROM documents""".stripMargin,
 
     "st1_stream_tumble" ->
       """SELECT event_type, COUNT(*) AS n,

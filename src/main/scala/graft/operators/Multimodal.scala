@@ -9,13 +9,115 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and tested — binary columns, metadata
   * structs, per-partition batched processing via `mapPartitions` on a
-  * typed Dataset (the Scala analogue of `mapInPandas` batching). The
-  * codec itself is STUBBED (this container has no image/audio libs): a
-  * deterministic fake derives features from the bytes, clearly marked
-  * below. Swapping in a real decoder changes one function, not the
-  * pipeline.
+  * typed Dataset (the Scala analogue of `mapInPandas` batching).
+  *
+  * The image codec is REAL for image payloads: [[decodeImage]] /
+  * [[resizeImageBytes]] go through JDK-only `javax.imageio` (PNG/JPEG/
+  * GIF/BMP — no external libs), exercised end-to-end by the
+  * m4_media_decode oracle query. Non-image payloads (audio/video — no
+  * JDK codec exists) fall back to the deterministic stubs below, which
+  * keep the batching/schema plumbing exercised on any bytes.
   */
 object Multimodal {
+
+  /** Decoded image summary: dimensions, mean luminance (0-255), and an
+    * 8-bin normalized luminance histogram usable as a feature vector.
+    */
+  case class DecodedImage(width: Int, height: Int, meanLuma: Double,
+                          histogram: Array[Float])
+
+  /** Magic-byte sniff for the formats `javax.imageio` ships readers
+    * for: PNG, JPEG, GIF, BMP. Cheaper and more predictable than
+    * letting ImageIO probe every payload (audio/video/text skip the
+    * codec entirely).
+    */
+  private[graft] def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && {
+      val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
+      val b2 = bytes(2) & 0xFF; val b3 = bytes(3) & 0xFF
+      (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') || // PNG
+      (b0 == 0xFF && b1 == 0xD8 && b2 == 0xFF) ||            // JPEG
+      (b0 == 'G' && b1 == 'I' && b2 == 'F' && b3 == '8') ||  // GIF
+      (b0 == 'B' && b1 == 'M')                               // BMP
+    }
+
+  // ImageIO's default disk cache writes a temp file per decode — a
+  // per-row fsync in a tight executor loop. In-memory streams only.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real JDK decode: `javax.imageio` for image payloads, `None` for
+    * anything else (caller falls back to the deterministic stub).
+    * Thread-safe — ImageIO.read constructs a fresh reader per call, so
+    * concurrent executor threads don't contend.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (!looksLikeImage(bytes)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val hist = new Array[Long](8)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
+            + (rgb & 0xFF)) / 3.0
+          sum += luma
+          hist(math.min((luma / 32.0).toInt, 7)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      Some(DecodedImage(w, h, sum / n, hist.map(v => (v / n).toFloat)))
+    }
+  }
+
+  /** Real JDK resize: bilinear `Graphics2D` scale re-encoded as PNG.
+    * `None` for non-image payloads (caller falls back to the stub).
+    */
+  def resizeImageBytes(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    if (!looksLikeImage(bytes)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, tw, th, null)
+      g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Deterministic solid-gray PNG through the real encoder — the
+    * m4_media_decode fixture generator: a constant image is lossless
+    * under PNG and invariant under resize, so an arithmetic oracle can
+    * predict the decoded dims/luminance exactly.
+    */
+  def encodeSolidPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = gray & 0xFF
+    val gfx = img.createGraphics()
+    gfx.setColor(new java.awt.Color(g, g, g))
+    gfx.fillRect(0, 0, w, h)
+    gfx.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
                       width: Int, height: Int)
@@ -35,14 +137,12 @@ object Multimodal {
       (pmod(col(idCol), lit(640)) + 64).cast("int").as("width"),
       (pmod(col(idCol), lit(480)) + 48).cast("int").as("height"))
 
-  /** STUB decoder: a real implementation would decode the media bytes
-    * (e.g. javax.imageio / ffmpeg bindings) inside this per-partition
-    * loop. The deterministic fake derives an 8-dim feature from byte
-    * statistics so downstream plumbing (schema, batching, joins) is
-    * fully exercised.
+  /** Fallback feature for NON-image payloads (audio/video have no JDK
+    * codec; a production build would bind ffmpeg here): a deterministic
+    * 8-dim byte-statistics histogram, same shape as the real image
+    * histogram so the two paths union cleanly.
     */
   private def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    // ??? real codec goes here; deterministic fake below
     val buckets = new Array[Long](8)
     var i = 0
     while (i < bytes.length) { buckets((bytes(i) & 0xFF) % 8) += 1; i += 1 }
@@ -59,7 +159,9 @@ object Multimodal {
     media.select("doc_id", "media").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          MediaFeatures(id, bytes.length.toLong, polyChecksum(bytes), decodeStub(bytes))
+          val feature = decodeImage(bytes).map(_.histogram)
+            .getOrElse(decodeStub(bytes))
+          MediaFeatures(id, bytes.length.toLong, polyChecksum(bytes), feature)
         }
       }
   }
@@ -83,12 +185,12 @@ object Multimodal {
                           width: Int, height: Int)
 
   /** Image resize stage: per-partition batched like extractFeatures.
-    * The pixel resampler is STUBBED (no image codecs in this
-    * container): the deterministic fake byte-subsamples the payload to
-    * the target size's byte budget, preserving the real pipeline
-    * contract — output metadata reflects the target dimensions, the
-    * payload column stays binary, batching stays per-partition. A real
-    * implementation swaps `resampleStub` for an imageio/ffmpeg call.
+    * Image payloads go through the real `javax.imageio` bilinear scaler
+    * ([[resizeImageBytes]], output re-encoded as PNG); non-image
+    * payloads fall back to the deterministic byte-subsample stub, which
+    * preserves the pipeline contract — output metadata reflects the
+    * target dimensions, the payload column stays binary, batching stays
+    * per-partition.
     */
   def resize(spark: SparkSession, media: DataFrame,
              targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
@@ -97,14 +199,19 @@ object Multimodal {
       .as[(Long, Array[Byte], String, Int, Int)]
       .mapPartitions { it =>
         it.map { case (id, bytes, mime, w, h) =>
-          ResizedMedia(id, resampleStub(bytes, w, h, targetW, targetH),
-            mime, targetW, targetH)
+          resizeImageBytes(bytes, targetW, targetH) match {
+            case Some(png) =>
+              ResizedMedia(id, png, "image/png", targetW, targetH)
+            case None =>
+              ResizedMedia(id, resampleStub(bytes, w, h, targetW, targetH),
+                mime, targetW, targetH)
+          }
         }
       }
   }
 
-  /** STUB resampler: deterministic byte subsample proportional to the
-    * pixel-count ratio (??? real scaler goes here).
+  /** Fallback resampler for non-image payloads: deterministic byte
+    * subsample proportional to the pixel-count ratio.
     */
   private def resampleStub(bytes: Array[Byte], w: Int, h: Int,
                            tw: Int, th: Int): Array[Byte] = {

@@ -266,6 +266,48 @@ class OperatorsSpec extends SparkSpec {
     assert(resized.forall(r => r.media.length <= orig(r.doc_id) && r.media.length > 0))
   }
 
+  test("javax.imageio codec: PNG/JPEG decode, bilinear resize, non-image fallback") {
+    import spark.implicits._
+    // real PNG round trip: lossless, constant image → exact dims + luma
+    val png = Multimodal.encodeSolidPng(20, 10, 100)
+    val d = Multimodal.decodeImage(png).get
+    assert(d.width == 20 && d.height == 10 && math.round(d.meanLuma) == 100)
+    // solid gray 100 lands entirely in luminance bucket 100/32 = 3
+    assert(d.histogram(3) == 1.0f && d.histogram.sum == 1.0f)
+    // real resize through Graphics2D re-encodes as a decodable PNG
+    val r = Multimodal.decodeImage(Multimodal.resizeImageBytes(png, 7, 3).get).get
+    assert(r.width == 7 && r.height == 3 && math.round(r.meanLuma) == 100)
+    // JPEG decodes through the same path (lossy — tolerance on luma)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    gfx.setColor(new java.awt.Color(100, 100, 100))
+    gfx.fillRect(0, 0, 16, 16)
+    gfx.dispose()
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val j = Multimodal.decodeImage(jbos.toByteArray).get
+    assert(j.width == 16 && j.height == 16 && math.abs(j.meanLuma - 100) < 3)
+    // non-image bytes: decode declines, feature extraction falls back
+    // to the deterministic byte-statistics stub
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    val media = Seq((1L, png, "image/png", 20, 10),
+      (2L, "plain text payload".getBytes("UTF-8"),
+        "application/octet-stream", 0, 0))
+      .toDF("doc_id", "media", "mime", "width", "height")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f.feature).toMap
+    assert(feats(1L)(3) == 1.0f)          // real luminance histogram
+    assert(feats(2L).sum > 0.99f)         // stub byte histogram
+    // mixed resize: image row is re-encoded PNG at target dims, text
+    // row passes through the stub with original mime
+    val resized = Multimodal.resize(spark, media, 5, 4).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(resized(1L).mime == "image/png"
+      && Multimodal.decodeImage(resized(1L).media).get.width == 5)
+    assert(resized(2L).mime == "application/octet-stream")
+  }
+
   test("ivfTopK finds mostly the same neighbors as brute force") {
     val emb = Engine.table(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
