@@ -103,6 +103,60 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "0")
   }
 
+  test("BinnedRangeJoinRule: random intervals/bins match the naive model on every edge combo") {
+    import org.scalacheck.Gen
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (1 to n).flatMap(i =>
+        g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+    // intervals: random spans + zero-length + inverted (hi < lo)
+    val intervals = samples(for {
+      lo <- Gen.chooseNum(0L, 50000L)
+      len <- Gen.oneOf(Gen.const(0L), Gen.const(-5000L),
+        Gen.chooseNum(1L, 20000L))
+    } yield (lo, lo + len), 30).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+    // events: random times + every interval endpoint ±1, so each
+    // inclusive/exclusive boundary is actually exercised
+    val events = (samples(Gen.chooseNum(0L, 60000L), 200)
+      ++ intervals.flatMap { case (_, lo, hi) => Seq(lo, hi, lo - 1, hi + 1) })
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val left = events.toDF("eid", "sec")
+      .select(col("eid"), timestamp_seconds(col("sec")).as("ts"))
+    val right = intervals.toDF("iid", "s", "e")
+      .select(col("iid"), timestamp_seconds(col("s")).as("lo_ts"),
+        timestamp_seconds(col("e")).as("hi_ts"))
+    type Op = (Long, Long) => Boolean
+    // all four bound combos; two written bound-first to cover both
+    // conjunct orientations the rule must normalize
+    val combos: Seq[(String, org.apache.spark.sql.Column, Op, Op)] = Seq(
+      (">= <", col("ts") >= col("lo_ts") && col("ts") < col("hi_ts"),
+        _ >= _, _ < _),
+      ("> <=", col("ts") > col("lo_ts") && col("ts") <= col("hi_ts"),
+        _ > _, _ <= _),
+      ("<= <= flipped", col("lo_ts") <= col("ts") && col("ts") <= col("hi_ts"),
+        _ >= _, _ <= _),
+      ("> < flipped", col("hi_ts") > col("ts") && col("lo_ts") < col("ts"),
+        _ > _, _ < _))
+    spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "7")
+    try {
+      for ((name, cond, loOp, hiOp) <- combos;
+           bin <- Seq(7L, 3600L)) {
+        spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, bin.toString)
+        val joined = left.join(right, cond)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name bin=$bin:\n$plan")
+        val got = joined.select("eid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = (for {
+          (eid, t) <- events
+          (iid, lo, hi) <- intervals
+          if loOp(t, lo) && hiOp(t, hi)
+        } yield (eid, iid)).toSet
+        assert(got == expected && expected.nonEmpty, s"combo $name bin=$bin")
+      }
+    } finally spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "0")
+  }
+
   test("chunkDedup keeps first occurrence; short docs form one chunk") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),   // chunks: "a..h", "i j"
