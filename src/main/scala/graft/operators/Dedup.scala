@@ -319,28 +319,29 @@ object Dedup {
     // pair list to avoid both branches recomputing candidate generation.
     val p = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    // localCheckpoint (eager), NOT persist: persist caches the DATA but
+    // every consumer still carries — and Catalyst re-ANALYZES — the full
+    // upstream plan. The pair pipeline feeding this is typically the
+    // most complex plan in the job (inverted index, frequency cap,
+    // self-join, verify); with plain persist each CC round and each
+    // downstream consumer of the labeling re-analyzed that whole tree,
+    // costing seconds of pure driver planning per round regardless of
+    // data size (measured: 256 pairs at sf0.1 → ~4 s/phase of planning).
+    // Checkpointing truncates the lineage to the materialized
+    // partitions, so every later plan is O(CC operators), not O(pair
+    // pipeline). It also materializes the edge list down a single
+    // linear stage chain before the loop's consumers can race to fill
+    // a lazy cache. (On a multi-executor cluster prefer a reliable
+    // checkpoint dir for fault tolerance; local truncation is the
+    // right single-process trade.)
     val edges = p.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // One DELIBERATE eager job before the loop: materialize labels (and
-    // transitively the edges cache) down a single linear stage chain.
-    // Left lazy, round 1's first job would hit the edges cache from two
-    // independent map stages (the label distinct and the propagation
-    // join) racing to fill it — each running the full candidate
-    // pipeline. Priming costs one cheap distinct over cached edges.
-    labels.count()
-    // persist() caches the DATA but the PLAN still stacks one round of
-    // operators per iteration — localCheckpoint every k rounds truncates
-    // the lineage to the materialized partitions, keeping the per-round
-    // plan O(k) regardless of iteration count. (On a multi-executor
-    // cluster prefer a reliable checkpoint dir for fault tolerance;
-    // local truncation is the right single-process trade.)
-    val checkpointEvery = 5
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     var prevSum: java.math.BigDecimal = null
@@ -355,23 +356,25 @@ object Dedup {
       val ptr = hop.select(col("id").as("ptr_id"), col("comp").as("ptr_comp"))
       val doubled = hop.join(ptr, hop("comp") === ptr("ptr_id"), "left")
         .select(hop("id"), coalesce(col("ptr_comp"), hop("comp")).as("comp"))
-      val next =
-        if ((iter + 1) % checkpointEvery == 0) doubled.localCheckpoint(true)
-        else doubled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // checkpoint EVERY round: the materialization job is the same
+      // work the old persist+fingerprint pair did, and it keeps each
+      // round's plan — and the returned labeling's plan — constant-size
+      val next = doubled.localCheckpoint(true)
       // labels are monotonically non-increasing per node, so the exact
       // label sum is unchanged iff no label changed — one aggregate
       // instead of a join+filter+count convergence probe
       val fingerprint = next
         .agg(sum(col("comp").cast(DecimalType(38, 0))).as("s"))
         .head().getDecimal(0)
-      labels.unpersist()
+      // old rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once unreferenced; no explicit unpersist exists
+      // for a localCheckpoint through the Dataset API
       labels = next
       converged = fingerprint == null || // empty graph: nothing to label
         (prevSum != null && fingerprint.compareTo(prevSum) == 0)
       prevSum = fingerprint
       iter += 1
     }
-    edges.unpersist()
     if (!converged)
       // returning a partially-propagated labeling would silently split
       // components — fail loudly; callers with extreme-diameter graphs
