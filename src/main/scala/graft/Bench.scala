@@ -50,8 +50,15 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // min of two timed passes per query — the same warm-cache
+    // discipline as BASELINE.md's hyperfine protocol (and the flagship
+    // below, which reports the median of 5). Single-shot timings on
+    // this host swing 2-4x with ambient load; the min is the
+    // reproducible capability number. SPARK_GRAFT_SAMPLES overrides
+    // (1 = old single-shot behavior).
+    val passes = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(2)
     val results = names.map { name =>
-      name -> force(name) / 1e9
+      name -> (1 to passes).map(_ => force(name)).min / 1e9
     }
     // Driver contract: ONE JSON line on stdout, and the driver's tail
     // capture keeps only the last 2000 bytes of output (sbt prints a

@@ -442,9 +442,13 @@ object SparkEntry {
             maxDocFreq = None, tokens = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         Some(50))
-      val lsh = Dedup.minhashLshPairsFromIndex(rawIdx,
-        k = 32, bands = 4, verifyThreshold = 0.8)
-        .select("id_a", "id_b")
+      // UNVERIFIED candidates are enough for recall-vs-exact: the
+      // verified set is cand ∩ {jaccard≥0.8} and exact IS
+      // {jaccard≥0.8}, so exact ∩ verified(cand) = exact ∩ cand — a
+      // separate verify pipeline (2 hash joins + 3 aggregates) would
+      // recompute what the exact path below already computes
+      val lsh = Dedup.minhashLshCandidatesFromIndex(rawIdx,
+        k = 32, bands = 4)
       val exact = Dedup.ngramJaccardPairsFromIndex(
         rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
         threshold = 0.8).select("id_a", "id_b")

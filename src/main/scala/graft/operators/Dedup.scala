@@ -243,10 +243,14 @@ object Dedup {
     * (signatures, verification, ground truth) triple and the raw text
     * is never re-shingled.
     */
-  def minhashLshPairsFromIndex(rawIdx: DataFrame,
-                               k: Int, bands: Int,
-                               verifyThreshold: Double,
-                               maxBucket: Int = 200): DataFrame = {
+  /** UNVERIFIED banding candidates from a prebuilt `(id, shingle)`
+    * index — the recall-measurement path (comparing candidates against
+    * an exact pair set makes a separate Jaccard verify redundant:
+    * exact ∩ verified(cand) = exact ∩ cand). Production dedup wants
+    * [[minhashLshPairsFromIndex]], which verifies.
+    */
+  def minhashLshCandidatesFromIndex(rawIdx: DataFrame, k: Int, bands: Int,
+                                    maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sig = minhashSignaturesFromIndex(rawIdx, k)
@@ -265,10 +269,17 @@ object Dedup {
     val sizes = banded.groupBy("band", "sig").agg(count(lit(1)).as("m"))
       .filter(col("m") <= maxBucket).select("band", "sig")
     val bounded = banded.join(sizes, Seq("band", "sig"))
-    val cand = bounded.toDF("band", "sig", "id_a")
+    bounded.toDF("band", "sig", "id_a")
       .join(bounded.toDF("band", "sig", "id_b"), Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  def minhashLshPairsFromIndex(rawIdx: DataFrame,
+                               k: Int, bands: Int,
+                               verifyThreshold: Double,
+                               maxBucket: Int = 200): DataFrame = {
+    val cand = minhashLshCandidatesFromIndex(rawIdx, k, bands, maxBucket)
     // verify candidates exactly from the index: shared-shingle count
     // per pair via two hash joins keyed on id (the candidate set is
     // tiny relative to the index), |A∪B| from per-doc distinct counts

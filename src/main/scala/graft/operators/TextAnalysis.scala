@@ -385,11 +385,18 @@ object TextAnalysis {
         val pair = best(0).getString(0)
         val merged = pair.replace("  ", "")
         out += ((r.toLong, merged, best(0).getLong(1)))
+        // eager localCheckpoint, not persist: materializes the new
+        // segmentation NOW (while the previous round's data is still
+        // available) and truncates lineage, so no round ever replays
+        // earlier rounds' replaces. The old persist-then-unpersist order
+        // dropped the previous cache before the lazy successor was ever
+        // materialized — every round recomputed the whole chain from
+        // the word table (O(rounds²) replace work).
         val next = segs.select(col("w"), col("f"),
           trim(call_function("replace",
             concat(lit(" "), col("seg"), lit(" ")),
             lit(s" $pair "), lit(s" $merged "))).as("seg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         segs.unpersist()
         segs = next
       }
