@@ -213,19 +213,11 @@ object Similarity {
         posexplode(array((0 until tables).map(t =>
           lshBucket(col("v"), hyperplanes(dim, bits, seed = 42L + t))): _*))
           .as(Seq("tbl", "bucket")))
-    // the multi-table dedup shuffles ONLY the id pair (16 bytes/row);
-    // vectors rejoin afterwards keyed on id. Carrying both embeddings
-    // through the distinct would push ~2 full vectors per candidate
-    // through the widest shuffle of the plan — the join-back costs two
-    // hash joins but moves each vector once, keyed by a bounded corpus
-    val cand = side.toDF("id_a", "va", "tbl", "bucket")
+    side.toDF("id_a", "va", "tbl", "bucket")
       .join(side.toDF("id_b", "vb", "tbl", "bucket"), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    cand
-      .join(v.toDF("id_a", "va"), "id_a")
-      .join(v.toDF("id_b", "vb"), "id_b")
+      .select("id_a", "id_b", "va", "vb")
+      .distinct()
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
