@@ -730,6 +730,45 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           col("n_chars").cast("long").as("n_chars"))),
 
+    // weighted mixture sampling (data mixing): per-source keep rates
+    // decided row-locally by the portable hash — zero shuffles, stable
+    // under reruns and appends
+    "p12_mixture" -> ((s, dir) =>
+      operators.Sampling.mixtureSample(t(s, dir, "documents"),
+          "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultWeight = 0.1)
+        .select("doc_id", "source")),
+
+    // GROUPING SETS: the explicit-combination form of q22/q41's
+    // rollup/cube — per-(flag,status), per-flag, and grand total in one
+    // Expand pass
+    "q45_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs45")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+              |    AS DOUBLE) AS sum_qty,
+              |  COUNT(*) AS n
+              |FROM li_gs45
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |  (l_returnflag), ())""".stripMargin)
+    }),
+
+    // value-RANGE window frame (q43 covers ROWS frames): per-order sum
+    // of quantities within 5 units below each line's quantity —
+    // decimal-exact so the frame sum hashes cross-engine; partitions
+    // are order-sized (≤7 rows), so the window sort is bounded
+    "q46_range_frame" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_rf46")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |  CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) OVER (
+              |    PARTITION BY l_orderkey
+              |    ORDER BY CAST(round(l_quantity, 2) AS DECIMAL(18,2))
+              |    RANGE BETWEEN 5.00 PRECEDING AND CURRENT ROW)
+              |    AS DOUBLE) AS range_sum
+              |FROM li_rf46""".stripMargin)
+    }),
+
     // canonical-doc selection: cluster near-dups, keep each cluster's
     // largest member (ties → min id); singletons keep themselves
     "d10_canonical" -> ((s, dir) => {
@@ -1670,6 +1709,30 @@ object SparkEntry {
         |    6) AS entropy
         |FROM f JOIN n ON f.doc_id = n.doc_id
         |GROUP BY 1""".stripMargin,
+
+    "p12_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+        |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "q45_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+
+    "q46_range_frame" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY CAST(round(l_quantity, 2) AS DECIMAL(18,2))
+        |    RANGE BETWEEN 5.00 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS range_sum
+        |FROM lineitem""".stripMargin,
 
     "p9_token_budget" ->
       """WITH h AS (

@@ -35,6 +35,30 @@ object Sampling {
       .filter(col("__rn") <= perKey).drop("__rn")
   }
 
+  /** Weighted mixture sampling — the source-mixing step of a training
+    * pipeline ("keep 100% of wiki, 50% of books, 10% of web"): each row
+    * of group g survives iff its portable hash bucket falls under
+    * `weights(g)` (else `defaultWeight`), quantized to 1/10000.
+    *
+    * Scale shape: a pure filter projection — ZERO shuffles. The weight
+    * table is a bounded literal CASE chain compiled into codegen (no
+    * join, no broadcast); survival is decided per-row from the hash,
+    * so the sample is deterministic, engine-portable, and stable under
+    * reruns/appends (a row's fate never depends on other rows).
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    weights: Map[String, Double],
+                    defaultWeight: Double): DataFrame = {
+    def q(w: Double): Long = {
+      require(w >= 0.0 && w <= 1.0, s"weight out of [0,1]: $w")
+      math.round(w * 10000)
+    }
+    val thr = weights.toSeq.sortBy(_._1).foldLeft(lit(q(defaultWeight))) {
+      case (acc, (k, w)) => when(col(groupCol) === lit(k), lit(q(w))).otherwise(acc)
+    }
+    df.filter(pmod(hashKey(col(idCol)), lit(10000L)) < thr)
+  }
+
   /** Deterministic train/eval split: `evalPct` percent of rows (by hash
     * bucket) land in eval. Pure projection — no shuffle at all.
     */

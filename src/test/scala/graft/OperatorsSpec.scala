@@ -157,6 +157,21 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "0")
   }
 
+  test("mixtureSample matches the hash model per group and stays shuffle-free") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val kept = graft.operators.Sampling
+      .mixtureSample(df, "id", "g", Map("a" -> 1.0), defaultWeight = 0.25)
+    def hk(i: Long) = ((i * 2654435761L) % 4294967296L) % 10000L
+    val model = (0L until 2000L)
+      .filter(i => if (i % 2 == 0) true else hk(i) < 2500).toSet
+    assert(kept.select("id").as[Long].collect().toSet == model)
+    // pure filter projection: no exchange anywhere in the plan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("chunkDedup keeps first occurrence; short docs form one chunk") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),   // chunks: "a..h", "i j"
