@@ -981,6 +981,14 @@ object SparkEntry {
         Seq("event_type"), Seq(count(lit(1)).as("n")),
         queryName = "st1_stream_tumble")),
 
+    // Structured Streaming session windows: gap-merged per-user
+    // sessions (complete-mode drain == q36's batch sessionization)
+    "st4_stream_session" -> ((s, dir) =>
+      Streams.runSessionAgg(s, s"$dir/events.parquet", "ts", "30 minutes",
+          Seq("user_id"), Seq(count(lit(1)).as("n")),
+          queryName = "st4_stream_session")
+        .select("user_id", "session_start", "session_end", "n")),
+
     // streaming exact dedup: watermark-bounded per-key state, append
     // mode; final drained output = the batch DISTINCT (the oracle)
     "st3_stream_dedup" -> ((s, dir) =>
@@ -1562,6 +1570,24 @@ object SparkEntry {
         |      * (CASE WHEN ((i*2654435761 + j*2246822519) % 4294967296) >> 31 = 0
         |         THEN 1.0 ELSE -1.0 END)), 'sum') / sqrt(16.0), 6) AS y
         |FROM p""".stripMargin,
+
+    "st4_stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
+        |            >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '30 minutes' AS session_end, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q36_session_window" ->
       """WITH o AS (

@@ -90,6 +90,46 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming SESSION-window aggregation over a parquet file/dir —
+    * `session_window(timeCol, gap)` merges events separated by less
+    * than `gap` into one growing window per key, the streaming form of
+    * q36's batch sessionization. Complete-mode memory drain as in
+    * [[runTumblingAgg]] (harness-only; production = watermark + update
+    * mode into a real sink, where in-progress sessions live in
+    * key-partitioned state and close when the watermark passes gap).
+    *
+    * Returns (keyCols..., session_start, session_end, aggs...).
+    */
+  def runSessionAgg(spark: SparkSession, path: String, timeCol: String,
+                    gap: String, keyCols: Seq[String], aggs: Seq[Column],
+                    queryName: String = "graft_session"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(path)
+    val src = schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
+      case _ => raw
+    }
+    val grouped = src
+      .groupBy(session_window(col(timeCol), gap).as("sw") +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("sw.start"))
+      .withColumn("session_end", col("sw.end"))
+      .drop("sw")
+    val q = grouped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact deduplication on `keyCols` over a parquet file/dir,
     * drained through a memory sink and returned as a batch DataFrame of
     * the distinct keys — the streaming form of the pipeline's exact-dedup
