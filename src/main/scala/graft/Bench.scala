@@ -27,6 +27,11 @@ object Bench {
       }
       val dt = System.nanoTime() - t0
       spark.sqlContext.clearCache() // no cross-query cache pinning
+      // localCheckpoint blocks (CC rounds, BPE rounds) are freed by the
+      // ContextCleaner only after their RDDs are GC'd on the driver — a
+      // GC nudge between queries keeps 90+ queries' worth of dead blocks
+      // from squeezing the block manager in later queries
+      System.gc()
       dt
     }
 

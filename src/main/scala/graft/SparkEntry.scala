@@ -769,6 +769,18 @@ object SparkEntry {
               |FROM li_rf46""".stripMargin)
     }),
 
+    // salted join: the explicit skew tool for power-law keys — the big
+    // side's hot keys spread `factor` ways, the small side replicates;
+    // the oracle is the PLAIN join, proving salting is result-identical
+    "q47_salted_join" -> ((s, dir) =>
+      operators.Skew.saltedJoin(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+          t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")),
+          Seq("o_custkey"), factor = 8)
+        .groupBy("o_orderstatus", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))),
+
     // canonical-doc selection: cluster near-dups, keep each cluster's
     // largest member (ties → min id); singletons keep themselves
     "d10_canonical" -> ((s, dir) => {
@@ -1735,6 +1747,11 @@ object SparkEntry {
         |    6) AS entropy
         |FROM f JOIN n ON f.doc_id = n.doc_id
         |GROUP BY 1""".stripMargin,
+
+    "q47_salted_join" ->
+      """SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "p12_mixture" ->
       """SELECT doc_id, source FROM documents
