@@ -71,7 +71,7 @@ object Bench {
     // line was ~3.5 KB and got truncated -> parsed:null. So the stdout
     // line is compacted (2-decimal seconds, trailing zeros stripped,
     // minimal fields) and the full-precision record goes to
-    // BENCH_LOCAL.json, which is committed alongside.
+    // BENCH_LOCAL.json next to the repo root (gitignored scratch).
     def short(v: Double): String = {
       val s = String.format(java.util.Locale.ROOT,
         if (v >= 10) "%.1f" else "%.2f", Double.box(v))
