@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape contracts for the relational core: these assert the plan
+  * we WANT at scale — pushdown reaching the scan, partial aggregation
+  * before the single exchange, dimensions broadcasting instead of
+  * shuffling the fact side — so a regression in plan quality fails CI
+  * even while results stay correct.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: map-side partial aggregation, exactly one exchange") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q2_filter: the predicate reaches the parquet scan") {
+    val df = SparkEntry.queries("q2_filter")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters:"), formatted)
+    // at least one real comparison pushed, not only IsNotNull
+    assert("PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|EqualTo|StringStartsWith)"
+      .r.findFirstIn(formatted).isDefined, formatted)
+  }
+
+  test("q5_join5: every dimension join broadcasts; the fact side never shuffles for a join") {
+    val p = planOf("q5_join5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q9_topk: ORDER BY + LIMIT plans as distributed top-k, not a global sort") {
+    val p = planOf("q9_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort") && !"(?m)^\\s*Sort ".r.findFirstIn(p).isDefined, p)
+  }
+}
