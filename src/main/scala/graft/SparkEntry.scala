@@ -706,6 +706,11 @@ object SparkEntry {
     "d11_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(t(s, dir, "documents"), chunkTokens = 8)),
 
+    // token frequency spectrum (frequency-of-frequencies): hapax share
+    // and Zipf head weight — two map-side-combinable aggregations
+    "t10_freq_spectrum" -> ((s, dir) =>
+      TextAnalysis.freqSpectrum(t(s, dir, "documents"))),
+
     // distributed BPE merge learning (tokenizer prep): 5 merges over
     // the corpus word-frequency table, 1-row argmax per round
     "t9_bpe" -> ((s, dir) =>
@@ -1684,6 +1689,13 @@ object SparkEntry {
         |FROM bk b
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM nrm c WHERE c.doc_id < 400 AND c.k = b.k)""".stripMargin,
+
+    "t10_freq_spectrum" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
+        |SELECT f, COUNT(*) AS n_words FROM wf GROUP BY f""".stripMargin,
 
     "t8_vocab" ->
       """WITH tok AS (

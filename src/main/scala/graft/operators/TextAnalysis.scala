@@ -346,6 +346,21 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Token frequency SPECTRUM (frequency-of-frequencies): how many
+    * distinct words occur exactly `f` times. The classic Zipf /
+    * corpus-health diagnostic — the hapax (f=1) share flags OCR noise
+    * and under-deduplication, and the spectrum is the direct input to
+    * Good-Turing smoothing.
+    *
+    * Scale shape: two hash aggregations, both with map-side partial
+    * combine; the second one's input is vocabulary-sized. No joins, no
+    * windows, nothing driver-side.
+    */
+  def freqSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("n_words"))
+
   /** Distributed BPE merge learning — the tokenizer-training prep step:
     * `rounds` byte-pair-encoding merges learned over the corpus's word
     * frequencies. Returns one row per round `(round, merged, pair_count)`.
