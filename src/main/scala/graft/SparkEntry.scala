@@ -1006,6 +1006,16 @@ object SparkEntry {
           queryName = "st4_stream_session")
         .select("user_id", "session_start", "session_end", "n")),
 
+    // stream-stream interval join (attribution shape): clicks joined to
+    // purchases of the same user within the following hour; watermarks
+    // on both sides bound the join state in production
+    "st5_stream_join" -> ((s, dir) =>
+      Streams.runStreamIntervalJoin(s, s"$dir/events.parquet", "ts",
+          "event_type", "user_id", "event_id", "click", "purchase",
+          "1 hour", queryName = "st5_stream_join")
+        .select(col("left_id").as("click_id"),
+          col("right_id").as("purchase_id"), col("k").as("user_id"))),
+
     // streaming exact dedup: watermark-bounded per-key state, append
     // mode; final drained output = the batch DISTINCT (the oracle)
     "st3_stream_dedup" -> ((s, dir) =>
@@ -1587,6 +1597,16 @@ object SparkEntry {
         |      * (CASE WHEN ((i*2654435761 + j*2246822519) % 4294967296) >> 31 = 0
         |         THEN 1.0 ELSE -1.0 END)), 'sum') / sqrt(16.0), 6) AS y
         |FROM p""".stripMargin,
+
+    "st5_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP)
+        |     <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'""".stripMargin,
 
     "st4_stream_session" ->
       """WITH o AS (

@@ -130,6 +130,61 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-stream INTERVAL join over one parquet event log: rows of
+    * `leftType` join rows of `rightType` with the same key when the
+    * right event lands within `within` AFTER the left one — the
+    * attribution-join shape (click → purchase). Both sides carry
+    * watermarks and the join condition is time-bounded, so on a real
+    * cluster each side's buffered state is evicted once the other
+    * side's watermark passes `within` — bounded state, the only
+    * stream-stream join shape that survives an unbounded log.
+    *
+    * Drained through an append-mode memory sink (harness-only, as in
+    * [[runTumblingAgg]]); the drained output equals the batch interval
+    * join, which is the oracle.
+    */
+  def runStreamIntervalJoin(spark: SparkSession, path: String,
+                            timeCol: String, typeCol: String,
+                            keyCol: String, idCol: String,
+                            leftType: String, rightType: String,
+                            within: String,
+                            queryName: String = "graft_ss_join"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    def stream(): DataFrame = {
+      val raw =
+        if (f.isFile)
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", f.getName).parquet(f.getParent)
+        else spark.readStream.schema(schema).parquet(path)
+      schema(timeCol).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
+        case _ => raw
+      }
+    }
+    val l = stream().filter(col(typeCol) === leftType)
+      .select(col(idCol).as("left_id"), col(keyCol).as("k"),
+        col(timeCol).as("lts"))
+      .withWatermark("lts", within)
+    val r = stream().filter(col(typeCol) === rightType)
+      .select(col(idCol).as("right_id"), col(keyCol).as("rk"),
+        col(timeCol).as("rts"))
+      .withWatermark("rts", within)
+    val joined = l.join(r,
+        col("k") === col("rk") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr(s"INTERVAL $within"))
+      .select(col("left_id"), col("right_id"), col("k"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact deduplication on `keyCols` over a parquet file/dir,
     * drained through a memory sink and returned as a batch DataFrame of
     * the distinct keys — the streaming form of the pipeline's exact-dedup
