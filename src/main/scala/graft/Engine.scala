@@ -42,6 +42,7 @@ object Engine {
     graft.plans.VecExpressions.register(spark)
     graft.plans.PolyHashExpr.register(spark)
     graft.plans.CharEntropyExpr.register(spark)
+    graft.plans.GraftSqlFunctions.register(spark)
     // dialect scalar functions with analysis-time type dispatch
     // (len over string vs list, parse_time's Go layouts) — registered
     // once here so SQL behavior doesn't depend on which entry point ran

@@ -157,6 +157,41 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "0")
   }
 
+  test("dedup kernels are SQL-reachable and agree with the Scala API") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sqlfn_docs")
+    // simhash64 via SQL == Dedup.simhash
+    val viaSql = spark.sql(
+      "SELECT doc_id AS id, simhash64(text) AS simhash FROM sqlfn_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+    // token_shingles literal-n explode == shingle index
+    val nSh = spark.sql(
+      """SELECT doc_id, explode(token_shingles(text, 2)) AS sh
+        |FROM sqlfn_docs""".stripMargin).count()
+    assert(nSh == 9) // 3 docs x 3 distinct bigrams
+    // minhash_sig aggregate == MinHashAgg through the Scala path
+    val sqlSig = spark.sql(
+      """SELECT doc_id AS id,
+        |  minhash_sig(xxhash64(sh), xxhash64(1, sh), 8) AS sig
+        |FROM (SELECT doc_id, explode(token_shingles(text, 2)) AS sh
+        |      FROM sqlfn_docs)
+        |GROUP BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val apiSig = Dedup.minhashSignaturesFromIndex(
+        Dedup.shingleIndex(docs, "doc_id", "text", 2, None, tokens = true), 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sqlSig == apiSig)
+    // shape args must be literals
+    intercept[Exception] {
+      spark.sql("SELECT token_shingles(text, doc_id) FROM sqlfn_docs").collect()
+    }
+  }
+
   test("mixtureSample matches the hash model per group and stays shuffle-free") {
     import spark.implicits._
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
