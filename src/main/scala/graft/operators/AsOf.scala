@@ -24,6 +24,12 @@ object AsOf {
     *                   seconds before the left time is nulled out
     *                   (pandas `merge_asof(tolerance=...)` semantics) —
     *                   a stale quote is usually worse than no quote
+    *
+    * Tie semantics: among right rows with IDENTICAL (key, time) the
+    * picked row is unspecified (the window's secondary order covers
+    * only the side flag). Pre-aggregate duplicate-timestamp rows on
+    * the right if the choice matters — at any timestamp granularity
+    * worth as-of joining, exact duplicates are a data-quality signal.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, rightCols: Seq[String],

@@ -157,6 +157,50 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set(graft.plans.BinnedRangeJoinRule.ConfKey, "0")
   }
 
+  test("asofJoin matches a driver-side model on random keyed series, with and without tolerance") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (1 to n).flatMap(i =>
+        g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(900 + i.toLong)))
+    // few keys + coarse times force heavy ties and exact-equality hits
+    val probes = samples(for {
+      k <- Gen.chooseNum(0, 4); s <- Gen.chooseNum(0L, 120L)
+    } yield (k, s), 150).zipWithIndex
+      .map { case ((k, s), i) => (i.toLong, k, s) }
+    // distinct (k, time): among right rows with identical key+time the
+    // operator's pick is unspecified (documented) — the model needs a
+    // unique latest row
+    val quotes = samples(for {
+      k <- Gen.chooseNum(0, 4); s <- Gen.chooseNum(0L, 120L)
+      v <- Gen.chooseNum(0L, 1000L)
+    } yield (k, s, v), 80)
+      .groupBy(q => (q._1, q._2)).map(_._2.head).toSeq.sorted.zipWithIndex
+      .map { case ((k, s, v), i) => (i.toLong, k, s, v) }
+    val left = probes.toDF("pid", "k", "sec")
+      .select(col("pid"), col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val right = quotes.toDF("qid", "k", "sec", "v")
+      .select(col("qid"), col("k"), timestamp_seconds(col("sec")).as("ts"),
+        col("v"))
+    // model: the unique latest right row with rt <= lt on the key
+    def model(tol: Option[Long]): Map[Long, Option[Long]] =
+      probes.map { case (pid, k, lt) =>
+        val best = quotes.filter(q => q._2 == k && q._3 <= lt)
+          .sortBy(_._3).lastOption
+        pid -> best.collect {
+          case q if tol.forall(t => lt - q._3 <= t) => q._4
+        }
+      }.toMap
+    for (tol <- Seq(None, Some(30L))) {
+      val got = graft.operators.AsOf
+        .asofJoin(left, right, "k", "ts", Seq("v"), tol)
+        .select("pid", "asof_v").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == model(tol), s"tolerance=$tol")
+    }
+  }
+
   test("dedup kernels are SQL-reachable and agree with the Scala API") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
