@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+
+/** Plan-hygiene audit: builds the physical plan of every SparkEntry
+  * query and flags scale hazards — CartesianProduct /
+  * BroadcastNestedLoopJoin nodes (all-pairs shapes that cannot survive a
+  * 100× scale-up) anywhere they are not either (a) a scalar join whose
+  * build side is provably ≤1 row (a global aggregate: joining a 1-row
+  * total/mean/threshold is a broadcast of one row at any corpus size),
+  * or (b) an explicitly documented design choice.
+  *
+  * Exit code 1 on unexpected hazards, so it can run as a gate. Allowed
+  * entries document WHY the all-pairs shape is intended — every one is
+  * an in-query exact ground truth that gives a randomized operator
+  * (LSH/IVF) a deterministic recall oracle; the production path next to
+  * it is bucketed.
+  */
+object AuditPlans {
+  /** query -> justification for an all-pairs physical join. */
+  val allowed: Map[String, String] = Map(
+    "d5_embed_pairs" -> "exact all-pairs cosine: d6's ground truth",
+    "d6_embed_lsh" -> "in-query exact ground truth for the recall oracle",
+    "q6_theta_join" -> "non-equi theta predicate: all-pairs is the semantics",
+    "s1_ann_topk" -> "brute-force ANN: ground truth for s2/s3/s7",
+    "s2_ann_lsh" -> "in-query brute-force ground truth for the recall oracle",
+    "s3_ann_ivf" -> "in-query brute-force ground truth for the recall oracle",
+    "s7_ann_ivf_kmeans" -> "in-query brute-force ground truth for the recall oracle")
+
+  /** True when `p` provably emits ≤1 row: a global (no-grouping-key)
+    * aggregate, possibly wrapped in row-preserving unary nodes
+    * (project/filter/exchange/codegen). Generate/Expand nodes stop the
+    * descent — they multiply rows.
+    */
+  private def boundedOneRow(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case u if u.children.length == 1 &&
+      !u.nodeName.contains("Generate") && !u.nodeName.contains("Expand") =>
+      boundedOneRow(u.children.head)
+    case _ => false
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = Engine.session("local[8]", 8)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    var unexpected = List.empty[String]
+    names.foreach { name =>
+      val res =
+        try {
+          val plan = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.sparkPlan
+          val allPairs = plan.collect {
+            case j if (j.nodeName.contains("CartesianProduct") ||
+                j.nodeName.contains("BroadcastNestedLoopJoin")) &&
+                !j.children.exists(boundedOneRow) => j.nodeName
+          }
+          if (allPairs.isEmpty) "ok"
+          else allowed.get(name) match {
+            case Some(why) => s"ALLOWED ${allPairs.mkString(",")} ($why)"
+            case None =>
+              unexpected ::= s"$name: ${allPairs.mkString(",")}"
+              s"UNEXPECTED ${allPairs.mkString(",")}"
+          }
+        } catch { case e: Throwable =>
+          unexpected ::= s"$name: plan build failed: ${e.getMessage}"
+          "ERROR"
+        }
+      println(f"[audit] $name%-28s $res")
+      spark.sqlContext.clearCache()
+    }
+    spark.stop()
+    if (unexpected.nonEmpty) {
+      System.err.println("[audit] UNEXPECTED HAZARDS:\n  " + unexpected.mkString("\n  "))
+      sys.exit(1)
+    } else println(s"[audit] clean: ${names.size} query plans, no unexpected all-pairs joins")
+  }
+}
