@@ -607,6 +607,11 @@ object SparkEntry {
     "t4_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))),
 
+    // bigram-LM quality scoring: corpus-trained transition model —
+    // catches shuffled-word docs a unigram model scores as fluent
+    "t11_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
+
     // cross-doc common-phrase (boilerplate) detection: word trigrams in
     // ≥5 docs, top-200 by document frequency
     "p5_boilerplate" -> ((s, dir) =>
@@ -940,6 +945,16 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         "doc_id", "text", n = 3, tokens = true)
+    }),
+
+    // fuzzy decontamination: near-dup (not just overlapping) corpus docs
+    // vs the held-out benchmark — Bloom-prefiltered cross-corpus Jaccard
+    "d15_fuzzy_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.fuzzyPairs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, threshold = 0.8, tokens = true)
     }),
 
     // multimodal: binary payload + typed metadata (SQL-checkable slice)
@@ -1551,6 +1566,23 @@ object SparkEntry {
         |FROM tk JOIN counts USING (tok) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
 
+    "t11_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS r(i)
+        |  WHERE len(ts) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(-SUM(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)))
+        |        / COUNT(*), 6) AS avg_neg_logp
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
+
     "p5_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
@@ -2032,6 +2064,30 @@ object SparkEntry {
         |  CAST(COALESCE(n_contam, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
         |    AS contam_frac
         |FROM sz LEFT JOIN cont USING (doc_id)""".stripMargin,
+
+    "d15_fuzzy_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |a AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+        |b AS (SELECT doc_id, shingle FROM sh WHERE source = 'src0'),
+        |sza AS (SELECT doc_id, COUNT(*) AS n FROM a GROUP BY 1),
+        |szb AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |  FROM a JOIN b USING (shingle) GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(c AS DOUBLE) / CAST(za.n + zb.n - c AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sza za ON za.doc_id = id_a
+        |JOIN szb zb ON zb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / CAST(za.n + zb.n - c AS DOUBLE) >= 0.8""".stripMargin,
 
     "m1_media_meta" ->
       """SELECT doc_id,

@@ -59,25 +59,8 @@ object Decontaminate {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val candidates =
-      if (bloomPrefilter) {
-        // one aggregate over the benchmark shingle hashes; the filter
-        // bytes are bounded by numBits (not by benchmark size) and are
-        // order-independent, so the build is deterministic
-        val items =
-          if (bloomExpectedItems > 0) bloomExpectedItems
-          else math.max(benchSet.count(), 1024L)
-        val bloomBytes = benchSet
-          .agg(GraftSqlBridge.column(
-            new BloomFilterAggregate(
-              GraftSqlBridge.expression(col("h")), items)
-              .toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        if (bloomBytes == null) corpusIdx.limit(0) // empty benchmark
-        else corpusIdx.filter(GraftSqlBridge.column(
-          BloomFilterMightContain(
-            Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
-            GraftSqlBridge.expression(col("h")))))
-      } else corpusIdx
+      if (bloomPrefilter) bloomFiltered(corpusIdx, benchSet, bloomExpectedItems)
+      else corpusIdx
 
     // exact semi-join scrubs Bloom false positives; AQE picks broadcast
     // when the benchmark set actually fits (never forced — eval suites
@@ -90,5 +73,78 @@ object Decontaminate {
         coalesce(col("n_contam"), lit(0L)).as("n_contam"))
       .withColumn("contam_frac",
         col("n_contam").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Fuzzy (near-dup) decontamination: every (corpus doc, benchmark
+    * doc) pair whose word-`n`-gram Jaccard similarity is ≥ `threshold`
+    * — the leakage check [[scores]]' exact-overlap counting misses when
+    * eval items were paraphrased or lightly edited before landing in
+    * the crawl. Returns `(id_a, id_b, jaccard)` with `id_a` from the
+    * corpus and `id_b` from the benchmark.
+    *
+    * Scale shape: the same corpus-is-huge / benchmark-is-small
+    * asymmetry as [[scores]] — per-doc shingle sizes (the Jaccard
+    * denominators) come from ONE pass over each side's index, then the
+    * corpus index is Bloom-prefiltered by the benchmark's shingle set
+    * before the only corpus-wide shuffle, so shingles that appear in no
+    * eval doc never move. Dropping them cannot change any reported
+    * pair: a shingle outside the benchmark contributes to no
+    * intersection, and the union term comes from the pre-filter sizes.
+    * The surviving (corpus × benchmark) candidate join is keyed on the
+    * shingle hash — never all-pairs.
+    */
+  def fuzzyPairs(corpus: DataFrame, benchmark: DataFrame,
+                 idCol: String, textCol: String, n: Int = 3,
+                 threshold: Double = 0.8, tokens: Boolean = true,
+                 bloomPrefilter: Boolean = true,
+                 bloomExpectedItems: Long = -1L): DataFrame = {
+    val corpusIdx = Dedup.shingleIndex(corpus, idCol, textCol, n, None, tokens)
+      .select(col("id").as("id_a"), xxhash64(col("shingle")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val benchIdx = Dedup.shingleIndex(benchmark, idCol, textCol, n, None, tokens)
+      .select(col("id").as("id_b"), xxhash64(col("shingle")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // full per-doc sizes BEFORE any prefilter — the Jaccard denominator
+    // counts all of a doc's shingles, not just benchmark-overlapping ones
+    val szA = corpusIdx.groupBy("id_a").agg(count(lit(1)).as("sz_a"))
+    val szB = benchIdx.groupBy("id_b").agg(count(lit(1)).as("sz_b"))
+    val probe =
+      if (bloomPrefilter)
+        bloomFiltered(corpusIdx, benchIdx.select("h").distinct(),
+          bloomExpectedItems)
+      else corpusIdx
+    val common = probe.join(benchIdx, "h")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common.join(szA, "id_a").join(szB, "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Rows of `idx` whose `h` might be in `hashes` (one Bloom aggregate
+    * over the small side, pushed into the big side's scan as a
+    * codegen'd `might_contain`). False positives pass through — callers
+    * always back this with an exact join.
+    */
+  private def bloomFiltered(idx: DataFrame, hashes: DataFrame,
+                            expectedItems: Long): DataFrame = {
+    // the filter bytes are bounded by numBits (not by input size) and
+    // are order-independent, so the build is deterministic
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(hashes.count(), 1024L)
+    val bloomBytes = hashes
+      .agg(GraftSqlBridge.column(
+        new BloomFilterAggregate(
+          GraftSqlBridge.expression(col("h")), items)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) idx.limit(0) // empty small side
+    else idx.filter(GraftSqlBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        GraftSqlBridge.expression(col("h")))))
   }
 }

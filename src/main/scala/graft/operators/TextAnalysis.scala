@@ -206,6 +206,41 @@ object TextAnalysis {
     * action. Output doubles are rounded to 6 dp so summation order
     * (partitioning, engine) can't leak into comparisons.
     */
+  /** Bigram-LM quality scoring: corpus-trained MLE bigram model, per-doc
+    * mean negative log-likelihood −Σ ln P(wᵢ|wᵢ₋₁) / #bigrams. Catches
+    * the word-salad documents a unigram model ([[unigramLogProb]])
+    * scores as fluent — shuffled common words keep their unigram
+    * frequencies but hit rare transitions. Docs with < 2 tokens have no
+    * bigrams and drop out.
+    *
+    * Scale shape: the bigram explode is one codegen'd generator pass
+    * (array transform over token positions, no self-join on position);
+    * both count tables are plain hash aggregates keyed by token
+    * (vocab²-bounded, heavily combined map-side because Zipf); the
+    * per-doc score is one more aggregate. Joins back to the bigram
+    * stream are key-partitioned — AQE broadcasts the count tables when
+    * they fit.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val ts = split(trim(col(textCol)), "\\s+")
+    val bg = docs
+      .filter(size(ts) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("w1"),
+            element_at(ts, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("logp",
+        log(col("c2").cast("double") / col("c1").cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("logp")) / count(lit(1)), 6).as("avg_neg_logp"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -593,6 +593,44 @@ class OperatorsSpec extends SparkSpec {
     assert(bloomed.filter(col("n_contam") > 0).count() > 0)
   }
 
+  test("Decontaminate.fuzzyPairs: bloom equals exact, catches the planted near-dup") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated text about distributed query engines"),
+      (3L, "another clean document with no benchmark overlap at all"))
+      .toDF("doc_id", "text")
+    // doc 101 is a light edit of corpus doc 1 (one word changed): exact
+    // shingle containment misses most spans but Jaccard stays high
+    val bench = Seq(
+      (101L, "the quick brown fox jumps over the lazy cat today"),
+      (102L, "an eval question about arithmetic nobody crawled"))
+      .toDF("doc_id", "text")
+    def pairs(bloom: Boolean) =
+      graft.operators.Decontaminate.fuzzyPairs(corpus, bench,
+        "doc_id", "text", n = 3, threshold = 0.4, bloomPrefilter = bloom)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withBloom = pairs(true)
+    assert(withBloom == pairs(false))
+    assert(withBloom == Set((1L, 101L)))
+  }
+
+  test("bigramLogProb: MLE transition model on a hand-checked corpus") {
+    import spark.implicits._
+    // bigrams: (a b)x2 from docs 1,2; (b a)x1; (b c)x1; prefix counts:
+    // a->3 (a b twice, a b in doc2? no: doc1 "a b a", doc2 "a b c")
+    val docs = Seq((1L, "a b a"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // corpus bigrams: doc1 -> (a,b),(b,a); doc2 -> (a,b),(b,c)
+    // c2: (a,b)=2, (b,a)=1, (b,c)=1 ; c1: a->2, b->2
+    // doc1: -[ln(2/2)+ln(1/2)]/2 = ln2/2 ; doc2 identical
+    val exp = BigDecimal(math.log(2.0) / 2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L)) // "z" has no bigrams -> dropped
+    assert(out(1L) == ((2L, exp)) && out(2L) == ((2L, exp)))
+  }
+
   test("Decontaminate: empty benchmark yields all-zero contamination") {
     val docs = Engine.table(spark, sf, "documents")
     val out = graft.operators.Decontaminate.scores(
