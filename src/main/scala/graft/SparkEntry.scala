@@ -721,6 +721,11 @@ object SparkEntry {
     "t9_bpe" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 5)),
 
+    // BPE tokenizer APPLICATION: per-doc token counts under the learned
+    // merges — word-level memoization (encode the vocab, join the docs)
+    "t12_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), rounds = 5)),
+
     // per-doc n-gram novelty: fraction of a doc's distinct 3-gram
     // shingles appearing in no other doc (inverted index, no all-pairs)
     "t7_novelty" -> ((s, dir) =>
@@ -1782,6 +1787,8 @@ object SparkEntry {
 
     "t9_bpe" -> bpeSql(rounds = 5),
 
+    "t12_bpe_encode" -> bpeEncodeSql(rounds = 5),
+
     "t7_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
@@ -2196,7 +2203,12 @@ object SparkEntry {
     * argmax, same one-pass replace application — unrolled per round
     * like the kmeans oracle.
     */
-  private def bpeSql(rounds: Int): String = {
+  /** Shared CTE prefix for the BPE oracles: word table `w`, initial
+    * char segmentation `s0`, and `rounds` unrolled merge rounds ending
+    * at segmentation table `s<rounds>` (with per-round winners in
+    * `b1..b<rounds>`).
+    */
+  private def bpeCtes(rounds: Int): String = {
     def round(i: Int): String = {
       val prev = s"s${i - 1}"
       s"""p$i AS (
@@ -2224,11 +2236,26 @@ object SparkEntry {
        |s0 AS (
        |  SELECT w, f, array_to_string(string_split(w, ''), '  ') AS seg
        |  FROM w),
-       |${(1 to rounds).map(round).mkString(",\n")}
-       |${(1 to rounds)
-          .map(i => s"SELECT CAST(round AS BIGINT) AS round, merged, CAST(c AS BIGINT) AS pair_count FROM b$i")
-          .mkString("\nUNION ALL\n")}""".stripMargin
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
+
+  private def bpeSql(rounds: Int): String =
+    s"""${bpeCtes(rounds)}
+       |${(1 to rounds)
+        .map(i => s"SELECT CAST(round AS BIGINT) AS round, merged, CAST(c AS BIGINT) AS pair_count FROM b$i")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+
+  private def bpeEncodeSql(rounds: Int): String =
+    s"""${bpeCtes(rounds)},
+       |enc AS (
+       |  SELECT w, len(string_split(seg, '  ')) AS n_tok FROM s$rounds),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN enc USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   private def s4KmeansSql(k: Int, iters: Int, dim: Int): String = {
     val distFold =

@@ -412,8 +412,48 @@ object TextAnalysis {
     */
   def bpeMerges(docs: DataFrame, rounds: Int,
                 textCol: String = "text"): DataFrame = {
-    require(rounds > 0, s"rounds must be positive: $rounds")
     val spark = docs.sparkSession
+    val (segs, out) = bpeTrain(docs, rounds, textCol)
+    segs.unpersist()
+    import spark.implicits._
+    out.toDF("round", "merged", "pair_count")
+  }
+
+  /** Apply a corpus-trained BPE model to the corpus itself — the
+    * tokenizer-application step that turns merge learning
+    * ([[bpeMerges]]) into per-document token counts (the unit every
+    * token-budget / packing / pricing decision downstream runs on).
+    * Returns `(doc_id, n_words, n_bpe_tokens)`: whitespace word count
+    * and the BPE token count after `rounds` learned merges.
+    *
+    * Scale shape: training collapses to the vocabulary-sized word
+    * table (see [[bpeMerges]]); application never touches the raw text
+    * again — each document's exploded words join the word→segmentation
+    * table (vocab-sized, AQE broadcasts when it fits) and sum the
+    * per-word token counts. This word-level memoization is what makes
+    * BPE encoding of a 100 TB corpus a join instead of a per-character
+    * scan: Zipf means the distinct-word table is orders of magnitude
+    * smaller than the corpus.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val (segs, _) = bpeTrain(docs, rounds, textCol)
+    val enc = segs.select(col("w"),
+      size(split(col("seg"), "  ")).cast("long").as("n_tok"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .join(enc, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
+  }
+
+  /** Shared BPE training loop: returns the final word segmentation
+    * table `(w, f, seg)` (caller owns the unpersist) and the learned
+    * merges `(round, merged, pair_count)`.
+    */
+  private def bpeTrain(docs: DataFrame, rounds: Int, textCol: String)
+      : (DataFrame, Seq[(Long, String, Long)]) = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
     val words = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -451,9 +491,7 @@ object TextAnalysis {
         segs = next
       }
     }
-    segs.unpersist()
-    import spark.implicits._
-    out.toSeq.toDF("round", "merged", "pair_count")
+    (segs, out.toSeq)
   }
 
   /** Attach the full analysis column set to a documents DataFrame. */

@@ -631,6 +631,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == ((2L, exp)) && out(2L) == ((2L, exp)))
   }
 
+  test("bpeEncode: token counts under learned merges, hand-checked") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc ab abc"), (2L, "ab")).toDF("doc_id", "text")
+    // round 1 learns (a b) (freq 3 beats (b c)'s 2): "abc" -> [ab, c],
+    // "ab" -> [ab]
+    val out = TextAnalysis.bpeEncode(docs, rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((3L, 5L)), 2L -> ((1L, 1L))))
+  }
+
   test("Decontaminate: empty benchmark yields all-zero contamination") {
     val docs = Engine.table(spark, sf, "documents")
     val out = graft.operators.Decontaminate.scores(
