@@ -36,6 +36,41 @@ class OperatorsSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("connectedComponents equals a union-find model on random graphs") {
+    import org.scalacheck.Gen
+    // 24 random graphs (dense, sparse, self-dup edges), disjoint node
+    // ranges via per-graph offsets — ONE distributed CC run over the
+    // union, checked against a driver-side union-find on every graph
+    val graphGen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 40)
+      e <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield e.filter { case (a, b) => a != b }
+    val edges: Seq[(Long, Long)] = (1 to 24).flatMap { g =>
+      graphGen(Gen.Parameters.default, org.scalacheck.rng.Seed(g.toLong))
+        .getOrElse(Nil)
+        .map { case (a, b) => (g * 1000L + a, g * 1000L + b) }
+    }
+    assert(edges.nonEmpty)
+    // driver-side union-find ground truth (path compression)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(x => x -> find(x)).toMap
+    // min-label convention: relabel model components by their min id
+    val minOf = roots.groupBy(_._2).map { case (r, xs) => r -> xs.keys.min }
+    val expect = roots.map { case (x, r) => x -> minOf(r) }
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("canonicalDocsFromLabels matches canonicalDocs on shared labeling") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
       .toDF("doc_id", "n_chars")
