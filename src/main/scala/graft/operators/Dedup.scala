@@ -464,12 +464,18 @@ object Dedup {
     */
   def chunkDedup(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", chunkTokens: Int = 8): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
+    // bind the token array before slicing: slice() on the raw split()
+    // expression re-runs the split per chunk (O(tokens²/chunk) per doc);
+    // on a bound attribute each slice is an O(chunk) array read
+    val toks = col("__toks")
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
-    val chunks = docs.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(transform(sequence(lit(0), nChunks - 1),
-        j => concat_ws(" ", slice(toks, j * chunkTokens + 1, lit(chunkTokens)))))
-        .as(Seq("pos", "chunk")))
+    val chunks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(toks, j * chunkTokens + 1, lit(chunkTokens)))))
+          .as(Seq("pos", "chunk")))
     chunks.groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
       .select(col("first.doc_id").as("doc_id"),
