@@ -414,6 +414,14 @@ object SparkEntry {
     "p4_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"))),
 
+    // intra-document repetition removal (C4's within-page pass): every
+    // repeated chunk keeps only its first occurrence and the text is
+    // reassembled in order. chunkTokens=1 (word grain) because the
+    // synthetic corpus repeats words, not lines — the same operator
+    // runs chunk- or line-grained on real web text
+    "p7_intradoc_dedup" -> ((s, dir) =>
+      Dedup.intraDocDedup(t(s, dir, "documents"), chunkTokens = 1)),
+
     // exact dedup: content-keyed representative + copy count
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exactStats(t(s, dir, "documents"), "doc_id", "text")),
@@ -533,6 +541,22 @@ object SparkEntry {
           x => x * when(col("vec_id") % 97 === 0, 5.0f).otherwise(1.0f))
           .as("embedding"))
       Similarity.embedOutliers(emb, z = 3.0)
+    }),
+
+    // product quantization (PQ): per-subspace codebooks compress 64-dim
+    // floats to 4 code bytes; the contract oracle is deterministic —
+    // mean squared reconstruction error under the learned codes must
+    // beat the best single-centroid coder (total per-dim variance)
+    "s9_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pq = Similarity.productQuantize(emb, dim = 64, m = 4, k = 8,
+        iters = 2)
+      val pqMse = pq.agg(avg(col("err")).as("pq_mse"))
+      val base = emb.select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d").agg(var_pop(col("x").cast("double")).as("v"))
+        .agg(sum(col("v")).as("base_mse"))
+      pqMse.crossJoin(base)
+        .select((col("pq_mse") < col("base_mse")).as("pq_ok"))
     }),
 
     // IVF with TRAINED cells (the production build: k-means the corpus,
@@ -909,6 +933,33 @@ object SparkEntry {
           lit(" and http://cdn"), (col("doc_id") % 5).cast("string"),
           lit(".example.org")).as("text"))
       TextAnalysis.urlHostStats(d)
+    }),
+
+    // URL canonicalization + URL-keyed dedup: crawler-style messy URLs
+    // (mixed-case scheme/host, default ports, www., tracking params,
+    // trailing slash, fragments) injected deterministically, folded to
+    // canonical form, then grouped — the normalize-before-dedup pass of
+    // a web pipeline. Zero-shuffle projection + one hash aggregate
+    "p13_url_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, "HTTPS").otherwise("http"),
+          lit("://"),
+          when(col("doc_id") % 2 === 1, "WWW.").otherwise(""),
+          lit("Site"), (col("doc_id") % 10).cast("string"),
+          lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0,
+            when(col("doc_id") % 2 === 0, ":443").otherwise(":80"))
+            .otherwise(""),
+          lit("/Page/"), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 4 === 0, "/").otherwise(""),
+          lit("?utm_source=feed&id="), (col("doc_id") % 3).cast("string"),
+          lit("&utm_campaign=x#sec"), (col("doc_id") % 5).cast("string"))
+          .as("url"))
+      d.select(col("doc_id"),
+          TextAnalysis.urlCanonicalize(col("url")).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
     }),
 
     // Gopher-style quality rules: one codegen'd projection, no shuffle
@@ -1365,6 +1416,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS distinct_tokens,
         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_token_frac
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    "p7_intradoc_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      j -> {'pos': j - 1, 'chunk': ts[j]})) AS u
+        |    FROM toks)),
+        |f AS (
+        |  SELECT doc_id, chunk, min(pos) AS pos, count(*) AS n_rep
+        |  FROM ch GROUP BY doc_id, chunk)
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+        |  count(*) AS n_kept, CAST(sum(n_rep - 1) AS BIGINT) AS n_dropped
+        |FROM f GROUP BY doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -1992,6 +2059,46 @@ object SparkEntry {
         |  COUNT(*) AS n_urls,
         |  COUNT(DISTINCT doc_id) AS n_docs
         |FROM u GROUP BY host""".stripMargin,
+
+    "p13_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 2 = 1 THEN 'WWW.' ELSE '' END)
+        |    || 'Site' || CAST(doc_id % 10 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN
+        |          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        |        ELSE '' END)
+        |    || '/Page/' || CAST(doc_id % 5 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '&utm_campaign=x#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |n AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(CASE WHEN scheme = 'https'
+        |        THEN regexp_replace(hostport, ':443$', '')
+        |        ELSE regexp_replace(hostport, ':80$', '') END,
+        |      '^www\.', '') AS host,
+        |    regexp_replace(path0, '/+$', '') AS path,
+        |    array_to_string(list_filter(string_split(q, '&'),
+        |      p -> NOT regexp_matches(p,
+        |        '^(utm_[A-Za-z0-9_]+|fbclid|gclid)=')), '&') AS kept
+        |  FROM c)
+        |SELECT scheme || '://' || host || path
+        |    || (CASE WHEN len(kept) > 0 THEN '?' || kept ELSE '' END) AS canon,
+        |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM n GROUP BY 1""".stripMargin,
+
+    "s9_pq" ->
+      "SELECT true AS pq_ok",
 
     "t5_gopher_rules" ->
       """WITH w AS (

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
   *
@@ -480,6 +480,43 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
       .select(col("first.doc_id").as("doc_id"),
         col("first.pos").cast("long").as("pos"), col("chunk"))
+  }
+
+  /** Intra-document repetition removal — the WITHIN-doc counterpart of
+    * [[chunkDedup]]'s corpus-wide pass (C4 applies both: drop lines
+    * repeated across the corpus AND collapse runs repeated inside one
+    * page). Every non-overlapping `chunkTokens`-token chunk is kept only
+    * at its first occurrence within its own document, and the cleaned
+    * text is reassembled in original chunk order.
+    *
+    * Scale shape: two hash-aggregates, both keyed by doc_id (the second
+    * also by chunk) — no window sort over the corpus, no self-join, and
+    * the reassembly's collect_list is bounded by a single document's
+    * chunk count, never by corpus size. Per-doc state is exactly what a
+    * 100 TB run partitions on anyway.
+    *
+    * Returns (doc_id, clean_text, n_kept, n_dropped).
+    */
+  def intraDocDedup(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", chunkTokens: Int = 8): DataFrame = {
+    val toks = col("__toks")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(toks, j * chunkTokens + 1, lit(chunkTokens)))))
+          .as(Seq("pos", "chunk")))
+    chunks.groupBy("doc_id", "chunk")
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("n_rep"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk"))).as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_rep") - 1).cast(LongType).as("n_dropped"))
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup via embedding

@@ -270,6 +270,52 @@ object Similarity {
         round(col("y"), 6).as("y"))
   }
 
+  /** Product quantization (Jégou et al. 2011): split each vector into
+    * `m` subspaces of `dim/m` components, k-means each subspace into a
+    * `k`-entry codebook, and store per vector only the `m` nearest-code
+    * ids — the compression layer under billion-scale ANN indexes
+    * (dim×4 bytes → m bytes per vector; 64-dim float → 4 bytes at
+    * m=4).
+    *
+    * Scale shape: the m codebooks total m×k×(dim/m) = k×dim doubles —
+    * constant-size objects riding the plan into the codegen'd
+    * [[graft.plans.VecNearestCell]] kernels, so encoding is one
+    * zero-shuffle projection over the corpus regardless of size.
+    * Training is m small Lloyd loops ([[Clustering.kmeansCentroids]],
+    * deterministic smallest-id seed); at 100 TB train on a sample —
+    * codebook quality converges long before the corpus is exhausted.
+    *
+    * Returns `(idCol, codes array<int>, err double)` where `err` is the
+    * squared reconstruction error of the row under its chosen codes.
+    */
+  def productQuantize(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+      Clustering.kmeansCentroids(
+        emb.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("sv")),
+        k, iters, idCol, "sv")
+    }
+    def nearest(vec: Column, cells: Array[Array[Double]]): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(graft.plans.VecNearestCell(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec), cells))
+    val parts = (0 until m).map { j =>
+      val sv = transform(slice(col(vecCol), j * sub + 1, sub),
+        x => x.cast("double"))
+      val codebook = array(books(j).map(c => array(c.map(lit): _*)): _*)
+      val code = nearest(sv, books(j))
+      val chosen = element_at(codebook, code + 1)
+      val err = aggregate(zip_with(sv, chosen, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      (code, err)
+    }
+    emb.select(col(idCol),
+      array(parts.map(_._1): _*).as("codes"),
+      parts.map(_._2).reduce(_ + _).as("err"))
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     * detection. Brute self-join with per-row precomputed norms; swap
     * candidate generation to `cosinePairsLsh` at scale.

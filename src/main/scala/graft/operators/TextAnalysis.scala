@@ -341,6 +341,33 @@ object TextAnalysis {
       .groupBy("host")
       .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
 
+  /** URL canonicalization — the normalization pass that runs before
+    * URL-keyed dedup in a web-corpus pipeline, folding the cosmetic
+    * variants crawlers emit for one resource: scheme and host are
+    * lowercased, default ports (`:80` http / `:443` https) and a
+    * leading `www.` are stripped, tracking query parameters
+    * (`utm_*`, `fbclid`, `gclid`) are dropped while real parameters
+    * keep their order, trailing path slashes are trimmed, and the
+    * fragment (never sent to the server) is removed.
+    *
+    * Pure zero-shuffle column expression in the portable Java∩RE2 regex
+    * subset (no lookaround) so the DuckDB oracle replays it verbatim.
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val noPort = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(regexp_replace(hostport, ":80$", ""))
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(filter(split(query, "&"),
+      p => !p.rlike("^(utm_[A-Za-z0-9_]+|fbclid|gclid)=")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's distinct
     * `n`-token shingles that appear in no other document — 1.0 means
     * fully original text, 0.0 means every phrase also occurs elsewhere

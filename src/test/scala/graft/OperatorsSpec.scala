@@ -850,4 +850,59 @@ class OperatorsSpec extends SparkSpec {
     // ordering: frequency desc, then phrase asc
     assert(got.map(-_._2).zip(got.map(_._1)).sorted.map(_._2).toSeq == got.map(_._1).toSeq)
   }
+
+  test("intraDocDedup keeps first occurrences in order and counts drops") {
+    val docs = Seq(
+      (1L, "a b c a b d a"), // a kept at 0 (2 drops), b at 1 (1 drop)
+      (2L, "x y z"),         // nothing repeated
+      (3L, "w w w w")).toDF("doc_id", "text")
+    val got = Dedup.intraDocDedup(docs, chunkTokens = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d", 4L, 3L)))
+    assert(got(2L) == (("x y z", 3L, 0L)))
+    assert(got(3L) == (("w", 1L, 3L)))
+    // chunk grain: "a b" repeats as a chunk; "c a" ≠ "a b" so survives
+    val chunked = Dedup.intraDocDedup(
+      Seq((1L, "a b a b c a")).toDF("doc_id", "text"), chunkTokens = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
+    assert(chunked == (("a b c a", 2L, 1L)))
+  }
+
+  test("urlCanonicalize folds scheme/host case, ports, www, tracking, fragments") {
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM:443/A/?utm_source=x&id=7&utm_campaign=y#f",
+        "https://ex.com/A?id=7"),
+      ("http://Ex.com:80/path/sub/", "http://ex.com/path/sub"),
+      ("http://ex.com:8080/p", "http://ex.com:8080/p"), // non-default port kept
+      ("https://ex.com/?utm_source=o", "https://ex.com"),
+      ("https://sub.www.ex.com/p?a=1&b=2", "https://sub.www.ex.com/p?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.urlCanonicalize(col("url"))).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want, s"got $g") }
+  }
+
+  test("productQuantize: codes in range, reconstruction beats mean coder") {
+    // 3 well-separated 4-dim blob directions, 24 vectors
+    val vecs = (0 until 24).map { i =>
+      val base = i % 3
+      val v = Array.tabulate(4)(d =>
+        (if (d == base) 10.0f else 0.1f) + (i / 3) * 0.01f)
+      (i.toLong, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val pq = Similarity.productQuantize(emb, dim = 4, m = 2, k = 3, iters = 2)
+      .collect()
+    assert(pq.length == 24)
+    assert(pq.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 3)))
+    val errs = pq.map(_.getDouble(2))
+    assert(errs.forall(e => e >= 0.0 && !e.isNaN))
+    // with k=3 codes per 2-dim subspace the 3 blob directions are
+    // separable: reconstruction error must beat the variance baseline
+    val mean = Array.tabulate(4)(d => vecs.map(_._2(d).toDouble).sum / 24)
+    val baseMse = vecs.map(v =>
+      v._2.zipWithIndex.map { case (x, d) => math.pow(x - mean(d), 2) }.sum)
+      .sum / 24
+    assert(errs.sum / 24 < baseMse * 0.1)
+  }
 }
