@@ -26,7 +26,8 @@ object AuditPlans {
     "s1_ann_topk" -> "brute-force ANN: ground truth for s2/s3/s7",
     "s2_ann_lsh" -> "in-query brute-force ground truth for the recall oracle",
     "s3_ann_ivf" -> "in-query brute-force ground truth for the recall oracle",
-    "s7_ann_ivf_kmeans" -> "in-query brute-force ground truth for the recall oracle")
+    "s7_ann_ivf_kmeans" -> "in-query brute-force ground truth for the recall oracle",
+    "s10_ivfpq" -> "in-query brute-force ground truth for the recall oracle")
 
   /** True when `p` provably emits ≤1 row: a global (no-grouping-key)
     * aggregate, possibly wrapped in row-preserving unary nodes

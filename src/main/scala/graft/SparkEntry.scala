@@ -559,6 +559,28 @@ object SparkEntry {
         .select((col("pq_mse") < col("base_mse")).as("pq_ok"))
     }),
 
+    // IVF-PQ serving stack: coarse cells route, PQ codes + ADC lookup
+    // tables score, exact cosine re-ranks a small shortlist — recall vs
+    // brute force in-query, same deterministic-oracle pattern as s2/s3.
+    // nprobe=8 of nlist=16 probes half the cells; the PQ stage must
+    // still surface the true neighbors into the 4k shortlist
+    "s10_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val cents = Clustering.kmeansCentroids(emb, k = 16, iters = 2)
+      val ivfpq = Similarity.ivfPqTopK(emb, qs, k = 5, dim = 64,
+          nlist = 16, nprobe = 8, m = 4, codes = 8, iters = 2,
+          trainedCentroids = Some(cents))
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val found = brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select((col("n_found").cast("double") / col("n_exact").cast("double")
+          >= 0.5).as("recall_ok"))
+    }),
+
     // IVF with TRAINED cells (the production build: k-means the corpus,
     // route by learned centroids) — recall vs brute force in-query,
     // same deterministic-oracle pattern as s2/s3
@@ -2099,6 +2121,9 @@ object SparkEntry {
 
     "s9_pq" ->
       "SELECT true AS pq_ok",
+
+    "s10_ivfpq" ->
+      "SELECT true AS recall_ok",
 
     "t5_gopher_rules" ->
       """WITH w AS (

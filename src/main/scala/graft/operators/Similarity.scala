@@ -316,6 +316,106 @@ object Similarity {
       parts.map(_._2).reduce(_ + _).as("err"))
   }
 
+  /** IVF-PQ serving stack (Jégou et al. 2011; the FAISS `IVFx,PQy`
+    * shape): coarse IVF cells route each query to `nprobe` partitions
+    * of the corpus, PQ codes stand in for the vectors during scoring
+    * via an asymmetric-distance lookup table, and only an
+    * ADC-shortlisted `shortlist` candidates per query are re-ranked
+    * with exact cosine. This is how billion-vector indexes keep the
+    * scan bytes per query at `nprobe/nlist × m bytes/vector` instead
+    * of the full float corpus.
+    *
+    * Scale shape: cell routing and PQ encoding are one zero-shuffle
+    * codegen'd projection over the corpus (constant-size centroid
+    * matrix + `k×dim`-double codebooks ride the plan, as in
+    * [[ivfTopK]] / [[productQuantize]]). Each query row precomputes
+    * its m×k ADC lookup table ONCE (tiny broadcast side), so the
+    * per-candidate cost in the probed cells is m array lookups + adds
+    * — no per-pair dot product until the `shortlist`-sized exact
+    * re-rank. Codebooks here are PQ over raw vectors (FAISS
+    * `by_residual=false`); residual encoding plugs in by training
+    * [[Clustering.kmeansCentroids]] on `v - centroid(v)` slices.
+    *
+    * Returns `(query_id, neighbor_id, rank, cosine)` with exact cosine
+    * on the re-ranked top `k`, ties broken on neighbor id.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+                codes: Int = 8, iters: Int = 2, shortlist: Int = 0,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val spark = corpus.sparkSession
+    VecExpressions.register(spark)
+    val sub = dim / m
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    // coarse quantizer: caller-trained or deterministic hash-ranked
+    // sample, L2-normalized so cosine routing == dot routing
+    val rawCents: Array[Array[Double]] = trainedCentroids.getOrElse {
+      corpus.select(col(vecCol).as("cv"), xxhash64(col(idCol)).as("h"))
+        .orderBy("h").limit(nlist).select("cv")
+        .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    }
+    require(rawCents.nonEmpty, "ivfPqTopK needs at least one centroid")
+    val cents = rawCents.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def topCells(vec: Column, mm: Int): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(graft.plans.VecTopCells(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec), cents, mm))
+    def nearest(vec: Column, cells: Array[Array[Double]]): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(graft.plans.VecNearestCell(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec), cells))
+    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+      Clustering.kmeansCentroids(
+        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("sv")),
+        codes, iters, idCol, "sv")
+    }
+    def qsub(v: Column, j: Int): Column =
+      transform(slice(v, j * sub + 1, sub), x => x.cast("double"))
+    // corpus: cell + m code columns + reconstructed norm (per-code
+    // squared norms are a driver-side m×codes literal — cross-subspace
+    // dot terms are dropped, the standard PQ norm approximation)
+    val sqNorms = books.map(_.map(c => c.map(x => x * x).sum))
+    val encoded = (0 until m).foldLeft(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("cell", element_at(topCells(col("cv"), 1), 1))) {
+      (d, j) => d.withColumn(s"c$j", nearest(qsub(col("cv"), j), books(j)))
+    }.withColumn("rn", sqrt((0 until m).map(j =>
+      element_at(array(sqNorms(j).map(lit): _*), col(s"c$j") + 1))
+      .reduce(_ + _)))
+    // queries: nprobe cells + per-subspace ADC lookup tables (computed
+    // once per query row on the tiny broadcast side)
+    val probed = (0 until m).foldLeft(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("qn", norm(col("qv")))
+        .withColumn("cell", explode(topCells(col("qv"), nprobe)))) {
+      (d, j) =>
+        val codebook = array(books(j).map(c => array(c.map(lit): _*)): _*)
+        d.withColumn(s"lut$j", transform(codebook, c =>
+          aggregate(zip_with(qsub(col("qv"), j), c, (x, y) => x * y),
+            lit(0.0), (acc, v) => acc + v)))
+    }
+    val adc = (0 until m).map(j =>
+      element_at(col(s"lut$j"), col(s"c$j") + 1)).reduce(_ + _)
+    val scored = encoded.join(broadcast(probed), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_cos", adc / (col("qn") * col("rn")))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("r1", row_number().over(wAdc)).filter(col("r1") <= sl)
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qn") * norm(col("cv"))))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     * detection. Brute self-join with per-row precomputed norms; swap
     * candidate generation to `cosinePairsLsh` at scale.

@@ -882,6 +882,35 @@ class OperatorsSpec extends SparkSpec {
     got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want, s"got $g") }
   }
 
+  test("ivfPqTopK recovers brute-force neighbors on clustered data") {
+    // 4 tight blobs in 8-dim space, 48 vectors; within-blob neighbors
+    // dominate, so probing the right cells + PQ shortlist must recover
+    // nearly all exact top-3
+    val vecs = (0 until 48).map { i =>
+      val blob = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == blob * 2 || d == blob * 2 + 1) 5.0f else 0.05f)
+          + (i / 4) * 0.01f)
+      (i.toLong, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 6)
+    val got = Similarity.ivfPqTopK(emb, qs, k = 3, dim = 8,
+        nlist = 4, nprobe = 2, m = 4, codes = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 18)
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall; got=$got brute=$brute")
+    // contract bits: k rows per query, ranks 1..k, exact cosine in [-1,1]
+    val rows = Similarity.ivfPqTopK(emb, qs, k = 3, dim = 8,
+      nlist = 4, nprobe = 2, m = 4, codes = 4, iters = 2).collect()
+    assert(rows.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getInt(2)).sorted.toSeq == (1 to 3) })
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
   test("productQuantize: codes in range, reconstruction beats mean coder") {
     // 3 well-separated 4-dim blob directions, 24 vectors
     val vecs = (0 until 24).map { i =>
