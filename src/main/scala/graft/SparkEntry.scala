@@ -658,6 +658,12 @@ object SparkEntry {
     "t11_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"))),
 
+    // DSIR importance weights (Xie et al. 2023): target = the English
+    // subset; hashed uni+bigram bag-of-buckets models, add-1 smoothing
+    "t13_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"),
+        isTarget = col("lang") === "en", buckets = 256)),
+
     // cross-doc common-phrase (boilerplate) detection: word trigrams in
     // ≥5 docs, top-200 by document frequency
     "p5_boilerplate" -> ((s, dir) =>
@@ -1676,6 +1682,39 @@ object SparkEntry {
         |        / COUNT(*), 6) AS avg_neg_logp
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
+
+    "t13_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(ts) AS feat FROM toks),
+        |big AS (
+        |  SELECT doc_id, lang,
+        |    ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS feat
+        |  FROM toks, unnest(range(1, len(ts))) AS r(i)
+        |  WHERE len(ts) >= 2),
+        |f0 AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(feat) + 1),
+        |          i -> CAST(ascii(substr(feat, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 256 AS b
+        |  FROM f0),
+        |dc AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM f GROUP BY 1, 2, 3),
+        |rawb AS (SELECT b, SUM(c) AS rc FROM dc GROUP BY 1),
+        |tgtb AS (SELECT b, SUM(c) AS tc FROM dc WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(rc) FROM rawb) AS rt,
+        |               (SELECT SUM(tc) FROM tgtb) AS tt),
+        |model AS (
+        |  SELECT rawb.b,
+        |    ln((COALESCE(tc, 0) + 1.0) / (tt + 1.0 * 256))
+        |      - ln((rc + 1.0) / (rt + 1.0 * 256)) AS logr
+        |  FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b, tot)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+        |  round(SUM(CAST(c AS DOUBLE) * logr), 6) AS dsir_logw
+        |FROM dc JOIN model USING (b) GROUP BY 1""".stripMargin,
 
     "p5_boilerplate" ->
       """WITH toks AS (

@@ -529,6 +529,62 @@ object TextAnalysis {
     (segs, out.toSeq)
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram profile is. Unigram
+    * and bigram features hash into `buckets` cells; two add-`alpha`
+    * bag-of-buckets models are fit — one on the `isTarget` subset, one
+    * on the full corpus — and a document's log-weight is
+    * Σ_b c_b · (log p̂_target(b) − log p̂_raw(b)). Resampling then keeps
+    * documents with probability ∝ exp(weight) (or deterministically,
+    * top-k by weight — compose with [[graft.operators.Sampling]]).
+    *
+    * Scale shape: one generator pass over the corpus, a per-doc-bucket
+    * hash aggregate, and two `buckets`-sized model tables (constant
+    * size at any corpus scale) that AQE broadcasts back onto the
+    * per-doc counts — no driver actions, no corpus-wide join. Features
+    * hash through the portable [[graft.plans.PolyHash]] kernel so the
+    * bucketing replays exactly in other engines.
+    *
+    * Returns `(doc_id, n_feats, dsir_logw)` with the weight rounded to
+    * 6 dp (cross-engine double summation order).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256,
+                  alpha: Double = 1.0, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    graft.plans.PolyHashExpr.register(docs.sparkSession)
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+      split(trim(col(textCol)), "\\s+").as("ts"))
+    val uni = base.select(col("doc_id"), col("is_tgt"),
+      explode(col("ts")).as("feat"))
+    // bind ts to an attribute before lambda indexing (see bigramLogProb)
+    val big = base.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("is_tgt"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat(element_at(col("ts"), i), lit(" "),
+            element_at(col("ts"), i + 1)))).as("feat"))
+    val feats = uni.unionByName(big).select(col("doc_id"), col("is_tgt"),
+      pmod(call_function("poly_hash", col("feat"), lit(31L), lit(1000000007L)),
+        lit(buckets.toLong)).as("b"))
+    val dc = feats.groupBy("doc_id", "is_tgt", "b")
+      .agg(count(lit(1)).as("c"))
+    val rawB = dc.groupBy("b").agg(sum("c").as("rc"))
+    val tgtB = dc.filter(col("is_tgt")).groupBy("b").agg(sum("c").as("tc"))
+    val model = rawB.join(tgtB, Seq("b"), "left")
+      .withColumn("tc", coalesce(col("tc"), lit(0L)))
+      .crossJoin(broadcast(rawB.agg(sum("rc").as("rt"))))
+      .crossJoin(broadcast(tgtB.agg(sum("tc").as("tt"))))
+      .select(col("b"),
+        (log((col("tc").cast("double") + alpha)
+            / (col("tt").cast("double") + alpha * buckets))
+          - log((col("rc").cast("double") + alpha)
+            / (col("rt").cast("double") + alpha * buckets))).as("logr"))
+    dc.join(model, "b")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"),
+        round(sum(col("c").cast("double") * col("logr")), 6).as("dsir_logw"))
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)

@@ -882,6 +882,28 @@ class OperatorsSpec extends SparkSpec {
     got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want, s"got $g") }
   }
 
+  test("dsirWeights: target-like docs score higher; n_feats = uni+bigrams") {
+    // two vocabularies: target docs speak "alpha", raw-only docs "beta";
+    // a held-out alpha-speaker must outscore a beta-speaker
+    val docs = Seq(
+      (1L, "alpha alpha prime alpha", true),
+      (2L, "alpha prime alpha alpha", true),
+      (3L, "beta gamma beta gamma", false),
+      (4L, "beta beta gamma beta", false),
+      (5L, "alpha prime alpha", false), // held-out target-like
+      (6L, "gamma beta gamma", false))  // held-out raw-like
+      .toDF("doc_id", "text", "is_tgt")
+    val got = TextAnalysis.dsirWeights(docs, isTarget = col("is_tgt"),
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // 4 tokens + 3 bigrams = 7 features for docs 1-4; 3+2=5 for 5-6
+    assert(got(1L)._1 == 7L && got(5L)._1 == 5L)
+    assert(got(5L)._2 > got(6L)._2,
+      s"target-like ${got(5L)} must outscore raw-like ${got(6L)}")
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
   test("ivfPqTopK recovers brute-force neighbors on clustered data") {
     // 4 tight blobs in 8-dim space, 48 vectors; within-blob neighbors
     // dominate, so probing the right cells + PQ shortlist must recover
