@@ -1121,6 +1121,15 @@ object SparkEntry {
       Streams.runStreamingDedup(s, s"$dir/events.parquet", "ts", "1 hour",
         Seq("user_id", "event_type"), queryName = "st3_stream_dedup")),
 
+    // stream-static enrichment: event stream × broadcast customer dim,
+    // stateless per-batch join; drained aggregate = batch join (oracle)
+    "st6_stream_static" -> ((s, dir) =>
+      Streams.runStreamStaticEnrich(s, s"$dir/events.parquet", "ts",
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey", Seq("c_mktsegment", "event_type"),
+        Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+        queryName = "st6_stream_static")),
+
     // tumble reached through the reference's SQL TVF syntax (named
     // arguments, DESCRIPTOR time field) — the dialect front-end path,
     // checked against the same oracle shape as q17
@@ -1772,6 +1781,12 @@ object SparkEntry {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP)
         |     <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'""".stripMargin,
+
+    "st6_stream_static" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "st4_stream_session" ->
       """WITH o AS (

@@ -185,6 +185,47 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join: an unbounded event stream
+    * inner-joins a bounded dimension table, then aggregates — the
+    * classic per-event dimension-attach shape (events × customer,
+    * requests × config). Stateless on the stream side: Spark re-plans
+    * and broadcasts the static side per micro-batch (the explicit
+    * `broadcast` hint pins the dim-table plan at any stream volume), no
+    * watermark needed because nothing is buffered across batches.
+    *
+    * Drained through the harness memory sink in complete mode (see
+    * [[runTumblingAgg]]'s drain caveat); the drained aggregate equals
+    * the batch join+aggregate, which is the oracle.
+    */
+  def runStreamStaticEnrich(spark: SparkSession, path: String,
+                            timeCol: String, dim: DataFrame,
+                            streamKey: String, dimKey: String,
+                            groupCols: Seq[String], aggs: Seq[Column],
+                            queryName: String = "graft_enrich"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(path)
+    val src = schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
+      case _ => raw
+    }
+    val joined = src.join(broadcast(dim), col(streamKey) === dim(dimKey))
+    val grouped = joined.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val q = grouped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact deduplication on `keyCols` over a parquet file/dir,
     * drained through a memory sink and returned as a batch DataFrame of
     * the distinct keys — the streaming form of the pipeline's exact-dedup

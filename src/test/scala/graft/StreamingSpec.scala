@@ -250,6 +250,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join+aggregate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("st_static").toFile
+    val events = Seq(
+      (1L, 1706000000000000L, 10L, "click", 1.50),
+      (2L, 1706000060000000L, 20L, "click", 2.25),
+      (3L, 1706000120000000L, 10L, "view", 0.75),
+      (4L, 1706000180000000L, 99L, "click", 9.99)) // no dim row → dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.write.parquet(s"$dir/ev")
+    val dim = Seq((10L, "GOLD"), (20L, "SILVER")).toDF("ck", "seg")
+    val got = graft.streaming.Streams.runStreamStaticEnrich(spark,
+        s"$dir/ev", "ts", dim, "user_id", "ck", Seq("seg", "event_type"),
+        Seq(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value")),
+        queryName = "st_static_spec")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(("GOLD", "click", 1L, 1.50),
+      ("GOLD", "view", 1L, 0.75), ("SILVER", "click", 1L, 2.25)))
+  }
+
   test("stream-stream inner equi-join (reference StreamJoin, both sides streamed)") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(String, Int)]
