@@ -664,6 +664,12 @@ object SparkEntry {
       TextAnalysis.dsirWeights(t(s, dir, "documents"),
         isTarget = col("lang") === "en", buckets = 256)),
 
+    // BM25 ranked retrieval: corpus stats + tf/df aggregates + bounded
+    // top-k; Lucene "+1" idf, standard saturation
+    "t14_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"),
+        Seq("spark", "join", "window"), topK = 20)),
+
     // cross-doc common-phrase (boilerplate) detection: word trigrams in
     // ≥5 docs, top-200 by document frequency
     "p5_boilerplate" -> ((s, dir) =>
@@ -1691,6 +1697,28 @@ object SparkEntry {
         |        / COUNT(*), 6) AS avg_neg_logp
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
+
+    "t14_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |              AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+        |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  round(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf AS DOUBLE)
+        |       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6)
+        |    AS score,
+        |  COUNT(*) AS n_terms
+        |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "t13_dsir" ->
       """WITH toks AS (

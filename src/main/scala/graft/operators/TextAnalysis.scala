@@ -585,6 +585,54 @@ object TextAnalysis {
         round(sum(col("c").cast("double") * col("logr")), 6).as("dsir_logw"))
   }
 
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009): score every
+    * document against a bag of query terms and return the `topK`. The
+    * corpus-statistics side (document frequencies, average doc length)
+    * is computed in the same job, so this is both the ad-hoc search
+    * query and the build recipe for a static BM25 index.
+    *
+    * idf uses the "+1" form `ln(1 + (N - df + 0.5)/(df + 0.5))` (always
+    * positive, as in Lucene); tf saturation `tf·(k1+1)/(tf + k1·(1 − b
+    * + b·dl/avgdl))`.
+    *
+    * Scale shape: token counts are one map-side-combined hash aggregate;
+    * the per-query-term stats table is |terms| rows (constant) and
+    * broadcasts; N and avgdl are a 2-number global aggregate riding the
+    * same broadcast. The final ranking is a bounded
+    * `TakeOrderedAndProject` top-k — no corpus-wide sort. Scores are
+    * rounded to 6 dp (cross-engine double summation order).
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], topK: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val qSet = queryTerms.distinct
+    val tf = toks.filter(col("tok").isin(qSet: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("tf").cast("double") * (k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("term_score")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)

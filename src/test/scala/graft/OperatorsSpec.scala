@@ -882,6 +882,33 @@ class OperatorsSpec extends SparkSpec {
     got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want, s"got $g") }
   }
 
+  test("bm25TopK ranks by term relevance with length normalization") {
+    val docs = Seq(
+      (1L, "spark spark spark join"),          // heavy on query terms
+      (2L, "spark join other words here now"), // both terms, diluted
+      (3L, "spark alone"),
+      (4L, "nothing relevant at all"),         // no query terms → absent
+      (5L, "join join")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("spark", "join"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 5L))
+    // doc 1 (max tf on both terms, short) must rank first
+    assert(got.head._1 == 1L)
+    // two-term docs report n_terms=2, single-term docs 1
+    val nt = got.map(g => g._1 -> g._3).toMap
+    assert(nt(1L) == 2L && nt(2L) == 2L && nt(3L) == 1L && nt(5L) == 1L)
+    assert(got.forall(_._2 > 0.0))
+    // scores are non-increasing in rank order
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // idf: with df("join")=3 < df("spark")... both appear 3 times; a
+    // rarer term must outweigh a common one at equal tf/dl
+    val rare = Seq((1L, "aa bb"), (2L, "aa cc"), (3L, "aa dd"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(rare, Seq("aa", "bb"), topK = 3)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(r(1L) > r(2L)) // doc 1 has the rare term bb on top of aa
+  }
+
   test("dsirWeights: target-like docs score higher; n_feats = uni+bigrams") {
     // two vocabularies: target docs speak "alpha", raw-only docs "beta";
     // a held-out alpha-speaker must outscore a beta-speaker
