@@ -566,8 +566,13 @@ object TextAnalysis {
     val feats = uni.unionByName(big).select(col("doc_id"), col("is_tgt"),
       pmod(call_function("poly_hash", col("feat"), lit(31L), lit(1000000007L)),
         lit(buckets.toLong)).as("b"))
+    // the per-doc-bucket counts feed four consumers (raw model, target
+    // model, their totals, and the final scoring join) — persist so the
+    // corpus-wide explode+aggregate runs ONCE; dc is bounded by
+    // |docs| × buckets rows, far below the token stream it summarizes
     val dc = feats.groupBy("doc_id", "is_tgt", "b")
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawB = dc.groupBy("b").agg(sum("c").as("rc"))
     val tgtB = dc.filter(col("is_tgt")).groupBy("b").agg(sum("c").as("tc"))
     val model = rawB.join(tgtB, Seq("b"), "left")
