@@ -730,6 +730,24 @@ object SparkEntry {
           (abs(col("approx") - col("exact_users")) <=
             col("exact_users") * 0.1).as("approx_ok"))),
 
+    // frequent-items sketch (Karp-Shenker-Papadimitriou single-pass
+    // summary, merged across partitions): the sketch must cover every
+    // item whose true relative frequency exceeds the support — the
+    // exact side of the contract is the DuckDB-checkable oracle
+    "q48_freq_items" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sketch = ev.stat.freqItems(Seq("event_type"), 0.1)
+        .select(explode(col("event_type_freqItems")).as("item"))
+      val truly = ev.groupBy(col("event_type").as("item"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("tot"))))
+        .filter(col("n") >= col("tot") * 0.1)
+      val missed = truly.join(sketch, Seq("item"), "left_anti")
+      truly.agg(count(lit(1)).as("n_frequent"))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+        .select(col("n_frequent"), (col("n_missed") === 0).as("sketch_ok"))
+    }),
+
     // sequence packing: hash-ordered docs per source assigned to
     // ~2000-char training shards by cumulative size (never split)
     "p10_pack" -> ((s, dir) =>
@@ -1862,6 +1880,14 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS approx_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q48_freq_items" ->
+      """WITH f AS (
+        |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM f)
+        |SELECT (SELECT COUNT(*) FROM f, t WHERE n >= tot * 0.1)
+        |    AS n_frequent,
+        |  TRUE AS sketch_ok""".stripMargin,
 
     "p11_export" ->
       """WITH h AS (
