@@ -549,8 +549,11 @@ object SparkEntry {
     // beat the best single-centroid coder (total per-dim variance)
     "s9_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // codebooks train on a deterministic 25% hash sample (the 100 TB
+      // shape: constant-cost training, full-corpus zero-shuffle encode)
+      val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
       val pq = Similarity.productQuantize(emb, dim = 64, m = 4, k = 8,
-        iters = 2)
+        iters = 2, trainDf = Some(train))
       val pqMse = pq.agg(avg(col("err")).as("pq_mse"))
       val base = emb.select(posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy("d").agg(var_pop(col("x").cast("double")).as("v"))
@@ -562,15 +565,19 @@ object SparkEntry {
     // IVF-PQ serving stack: coarse cells route, PQ codes + ADC lookup
     // tables score, exact cosine re-ranks a small shortlist — recall vs
     // brute force in-query, same deterministic-oracle pattern as s2/s3.
-    // nprobe=8 of nlist=16 probes half the cells; the PQ stage must
-    // still surface the true neighbors into the 4k shortlist
+    // nprobe=8 of nlist=16 probes half the cells; the ADC stage must
+    // surface the true neighbors into the 256-candidate exact re-rank
     "s10_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
-      val cents = Clustering.kmeansCentroids(emb, k = 16, iters = 2)
+      // coarse cells + PQ codebooks both train on a deterministic 25%
+      // hash sample; only the encode pass scans the full corpus
+      val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      val cents = Clustering.kmeansCentroids(train, k = 16, iters = 2)
       val ivfpq = Similarity.ivfPqTopK(emb, qs, k = 5, dim = 64,
-          nlist = 16, nprobe = 8, m = 4, codes = 8, iters = 2,
-          trainedCentroids = Some(cents))
+          nlist = 16, nprobe = 8, m = 4, codes = 16, iters = 2,
+          shortlist = 256,
+          trainedCentroids = Some(cents), trainDf = Some(train))
         .select("query_id", "neighbor_id")
       val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
         .select("query_id", "neighbor_id")

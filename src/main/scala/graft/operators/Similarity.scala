@@ -282,20 +282,25 @@ object Similarity {
     * [[graft.plans.VecNearestCell]] kernels, so encoding is one
     * zero-shuffle projection over the corpus regardless of size.
     * Training is m small Lloyd loops ([[Clustering.kmeansCentroids]],
-    * deterministic smallest-id seed); at 100 TB train on a sample —
-    * codebook quality converges long before the corpus is exhausted.
+    * deterministic smallest-id seed); pass `trainDf` (a deterministic
+    * hash sample of the corpus) so training cost stays constant while
+    * the full corpus is encoded — codebook quality converges long
+    * before the corpus is exhausted, so at 100 TB training on
+    * O(100k) sampled vectors is the only sane configuration.
     *
     * Returns `(idCol, codes array<int>, err double)` where `err` is the
     * squared reconstruction error of the row under its chosen codes.
     */
   def productQuantize(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      trainDf: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
+    val trainOn = trainDf.getOrElse(emb)
     val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
       Clustering.kmeansCentroids(
-        emb.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("sv")),
+        trainOn.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("sv")),
         k, iters, idCol, "sv")
     }
     def nearest(vec: Column, cells: Array[Array[Double]]): Column =
@@ -343,7 +348,8 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
                 codes: Int = 8, iters: Int = 2, shortlist: Int = 0,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                trainedCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+                trainedCentroids: Option[Array[Array[Double]]] = None,
+                trainDf: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val spark = corpus.sparkSession
     VecExpressions.register(spark)
@@ -367,9 +373,13 @@ object Similarity {
     def nearest(vec: Column, cells: Array[Array[Double]]): Column =
       org.apache.spark.sql.GraftSqlBridge.column(graft.plans.VecNearestCell(
         org.apache.spark.sql.GraftSqlBridge.expression(vec), cells))
+    // codebook training runs on `trainDf` when given (same constant-
+    // cost sampled-training contract as productQuantize) — only the
+    // zero-shuffle encode pass below ever touches the full corpus
+    val trainOn = trainDf.getOrElse(corpus)
     val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
       Clustering.kmeansCentroids(
-        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("sv")),
+        trainOn.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("sv")),
         codes, iters, idCol, "sv")
     }
     def qsub(v: Column, j: Int): Column =
