@@ -677,6 +677,18 @@ object SparkEntry {
       TextAnalysis.bm25TopK(t(s, dir, "documents"),
         Seq("spark", "join", "window"), topK = 20)),
 
+    // apply a linear quality classifier (hashed bag-of-words, the
+    // fastText shape): integer-valued stand-in weights synthesized
+    // deterministically so the oracle replays the model bit-for-bit;
+    // production swaps in trained weights with the identical plan
+    "t15_classifier" -> ((s, dir) => {
+      val w = Array.tabulate(64)(b =>
+        (((b.toLong * 2654435761L + 104729L) % 4294967296L)
+          - 2147483648L).toDouble)
+      TextAnalysis.classifierScore(t(s, dir, "documents"), w,
+        norm = 2147483648.0)
+    }),
+
     // cross-doc common-phrase (boilerplate) detection: word trigrams in
     // ≥5 docs, top-200 by document frequency
     "p5_boilerplate" -> ((s, dir) =>
@@ -1777,6 +1789,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
         |  round(SUM(CAST(c AS DOUBLE) * logr), 6) AS dsir_logw
         |FROM dc JOIN model USING (b) GROUP BY 1""".stripMargin,
+
+    "t15_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok) + 1),
+        |          i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 64 AS b
+        |  FROM tok),
+        |z AS (
+        |  SELECT doc_id,
+        |    SUM((b * 2654435761 + 104729) % 4294967296 - 2147483648) AS z,
+        |    COUNT(*) AS n
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  round(CAST(z AS DOUBLE) / (n * 2147483648.0), 6) AS quality_score,
+        |  z > 0 AS keep
+        |FROM z""".stripMargin,
 
     "p5_boilerplate" ->
       """WITH toks AS (

@@ -638,6 +638,50 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Linear quality-classifier scoring with the hashing trick
+    * (Weinberger et al. 2009; the fastText shape, Joulin et al. 2016):
+    * each token hashes into one of `weights.length` buckets through
+    * the portable [[graft.plans.PolyHash]] kernel and the document's
+    * score is the mean bucket weight — how the GPT-3-style "looks like
+    * the curated corpus" filters and educational-value classifiers are
+    * applied over a crawl. Training happens elsewhere; this operator
+    * applies a given model.
+    *
+    * Scale shape: the model is a constant-size weight array riding the
+    * plan into a single codegen'd projection — per-doc score is one
+    * fold over the token array, so classifying 100 TB is zero-shuffle,
+    * zero-driver, pure map. Integer-valued weights keep the fold sum
+    * exact across engines; the only float op is the final per-row
+    * mean (divided by `norm`, the weight scale, so the score stays
+    * O(1) — 6 dp of a 1e8-magnitude double is past the 53-bit
+    * mantissa and rounds differently per engine), rounded to 6 dp.
+    *
+    * Returns `(doc_id, n_tokens, quality_score, keep)` where `keep` is
+    * the sign of the raw (pre-mean) score plus `bias`.
+    */
+  def classifierScore(docs: DataFrame, weights: Array[Double],
+                      bias: Double = 0.0, norm: Double = 1.0,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "classifierScore needs a non-empty model")
+    graft.plans.PolyHashExpr.register(docs.sparkSession)
+    val warr = array(weights.map(lit): _*)
+    val nb = weights.length.toLong
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("ts"))
+    val z = aggregate(
+      transform(col("ts"), t => element_at(warr,
+        (pmod(call_function("poly_hash", t, lit(31L), lit(1000000007L)),
+          lit(nb)) + 1).cast("int"))),
+      lit(bias), (acc, w) => acc + w)
+    base.select(col("doc_id"), size(col("ts")).as("n"), z.as("z"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        round(col("z") / (col("n").cast("double") * lit(norm)), 6)
+          .as("quality_score"),
+        (col("z") > 0).as("keep"))
+  }
+
   /** Attach the full analysis column set to a documents DataFrame. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.PolyHashExpr.register(docs.sparkSession)

@@ -960,6 +960,29 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
   }
 
+  test("classifierScore: mean bucket weight, sign gate, exact fold") {
+    // all-ones model: every token weighs 1.0 → score is exactly 1,
+    // regardless of which bucket each token hashes to
+    val docs = Seq((1L, "aa bb cc"), (2L, "dd")).toDF("doc_id", "text")
+    val ones = TextAnalysis.classifierScore(docs, Array.fill(8)(1.0))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(ones(1L) == ((3L, 1.0, true)))
+    assert(ones(2L) == ((1L, 1.0, true)))
+    // all-negative model flips the gate; norm rescales the score
+    val neg = TextAnalysis.classifierScore(docs, Array.fill(8)(-4.0),
+        norm = 4.0)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(neg(1L) == ((-1.0, false)))
+    // bias shifts the raw sum before the gate: 3 tokens × -4 + 13 > 0
+    val biased = TextAnalysis.classifierScore(docs, Array.fill(8)(-4.0),
+        bias = 13.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(biased(1L) && biased(2L))
+  }
+
   test("productQuantize: codes in range, reconstruction beats mean coder") {
     // 3 well-separated 4-dim blob directions, 24 vectors
     val vecs = (0 until 24).map { i =>
