@@ -689,6 +689,34 @@ object SparkEntry {
         norm = 2147483648.0)
     }),
 
+    // CCNet perplexity partitioning: unigram-LM scores → approx-
+    // percentile tier thresholds (bounded sketch state, no global
+    // sort) → head/middle/tail. The oracle checks the contract the
+    // sketch must meet: every tier holds 20-47% of the corpus
+    "t16_ppl_buckets" -> ((s, dir) => {
+      val b = TextAnalysis.pplBuckets(t(s, dir, "documents"), buckets = 3)
+      val n = b.agg(count(lit(1)).as("n_total"))
+      b.groupBy("bucket_id").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(n))
+        .select(
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            col("bucket_id")).as("ppl_bucket"),
+          (col("n") >= col("n_total") * 0.2 &&
+            col("n") <= col("n_total") * 0.47).as("bucket_ok"))
+    }),
+
+    // ORC round-trip: write documents as ORC (built-in columnar
+    // alternative), read it back through the CLI's PathTable source,
+    // aggregate — the format path proved end-to-end vs the parquet
+    // oracle
+    "q49_orc_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_orc_${math.abs(dir.hashCode)}"
+      t(s, dir, "documents").write.mode("overwrite").orc(out)
+      sources.PathTable.read(s, out, "orc")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
     // cross-doc common-phrase (boilerplate) detection: word trigrams in
     // ≥5 docs, top-200 by document frequency
     "p5_boilerplate" -> ((s, dir) =>
@@ -1812,6 +1840,15 @@ object SparkEntry {
         |  round(CAST(z AS DOUBLE) / (n * 2147483648.0), 6) AS quality_score,
         |  z > 0 AS keep
         |FROM z""".stripMargin,
+
+    "t16_ppl_buckets" ->
+      """SELECT unnest(['head','middle','tail']) AS ppl_bucket,
+        |  TRUE AS bucket_ok""".stripMargin,
+
+    "q49_orc_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "p5_boilerplate" ->
       """WITH toks AS (

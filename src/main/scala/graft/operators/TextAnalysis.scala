@@ -262,6 +262,38 @@ object TextAnalysis {
         round(-sum(col("logp")) / count(lit(1)), 6).as("avg_neg_logp"))
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al. 2020): score
+    * every document under the corpus unigram LM and split the corpus
+    * into `buckets` quality tiers (bucket 1 = most fluent / lowest
+    * perplexity — CCNet's "head"). Pipelines keep head+middle for
+    * training and route tail to heavier filtering.
+    *
+    * Scale shape: thresholds come from an `approx_percentile` sketch —
+    * bounded state per partition, one constant-size (buckets−1)-row
+    * result broadcast back onto the per-doc scores. No global sort, no
+    * exact-percentile full materialization; the assignment pass is a
+    * zero-shuffle projection over the scored docs. This is the 100 TB
+    * form of the bucketing; an exact-ntile variant would single-task
+    * sort the corpus.
+    *
+    * Returns `(doc_id, avg_neg_logp, bucket_id)` with bucket_id in
+    * 1..buckets.
+    */
+  def pplBuckets(docs: DataFrame, buckets: Int = 3,
+                 accuracy: Int = 10000, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, "pplBuckets needs at least 2 buckets")
+    val lp = unigramLogProb(docs, idCol, textCol)
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val thr = lp.agg(percentile_approx(col("avg_neg_logp"),
+      array(qs.map(lit): _*), lit(accuracy)).as("thr"))
+    lp.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("avg_neg_logp"),
+        aggregate(col("thr"), lit(1),
+          (acc, t) => acc + when(col("avg_neg_logp") > t, 1).otherwise(0))
+          .as("bucket_id"))
+  }
+
   /** Cross-document common-phrase detection: word `n`-gram shingles
     * occurring in at least `minDocs` distinct documents, most frequent
     * first (ties toward the lexicographically smaller phrase). This is

@@ -35,7 +35,7 @@ object PathTable {
     * `docs.functions` / `docs.aggregates` self-documentation tables
     * (datasources/docs/database.go:26-121).
     */
-  private val PrefixForm = "^(csv|tsv|json|parquet|lines|txt|log)\\.(.+)$".r
+  private val PrefixForm = "^(csv|tsv|json|parquet|orc|lines|txt|log)\\.(.+)$".r
 
   def resolve(spark: SparkSession, spec: String): DataFrame = {
     val (path, opts) = splitOpts(spec)
@@ -121,6 +121,8 @@ object PathTable {
       }
     case "parquet" =>
       spark.read.parquet(path)
+    case "orc" => // beyond-reference: Spark ships the ORC reader
+      spark.read.orc(path)
     case "lines" | "txt" | "log" =>
       // {number: Int, text: String} like the reference's lines source
       // (datasources/lines/impl.go:13-63): number is a sequential

@@ -960,6 +960,22 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
   }
 
+  test("pplBuckets: fluent docs land in lower buckets than rare-word docs") {
+    // 6 docs of common vocabulary, 3 of singleton words: the common-
+    // vocab docs have much lower unigram perplexity
+    val docs = (
+      (1L to 6L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((7L, "zyx wvu tsr"), (8L, "qpo nml kji"), (9L, "hgf edc baz")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pplBuckets(docs, buckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got.values.forall(b => b >= 1 && b <= 3))
+    // every fluent doc buckets strictly below every rare-word doc
+    val fluentMax = (1L to 6L).map(got).max
+    val rareMin = (7L to 9L).map(got).min
+    assert(fluentMax < rareMin, s"got $got")
+  }
+
   test("classifierScore: mean bucket weight, sign gate, exact fold") {
     // all-ones model: every token weighs 1.0 → score is exactly 1,
     // regardless of which bucket each token hashes to

@@ -62,6 +62,17 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 25)
   }
 
+  test("orc scan resolves by extension and round-trips parquet content") {
+    val out = new java.io.File(dir, "nation_rt.orc").getAbsolutePath
+    val src = PathTable.resolve(spark, s"$sf/nation.parquet")
+    src.write.mode("overwrite").orc(out)
+    val df = PathTable.resolve(spark, out)
+    assert(df.count() == 25)
+    assert(df.columns.toSet == src.columns.toSet)
+    // format-prefixed form too (orc.<path> has a dot, so use read)
+    assert(PathTable.read(spark, out, "orc").count() == 25)
+  }
+
   test("lines numbering is per-file and the plan has no single-task Window") {
     // two files in one glob: numbers restart per file, like the
     // reference's per-file sequential numbering (lines/impl.go)
