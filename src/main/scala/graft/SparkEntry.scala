@@ -829,6 +829,12 @@ object SparkEntry {
     "t8_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 10)),
 
+    // the full C4 output: corpus-wide chunk dedup + document
+    // reassembly — cleaned docs rebuilt from surviving chunks,
+    // fully-boilerplate docs vanish
+    "p14_crossdoc_dedup" -> ((s, dir) =>
+      operators.Dedup.crossDocDedupDocs(t(s, dir, "documents"))),
+
     // C4-style chunk-level dedup: every 8-token chunk kept only at its
     // first corpus-wide occurrence (one shuffle keyed by chunk)
     "d11_chunk_dedup" -> ((s, dir) =>
@@ -2060,6 +2066,33 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
         |  FROM ch)
         |SELECT doc_id, pos, chunk FROM w WHERE rn = 1""".stripMargin,
+
+    "p14_crossdoc_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(
+        |        range(1, CAST(ceil(len(ts) / 8.0) AS INT) + 1),
+        |        j -> {'pos': j - 1,
+        |              'chunk': array_to_string(ts[(j-1)*8+1 : j*8], ' ')}))
+        |        AS u
+        |    FROM toks)),
+        |w AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM ch),
+        |k AS (SELECT doc_id, pos, chunk FROM w WHERE rn = 1),
+        |nc AS (SELECT doc_id, CAST(ceil(len(ts) / 8.0) AS BIGINT)
+        |    AS n_chunks FROM toks),
+        |r AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM k GROUP BY 1)
+        |SELECT r.doc_id, clean_text, n_kept, n_chunks - n_kept AS n_dropped
+        |FROM r JOIN nc USING (doc_id)""".stripMargin,
 
     "t9_bpe" -> bpeSql(rounds = 5),
 

@@ -482,6 +482,39 @@ object Dedup {
         col("first.pos").cast("long").as("pos"), col("chunk"))
   }
 
+  /** Corpus-wide chunk dedup with document reassembly — the full C4
+    * line-dedup output: [[chunkDedup]] keeps each chunk's first
+    * occurrence corpus-wide; this rebuilds every document from its
+    * surviving chunks. Documents whose every chunk occurred earlier
+    * elsewhere disappear entirely (the C4 outcome for pure-boilerplate
+    * pages).
+    *
+    * Scale shape: chunkDedup's map-side-combined first-occurrence
+    * aggregate, then one doc-keyed aggregate whose collect_list is
+    * bounded by a single document's chunk count; the dropped-chunk
+    * count derives from a zero-shuffle per-doc chunk count joined
+    * doc-keyed. No window sorts, no self-joins.
+    *
+    * Returns (doc_id, clean_text, n_kept, n_dropped).
+    */
+  def crossDocDedupDocs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        chunkTokens: Int = 8): DataFrame = {
+    val kept = chunkDedup(docs, idCol, textCol, chunkTokens)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val orig = docs.select(col(idCol).cast("long").as("doc_id"),
+      ceil(size(split(trim(col(textCol)), "\\s+")).cast("double") / chunkTokens)
+        .cast("long").as("n_chunks"))
+    rebuilt.join(orig, "doc_id")
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (col("n_chunks") - col("n_kept")).as("n_dropped"))
+  }
+
   /** Intra-document repetition removal — the WITHIN-doc counterpart of
     * [[chunkDedup]]'s corpus-wide pass (C4 applies both: drop lines
     * repeated across the corpus AND collapse runs repeated inside one

@@ -869,6 +869,25 @@ class OperatorsSpec extends SparkSpec {
     assert(chunked == (("a b c a", 2L, 1L)))
   }
 
+  test("crossDocDedupDocs drops later cross-doc chunks, rebuilds in order") {
+    val docs = Seq(
+      (1L, "a b c"),  // all chunks first occurrences
+      (2L, "b d a"),  // b, a seen in doc 1 → only d survives
+      (3L, "a c b"))  // fully boilerplate → vanishes
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDocDedupDocs(docs, chunkTokens = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c", 3L, 0L)))
+    assert(got(2L) == (("d", 1L, 2L)))
+    assert(!got.contains(3L))
+    // duplicate chunk WITHIN one doc also collapses to its first pos
+    val within = Dedup.crossDocDedupDocs(
+      Seq((7L, "p q p")).toDF("doc_id", "text"), chunkTokens = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
+    assert(within == (("p q", 2L, 1L)))
+  }
+
   test("urlCanonicalize folds scheme/host case, ports, www, tracking, fragments") {
     val cases = Seq(
       ("HTTPS://WWW.Ex.COM:443/A/?utm_source=x&id=7&utm_campaign=y#f",
