@@ -829,6 +829,12 @@ object SparkEntry {
     "t8_vocab" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 10)),
 
+    // content-defined chunking dedup: boundaries fall where the
+    // trailing 8-char hash ≡ 0 (mod 64), so chunks re-align across
+    // insertions that would shift every fixed-grid chunk
+    "d16_cdc_dedup" -> ((s, dir) =>
+      operators.Dedup.cdcDedup(t(s, dir, "documents"))),
+
     // the full C4 output: corpus-wide chunk dedup + document
     // reassembly — cleaned docs rebuilt from surviving chunks,
     // fully-boilerplate docs vanish
@@ -2066,6 +2072,36 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
         |  FROM ch)
         |SELECT doc_id, pos, chunk FROM w WHERE rn = 1""".stripMargin,
+
+    "d16_cdc_dedup" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, n,
+        |    list_filter(range(8, n + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, 9),
+        |          w -> CAST(ascii(substr(text, CAST(i - 8 + w AS INT), 1))
+        |               AS BIGINT))),
+        |        (a, x) -> (a * 31 + x) % 1000000007) % 64 = 0) AS bps
+        |  FROM c),
+        |st AS (
+        |  SELECT doc_id, text,
+        |    list_prepend(CAST(0 AS BIGINT), bps) AS ss,
+        |    list_append(bps, CAST(n AS BIGINT)) AS es
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1),
+        |      j -> {'pos': j - 1,
+        |            'chunk': substr(text, CAST(ss[j] + 1 AS INT),
+        |                            CAST(es[j] - ss[j] AS INT))})) AS u
+        |    FROM st)),
+        |w AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM ch WHERE length(chunk) > 0)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, chunk
+        |FROM w WHERE rn = 1""".stripMargin,
 
     "p14_crossdoc_dedup" ->
       """WITH toks AS (

@@ -482,6 +482,57 @@ object Dedup {
         col("first.pos").cast("long").as("pos"), col("chunk"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS boundary trick, Muthitacharoen
+    * et al. 2001): a position ends a chunk when the hash of its trailing
+    * `window`-char context is ≡ 0 (mod `divisor`), so boundaries are a
+    * function of CONTENT, not position — insert a word at the top of a
+    * document and every later chunk still re-aligns, where fixed-grid
+    * chunking ([[chunkDedup]]) shifts every subsequent chunk and finds
+    * nothing. Expected chunk length is `divisor` chars.
+    *
+    * The boundary rule is deliberately stateless (no min-length clamp),
+    * which keeps it a pure per-row projection replayable in any engine:
+    * boundary positions come from one pass over the char positions with
+    * the portable [[graft.plans.PolyHash]] kernel on each trailing
+    * window.
+    *
+    * Returns `(doc_id, pos, chunk)` — one row per CDC chunk, in order.
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 8, divisor: Int = 64,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    graft.plans.PolyHashExpr.register(docs.sparkSession)
+    val txt = col("__t")
+    val n = length(txt)
+    val bps = when(n >= window,
+      filter(sequence(lit(window), n), i =>
+        pmod(call_function("poly_hash",
+          txt.substr(i - (window - 1), lit(window)),
+          lit(31L), lit(1000000007L)), lit(divisor.toLong)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(0)), bps)
+    val ends = concat(bps, array(n))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .select(col("doc_id"),
+        posexplode(zip_with(starts, ends,
+          (s, e) => txt.substr(s + 1, e - s))).as(Seq("pos", "chunk")))
+      .filter(length(col("chunk")) > 0)
+  }
+
+  /** [[cdcChunks]] + corpus-wide first-occurrence dedup: the
+    * insertion-robust variant of [[chunkDedup]], same map-side-combined
+    * min-(doc_id, pos) aggregate keyed by chunk.
+    */
+  def cdcDedup(docs: DataFrame, window: Int = 8, divisor: Int = 64,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    cdcChunks(docs, window, divisor, idCol, textCol)
+      .groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.pos").cast("long").as("pos"), col("chunk"))
+
   /** Corpus-wide chunk dedup with document reassembly — the full C4
     * line-dedup output: [[chunkDedup]] keeps each chunk's first
     * occurrence corpus-wide; this rebuilds every document from its

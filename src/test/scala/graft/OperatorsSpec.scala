@@ -869,6 +869,30 @@ class OperatorsSpec extends SparkSpec {
     assert(chunked == (("a b c a", 2L, 1L)))
   }
 
+  test("cdcChunks re-aligns across insertions; chunks concat to the text") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val shifted = "zz " + base // one insertion at the top
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    // chunks reassemble losslessly
+    assert(ch(1L).mkString == base)
+    assert(ch(2L).mkString == shifted)
+    // content-defined boundaries: past the insertion-affected prefix
+    // the chunk stream re-aligns — every doc-2 chunk but the first
+    // already exists in doc 1
+    val shared = ch(1L).toSet & ch(2L).toSet
+    assert(ch(2L).drop(1).forall(ch(1L).toSet.contains),
+      s"chunks did not re-align: ${ch(1L)} vs ${ch(2L)}")
+    assert(!ch(1L).toSet.contains(ch(2L).head)) // prefix chunk is new
+    // dedup keeps each shared chunk once, at its first occurrence
+    val dd = Dedup.cdcDedup(docs).collect()
+    assert(dd.map(_.getString(2)).distinct.length == dd.length)
+    val owners = dd.map(r => r.getString(2) -> r.getLong(0)).toMap
+    shared.foreach(c => assert(owners(c) == 1L))
+  }
+
   test("crossDocDedupDocs drops later cross-doc chunks, rebuilds in order") {
     val docs = Seq(
       (1L, "a b c"),  // all chunks first occurrences
