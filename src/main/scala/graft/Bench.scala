@@ -66,20 +66,38 @@ object Bench {
       name -> (1 to passes).map(_ => force(name)).min / 1e9
     }
     // Driver contract: ONE JSON line on stdout, and the driver's tail
-    // capture keeps only the last 2000 bytes of output (sbt prints a
-    // ~76-char "[success]" line after us). Round-4's full-precision
-    // line was ~3.5 KB and got truncated -> parsed:null. So the stdout
-    // line is compacted (2-decimal seconds, trailing zeros stripped,
-    // minimal fields) and the full-precision record goes to
-    // BENCH_LOCAL.json next to the repo root (gitignored scratch).
+    // capture keeps only the LAST 2000 bytes of all output — including
+    // sbt's ~76-char "[success]" epilogue that prints after us. Round
+    // 4's full-precision line was ~2.9 KB, so its head fell outside the
+    // window -> parsed:null. With 115 queries even a 2-decimal compact
+    // line is ~2.4 KB, so the stdout line carries the pipeline-operator
+    // timings (d*/s*/t*/p*/m*/st* — the per-round perf-review set) plus
+    // as many relational q* entries as fit under a hard byte cap,
+    // largest-first, and a q_relational_total rollup for the rest. The
+    // full-precision all-queries record goes to BENCH_LOCAL.json in the
+    // repo root (committed — it is the judge's fallback source).
     def short(v: Double): String = {
       val s = String.format(java.util.Locale.ROOT,
         if (v >= 10) "%.1f" else "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + short(v) }
-      .mkString("{", ",", "}")
+    val (qRel, pipeline) = results.partition(_._1.startsWith("q"))
+    val qRelTotal = qRel.map(_._2).sum
+    // byte budget for the queries dict: total line must stay <= ~1850
+    // (2000-byte window minus sbt epilogue minus margin); the fixed
+    // fields below are ~170 bytes
+    val entriesBudget = 1650
+    // pipeline entries first, then relational ones largest-first, each
+    // admitted only while the dict stays under budget — so the line can
+    // never overflow the window no matter how many queries exist
+    var used = 0
+    val admitted = (pipeline.sortBy(-_._2) ++ qRel.sortBy(-_._2)).iterator
+      .map { case (k, v) => "\"" + k + "\":" + short(v) }
+      .filter { e => val fits = used + e.length + 1 <= entriesBudget
+                     if (fits) used += e.length + 1; fits }
+      .toSeq
+    val qs = admitted.sorted.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -122,8 +140,9 @@ object Bench {
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val json = s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
-      s""""queries":$qs,"flagship_csv_rows_per_sec":${csvRps.toLong},""" +
-      s""""sf":$sfNum}"""
+      s""""queries":$qs,"q_relational_total":${short(qRelTotal)},""" +
+      s""""flagship_csv_rows_per_sec":${csvRps.toLong},""" +
+      s""""sf":$sfNum,"full":"BENCH_LOCAL.json"}"""
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""flagship_csv_groupby_sec":$csvSec,"flagship_csv_rows_per_sec":$csvRps,""" +
       s""""flagship_samples_sec":${samples.mkString("[", ",", "]")},""" +
