@@ -498,18 +498,30 @@ object Dedup {
     *
     * Returns `(doc_id, pos, chunk)` — one row per CDC chunk, in order.
     */
-  def cdcChunks(docs: DataFrame, window: Int = 8, divisor: Int = 64,
-                idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    graft.plans.PolyHashExpr.register(docs.sparkSession)
-    val txt = col("__t")
-    val n = length(txt)
-    val bps = when(n >= window,
-      filter(sequence(lit(window), n), i =>
+  /** Per-position HOF formulation of the CDC boundary rule — O(n·window)
+    * (one substr + full poly_hash per position), interpreted,
+    * session-bound. The differential-test reference for the O(n)
+    * rolling-hash [[graft.plans.CdcBoundaries]] kernel that replaced it
+    * in [[cdcChunks]]; also exactly what the d16 oracle replays in SQL.
+    */
+  private[graft] def cdcBoundariesHof(txt: Column, window: Int,
+                                      divisor: Int): Column =
+    when(length(txt) >= window,
+      filter(sequence(lit(window), length(txt)), i =>
         pmod(call_function("poly_hash",
           txt.substr(i - (window - 1), lit(window)),
           lit(31L), lit(1000000007L)), lit(divisor.toLong)) === 0))
       .otherwise(array().cast("array<int>"))
+
+  def cdcChunks(docs: DataFrame, window: Int = 8, divisor: Int = 64,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val txt = col("__t")
+    val n = length(txt)
+    val bps = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.CdcBoundaries(
+        org.apache.spark.sql.GraftSqlBridge.expression(txt),
+        window, divisor.toLong, 31L, 1000000007L))
     val starts = concat(array(lit(0)), bps)
     val ends = concat(bps, array(n))
     docs

@@ -893,6 +893,35 @@ class OperatorsSpec extends SparkSpec {
     shared.foreach(c => assert(owners(c) == 1L))
   }
 
+  test("CdcBoundaries rolling kernel equals the per-position HOF formulation") {
+    graft.plans.PolyHashExpr.register(spark)
+    def fast(w: Int, d: Int) = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.CdcBoundaries(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        w, d.toLong, 31L, 1000000007L))
+    // corpus text + adversarial shapes: empty, shorter than the window,
+    // exactly the window, repeats that force repeated evictions of the
+    // same code point, and multi-byte UTF-8 (2/3/4-byte sequences) so
+    // the rolling decode is exercised off the ASCII fast path
+    val edge = Seq("", "abc", "abcdefgh", "aaaaaaaaaaaaaaaaaaaa",
+      "héllo wörld ünïcode ﬆring", "日本語のテキストです、長めの文",
+      "emoji 😀😁 mixed ascii tail padding")
+      .toDF("text")
+    val docs = Engine.table(spark, sf, "documents").select("text")
+    for ((w, d) <- Seq((8, 64), (4, 16), (5, 7))) {
+      (docs.limit(200).union(edge))
+        .select(fast(w, d).as("fast"),
+          graft.operators.Dedup.cdcBoundariesHof(col("text"), w, d).as("hof"))
+        .collect()
+        .foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+          s"window=$w divisor=$d: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}"))
+    }
+    // the kernel stays a single codegen'd projection
+    val plan = docs.select(fast(8, 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("crossDocDedupDocs drops later cross-doc chunks, rebuilds in order") {
     val docs = Seq(
       (1L, "a b c"),  // all chunks first occurrences
