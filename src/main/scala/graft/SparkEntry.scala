@@ -241,10 +241,19 @@ object SparkEntry {
     }),
 
     // grouping sets / rollup (beyond-parity §2.4 note)
+    // two-level lattice: pre-aggregate per (status, prio) BEFORE the
+    // rollup, so the Expand operator multiplies key-cardinality partial
+    // rows (~15) instead of the whole table — counts re-aggregate as
+    // sums exactly. At 100 TB the single-level form triples the scan's
+    // row count through the shuffle; this form's Expand cost is ~zero.
     "q22_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("__n"))
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"))
+        // coalesce: on an empty table the () lattice row is SUM(NULL)
+        // here but COUNT(*)=0 in the single-level oracle form
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("n"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
@@ -895,11 +904,17 @@ object SparkEntry {
     // Expand pass
     "q45_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("li_gs45")
-      s.sql("""SELECT l_returnflag, l_linestatus,
-              |  CAST(SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
-              |    AS DOUBLE) AS sum_qty,
-              |  COUNT(*) AS n
-              |FROM li_gs45
+      // two-level lattice (see q22/q41): the GROUPING SETS Expand runs
+      // over the ~6 (flag, status) decimal partials, not the corpus
+      s.sql("""WITH b45 AS (
+              |  SELECT l_returnflag, l_linestatus,
+              |    SUM(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS sq,
+              |    COUNT(*) AS n
+              |  FROM li_gs45 GROUP BY 1, 2)
+              |SELECT l_returnflag, l_linestatus,
+              |  CAST(SUM(sq) AS DOUBLE) AS sum_qty,
+              |  COALESCE(SUM(n), 0) AS n
+              |FROM b45
               |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
               |  (l_returnflag), ())""".stripMargin)
     }),
@@ -1003,13 +1018,20 @@ object SparkEntry {
           types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
     }),
 
-    // CUBE: all grouping-set combinations in one pass (Expand operator,
-    // one shuffle) — q22 covers ROLLUP, this adds the full lattice
+    // CUBE: all grouping-set combinations — q22 covers ROLLUP, this
+    // adds the full lattice. Two-level like q22: one corpus hash-agg to
+    // (flag, status) decimal partials (~6 rows), then the 4-way cube
+    // Expand runs over those partials, not the 6M-row scan (20.5 s →
+    // sub-second at the 10× soak). Decimal partial sums re-aggregate
+    // exactly; the double cast happens once at the end, as before.
     "q41_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__sq"),
+          count(lit(1)).as("__n"))
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"),
-          count(lit(1)).as("n"))),
+        .agg(sum(col("__sq")).cast(DoubleType).as("sum_qty"),
+          coalesce(sum(col("__n")), lit(0L)).as("n"))),
 
     // binned range join: events joined to 20 overlapping 72h campaign
     // windows (36h spacing) — equi-join on day bins, not a nested loop
