@@ -407,6 +407,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "lang", perKey = 5)
         .select("doc_id", "lang")),
 
+    // whole-row exact dedup: keep the min-id representative ROW per
+    // distinct text — the struct-argmin hash aggregate (map-side
+    // combined; no per-key window sort). d1 reports per-group stats;
+    // this returns the surviving corpus rows themselves.
+    "d17_exact_rows" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast(LongType).as("n_chars"))),
+
     // deterministic train/eval split (hash-bucket, no shuffle)
     "p2_split" -> ((s, dir) =>
       operators.Sampling.trainEvalSplit(t(s, dir, "documents"), "doc_id", 10)
@@ -1578,6 +1587,12 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "d17_exact_rows" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN (SELECT text, MIN(doc_id) AS m FROM documents GROUP BY text) g
+        |  ON d.text = g.text AND d.doc_id = g.m""".stripMargin,
 
     "p1_sample" ->
       """WITH h AS (

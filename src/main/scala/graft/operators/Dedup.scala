@@ -19,14 +19,23 @@ object Dedup {
   // ---- exact --------------------------------------------------------
 
   /** Keep one representative row (min of `idCol`) per distinct value of
-    * `keyCols`. A single hash-aggregate: one shuffle on the content key.
+    * `keyCols`. A single hash-aggregate taking the struct-min of the
+    * non-key columns (idCol leads the struct, so the min IS the min-id
+    * row): argmin rides map-side partial aggregation, collapsing a hot
+    * content key's replicas per input partition BEFORE the shuffle —
+    * where a row_number window would sort every replica of the hottest
+    * duplicate inside one task, exactly the skew exact dedup exists to
+    * remove. Non-key columns must be orderable (struct-min compares
+    * them as tiebreak fields; anything but MapType is).
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val others = df.columns.filterNot(keyCols.contains)
+    val packed = struct(col(idCol) +:
+      others.filterNot(_ == idCol).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(packed).as("__rep"))
+      .select(df.columns.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"__rep.`$c`")): _*)
   }
 
   /** Per-group duplicate stats: group size + representative id. */

@@ -24,14 +24,27 @@ object Sampling {
     df.orderBy(hashKey(col(idCol)), col(idCol)).limit(k)
 
   /** Stratified sample: up to `perKey` rows per stratum, chosen by hash
-    * order — one shuffle on the stratum key.
+    * order. Salted two-phase top-k: a single window over the stratum
+    * would sort the WHOLE stratum in one task (a stratum is
+    * corpus-scale at 100 TB — "web" is most of the crawl); instead each
+    * of `salts` hash-disjoint slices takes its local top `perKey`
+    * (parallel, bounded) and the global window re-ranks only the
+    * ≤ salts·perKey survivors per stratum. The global top-k is a subset
+    * of the union of per-salt top-ks under the same ordering, so the
+    * result is identical to the single-window form.
     */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
-                       perKey: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+                       perKey: Int, salts: Int = 64): DataFrame = {
+    val order = Seq(hashKey(col(idCol)), col(idCol))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), pmod(hashKey(col(idCol)), lit(salts)))
+      .orderBy(order: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
-      .orderBy(hashKey(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+      .orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= perKey)
+      .withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") <= perKey).drop("__rn")
   }
 
