@@ -1012,6 +1012,19 @@ object SparkEntry {
         round(percent_rank().over(w), 6).as("pct_rank"))
     }),
 
+    // GLOBAL ranking without the single-task global window: range
+    // repartition + per-partition offsets (operators.Ranking) — the
+    // corpus-scale form of q44's bounded-input ranking. Identical to
+    // row_number()/percent_rank() OVER (ORDER BY ...) by construction.
+    "q50_global_rank" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+      val (ranked, total) = operators.Ranking.globalRowNumber(
+        ev, Seq(col("value").desc_nulls_last, col("event_id")), "rn")
+      ranked.select(col("event_id"), col("rn"),
+        round((col("rn") - 1).cast("double")
+          / math.max(total - 1L, 1L).toDouble, 6).as("pct_rank"))
+    }),
+
     // PIVOT with an explicit value list (no extra distinct scan — the
     // 100 TB form; pivot-without-values collects distinct keys first).
     // Empty (bucket, type) cells pivot to NULL in Spark but COUNT(*)
@@ -1593,6 +1606,15 @@ object SparkEntry {
         |FROM documents d
         |JOIN (SELECT text, MIN(doc_id) AS m FROM documents GROUP BY text) g
         |  ON d.text = g.text AND d.doc_id = g.m""".stripMargin,
+
+    "q50_global_rank" ->
+      """SELECT event_id,
+        |  ROW_NUMBER() OVER (ORDER BY value DESC NULLS LAST, event_id) AS rn,
+        |  round(CAST(ROW_NUMBER() OVER (ORDER BY value DESC NULLS LAST,
+        |      event_id) - 1 AS DOUBLE)
+        |    / CASE WHEN COUNT(*) OVER () > 1
+        |           THEN COUNT(*) OVER () - 1 ELSE 1 END, 6) AS pct_rank
+        |FROM events""".stripMargin,
 
     "p1_sample" ->
       """WITH h AS (

@@ -893,6 +893,29 @@ class OperatorsSpec extends SparkSpec {
     shared.foreach(c => assert(owners(c) == 1L))
   }
 
+  test("Ranking.globalRowNumber equals the single-task global window") {
+    import org.scalacheck.Gen
+    val rnd = new scala.util.Random(7)
+    // duplicate order-key values force cross-partition tie handling to
+    // go through the unique tiebreak column
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(40).toDouble))
+    val df = rows.toDF("id", "v")
+    val (ranked, total) = graft.operators.Ranking.globalRowNumber(
+      df, Seq(col("v").desc_nulls_last, col("id")), "rn", partitions = 7)
+    assert(total == 500L)
+    val expected = df.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").desc_nulls_last, col("id"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val got = ranked.collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // empty input: zero rows, zero total, no divide-by-zero partitions
+    val (empty, t0) = graft.operators.Ranking.globalRowNumber(
+      df.filter(lit(false)), Seq(col("id")), "rn", partitions = 3)
+    assert(t0 == 0L && empty.count() == 0L)
+  }
+
   test("CdcBoundaries rolling kernel equals the per-position HOF formulation") {
     graft.plans.PolyHashExpr.register(spark)
     def fast(w: Int, d: Int) = org.apache.spark.sql.GraftSqlBridge.column(
