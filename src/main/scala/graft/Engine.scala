@@ -63,18 +63,32 @@ object Engine {
     spark
   }
 
+  /** Normalize an event-time column to TimestampType regardless of how
+    * the parquet writer encoded it: INT64 TIMESTAMP(NANOS) arrives as a
+    * nanos-long under the legacy flag; timestamp[us] without timezone
+    * metadata arrives as TIMESTAMP_NTZ (which streaming watermarks
+    * reject). The session pins UTC, so the NTZ cast is a pure type
+    * change — the micros value is identical.
+    */
+  def normalizeEventTime(df: DataFrame, timeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(timeCol).dataType match {
+      case LongType =>
+        df.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(timeCol, col(timeCol).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   /** Read one table from a scale-factor directory. Parquet native:
     * column pruning + predicate pushdown reach the scan for free.
-    * `events.ts` is stored as TIMESTAMP(NANOS) (read as nanos-long under
-    * the legacy flag) — converted here to a µs timestamp.
+    * `events.ts` is normalized to TimestampType (see normalizeEventTime).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTime(df, "ts") else df
   }
 
   /** Register every table in `dir` as a temp view so `spark.sql` works

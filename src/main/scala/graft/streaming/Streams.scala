@@ -62,13 +62,9 @@ object Streams {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", f.getName).parquet(f.getParent)
       else spark.readStream.schema(schema).parquet(path)
-    // TIMESTAMP(NANOS) parquet arrives as nanos-long under the legacy
-    // flag — convert to a µs timestamp before windowing.
-    val src = schema(timeCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
-      case _ => raw
-    }
+    // nanos-long or TIMESTAMP_NTZ parquet → TimestampType (watermarks
+    // reject NTZ; the session pins UTC so the cast is value-preserving)
+    val src = graft.Engine.normalizeEventTime(raw, timeCol)
     val grouped = src
       .groupBy(window(col(timeCol), len) +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -110,11 +106,7 @@ object Streams {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", f.getName).parquet(f.getParent)
       else spark.readStream.schema(schema).parquet(path)
-    val src = schema(timeCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
-      case _ => raw
-    }
+    val src = graft.Engine.normalizeEventTime(raw, timeCol)
     val grouped = src
       .groupBy(session_window(col(timeCol), gap).as("sw") +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -157,11 +149,7 @@ object Streams {
           spark.readStream.schema(schema)
             .option("pathGlobFilter", f.getName).parquet(f.getParent)
         else spark.readStream.schema(schema).parquet(path)
-      schema(timeCol).dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
-        case _ => raw
-      }
+      graft.Engine.normalizeEventTime(raw, timeCol)
     }
     val l = stream().filter(col(typeCol) === leftType)
       .select(col(idCol).as("left_id"), col(keyCol).as("k"),
@@ -209,11 +197,7 @@ object Streams {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", f.getName).parquet(f.getParent)
       else spark.readStream.schema(schema).parquet(path)
-    val src = schema(timeCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
-      case _ => raw
-    }
+    val src = graft.Engine.normalizeEventTime(raw, timeCol)
     val joined = src.join(broadcast(dim), col(streamKey) === dim(dimKey))
     val grouped = joined.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -259,11 +243,7 @@ object Streams {
         spark.readStream.schema(schema)
           .option("pathGlobFilter", f.getName).parquet(f.getParent)
       else spark.readStream.schema(schema).parquet(path)
-    val src = schema(timeCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn(timeCol, timestamp_micros(expr(s"$timeCol div 1000")))
-      case _ => raw
-    }
+    val src = graft.Engine.normalizeEventTime(raw, timeCol)
     val deduped = src
       .withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
