@@ -27,10 +27,13 @@ object Bench {
       }
       val dt = System.nanoTime() - t0
       spark.sqlContext.clearCache() // no cross-query cache pinning
-      // localCheckpoint blocks (CC rounds, BPE rounds) are freed by the
-      // ContextCleaner only after their RDDs are GC'd on the driver — a
-      // GC nudge between queries keeps 90+ queries' worth of dead blocks
-      // from squeezing the block manager in later queries
+      // localCheckpoint blocks (CC rounds, BPE rounds) survive the query
+      // — unpersist them eagerly (blocking) instead of waiting for the
+      // ContextCleaner to notice their RDDs got GC'd; then a GC nudge
+      // for the rest, so 100+ queries' worth of dead blocks never
+      // squeeze the block manager in later queries
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       dt
     }
@@ -38,6 +41,44 @@ object Bench {
     // warm-up: session machinery + every table's footer/schema
     Engine.TableNames.foreach(n => Engine.table(spark, sfDir, n).count())
     force("q1_agg")
+
+    // Flagship measured FIRST, right after warm-up: BASELINE.md's
+    // number is a standalone hyperfine run against a fresh process, so
+    // the apples-to-apples point is a clean JVM — not a heap that has
+    // just digested the full query suite (measured tail there: 0.22 ->
+    // 1.6 s swings from GC/code-cache pressure, vs ±4% here).
+    // Apples-to-apples with BASELINE.md's protocol (one CSV scan +
+    // group-by, warm cache): materialize lineitem as CSV once, run the
+    // baseline-shaped query through the engine's CSV source, report
+    // rows/s. octosql 0.8.0: ~1.0M rows/s on this shape.
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val liRows = li.count()
+    val csvDir = s"/tmp/graft_bench_csv/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // _SUCCESS marker (not bare dir existence) so a partially-written
+    // dir from an interrupted run is rewritten, not trusted
+    if (!new java.io.File(csvDir, "_SUCCESS").exists())
+      li.write.option("header", "true").mode("overwrite").csv(csvDir)
+    // schema inference once, outside the timed region: the reference
+    // samples 100 rows (~free); Spark's inferSchema is a full pass, so
+    // hoist it as a catalog lookup would
+    val csvSchema = graft.sources.PathTable.read(spark, csvDir, "csv").schema
+    def csvFlagship(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.schema(csvSchema).option("header", "true").csv(csvDir)
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.avg("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // median of 5 timed runs after 2 warm-ups: single measurements on
+    // this shape swing with JIT, page cache and scheduler noise; the
+    // median is the stable point estimate
+    csvFlagship(); csvFlagship() // warm
+    val samples = Vector.fill(5)(csvFlagship()).sorted
+    val csvSec = samples(samples.length / 2)
+    val csvRps = liRows / csvSec
 
     // SPARK_GRAFT_ONLY=q1_agg,t1_langid_tokens limits the run while
     // iterating on one operator; unset = full suite (driver mode).
@@ -101,39 +142,6 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-
-    // Apples-to-apples with BASELINE.md's protocol (one CSV scan +
-    // group-by, warm cache): materialize lineitem as CSV once, run the
-    // baseline-shaped query through the engine's CSV source, report
-    // rows/s. octosql 0.8.0: ~1.0M rows/s on this shape.
-    val li = Engine.table(spark, sfDir, "lineitem")
-    val liRows = li.count()
-    val csvDir = s"/tmp/graft_bench_csv/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
-    // _SUCCESS marker (not bare dir existence) so a partially-written
-    // dir from an interrupted run is rewritten, not trusted
-    if (!new java.io.File(csvDir, "_SUCCESS").exists())
-      li.write.option("header", "true").mode("overwrite").csv(csvDir)
-    // schema inference once, outside the timed region: the reference
-    // samples 100 rows (~free); Spark's inferSchema is a full pass, so
-    // hoist it as a catalog lookup would
-    val csvSchema = graft.sources.PathTable.read(spark, csvDir, "csv").schema
-    def csvFlagship(): Double = {
-      val t0 = System.nanoTime()
-      spark.read.schema(csvSchema).option("header", "true").csv(csvDir)
-        .groupBy("l_returnflag")
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.avg("l_quantity"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // median of 5 timed runs after 2 warm-ups: single measurements on
-    // this shape swing 1.55-2.0M rows/s run to run (JIT, page cache,
-    // scheduler noise); the median is the stable point estimate
-    csvFlagship(); csvFlagship() // warm
-    val samples = Vector.fill(5)(csvFlagship()).sorted
-    val csvSec = samples(samples.length / 2)
-    val csvRps = liRows / csvSec
 
     // sf as a bare number ("/root/testdata/sf0.1" -> 0.1) keeps the
     // line short; the full dir path is in BENCH_LOCAL.json.
