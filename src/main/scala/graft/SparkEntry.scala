@@ -859,6 +859,27 @@ object SparkEntry {
     "p14_crossdoc_dedup" -> ((s, dir) =>
       operators.Dedup.crossDocDedupDocs(t(s, dir, "documents"))),
 
+    // END-TO-END curation pipeline: langid gate → quality gate → exact
+    // dedup (min-id representative) → sequence packing into training
+    // shards. Composes four independently-verified stages in ONE plan:
+    // both scoring gates are zero-shuffle projections fused into the
+    // scan, dedup is one map-side-combinable hash aggregate, packing is
+    // one bounded per-source window — the whole corpus crosses exactly
+    // two shuffles at any scale, and Catalyst prunes unkept columns all
+    // the way down to the parquet reader.
+    "p15_c4_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val kept = d
+        .filter(TextAnalysis.langId(col("text")) === col("lang")
+          && TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val uniq = Dedup.exact(kept, "doc_id", Seq("text"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      operators.Sampling.packShards(uniq, "doc_id", "source", "n_chars",
+          budget = 2000L)
+        .select(col("doc_id"), col("source"), col("shard"))
+    }),
+
     // C4-style chunk-level dedup: every 8-token chunk kept only at its
     // first corpus-wide occurrence (one shuffle keyed by chunk)
     "d11_chunk_dedup" -> ((s, dir) =>
@@ -2188,6 +2209,46 @@ object SparkEntry {
         |  FROM k GROUP BY 1)
         |SELECT r.doc_id, clean_text, n_kept, n_chunks - n_kept AS n_dropped
         |FROM r JOIN nc USING (doc_id)""".stripMargin,
+
+    // chains the verified t1 (langid), t2 (quality), d1/d17 (exact
+    // dedup) and p10 (packing) oracle fragments into one statement
+    "p15_c4_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    ${langIdSql("text")} AS lang_pred,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |scored2 AS (
+         |  SELECT doc_id, text, lang, source, n_chars, lang_pred, punct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(list_transform(string_split_regex(trim(lower(text)), '\\s+'), x -> x),
+         |                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+         |  FROM scored),
+         |kept AS (
+         |  SELECT doc_id, text, source, n_chars FROM scored2
+         |  WHERE lang_pred = lang
+         |    AND least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+         |        + least(stopword_ratio * 5.0, 1.0) * 0.25 >= 0.5),
+         |uniq AS (
+         |  SELECT k.doc_id, k.source, k.n_chars FROM kept k
+         |  JOIN (SELECT text, MIN(doc_id) AS m FROM kept GROUP BY text) g
+         |    ON k.text = g.text AND k.doc_id = g.m),
+         |h AS (
+         |  SELECT doc_id, source, n_chars,
+         |    (doc_id * 2654435761) % 4294967296 AS hk
+         |  FROM uniq),
+         |c AS (
+         |  SELECT doc_id, source, n_chars,
+         |    SUM(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id) AS cum
+         |  FROM h)
+         |SELECT doc_id, source,
+         |  CAST(floor((cum - n_chars) / 2000) AS BIGINT) AS shard
+         |FROM c""".stripMargin,
 
     "t9_bpe" -> bpeSql(rounds = 5),
 
