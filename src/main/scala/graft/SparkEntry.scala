@@ -500,6 +500,21 @@ object SparkEntry {
       Dedup.dedupClusters(pairs)
     }),
 
+    // dedup-aware (leakage-safe) train/eval split: one split decision
+    // per near-dup cluster (CC label), so near-duplicates never
+    // straddle train and eval — p2's plain hash split leaks one copy
+    // into eval while its sibling trains
+    "d18_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8, tokens = true, maxDocFreq = Some(50))
+        .select("id_a", "id_b")
+      operators.Sampling.leakageSafeSplit(
+          docs.select("doc_id", "lang"),
+          "doc_id", Dedup.connectedComponents(pairs), evalPct = 10)
+        .select(col("doc_id"), col("split_key"), col("split"))
+    }),
+
     // embedding near-dup pairs (cosine threshold, ids only — float-safe)
     "d5_embed_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), 0.45)
@@ -1747,6 +1762,43 @@ object SparkEntry {
         |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
         |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM final GROUP BY comp""".stripMargin,
+
+    // d7's CC lattice + the p2 hash rule keyed by the cluster label
+    "d18_leakage_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8),
+        |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (
+        |  SELECT id, id AS comp FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, lbl.comp FROM lbl JOIN edges e ON e.a = lbl.id),
+        |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
+        |SELECT d.doc_id,
+        |  COALESCE(f.comp, d.doc_id) AS split_key,
+        |  CASE WHEN ((COALESCE(f.comp, d.doc_id) * 2654435761) % 4294967296) % 100 < 10
+        |       THEN 'eval' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN final f ON f.id = d.doc_id""".stripMargin,
 
     "d5_embed_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -80,6 +80,31 @@ object Sampling {
       when(pmod(hashKey(col(idCol)), lit(100)) < evalPct, "eval")
         .otherwise("train"))
 
+  /** Leakage-safe train/eval split: every near-dup cluster receives ONE
+    * split decision — keyed by its connected-component label — so
+    * near-duplicates can never straddle train and eval (the split-time
+    * face of decontamination; [[trainEvalSplit]] alone leaks one
+    * near-dup copy into eval while its sibling trains). Unclustered
+    * documents split by their own id, which equals what the CC label
+    * would be for a singleton.
+    *
+    * `labels` is `Dedup.connectedComponents` output `(id, comp)` —
+    * bounded by the pair list, which near-dup pruning keeps orders of
+    * magnitude under corpus size, so AQE broadcasts the left join at
+    * any realistic scale; the split rule itself stays row-local.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, labels: DataFrame,
+                       evalPct: Int): DataFrame = {
+    val l = labels.select(col("id").as("__lsid"), col("comp").as("__lscomp"))
+    df.join(l, col(idCol) === col("__lsid"), "left")
+      .withColumn("split_key",
+        coalesce(col("__lscomp"), col(idCol).cast("long")))
+      .withColumn("split",
+        when(pmod(hashKey(col("split_key")), lit(100)) < evalPct, "eval")
+          .otherwise("train"))
+      .drop("__lsid", "__lscomp")
+  }
+
   /** Token-budget-capped sampling — the source-mixing step of a training
     * pipeline ("cap every source at N tokens"): each group's rows are
     * ordered by the portable hash and kept while the running token total

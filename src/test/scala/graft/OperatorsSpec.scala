@@ -1117,4 +1117,26 @@ class OperatorsSpec extends SparkSpec {
       .sum / 24
     assert(errs.sum / 24 < baseMse * 0.1)
   }
+
+  test("leakageSafeSplit: clusters never straddle; singletons match plain split") {
+    import spark.implicits._
+    // 0-1-2 one cluster, 3-4 another, 5..9 singletons
+    val docs = (0L to 9L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val labels = operators.Dedup.connectedComponents(pairs)
+    val out = operators.Sampling.leakageSafeSplit(docs, "doc_id", labels, 10)
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // one split decision per cluster, keyed by the min-id label
+    assert(out.filter(_._1 <= 2).map(t => (t._2, t._3)).distinct.length == 1)
+    assert(out.filter(t => t._1 == 3 || t._1 == 4)
+      .map(t => (t._2, t._3)).distinct.length == 1)
+    assert(out.filter(_._1 <= 2).head._2 == 0L)
+    // singletons: split_key is the doc's own id -> identical decision
+    // to the plain trainEvalSplit hash rule
+    val plain = operators.Sampling
+      .trainEvalSplit((5L to 9L).toDF("doc_id"), "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.filter(_._1 >= 5L).map(t => (t._1, t._3)).toSeq == plain.toSeq)
+  }
 }
