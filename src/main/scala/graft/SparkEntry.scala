@@ -1293,6 +1293,15 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
         queryName = "st6_stream_static")),
 
+    // streaming hopping-window counts — q35's overlap semantics on the
+    // streaming path: each event lands in len/slide = 2 windows; the
+    // complete-mode drain's final table equals the batch hop
+    "st7_stream_hop" -> ((s, dir) =>
+      Streams.runHoppingAgg(s, s"$dir/events.parquet", "ts",
+          "1 hour", "30 minutes", Seq("event_type"),
+          Seq(count(lit(1)).as("n")), queryName = "st7_stream_hop")
+        .select(col("window_start"), col("event_type"), col("n"))),
+
     // tumble reached through the reference's SQL TVF syntax (named
     // arguments, DESCRIPTOR time field) — the dialect front-end path,
     // checked against the same oracle shape as q17
@@ -2055,6 +2064,15 @@ object SparkEntry {
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q35's batch-hop oracle: each event replicated into the k ∈ {0,1}
+    // overlapping 1h windows aligned to 30-minute slides
+    "st7_stream_hop" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |    - k.k * INTERVAL '30 minutes' AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
         |GROUP BY 1, 2""".stripMargin,
 
     "st4_stream_session" ->

@@ -86,6 +86,40 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming HOPPING-window aggregation — `window(timeCol, len,
+    * slide)` assigns each event to len/slide overlapping windows (the
+    * streaming form of q35's batch hop; reference tumble generalized
+    * the Flink HOP way). Complete-mode memory drain as in
+    * [[runTumblingAgg]] (harness-only; production = watermark + update
+    * mode into a real sink, state partitioned by window+key across
+    * executors).
+    */
+  def runHoppingAgg(spark: SparkSession, path: String, timeCol: String,
+                    len: String, slide: String, keyCols: Seq[String],
+                    aggs: Seq[Column],
+                    queryName: String = "graft_hop"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(path)
+    val src = graft.Engine.normalizeEventTime(raw, timeCol)
+    val grouped = src
+      .groupBy(window(col(timeCol), len, slide) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+    val q = grouped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming SESSION-window aggregation over a parquet file/dir —
     * `session_window(timeCol, gap)` merges events separated by less
     * than `gap` into one growing window per key, the streaming form of
