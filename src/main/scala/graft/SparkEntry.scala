@@ -652,7 +652,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val lsh = Similarity.cosinePairsLsh(emb, 0.45, bits = 4, tables = 12)
         .select("id_a", "id_b")
-      val exact = Similarity.cosinePairs(emb, 0.45).select("id_a", "id_b")
+      // ground-truth arm is BLOCKED (B=2): within-block pairs are an
+      // unbiased 1/B sample of all pairs (id hash ⟂ similarity), the
+      // exact join becomes a block-keyed equi-join, and monitoring
+      // cost is n²/B — at 100 TB crank B up so n²/B stays fixed while
+      // the production LSH arm stays full-corpus.
+      val exact = Similarity.cosinePairs(emb, 0.45, blocks = 2)
+        .select("id_a", "id_b")
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -809,6 +815,28 @@ object SparkEntry {
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx") - col("exact_users")) <=
             col("exact_users") * 0.1).as("approx_ok"))),
+
+    // mergeable-sketch rollup (DataSketches HLL): per-(type, day)
+    // sketch SHARDS are built once — the pre-aggregated rollup table a
+    // 100 TB log keeps instead of raw user ids — then any read-time
+    // regrouping is a cheap hll_union_agg over kilobyte blobs, never a
+    // re-scan. q38 shows one-shot approx; this shows the re-aggregable
+    // form (union of shard sketches == sketch of the union), checked
+    // in-query against the exact distinct (HLL is deterministic).
+    "q51_sketch_rollup" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val shards = e
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val merged = shards.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+        .join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.05 + lit(1.0)).as("merge_ok"))
+    }),
 
     // frequent-items sketch (Karp-Shenker-Papadimitriou single-pass
     // summary, merged across partitions): the sketch must cover every
@@ -1275,6 +1303,16 @@ object SparkEntry {
       Streams.runStreamIntervalJoin(s, s"$dir/events.parquet", "ts",
           "event_type", "user_id", "event_id", "click", "purchase",
           "1 hour", queryName = "st5_stream_join")
+        .select(col("left_id").as("click_id"),
+          col("right_id").as("purchase_id"), col("k").as("user_id"))),
+
+    // stream-stream interval LEFT OUTER join: st5 plus null-padded
+    // unconverted clicks, emitted when the watermark closes their
+    // window — bounded state with complete output on an unbounded log
+    "st8_stream_left_join" -> ((s, dir) =>
+      Streams.runStreamIntervalLeftJoin(s, s"$dir/events.parquet", "ts",
+          "event_type", "user_id", "event_id", "click", "purchase",
+          "1 hour", queryName = "st8_stream_left_join")
         .select(col("left_id").as("click_id"),
           col("right_id").as("purchase_id"), col("k").as("user_id"))),
 
@@ -2060,6 +2098,22 @@ object SparkEntry {
         | AND CAST(p.ts AS TIMESTAMP)
         |     <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'""".stripMargin,
 
+    "q51_sketch_rollup" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS merge_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "st8_stream_left_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP)
+        |     <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'""".stripMargin,
+
     "st6_stream_static" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -2719,7 +2773,8 @@ object SparkEntry {
     "d6_embed_lsh" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id AND a.vec_id % 2 = b.vec_id % 2
         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])) >= 0.45)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, true AS recall_ok

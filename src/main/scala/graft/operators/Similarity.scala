@@ -429,16 +429,31 @@ object Similarity {
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup
     * detection. Brute self-join with per-row precomputed norms; swap
     * candidate generation to `cosinePairsLsh` at scale.
+    *
+    * `blocks > 1` restricts to pairs whose ids share `id % blocks` —
+    * the blocked-monitoring form for recall auditing at scale: id hash
+    * is independent of similarity, so within-block pairs are an
+    * unbiased 1/B sample of all pairs, the join becomes an EQUI-join
+    * on the block id (hash-partitioned, every block sized n/B, no
+    * BroadcastNestedLoop), and total work drops to n²/B. Pick B so
+    * n²/B stays affordable; B=1 is the exact full form (d5's oracle
+    * shape).
     */
   def cosinePairs(df: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  blocks: Int = 1): DataFrame = {
     VecExpressions.register(df.sparkSession)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", norm(col("vb")))
-    a.crossJoin(b)
+    val joined =
+      if (blocks <= 1) a.crossJoin(b)
+      else a.withColumn("blk", pmod(col("id_a"), lit(blocks)))
+        .join(b.withColumn("blk", pmod(col("id_b"), lit(blocks))), Seq("blk"))
+        .drop("blk")
+    joined
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

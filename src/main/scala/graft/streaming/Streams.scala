@@ -207,6 +207,81 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval LEFT OUTER join: like
+    * [[runStreamIntervalJoin]] but unmatched left rows are emitted
+    * null-padded once the watermark passes `lts + within` — state stays
+    * bounded AND the output is complete, which is how an attribution
+    * join runs on an unbounded log (clicks that never converted still
+    * surface, exactly `within` late).
+    *
+    * Drain mechanics (harness-only): outer results only flush when the
+    * watermark advances PAST every buffered left row's window, and
+    * Spark applies a new watermark one micro-batch later. So the input
+    * is staged into a temp dir and drained in three micro-batches:
+    * data, then a future-timestamped sentinel pair (one per side, an
+    * impossible key) that advances both sides' watermarks past
+    * `max(ts) + within`, then a second sentinel that triggers the batch
+    * which evicts-and-emits the unmatched rows under the advanced
+    * watermark. Sentinels are filtered from the returned table; the
+    * result equals the batch LEFT JOIN (the oracle). On a real cluster
+    * none of this is needed — the log keeps flowing and the watermark
+    * advances on its own.
+    */
+  def runStreamIntervalLeftJoin(spark: SparkSession, path: String,
+                                timeCol: String, typeCol: String,
+                                keyCol: String, idCol: String,
+                                leftType: String, rightType: String,
+                                within: String,
+                                queryName: String = "graft_ss_ljoin"): DataFrame = {
+    val base = graft.Engine.normalizeEventTime(
+        spark.read.parquet(path), timeCol)
+      .select(col(idCol), col(keyCol), col(typeCol), col(timeCol))
+    val stage = java.nio.file.Files.createTempDirectory("graft_ljoin")
+      .toFile.getAbsolutePath
+    base.write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    def stream(side: String, as: (String, String, String)): DataFrame =
+      spark.readStream.schema(schema).parquet(stage)
+        .filter(col(typeCol) === side)
+        .select(col(idCol).as(as._1), col(keyCol).as(as._2),
+          col(timeCol).as(as._3))
+        .withWatermark(as._3, within)
+    val l = stream(leftType, ("left_id", "k", "lts"))
+    val r = stream(rightType, ("right_id", "rk", "rts"))
+    val joined = l.join(r,
+        col("k") === col("rk") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr(s"INTERVAL $within"),
+        "left_outer")
+      .select(col("left_id"), col("right_id"), col("k"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try {
+      q.processAllAvailable()
+      // sentinel ts clears every left row's close condition
+      // (wm = sentinel - within > lts + within for all data lts)
+      val flushTs = base
+        .selectExpr(s"max($timeCol) + 3 * INTERVAL $within AS s")
+        .first().getTimestamp(0)
+      def sentinel(bump: Long): Unit = {
+        val rows = java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, -1L, leftType,
+            new java.sql.Timestamp(flushTs.getTime + bump)),
+          org.apache.spark.sql.Row(-2L, -1L, rightType,
+            new java.sql.Timestamp(flushTs.getTime + bump)))
+        spark.createDataFrame(rows, schema)
+          .write.mode("append").parquet(stage)
+        q.processAllAvailable()
+      }
+      sentinel(0L)     // advances both watermarks (takes effect next batch)
+      sentinel(1000L)  // runs the batch that evicts + emits unmatched rows
+    } finally q.stop()
+    spark.table(queryName).filter(col("k") =!= -1L)
+  }
+
   /** Stream-static enrichment join: an unbounded event stream
     * inner-joins a bounded dimension table, then aggregates — the
     * classic per-event dimension-attach shape (events × customer,

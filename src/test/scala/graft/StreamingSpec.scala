@@ -155,6 +155,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval LEFT join emits unmatched lefts on watermark close") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ljoin").toFile
+    val t0 = 1700000000L
+    Seq(
+      (1L, t0,          5L, "click"),     // converts (e2, +10min)
+      (2L, t0 + 600,    5L, "purchase"),
+      (3L, t0,          6L, "click"),     // never converts
+      (4L, t0,          7L, "purchase"),  // right-only: not emitted
+      (5L, t0 + 10800,  5L, "click"))     // purchase e2 is BEFORE it
+      .toDF("event_id", "epoch", "user_id", "event_type")
+      .select(col("event_id"), timestamp_seconds(col("epoch")).as("ts"),
+        col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events")
+    val out = graft.streaming.Streams.runStreamIntervalLeftJoin(
+      spark, s"$dir/events", "ts", "event_type", "user_id", "event_id",
+      "click", "purchase", "1 hour", queryName = "ljoin_spec")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(rows == Set((1L, Some(2L)), (3L, None), (5L, None)))
+  }
+
   test("watermark drops late rows in append-mode windowed agg") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Int)]
