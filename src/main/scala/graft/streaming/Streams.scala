@@ -174,7 +174,8 @@ object Streams {
                             keyCol: String, idCol: String,
                             leftType: String, rightType: String,
                             within: String,
-                            queryName: String = "graft_ss_join"): DataFrame = {
+                            queryName: String = "graft_ss_join"): DataFrame =
+    withStatePartitions(spark) {
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
     def stream(): DataFrame = {
@@ -227,12 +228,30 @@ object Streams {
     * none of this is needed — the log keeps flowing and the watermark
     * advances on its own.
     */
+  /** Stream-stream joins keep 4 state stores per partition per batch;
+    * each store pays fixed snapshot/maintenance cost every micro-batch,
+    * so at local[32]'s 32 shuffle partitions a 3-batch drain touches
+    * ~400 stores mostly holding a handful of rows. The harness drains
+    * under 8 state partitions (stream-start conf; results are
+    * partition-count independent) — on a real cluster you'd size this
+    * to executors×cores instead, where the same fixed cost amortizes
+    * over real per-partition volume.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int = 8)
+                                    (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def runStreamIntervalLeftJoin(spark: SparkSession, path: String,
                                 timeCol: String, typeCol: String,
                                 keyCol: String, idCol: String,
                                 leftType: String, rightType: String,
                                 within: String,
-                                queryName: String = "graft_ss_ljoin"): DataFrame = {
+                                queryName: String = "graft_ss_ljoin"): DataFrame =
+    withStatePartitions(spark) {
     val base = graft.Engine.normalizeEventTime(
         spark.read.parquet(path), timeCol)
       .select(col(idCol), col(keyCol), col(typeCol), col(timeCol))

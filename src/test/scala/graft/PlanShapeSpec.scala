@@ -35,6 +35,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("cosinePairs blocked form plans as an equi-join, unblocked as a cross product") {
+    val emb = Engine.table(spark, sf, "embeddings")
+    val blocked = graft.operators.Similarity.cosinePairs(emb, 0.45, blocks = 2)
+      .queryExecution.executedPlan.toString
+    assert(!blocked.contains("NestedLoop") && !blocked.contains("Cartesian"),
+      blocked)
+    val full = graft.operators.Similarity.cosinePairs(emb, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(full.contains("NestedLoop") || full.contains("Cartesian"), full)
+  }
+
+  test("q51 sketch shards partially aggregate before the exchange") {
+    val p = planOf("q51_sketch_rollup")
+    // HLL sketches are object aggregates: partial+final pairs per level
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q9_topk: ORDER BY + LIMIT plans as distributed top-k, not a global sort") {
     val p = planOf("q9_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
