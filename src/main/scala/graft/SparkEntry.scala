@@ -650,15 +650,28 @@ object SparkEntry {
     // d5 keeps the exact form as its own oracle) — recall vs exact
     "d6_embed_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val lsh = Similarity.cosinePairsLsh(emb, 0.45, bits = 4, tables = 12)
+      // LSH resolution must GROW with the corpus: fixed bits means
+      // candidates scale as n²/2^bits (the 16-bucket sf1 blow-up).
+      // Schedule: bucket count tracks n (target ~128 vectors/bucket),
+      // tables grow with bits to hold recall as per-table collision
+      // probability (~0.65^bits at this threshold) shrinks. One
+      // metadata-cheap count() picks the operating point.
+      val n = emb.count()
+      val bits = math.max(4, (math.log(n / 128.0) / math.log(2)).toInt)
+      val tables = math.max(12, 3 * bits)
+      val lsh = Similarity.cosinePairsLsh(emb, 0.45, bits = bits,
+          tables = tables)
         .select("id_a", "id_b")
       // ground-truth arm is BLOCKED (B=2): within-block pairs are an
       // unbiased 1/B sample of all pairs (id hash ⟂ similarity), the
       // exact join becomes a block-keyed equi-join, and monitoring
       // cost is n²/B — at 100 TB crank B up so n²/B stays fixed while
-      // the production LSH arm stays full-corpus.
+      // the production LSH arm stays full-corpus. Persisted: the
+      // thresholded pair set is tiny and has two consumers below —
+      // without it the n²/B join runs twice.
       val exact = Similarity.cosinePairs(emb, 0.45, blocks = 2)
         .select("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -877,6 +890,47 @@ object SparkEntry {
             col("n_chars")))
       Dedup.incrementalNew(batch, corpus)
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
+    // incremental NEAR-dup ingest: the corpus side persists a band-
+    // signature index ONCE (Dedup.bandSignatures — the stored-parquet
+    // table in production); each arriving batch is shingled, banded and
+    // equi-joined against it, so per-batch cost scales with the batch,
+    // never the corpus. d12 is this pattern for exact dup; recall
+    // contract vs the cross-side exact Jaccard pairs (d3 discipline).
+    "d19_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rawIdx = Dedup.capDocFreq(
+        Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
+            maxDocFreq = None, tokens = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        Some(50))
+      val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isBatch = col("id") % 10 === 0
+      val index = banded.filter(!isBatch)   // stored corpus index
+      val probe = banded.filter(isBatch)    // today's arriving batch
+      // skew guard on the stored side, as in self-dedup banding
+      val keep = index.groupBy("band", "sig").agg(count(lit(1)).as("m"))
+        .filter(col("m") <= 200).select("band", "sig")
+      val cand = probe.select(col("id").as("pid"), col("band"), col("sig"))
+        .join(index.join(keep, Seq("band", "sig"))
+          .select(col("id").as("cid"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .select(least(col("pid"), col("cid")).as("id_a"),
+          greatest(col("pid"), col("cid")).as("id_b"))
+        .distinct()
+      val exact = Dedup.ngramJaccardPairsFromIndex(
+          rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
+          threshold = 0.8)
+        .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+        .select("id_a", "id_b")
+      val found = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact"),
+          (col("n_found").cast("double") / col("n_exact").cast("double")
+            >= 0.5).as("recall_ok"))
     }),
 
     // shard export: one row per packed shard with the newline-joined
@@ -1773,6 +1827,33 @@ object SparkEntry {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
         |  CAST(COUNT(*) AS BIGINT) AS n_found,
         |  1.0 AS recall_vs_exact
+        |FROM pairs""".stripMargin,
+
+    "d19_index_probe" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE)
+        |        / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8
+        |    AND (id_a % 10 = 0) <> (id_b % 10 = 0))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, true AS recall_ok
         |FROM pairs""".stripMargin,
 
     "d4_simhash" -> d4SimhashSql,

@@ -258,12 +258,17 @@ object Dedup {
     * exact ∩ verified(cand) = exact ∩ cand). Production dedup wants
     * [[minhashLshPairsFromIndex]], which verifies.
     */
-  def minhashLshCandidatesFromIndex(rawIdx: DataFrame, k: Int, bands: Int,
-                                    maxBucket: Int = 200): DataFrame = {
+  /** `(id, band, sig)` band-bucket table from a `(id, shingle)` index —
+    * the LSH index a production corpus PERSISTS (bands × corpus rows,
+    * three small columns): build it once on ingest, then any later
+    * near-dup question — self-dedup ([[minhashLshCandidatesFromIndex]])
+    * or an incremental batch probe (d19) — is an equi-join against this
+    * table instead of a corpus re-shingle.
+    */
+  def bandSignatures(rawIdx: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = minhashSignaturesFromIndex(rawIdx, k)
-    val banded = sig.select(col("id"),
+    minhashSignaturesFromIndex(rawIdx, k).select(col("id"),
       explode(array((0 until bands).map { b =>
         // band signature = hash of the band's slice of the array (slice
         // is 1-based); same-bucket grouping is identical to hashing the
@@ -272,6 +277,11 @@ object Dedup {
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("sig"))
       }: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.sig"))
+  }
+
+  def minhashLshCandidatesFromIndex(rawIdx: DataFrame, k: Int, bands: Int,
+                                    maxBucket: Int = 200): DataFrame = {
+    val banded = bandSignatures(rawIdx, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: a bucket of m docs yields m² candidate pairs — drop
     // degenerate buckets (non-discriminative signatures) outright

@@ -77,6 +77,20 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** All `tables` sign-LSH bucket ids at once, as `array<long>` — one
+    * codegen'd kernel over a constant plane tensor instead of a
+    * tables×bits forest of literal-array dot expressions (which falls
+    * out of whole-stage codegen and costs ~0.5 ms/row interpreted;
+    * measured 40× slower than this at the 10× soak). Bucket values are
+    * bit-identical to [[lshBucket]] over `hyperplanes(dim, bits,
+    * 42L + t)`.
+    */
+  def lshBucketsAll(vec: Column, dim: Int, bits: Int, tables: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.VecLshBuckets(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec),
+        Array.tabulate(tables)(t => hyperplanes(dim, bits, seed = 42L + t))))
+
   /** LSH-bucketed ANN: both sides hashed into sign-pattern buckets, the
     * join only compares vectors in the same bucket. Trades recall for a
     * ~2^bits reduction in compared pairs; recall rises with several
@@ -95,8 +109,7 @@ object Similarity {
     def withBuckets(d: DataFrame, id: String, v: String): DataFrame =
       d.select(col(idCol).as(id), col(vecCol).as(v))
         .select(col(id), col(v),
-          posexplode(array((0 until tables).map(t =>
-            lshBucket(col(v), hyperplanes(dim, bits, seed = 42L + t))): _*))
+          posexplode(lshBucketsAll(col(v), dim, bits, tables))
             .as(Seq("tbl", "bucket")))
     val c = withBuckets(corpus, "neighbor_id", "cv")
     val q = withBuckets(queries, "query_id", "qv")
@@ -201,30 +214,43 @@ object Similarity {
     * exact O(n²) self-join). Multiple plane sets recover recall — all
     * bucket ids come from one corpus pass (see [[lshTopK]]).
     *
-    * The candidate distinct deliberately carries both embeddings
-    * through the shuffle: partial aggregation collapses the `tables`×
-    * duplicate candidates map-side BEFORE the exchange, so the wide
-    * rows mostly don't move — measured at the 10× soak this beats an
-    * id-only distinct + vector join-back (which re-shuffles the full
-    * candidate set twice more) by over 2×.
+    * The candidate distinct carries ONLY the id pair: on a clone-heavy
+    * corpus every true pair collides in every table, so candidates
+    * duplicate `tables`× — dragging both 64-dim vectors through that
+    * distinct moves GBs where the id-only form moves MBs (sf1 measured:
+    * 27 s → 3 s). Vectors re-attach afterwards via two equi-joins
+    * against the corpus (AQE broadcasts the corpus side when it fits;
+    * both joins touch |pairs| + |corpus| rows, never |candidates|).
+    * Degenerate buckets (> `maxBucket` members — non-discriminative
+    * signature regions) are dropped outright, the same skew guard as
+    * MinHash banding: a bucket of m rows costs m² candidates.
     */
   def cosinePairsLsh(df: DataFrame, threshold: Double,
                      bits: Int = 6, dim: Int = 64, tables: Int = 4,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxBucket: Int = 4096): DataFrame = {
     VecExpressions.register(df.sparkSession)
     // one pass computes every table's bucket (vs `tables`× corpus scans
     // from a per-table union); self-join on (tbl, bucket)
     val side = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col("v"), hyperplanes(dim, bits, seed = 42L + t))): _*))
+    val bucketed = side
+      .select(col("id"),
+        posexplode(lshBucketsAll(col("v"), dim, bits, tables))
           .as(Seq("tbl", "bucket")))
-    side.toDF("id_a", "va", "tbl", "bucket")
-      .join(side.toDF("id_b", "vb", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = bucketed.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") <= maxBucket).select("tbl", "bucket")
+    val bounded = bucketed.join(keep, Seq("tbl", "bucket"))
+    val pairs = bounded.toDF("tbl", "bucket", "id_a")
+      .join(bounded.toDF("tbl", "bucket", "id_b"), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "va", "vb")
+      .select("id_a", "id_b")
       .distinct()
+    pairs
+      .join(side.toDF("id_a", "va"), Seq("id_a"))
+      .join(side.toDF("id_b", "vb"), Seq("id_b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
@@ -434,10 +460,12 @@ object Similarity {
     * the blocked-monitoring form for recall auditing at scale: id hash
     * is independent of similarity, so within-block pairs are an
     * unbiased 1/B sample of all pairs, the join becomes an EQUI-join
-    * on the block id (hash-partitioned, every block sized n/B, no
-    * BroadcastNestedLoop), and total work drops to n²/B. Pick B so
-    * n²/B stays affordable; B=1 is the exact full form (d5's oracle
-    * shape).
+    * (no BroadcastNestedLoop), and total work drops to n²/B. A block
+    * id alone would give only B join keys (2 reducers at B=2), so the
+    * left side additionally fans out over 16 hash-chunks of the right
+    * side — B×16 equal-work join keys, same pair set, full cluster
+    * parallelism. Pick B so n²/B stays affordable; B=1 is the exact
+    * full form (d5's oracle shape).
     */
   def cosinePairs(df: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
@@ -450,9 +478,14 @@ object Similarity {
       .withColumn("nb", norm(col("vb")))
     val joined =
       if (blocks <= 1) a.crossJoin(b)
-      else a.withColumn("blk", pmod(col("id_a"), lit(blocks)))
-        .join(b.withColumn("blk", pmod(col("id_b"), lit(blocks))), Seq("blk"))
-        .drop("blk")
+      else {
+        val chunks = 16
+        val aExp = a.withColumn("blk", pmod(col("id_a"), lit(blocks)))
+          .withColumn("cb", explode(array((0 until chunks).map(lit): _*)))
+        val bChunk = b.withColumn("blk", pmod(col("id_b"), lit(blocks)))
+          .withColumn("cb", pmod(xxhash64(col("id_b")), lit(chunks)).cast("int"))
+        aExp.join(bChunk, Seq("blk", "cb")).drop("blk", "cb")
+      }
     joined
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))

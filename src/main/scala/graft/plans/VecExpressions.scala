@@ -303,6 +303,92 @@ case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
   * task binary). Accumulation is sequential in i per output j, matching
   * the oracle's list fold bit-for-bit.
   */
+/** All `tables` sign-LSH bucket ids of a vector in ONE pass — replaces
+  * a tables×bits forest of `when(vec_dot(v, array(<dim literals>)) >=
+  * 0, …)` nodes whose size defeats whole-stage codegen (measured: the
+  * interpreted forest costs ~0.5 ms/row; this kernel is plain loops
+  * over a constant `double[][][]` shipped once per task via
+  * `addReferenceObj`, like [[VecTopCells]]' centroid matrix).
+  * bucket[t] = OR over i of (dot(v, planes(t)(i)) >= 0 ? 1L << i : 0),
+  * bit-identical to the expression-tree form it replaces.
+  */
+case class VecLshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) if planes.nonEmpty =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_lsh_buckets expects array<float|double> and >=1 table, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val tbl = planes(t)
+      var bucket = 0L
+      var b = 0
+      while (b < tbl.length) {
+        val row = tbl(b)
+        val n = math.min(row.length, v.numElements())
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += row(i) * (if (fl) v.getFloat(i).toDouble else v.getDouble(i))
+          i += 1
+        }
+        if (s >= 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |long[] $out = new long[$mat.length];
+         |for (int $t = 0; $t < $mat.length; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $mat[$t].length; $b++) {
+         |    double[] row = $mat[$t][$b];
+         |    int $n = row.length < $v.numElements() ? row.length : $v.numElements();
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) $s += row[$i] * (double)$v.$get($i);
+         |    if ($s >= 0) $bucket |= 1L << $b;
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecLshBuckets =
+    copy(child = newChild)
+}
+
 case class VecRandomProject(child: Expression, outDim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
