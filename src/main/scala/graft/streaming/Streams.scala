@@ -273,6 +273,25 @@ object Streams {
         col("rts") <= col("lts") + expr(s"INTERVAL $within"),
         "left_outer")
       .select(col("left_id"), col("right_id"), col("k"))
+    // sentinel ts clears every left row's close condition
+    // (wm = sentinel - within > lts + within for all data lts)
+    val flushTs = base
+      .selectExpr(s"max($timeCol) + 3 * INTERVAL $within AS s")
+      .first().getTimestamp(0)
+    def sentinel(bump: Long): Unit = {
+      val rows = java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, -1L, leftType,
+          new java.sql.Timestamp(flushTs.getTime + bump)),
+        org.apache.spark.sql.Row(-2L, -1L, rightType,
+          new java.sql.Timestamp(flushTs.getTime + bump)))
+      spark.createDataFrame(rows, schema)
+        .write.mode("append").parquet(stage)
+    }
+    // the first sentinel pair rides along with the data in micro-batch
+    // ONE (the file source snapshots all staged files at the first
+    // trigger), so its watermark advance is in force by batch two —
+    // two stateful batches total, not three
+    sentinel(0L)
     val q = joined.writeStream
       .outputMode("append")
       .format("memory")
@@ -280,23 +299,8 @@ object Streams {
       .start()
     try {
       q.processAllAvailable()
-      // sentinel ts clears every left row's close condition
-      // (wm = sentinel - within > lts + within for all data lts)
-      val flushTs = base
-        .selectExpr(s"max($timeCol) + 3 * INTERVAL $within AS s")
-        .first().getTimestamp(0)
-      def sentinel(bump: Long): Unit = {
-        val rows = java.util.Arrays.asList(
-          org.apache.spark.sql.Row(-1L, -1L, leftType,
-            new java.sql.Timestamp(flushTs.getTime + bump)),
-          org.apache.spark.sql.Row(-2L, -1L, rightType,
-            new java.sql.Timestamp(flushTs.getTime + bump)))
-        spark.createDataFrame(rows, schema)
-          .write.mode("append").parquet(stage)
-        q.processAllAvailable()
-      }
-      sentinel(0L)     // advances both watermarks (takes effect next batch)
-      sentinel(1000L)  // runs the batch that evicts + emits unmatched rows
+      sentinel(1000L)  // triggers the batch that evicts + emits unmatched rows
+      q.processAllAvailable()
     } finally q.stop()
     spark.table(queryName).filter(col("k") =!= -1L)
   }
