@@ -1026,6 +1026,15 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // temperature-rebalanced mixture (mT5 α-sampling): keep rates
+    // DERIVED from corpus counts (∝ count^(α−1)), one tiny count agg
+    // broadcast back, then the same row-local hash keep as p12 — the
+    // standard multilingual/domain flattening step
+    "p16_temperature" -> ((s, dir) =>
+      operators.Sampling.temperatureSample(t(s, dir, "documents"),
+          "doc_id", "source", alpha = 0.5)
+        .select("doc_id", "source")),
+
     // GROUPING SETS: the explicit-combination form of q22/q41's
     // rollup/cube — per-(flag,status), per-flag, and grand total in one
     // Expand pass
@@ -2499,6 +2508,16 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "p16_temperature" ->
+      """WITH n AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+        |r AS (SELECT source,
+        |  CAST(round(sqrt(CAST((SELECT MIN(c) FROM n) AS DOUBLE)
+        |      / CAST(c AS DOUBLE)) * 10000) AS BIGINT) AS thr
+        |  FROM n)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 < thr""".stripMargin,
 
     "q45_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

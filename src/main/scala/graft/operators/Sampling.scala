@@ -105,6 +105,39 @@ object Sampling {
       .drop("__lsid", "__lscomp")
   }
 
+  /** Temperature-rebalanced mixture (the mT5/multilingual α-sampling
+    * step): target per-source shares ∝ countₛ^α, realized by
+    * downsampling each source at rate (countₛ/count_min)^(α−1) — the
+    * smallest source passes whole, larger sources are thinned toward
+    * the flattened distribution. Unlike [[mixtureSample]] the rates
+    * are DERIVED from the corpus: one map-side-combinable count
+    * aggregate (|sources| rows), rates broadcast back, then a
+    * row-local hash keep — no second shuffle at any corpus size.
+    *
+    * α = 0.5 computes the rate as `sqrt(count_min/countₛ)`: IEEE sqrt
+    * and division are correctly rounded in every engine, so the kept
+    * set is bit-reproducible cross-engine (general `pow` is only
+    * 1-ulp-accurate, which could flip a threshold boundary).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .withColumn("__rate",
+        if (alpha == 0.5)
+          sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+        else
+          pow(col("__n").cast("double") / col("__nmin").cast("double"),
+            alpha - 1.0))
+      .select(col(groupCol), round(col("__rate") * 10000).cast("long")
+        .as("__thr"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(hashKey(col(idCol)), lit(10000L)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Token-budget-capped sampling — the source-mixing step of a training
     * pipeline ("cap every source at N tokens"): each group's rows are
     * ordered by the portable hash and kept while the running token total

@@ -704,6 +704,24 @@ class OperatorsSpec extends SparkSpec {
     assert(withEmpty.filter(col("doc_id") === 9L).count() == 0)
   }
 
+  test("temperatureSample keeps the smallest source whole and flattens shares") {
+    import graft.operators.Sampling
+    val docs = Engine.table(spark, sf, "documents")
+    def shares(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("source").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    val before = shares(docs)
+    val after = shares(Sampling.temperatureSample(docs, "doc_id", "source", 0.5))
+    val minSrc = before.minBy(_._2)._1
+    // rate for the smallest source is exactly 1.0 → passes whole
+    assert(after(minSrc) == before(minSrc))
+    // α<1 flattens: the max/min imbalance must not grow (small slack
+    // for hash-thinning noise at this scale)
+    val rb = before.values.max.toDouble / before.values.min
+    val ra = after.values.max.toDouble / after.values.min
+    assert(ra <= rb * 1.05, s"before=$before after=$after")
+  }
+
   test("VecLshBuckets equals the per-plane lshBucket expression forest") {
     import spark.implicits._
     val emb = Engine.table(spark, sf, "embeddings").limit(64)
