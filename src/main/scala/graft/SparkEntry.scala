@@ -1026,6 +1026,19 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // snapshot diff (ingest audit): two corpus versions full-outer
+    // joined on 64-bit content hashes — added/removed/changed/same per
+    // id, only (id, hash) ever crossing the shuffle
+    "p17_dataset_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 550)
+      val nw = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDiff(old, nw)
+    }),
+
     // temperature-rebalanced mixture (mT5 α-sampling): keep rates
     // DERIVED from corpus counts (∝ count^(α−1)), one tiny count agg
     // broadcast back, then the same row-local hash keep as p12 — the
@@ -2508,6 +2521,20 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "p17_dataset_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 550),
+        |nw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id >= 50)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text <> n.text THEN 'changed'
+        |       ELSE 'same' END AS status
+        |FROM old o FULL JOIN nw n ON o.doc_id = n.doc_id""".stripMargin,
 
     "p16_temperature" ->
       """WITH n AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),

@@ -678,6 +678,28 @@ object Dedup {
       .drop("__k")
   }
 
+  /** Snapshot diff — the ingest audit between two corpus versions:
+    * every id classified `added` / `removed` / `changed` / `same`.
+    * Content is reduced to a 64-bit hash BEFORE the full-outer join,
+    * so only (id, 8 bytes) crosses the shuffle regardless of document
+    * size — at 100 TB the diff costs two projections and one join on
+    * the id, never a text move. (d12 `incrementalNew` is the keep-only
+    * half of this; the diff is the monitoring face.)
+    */
+  def snapshotDiff(old: DataFrame, nw: DataFrame,
+                   idCol: String = "doc_id",
+                   contentCol: String = "text"): DataFrame = {
+    def h(df: DataFrame, hc: String) =
+      df.select(col(idCol), xxhash64(col(contentCol)).as(hc))
+    h(old, "__ho").join(h(nw, "__hn").withColumnRenamed(idCol, "__nid"),
+        col(idCol) === col("__nid"), "full_outer")
+      .select(coalesce(col(idCol), col("__nid")).as(idCol),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed")
+          .otherwise("same").as("status"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on each
