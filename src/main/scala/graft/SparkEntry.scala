@@ -1358,6 +1358,26 @@ object SparkEntry {
           "rs_w", "rs_h", "rs_luma")
     }),
 
+    // image near-dup via perceptual hash: real PNG encode → real codec
+    // decode → aHash (area-average + mean threshold, exact arithmetic)
+    // → hash-groupBy clusters. The image-side analogue of d1: one map
+    // pass per image, one hash aggregate — no pairwise anything
+    "m5_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            (id, Multimodal.aHash64(Multimodal.encodeStripePng(id)).get)
+          }
+        }.toDF("doc_id", "phash")
+      val clusters = hashed.groupBy("phash")
+        .agg(min("doc_id").as("cluster_id"),
+          count(lit(1)).as("cluster_size"))
+      hashed.join(clusters, Seq("phash"))
+        .select("doc_id", "cluster_id", "cluster_size")
+    }),
+
     // Structured Streaming tumbling aggregation (complete mode == batch)
     "st1_stream_tumble" -> ((s, dir) =>
       Streams.runTumblingAgg(s, s"$dir/events.parquet", "ts", "1 hour",
@@ -2937,6 +2957,17 @@ object SparkEntry {
         |  CAST(greatest((doc_id % 48 + 16) // 2, 1) AS BIGINT) AS rs_h,
         |  CAST(doc_id % 256 AS BIGINT) AS rs_luma
         |FROM documents""".stripMargin,
+
+    // the stripe fixture makes the aHash a pure function of doc_id % 8
+    // (bit y·8+x set iff (doc_id + x) % 8 >= 4), so the oracle replays
+    // the cluster structure arithmetically
+    "m5_image_dedup" ->
+      """WITH h AS (SELECT doc_id, doc_id % 8 AS k FROM documents),
+        |c AS (SELECT k, MIN(doc_id) AS cluster_id,
+        |        COUNT(*) AS cluster_size
+        |      FROM h GROUP BY 1)
+        |SELECT h.doc_id, c.cluster_id, c.cluster_size
+        |FROM h JOIN c ON h.k = c.k""".stripMargin,
 
     "st1_stream_tumble" ->
       """SELECT event_type, COUNT(*) AS n,

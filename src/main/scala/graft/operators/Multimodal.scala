@@ -119,6 +119,75 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic vertical-stripe PNG (8×8, column x gray =
+    * ((seed + x) % 8) × 30) through the real encoder — the
+    * m5_image_dedup fixture: stripes survive PNG losslessly and give
+    * every `seed % 8` class a distinct, predictable perceptual hash.
+    */
+  def encodeStripePng(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < 8) {
+      val g = (((seed + x) % 8 + 8) % 8).toInt * 30
+      var y = 0
+      while (y < 8) { img.setRGB(x, y, (g << 16) | (g << 8) | g); y += 1 }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) of an image through the real codec:
+    * decode, area-average onto an 8×8 grid with exact arithmetic we
+    * control (no library resampler — Java2D's bilinear sampling is not
+    * arithmetic an oracle can replay), set bit y·8+x iff the block's
+    * mean luma ≥ the global mean. The standard cheap perceptual
+    * fingerprint for image-level near-dup detection; `None` for
+    * non-image payloads.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(bytes)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    val block = new Array[Double](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
+          + (rgb & 0xFF)) / 3.0
+        block(by * 8 + bx) += luma
+        cnt(by * 8 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    var total = 0.0
+    while (i < 64) {
+      if (cnt(i) > 0) block(i) /= cnt(i)
+      total += block(i)
+      i += 1
+    }
+    val mean = total / 64.0
+    var hashV = 0L
+    i = 0
+    while (i < 64) {
+      if (block(i) >= mean) hashV |= 1L << i
+      i += 1
+    }
+    Some(hashV)
+  }
+
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
                       width: Int, height: Int)
   case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,

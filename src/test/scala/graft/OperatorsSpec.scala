@@ -704,6 +704,19 @@ class OperatorsSpec extends SparkSpec {
     assert(withEmpty.filter(col("doc_id") === 9L).count() == 0)
   }
 
+  test("aHash64 through the real PNG codec: class-invariant, class-distinct") {
+    import graft.operators.Multimodal
+    // fixture hash is a pure function of seed % 8
+    val h = (0L until 16L).map(id =>
+      Multimodal.aHash64(Multimodal.encodeStripePng(id)).get)
+    (0 until 8).foreach(i => assert(h(i) == h(i + 8)))
+    assert(h.take(8).distinct.size == 8)
+    // solid image: every block equals the mean -> all 64 bits set
+    assert(Multimodal.aHash64(Multimodal.encodeSolidPng(16, 16, 77)).get == -1L)
+    // non-image payload declines instead of throwing
+    assert(Multimodal.aHash64("not a png".getBytes).isEmpty)
+  }
+
   test("temperatureSample keeps the smallest source whole and flattens shares") {
     import graft.operators.Sampling
     val docs = Engine.table(spark, sf, "documents")
