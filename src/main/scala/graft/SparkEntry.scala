@@ -1026,6 +1026,24 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // RAG-style overlapping chunking: fixed windows with stride overlap
+    // as (doc_id, chunk_idx, chunk) rows — a pure generator projection
+    // fused into the scan (no shuffle at any corpus size); the indexing
+    // front of a retrieval pipeline
+    "p18_rag_chunks" -> ((s, dir) => {
+      val win = 64
+      val stride = 48
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            greatest(length(col("text")) - 1, lit(0)), lit(stride)))
+            .as("start"),
+          col("text"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast(LongType).as("chunk_idx"),
+          expr(s"substring(text, start + 1, $win)").as("chunk"))
+    }),
+
     // snapshot diff (ingest audit): two corpus versions full-outer
     // joined on 64-bit content hashes — added/removed/changed/same per
     // id, only (id, hash) ever crossing the shuffle
@@ -2541,6 +2559,15 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "p18_rag_chunks" ->
+      """SELECT doc_id,
+        |  CAST(s // 48 AS BIGINT) AS chunk_idx,
+        |  substr(text, CAST(s AS INT) + 1, 64) AS chunk
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(length(text), 1), 48)) AS s
+        |  FROM documents)""".stripMargin,
 
     "p17_dataset_diff" ->
       """WITH old AS (
