@@ -1026,6 +1026,22 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // recursive CTE (Spark 4's WITH RECURSIVE): hierarchy walk over the
+    // implicit binary tree parent(id) = id DIV 2 — each level is one
+    // self-join of the frontier against the base table, the iterative-
+    // SQL shape (org charts, BOM explosion, graph reachability) that
+    // DuckDB replays verbatim. Depth must equal floor(log2(id)).
+    "q52_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_rec52")
+      s.sql("""WITH RECURSIVE tree AS (
+              |  SELECT doc_id, CAST(0 AS BIGINT) AS depth
+              |  FROM docs_rec52 WHERE doc_id = 1
+              |  UNION ALL
+              |  SELECT d.doc_id, t.depth + 1
+              |  FROM docs_rec52 d JOIN tree t ON d.doc_id DIV 2 = t.doc_id)
+              |SELECT doc_id, depth FROM tree""".stripMargin)
+    }),
+
     // RAG-style overlapping chunking: fixed windows with stride overlap
     // as (doc_id, chunk_idx, chunk) rows — a pure generator projection
     // fused into the scan (no shuffle at any corpus size); the indexing
@@ -2559,6 +2575,15 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "q52_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS depth
+        |  FROM documents WHERE doc_id = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1
+        |  FROM documents d JOIN tree t ON d.doc_id // 2 = t.doc_id)
+        |SELECT doc_id, depth FROM tree""".stripMargin,
 
     "p18_rag_chunks" ->
       """SELECT doc_id,
