@@ -1026,6 +1026,20 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // UNPIVOT (melt): wide per-row measures to long (metric, value)
+    // rows — q42's inverse, a pure generator projection (the Expand
+    // operator), no shuffle at any scale
+    "q53_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("quantity"),
+          round(col("l_discount"), 2).as("discount"),
+          round(col("l_tax"), 2).as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount"), col("tax")),
+          "metric", "value")),
+
     // recursive CTE (Spark 4's WITH RECURSIVE): hierarchy walk over the
     // implicit binary tree parent(id) = id DIV 2 — each level is one
     // self-join of the frontier against the base table, the iterative-
@@ -2575,6 +2589,14 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "q53_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.metric,
+        |  CASE m.metric WHEN 'quantity' THEN round(l_quantity, 2)
+        |                WHEN 'discount' THEN round(l_discount, 2)
+        |                ELSE round(l_tax, 2) END AS value
+        |FROM lineitem
+        |CROSS JOIN (SELECT unnest(['quantity','discount','tax']) AS metric) m""".stripMargin,
 
     "q52_recursive_cte" ->
       """WITH RECURSIVE tree AS (
