@@ -910,11 +910,15 @@ object SparkEntry {
       val isBatch = col("id") % 10 === 0
       val index = banded.filter(!isBatch)   // stored corpus index
       val probe = banded.filter(isBatch)    // today's arriving batch
-      // skew guard on the stored side, as in self-dedup banding
-      val keep = index.groupBy("band", "sig").agg(count(lit(1)).as("m"))
-        .filter(col("m") <= 200).select("band", "sig")
-      val cand = probe.select(col("id").as("pid"), col("band"), col("sig"))
-        .join(index.join(keep, Seq("band", "sig"))
+      // skew guard on BOTH sides: a degenerate signature shared by m
+      // probe docs and n index docs yields m×n candidates — cap each
+      // side like self-dedup banding caps the joint bucket
+      def keepOf(side: DataFrame) =
+        side.groupBy("band", "sig").agg(count(lit(1)).as("m"))
+          .filter(col("m") <= 200).select("band", "sig")
+      val cand = probe.join(keepOf(probe), Seq("band", "sig"))
+        .select(col("id").as("pid"), col("band"), col("sig"))
+        .join(index.join(keepOf(index), Seq("band", "sig"))
           .select(col("id").as("cid"), col("band"), col("sig")),
           Seq("band", "sig"))
         .select(least(col("pid"), col("cid")).as("id_a"),
@@ -1419,6 +1423,8 @@ object SparkEntry {
             (id, Multimodal.aHash64(Multimodal.encodeStripePng(id)).get)
           }
         }.toDF("doc_id", "phash")
+        // two consumers below; without this the codec pass runs twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clusters = hashed.groupBy("phash")
         .agg(min("doc_id").as("cluster_id"),
           count(lit(1)).as("cluster_size"))

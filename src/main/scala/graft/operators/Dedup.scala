@@ -252,12 +252,6 @@ object Dedup {
     * (signatures, verification, ground truth) triple and the raw text
     * is never re-shingled.
     */
-  /** UNVERIFIED banding candidates from a prebuilt `(id, shingle)`
-    * index — the recall-measurement path (comparing candidates against
-    * an exact pair set makes a separate Jaccard verify redundant:
-    * exact ∩ verified(cand) = exact ∩ cand). Production dedup wants
-    * [[minhashLshPairsFromIndex]], which verifies.
-    */
   /** `(id, band, sig)` band-bucket table from a `(id, shingle)` index —
     * the LSH index a production corpus PERSISTS (bands × corpus rows,
     * three small columns): build it once on ingest, then any later
@@ -279,6 +273,12 @@ object Dedup {
       .select(col("id"), col("bs.band"), col("bs.sig"))
   }
 
+  /** UNVERIFIED banding candidates from a prebuilt `(id, shingle)`
+    * index — the recall-measurement path (comparing candidates against
+    * an exact pair set makes a separate Jaccard verify redundant:
+    * exact ∩ verified(cand) = exact ∩ cand). Production dedup wants
+    * [[minhashLshPairsFromIndex]], which verifies.
+    */
   def minhashLshCandidatesFromIndex(rawIdx: DataFrame, k: Int, bands: Int,
                                     maxBucket: Int = 200): DataFrame = {
     val banded = bandSignatures(rawIdx, k, bands)

@@ -171,13 +171,30 @@ object Multimodal {
       }
       y += 1
     }
+    // images narrower/shorter than the grid leave some blocks with no
+    // source pixels — fill them by nearest-pixel replication (the
+    // upscale half of area mapping), so a solid 4×4 hashes identically
+    // to a solid 8×8 instead of phantom zero blocks diluting the mean
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val i = by * 8 + bx
+        if (cnt(i) > 0) block(i) /= cnt(i)
+        else {
+          val sx = math.min(bx * w / 8, w - 1)
+          val sy = math.min(by * h / 8, h - 1)
+          val rgb = img.getRGB(sx, sy)
+          block(i) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
+            + (rgb & 0xFF)) / 3.0
+        }
+        bx += 1
+      }
+      by += 1
+    }
     var i = 0
     var total = 0.0
-    while (i < 64) {
-      if (cnt(i) > 0) block(i) /= cnt(i)
-      total += block(i)
-      i += 1
-    }
+    while (i < 64) { total += block(i); i += 1 }
     val mean = total / 64.0
     var hashV = 0L
     i = 0

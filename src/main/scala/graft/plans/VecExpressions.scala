@@ -287,22 +287,6 @@ case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
-/** Johnson-Lindenstrauss random projection to `outDim` dimensions with a
-  * deterministic ±1 sign matrix generated ARITHMETICALLY from (i, j) —
-  * no carried matrix at all: `sign(i,j) = bit31((i·2654435761 +
-  * j·2246822519) mod 2³²) == 0 ? +1 : −1` with 1-based indices, output
-  * scaled by 1/√outDim. The same formula is replayable in any engine
-  * (the DuckDB oracle uses an indexed list lambda), which is what makes
-  * a *random* projection oracle-checkable: the "randomness" is a fixed
-  * universal-hash sign pattern, as in feature hashing.
-  *
-  * Scale shape: a pure codegen'd projection — dimension reduction of a
-  * 100 TB embedding corpus is one map pass with zero shuffle, zero
-  * driver state, zero plan growth (contrast: a literal matrix would add
-  * O(outDim×dim) plan nodes; even a reference object must ship with the
-  * task binary). Accumulation is sequential in i per output j, matching
-  * the oracle's list fold bit-for-bit.
-  */
 /** All `tables` sign-LSH bucket ids of a vector in ONE pass — replaces
   * a tables×bits forest of `when(vec_dot(v, array(<dim literals>)) >=
   * 0, …)` nodes whose size defeats whole-stage codegen (measured: the
@@ -389,6 +373,22 @@ case class VecLshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** Johnson-Lindenstrauss random projection to `outDim` dimensions with a
+  * deterministic ±1 sign matrix generated ARITHMETICALLY from (i, j) —
+  * no carried matrix at all: `sign(i,j) = bit31((i·2654435761 +
+  * j·2246822519) mod 2³²) == 0 ? +1 : −1` with 1-based indices, output
+  * scaled by 1/√outDim. The same formula is replayable in any engine
+  * (the DuckDB oracle uses an indexed list lambda), which is what makes
+  * a *random* projection oracle-checkable: the "randomness" is a fixed
+  * universal-hash sign pattern, as in feature hashing.
+  *
+  * Scale shape: a pure codegen'd projection — dimension reduction of a
+  * 100 TB embedding corpus is one map pass with zero shuffle, zero
+  * driver state, zero plan growth (contrast: a literal matrix would add
+  * O(outDim×dim) plan nodes; even a reference object must ship with the
+  * task binary). Accumulation is sequential in i per output j, matching
+  * the oracle's list fold bit-for-bit.
+  */
 case class VecRandomProject(child: Expression, outDim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

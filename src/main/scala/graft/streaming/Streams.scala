@@ -169,6 +169,20 @@ object Streams {
     * [[runTumblingAgg]]); the drained output equals the batch interval
     * join, which is the oracle.
     */
+  /** One typed side of a stream-stream join: filter `typeCol ===
+    * side`, rename (id, key, time) to `as`, watermark on the renamed
+    * time column. Shared by the inner (st5) and left-outer (st8)
+    * interval joins so their event-time handling cannot diverge.
+    */
+  private def typedSide(src: DataFrame, typeCol: String, side: String,
+                        idCol: String, keyCol: String, timeCol: String,
+                        as: (String, String, String),
+                        within: String): DataFrame =
+    src.filter(col(typeCol) === side)
+      .select(col(idCol).as(as._1), col(keyCol).as(as._2),
+        col(timeCol).as(as._3))
+      .withWatermark(as._3, within)
+
   def runStreamIntervalJoin(spark: SparkSession, path: String,
                             timeCol: String, typeCol: String,
                             keyCol: String, idCol: String,
@@ -186,14 +200,10 @@ object Streams {
         else spark.readStream.schema(schema).parquet(path)
       graft.Engine.normalizeEventTime(raw, timeCol)
     }
-    val l = stream().filter(col(typeCol) === leftType)
-      .select(col(idCol).as("left_id"), col(keyCol).as("k"),
-        col(timeCol).as("lts"))
-      .withWatermark("lts", within)
-    val r = stream().filter(col(typeCol) === rightType)
-      .select(col(idCol).as("right_id"), col(keyCol).as("rk"),
-        col(timeCol).as("rts"))
-      .withWatermark("rts", within)
+    val l = typedSide(stream(), typeCol, leftType, idCol, keyCol, timeCol,
+      ("left_id", "k", "lts"), within)
+    val r = typedSide(stream(), typeCol, rightType, idCol, keyCol, timeCol,
+      ("right_id", "rk", "rts"), within)
     val joined = l.join(r,
         col("k") === col("rk") &&
         col("rts") >= col("lts") &&
@@ -255,16 +265,13 @@ object Streams {
     val base = graft.Engine.normalizeEventTime(
         spark.read.parquet(path), timeCol)
       .select(col(idCol), col(keyCol), col(typeCol), col(timeCol))
-    val stage = java.nio.file.Files.createTempDirectory("graft_ljoin")
-      .toFile.getAbsolutePath
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_ljoin")
+    val stage = stageDir.toFile.getAbsolutePath
     base.write.mode("overwrite").parquet(stage)
     val schema = spark.read.parquet(stage).schema
     def stream(side: String, as: (String, String, String)): DataFrame =
-      spark.readStream.schema(schema).parquet(stage)
-        .filter(col(typeCol) === side)
-        .select(col(idCol).as(as._1), col(keyCol).as(as._2),
-          col(timeCol).as(as._3))
-        .withWatermark(as._3, within)
+      typedSide(spark.readStream.schema(schema).parquet(stage),
+        typeCol, side, idCol, keyCol, timeCol, as, within)
     val l = stream(leftType, ("left_id", "k", "lts"))
     val r = stream(rightType, ("right_id", "rk", "rts"))
     val joined = l.join(r,
@@ -301,7 +308,16 @@ object Streams {
       q.processAllAvailable()
       sentinel(1000L)  // triggers the batch that evicts + emits unmatched rows
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the memory sink owns the drained rows — the staged copy of the
+      // input is dead weight; delete it so repeated drains (bench
+      // loops, soaks) don't accumulate events-sized dirs under /tmp
+      val walk = java.nio.file.Files.walk(stageDir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
     spark.table(queryName).filter(col("k") =!= -1L)
   }
 

@@ -748,14 +748,24 @@ class OperatorsSpec extends SparkSpec {
     def m(df: org.apache.spark.sql.DataFrame) = df.as[(Long, Seq[Long])]
       .collect().toMap
     assert(m(fused) == m(forest))
-    // and the interpreted path (eval) agrees with codegen
-    val expr = graft.plans.VecLshBuckets(
-      org.apache.spark.sql.GraftSqlBridge.expression(col("embedding")),
-      Array.tabulate(tables)(t => Similarity.hyperplanes(dim, bits, 42L + t)))
-    val rows = emb.select(col("vec_id"), col("embedding")).collect()
-    val resolved = emb.select(
-      org.apache.spark.sql.GraftSqlBridge.column(expr).as("b"))
-    assert(resolved.count() == rows.length)
+    // and the interpreted path (nullSafeEval) agrees with codegen,
+    // value for value
+    val planes =
+      Array.tabulate(tables)(t => Similarity.hyperplanes(dim, bits, 42L + t))
+    val ev = graft.plans.VecLshBuckets(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array.emptyDoubleArray,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), planes)
+    val codegenOut = m(fused)
+    emb.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      val vec = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val interp = ev
+        .nullSafeEval(new org.apache.spark.sql.catalyst.util.GenericArrayData(vec))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      assert(interp == codegenOut(r.getLong(0)), s"vec_id=${r.getLong(0)}")
+    }
   }
 
   test("cosinePairsLsh candidates are a subset of exact pairs") {
