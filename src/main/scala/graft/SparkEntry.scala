@@ -1456,6 +1456,15 @@ object SparkEntry {
         .select(col("left_id").as("click_id"),
           col("right_id").as("purchase_id"), col("k").as("user_id"))),
 
+    // streaming per-window distinct users (windowed DAU): dedup state
+    // + window state, both watermark-evicted; drained result equals
+    // the batch COUNT(DISTINCT) per hour
+    "st9_stream_distinct" -> ((s, dir) =>
+      Streams.runStreamWindowDistinct(s, s"$dir/events.parquet", "ts",
+          "user_id", "1 hour", "1 hour",
+          queryName = "st9_stream_distinct")
+        .select(col("window_start"), col("n_distinct"))),
+
     // stream-stream interval LEFT OUTER join: st5 plus null-padded
     // unconverted clicks, emitted when the watermark closes their
     // window — bounded state with complete output on an unbounded log
@@ -2279,6 +2288,12 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  true AS merge_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "st9_stream_distinct" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |    AS window_start,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY 1""".stripMargin,
 
     "st8_stream_left_join" ->

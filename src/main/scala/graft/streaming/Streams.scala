@@ -86,6 +86,44 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming per-window DISTINCT counts (the windowed-DAU shape):
+    * `dropDuplicates` on (window, key) collapses repeats inside each
+    * window, then a windowed count — two stateful operators in one
+    * query, state partitioned by (window, key) then window. The
+    * watermark bounds BOTH stores: dedup entries and window state
+    * evict once the watermark passes the window end, so an unbounded
+    * log holds only the open windows' distinct keys — the reason this
+    * beats collecting per-window sets. Complete-mode memory drain as
+    * in [[runTumblingAgg]] (harness-only).
+    */
+  def runStreamWindowDistinct(spark: SparkSession, path: String,
+                              timeCol: String, keyCol: String, len: String,
+                              delay: String,
+                              queryName: String = "graft_wdistinct"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(path)
+    val grouped = graft.Engine.normalizeEventTime(raw, timeCol)
+      .withWatermark(timeCol, delay)
+      .select(window(col(timeCol), len).as("window"), col(keyCol))
+      .dropDuplicates("window", keyCol)
+      .groupBy("window")
+      .agg(count(lit(1)).as("n_distinct"))
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+    val q = grouped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming HOPPING-window aggregation — `window(timeCol, len,
     * slide)` assigns each event to len/slide overlapping windows (the
     * streaming form of q35's batch hop; reference tumble generalized
