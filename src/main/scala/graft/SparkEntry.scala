@@ -1456,6 +1456,14 @@ object SparkEntry {
         .select(col("left_id").as("click_id"),
           col("right_id").as("purchase_id"), col("k").as("user_id"))),
 
+    // streaming top-k (trending items): per-key counts re-ranked each
+    // micro-batch; complete-mode-only because a ranking is a global
+    // statement over all keys
+    "st10_stream_topk" -> ((s, dir) =>
+      Streams.runStreamTopK(s, s"$dir/events.parquet", "user_id", 25,
+          queryName = "st10_stream_topk")
+        .select(col("user_id"), col("n"))),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -2289,6 +2297,10 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  true AS merge_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "st10_stream_topk" ->
+      """SELECT user_id, COUNT(*) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, user_id LIMIT 25""".stripMargin,
 
     "st9_stream_distinct" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))

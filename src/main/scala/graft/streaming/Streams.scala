@@ -124,6 +124,37 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming top-k (the trending-items shape): per-key counts
+    * re-ranked after every micro-batch. Sort+limit over a streaming
+    * aggregate is only legal in complete mode — the ranking is a
+    * global statement about ALL keys, so Spark (correctly) refuses it
+    * under append/update; state is the per-key counts (bounded by key
+    * cardinality), the sort runs on the small aggregated table, and
+    * ties break on the key for a deterministic oracle comparison.
+    */
+  def runStreamTopK(spark: SparkSession, path: String, keyCol: String,
+                    k: Int,
+                    queryName: String = "graft_topk"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(path)
+    val ranked = raw.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+    val q = ranked.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming HOPPING-window aggregation — `window(timeCol, len,
     * slide)` assigns each event to len/slide overlapping windows (the
     * streaming form of q35's batch hop; reference tumble generalized
