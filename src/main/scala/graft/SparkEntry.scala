@@ -1030,6 +1030,22 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // null-safe equi-join (<=>): NULL keys match each other instead of
+    // vanishing — still a HASH-join key for Catalyst (EqualNullSafe),
+    // not a degenerate theta join; the dimension side broadcasts
+    "q54_null_safe_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("k"))
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 40)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, lit(null))
+            .otherwise(col("c_custkey")).as("ck"))
+      o.join(c, col("k") <=> col("ck"))
+        .select(col("o_orderkey"), col("c_custkey"))
+    }),
+
     // UNPIVOT (melt): wide per-row measures to long (metric, value)
     // rows — q42's inverse, a pure generator projection (the Expand
     // operator), no shuffle at any scale
@@ -2622,6 +2638,18 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "q54_null_safe_join" ->
+      """SELECT o.o_orderkey, c.c_custkey
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |             ELSE o_custkey END AS k
+        |      FROM orders WHERE o_orderkey < 200) o
+        |JOIN (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |             ELSE c_custkey END AS ck
+        |      FROM customer WHERE c_custkey < 40) c
+        |  ON o.k IS NOT DISTINCT FROM c.ck""".stripMargin,
 
     "q53_unpivot" ->
       """SELECT l_orderkey, l_linenumber, m.metric,
