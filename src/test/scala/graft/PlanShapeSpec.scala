@@ -52,6 +52,28 @@ class PlanShapeSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("p16_temperature: rates broadcast back; the corpus crosses no extra exchange") {
+    val p = planOf("p16_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exchanges: the tiny counts agg (plus its broadcast) — the corpus
+    // side itself must not be hash-repartitioned
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p17_dataset_diff: snapshots reduce to (id, hash) before the join") {
+    val df = SparkEntry.queries("p17_dataset_diff")(spark, sf)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the hash projection must land BELOW the exchange: every Exchange
+    // input is (doc_id, 8-byte hash), text never crosses the shuffle
+    assert(formatted.contains("xxhash64"), formatted)
+    val exchangeInputs =
+      "(?s)\\(\\d+\\) Exchange.*?Input \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(formatted).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, formatted)
+    exchangeInputs.foreach(in => assert(!in.contains("text#"), in))
+  }
+
   test("q9_topk: ORDER BY + LIMIT plans as distributed top-k, not a global sort") {
     val p = planOf("q9_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
