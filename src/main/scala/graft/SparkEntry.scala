@@ -1030,6 +1030,22 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // higher-order array functions: transform / filter / aggregate /
+    // zip_with over grouped arrays — all evaluated inside the row
+    // projection (codegen'd lambdas), no UDF, no extra shuffle beyond
+    // the grouping
+    "q55_hof" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber").cast(LongType)))
+          .as("ls"))
+        .select(col("l_orderkey"),
+          expr("to_json(transform(ls, x -> x * x))").as("squares"),
+          expr("to_json(filter(ls, x -> x % 2 = 0))").as("evens"),
+          expr("aggregate(ls, 0L, (acc, x) -> acc + x)").as("ln_sum"),
+          expr("to_json(zip_with(ls, reverse(ls), (a, b) -> a + b))")
+            .as("pal"))),
+
     // null-safe equi-join (<=>): NULL keys match each other instead of
     // vanishing — still a HASH-join key for Catalyst (EqualNullSafe),
     // not a degenerate theta join; the dimension side broadcasts
@@ -2638,6 +2654,19 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "q55_hof" ->
+      """SELECT l_orderkey,
+        |  to_json(list_transform(ls, x -> x * x)) AS squares,
+        |  to_json(list_filter(ls, x -> x % 2 = 0)) AS evens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
+        |    (acc, x) -> acc + x) AS ln_sum,
+        |  to_json(list_transform(range(1, len(ls) + 1),
+        |    i -> ls[CAST(i AS INT)]
+        |       + ls[CAST(len(ls) - i + 1 AS INT)])) AS pal
+        |FROM (SELECT l_orderkey,
+        |        list_sort(list(CAST(l_linenumber AS BIGINT))) AS ls
+        |      FROM lineitem WHERE l_orderkey < 500 GROUP BY 1)""".stripMargin,
 
     "q54_null_safe_join" ->
       """SELECT o.o_orderkey, c.c_custkey
