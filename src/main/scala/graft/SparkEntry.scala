@@ -1030,6 +1030,21 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // custom physical operator (§2.12c, full depth): top-k per key via
+    // TopKPerKeyNode -> TopKPerKeyStrategy -> partial/final
+    // TopKPerKeyExec. Each input partition bounds rows per key to k
+    // with a heap BEFORE the exchange, so the shuffle carries
+    // <= k x keys x partitions rows — the map-side combine the
+    // window-function idiom (shuffle all, sort all, keep k) lacks
+    "q56_topk_per_key" -> ((s, dir) =>
+      graft.plans.TopKPerKey(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), round(col("l_quantity"), 2).as("qty")),
+        Seq("l_returnflag"),
+        Seq(("qty", false), ("l_orderkey", true), ("l_linenumber", true)),
+        k = 5)),
+
     // higher-order array functions: transform / filter / aggregate /
     // zip_with over grouped arrays — all evaluated inside the row
     // projection (codegen'd lambdas), no UDF, no extra shuffle beyond
@@ -2654,6 +2669,17 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "q56_topk_per_key" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, qty
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    round(l_quantity, 2) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY round(l_quantity, 2) DESC, l_orderkey,
+        |               l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5""".stripMargin,
 
     "q55_hof" ->
       """SELECT l_orderkey,

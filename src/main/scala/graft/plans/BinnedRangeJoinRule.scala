@@ -113,9 +113,13 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
 /** Session-extensions entry point: enables graft's Catalyst extensions
   * on any SparkSession via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
-  * `builder.withExtensions`). Currently injects [[BinnedRangeJoinRule]].
+  * `builder.withExtensions`). Injects [[BinnedRangeJoinRule]] (optimizer
+  * rule) and [[TopKPerKeyStrategy]] (planner strategy for the custom
+  * [[TopKPerKeyNode]] physical operator).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

@@ -704,6 +704,22 @@ class OperatorsSpec extends SparkSpec {
     assert(withEmpty.filter(col("doc_id") === 9L).count() == 0)
   }
 
+  test("TopKPerKey equals the window-function idiom on every key") {
+    val li = Engine.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"))
+    val custom = graft.plans.TopKPerKey(li, Seq("l_orderkey"),
+        Seq(("qty", true), ("l_linenumber", true)), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy(col("qty"), col("l_linenumber"))
+    val reference = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(custom == reference)
+    assert(custom.nonEmpty)
+  }
+
   test("aHash64 through the real PNG codec: class-invariant, class-distinct") {
     import graft.operators.Multimodal
     // fixture hash is a pure function of seed % 8

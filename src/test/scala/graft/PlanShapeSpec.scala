@@ -74,6 +74,21 @@ class PlanShapeSpec extends SparkSpec {
     exchangeInputs.foreach(in => assert(!in.contains("text#"), in))
   }
 
+  test("q56: custom TopKPerKeyExec plans partial-before-exchange-then-final") {
+    val p = planOf("q56_topk_per_key")
+    // nodeName renders without the Exec suffix
+    assert("TopKPerKey \\[".r.findAllIn(p).size == 2, p)
+    assert(p.contains("Exchange"), p)
+    // the partial (pre-shuffle) bound must sit BELOW the exchange:
+    // reading the tree top-down, final < exchange < partial
+    val fin = p.indexOf("TopKPerKey [")
+    val ex = p.indexOf("Exchange")
+    val part = p.indexOf("TopKPerKey [", fin + 1)
+    assert(fin < ex && ex < part, p)
+    // and no window-function fallback anywhere
+    assert(!p.contains("Window"), p)
+  }
+
   test("q9_topk: ORDER BY + LIMIT plans as distributed top-k, not a global sort") {
     val p = planOf("q9_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
