@@ -33,6 +33,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-query rank of the k best candidates under (cosine DESC,
+    * neighbor_id) — bounded map-side FIRST by the custom
+    * [[graft.plans.TopKPerKeyExec]] operator, then `row_number` over
+    * the ≤ k×queries survivors. Replaces the Window-over-all-candidates
+    * idiom shared by the ANN paths: the exchange carries the bounded
+    * set instead of every scored pair (at 100 TB: megabytes, not the
+    * |queries|×|candidates| score table). Identical output — same
+    * ordering, same tie-break.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val bounded = graft.plans.TopKPerKey(scored, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    bounded.withColumn("rank", row_number().over(w))
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
     * corpus rows (excluding identical ids), deterministic tie-break on
     * neighbor id. `queries` is broadcast — the corpus is scanned exactly
@@ -50,13 +69,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
@@ -118,13 +131,7 @@ object Similarity {
       .select("query_id", "neighbor_id", "qv", "cv")
       .distinct()
     val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
@@ -180,12 +187,7 @@ object Similarity {
     val scored = cellCorpus.join(broadcast(cellQueries), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** Embedding sanity screening: flag vectors whose L2 norm lies more
