@@ -177,16 +177,19 @@ object TextAnalysis {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf").cast("double")
         * log((col("n_docs").cast("double") + 1.0)
           / (col("df_docs").cast("double") + 1.0)))
+    // bound map-side via the custom TopKPerKeyExec, then rank the
+    // <= k-per-doc survivors (same order + tie-break -> same rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    graft.plans.TopKPerKey(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("term", true)), k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
         col("rank").cast("long").as("rank"))
   }
@@ -441,8 +444,9 @@ object TextAnalysis {
       .groupBy(groupCol, "token").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("n").desc, col("token"))
-    counts.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerKey(counts, Seq(groupCol),
+        Seq(("n", false), ("token", true)), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Token frequency SPECTRUM (frequency-of-frequencies): how many
