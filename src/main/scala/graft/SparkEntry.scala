@@ -1030,6 +1030,16 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // Z-order (Morton) clustering value: interleaved bits of two
+    // dimensions — rows close in z are close in BOTH columns, so
+    // range-partition + sort on z before a write gives parquet files
+    // whose min/max stats prune under filters on either dimension
+    "p19_zorder" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          operators.Layout.zValue(col("user_id"),
+            col("event_id") % 256, bits = 8).as("z"))),
+
     // custom physical operator (§2.12c, full depth): top-k per key via
     // TopKPerKeyNode -> TopKPerKeyStrategy -> partial/final
     // TopKPerKeyExec. Each input partition bounds rows per key to k
@@ -2669,6 +2679,14 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "p19_zorder" ->
+      """SELECT event_id,
+        |  CAST(list_aggregate(list_transform(range(0, 8), i ->
+        |    (((user_id >> i) & 1) << (2 * i))
+        |    | ((((event_id % 256) >> i) & 1) << (2 * i + 1))),
+        |    'sum') AS BIGINT) AS z
+        |FROM events""".stripMargin,
 
     "q56_topk_per_key" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, qty

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: how rows are ORDERED on disk decides which
+  * files a multi-dimensional filter can skip. Cite: reference has no
+  * layout layer (single-node, no file statistics); this is the
+  * Spark-native complement to its table scans.
+  */
+object Layout {
+
+  /** Morton (Z-order) value: interleave the low `bits` bits of two
+    * non-negative integer columns — bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Rows close in z are close in BOTH
+    * dimensions, so `repartitionByRange(zValue).sortWithinPartitions`
+    * before a parquet write yields files whose min/max column stats
+    * are tight in a AND b — a filter on either dimension (or both)
+    * skips most files, where a single-column sort only serves one.
+    * The standard multi-dim clustering trick at 100 TB (Delta/Iceberg
+    * OPTIMIZE ZORDER); here as a plain column expression, pure
+    * codegen'd bit arithmetic, zero shuffle to compute.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** `df` re-clustered by the z-order of (`aCol`, `bCol`): range
+    * partitions on z, sorted within each partition — the write-side
+    * layout pass. `numFiles` controls output granularity (≈ files).
+    */
+  def zOrderBy(df: DataFrame, aCol: String, bCol: String, bits: Int,
+               numFiles: Int): DataFrame = {
+    val z = zValue(col(aCol), col(bCol), bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

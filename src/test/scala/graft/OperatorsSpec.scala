@@ -704,6 +704,35 @@ class OperatorsSpec extends SparkSpec {
     assert(withEmpty.filter(col("doc_id") === 9L).count() == 0)
   }
 
+  test("zOrderBy localizes BOTH dimensions within each output partition") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val parts = Layout.zOrderBy(grid, "a", "b", bits = 6, numFiles = 16)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("a") - min("a")).as("aspread"),
+        (max("b") - min("b")).as("bspread"))
+      .collect()
+    assert(parts.length == 16)
+    val aAvg = parts.map(_.getLong(1)).sum.toDouble / parts.length
+    val bAvg = parts.map(_.getLong(2)).sum.toDouble / parts.length
+    // a single-column sort would localize one dimension and leave the
+    // other at full spread (~63); z-order keeps both well under half
+    assert(aAvg < 32, s"aAvg=$aAvg")
+    assert(bAvg < 32, s"bAvg=$bAvg")
+    // and the z value itself is the Morton interleave
+    val z = grid.select(Layout.zValue(col("a"), col("b"), 6).as("z"),
+      col("a"), col("b")).collect()
+    z.foreach { r =>
+      val (zv, a, b) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = (0 until 6).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+      assert(zv == expect, s"a=$a b=$b")
+    }
+  }
+
   test("TopKPerKey equals the window-function idiom on every key") {
     val li = Engine.table(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
