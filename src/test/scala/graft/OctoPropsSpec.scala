@@ -147,4 +147,30 @@ class OctoPropsSpec extends SparkSpec {
       assert(math.abs(g - expected) < 1e-9, s"charEntropy(${s.take(20)}...)")
     }
   }
+
+  test("TopKPerKey matches a driver-side model on random data, k, direction") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val k = 1 + rnd.nextInt(4)
+      val asc = rnd.nextBoolean()
+      val nKeys = 1 + rnd.nextInt(6)
+      // duplicate scores on purpose: tie-break correctness is the
+      // dangerous path in a bounded heap
+      val rows = (0 until 400).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(8).toDouble, i.toLong)
+      }
+      val df = rows.toDF("key", "score", "uid")
+      val got = graft.plans.TopKPerKey(df, Seq("key"),
+          Seq(("score", asc), ("uid", true)), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val expected = rows.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted =
+          if (asc) g.sortBy(t => (t._2, t._3))
+          else g.sortBy(t => (-t._2, t._3))
+        sorted.take(k)
+      }.toSet
+      assert(got == expected, s"trial=$trial k=$k asc=$asc")
+    }
+  }
 }
