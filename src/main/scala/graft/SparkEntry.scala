@@ -1030,6 +1030,31 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // corpus-distribution divergence audit: per-source KL(P_source ||
+    // P_corpus) over unigram distributions — the drift/selection
+    // metric above t13's per-document DSIR weights. Terms rounded to
+    // 9 dp and summed as DECIMAL so the reduction is order-independent
+    // (the float discipline in the file header)
+    "t17_kl_divergence" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val bySrc = toks.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+      val srcTot = bySrc.groupBy("source").agg(sum("n_sw").as("n_s"))
+      val glob = bySrc.groupBy("w").agg(sum("n_sw").as("n_w"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      bySrc.join(srcTot, "source").join(glob, "w")
+        .crossJoin(broadcast(tot))
+        .withColumn("p", col("n_sw").cast("double") / col("n_s").cast("double"))
+        .withColumn("q", col("n_w").cast("double") / col("n").cast("double"))
+        .withColumn("term",
+          round(col("p") * log(col("p") / col("q")), 9)
+            .cast(DecimalType(28, 9)))
+        .groupBy("source")
+        .agg(sum(col("term")).cast(DoubleType).as("kl"))
+    }),
+
     // Z-order (Morton) clustering value: interleaved bits of two
     // dimensions — rows close in z are close in BOTH columns, so
     // range-partition + sort on z before a write gives parquet files
@@ -2679,6 +2704,29 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "t17_kl_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT source, w FROM toks WHERE length(w) > 0),
+        |by_src AS (
+        |  SELECT source, w, COUNT(*) AS n_sw FROM tk GROUP BY 1, 2),
+        |src_tot AS (
+        |  SELECT source, SUM(n_sw) AS n_s FROM by_src GROUP BY 1),
+        |gw AS (SELECT w, SUM(n_sw) AS n_w FROM by_src GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM tk)
+        |SELECT b.source,
+        |  CAST(SUM(CAST(round(
+        |    (CAST(n_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |    * ln((CAST(n_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |         / (CAST(n_w AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE) AS kl
+        |FROM by_src b
+        |JOIN src_tot st ON b.source = st.source
+        |JOIN gw g ON b.w = g.w
+        |CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
 
     "p19_zorder" ->
       """SELECT event_id,
