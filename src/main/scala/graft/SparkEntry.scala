@@ -1043,7 +1043,9 @@ object SparkEntry {
       val bySrc = toks.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
       val srcTot = bySrc.groupBy("source").agg(sum("n_sw").as("n_s"))
       val glob = bySrc.groupBy("w").agg(sum("n_sw").as("n_w"))
-      val tot = toks.agg(count(lit(1)).as("n"))
+      // global total from the |sources|-row aggregate, not a second
+      // tokenize pass over the corpus
+      val tot = srcTot.agg(sum("n_s").as("n"))
       bySrc.join(srcTot, "source").join(glob, "w")
         .crossJoin(broadcast(tot))
         .withColumn("p", col("n_sw").cast("double") / col("n_s").cast("double"))
@@ -1505,7 +1507,10 @@ object SparkEntry {
             (id, Multimodal.aHash64(Multimodal.encodeStripePng(id)).get)
           }
         }.toDF("doc_id", "phash")
-        // two consumers below; without this the codec pass runs twice
+        // two consumers below; without this the codec pass runs twice.
+        // Like the d3/d6/d19 persists, reclaimed by the harness's
+        // per-query clearCache (queries are lazy builders, so an
+        // in-query unpersist would fire before the consumer runs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clusters = hashed.groupBy("phash")
         .agg(min("doc_id").as("cluster_id"),

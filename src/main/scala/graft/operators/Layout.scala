@@ -36,10 +36,11 @@ object Layout {
     */
   def zOrderBy(df: DataFrame, aCol: String, bCol: String, bits: Int,
                numFiles: Int): DataFrame = {
-    val z = zValue(col(aCol), col(bCol), bits).as("__z")
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    require(!df.columns.contains("__graft_z"),
+      "zOrderBy: input already has a __graft_z column")
+    df.withColumn("__graft_z", zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
   }
 }

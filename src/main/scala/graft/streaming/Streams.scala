@@ -46,6 +46,20 @@ object Streams {
   def maxDiffWatermark(df: DataFrame, timeCol: String, maxDiff: String): DataFrame =
     df.withWatermark(timeCol, maxDiff)
 
+  /** Parquet file stream over a file or directory: the file source
+    * wants a directory, so a single-file path streams its parent with
+    * a glob filter on the file name. One definition for every runner —
+    * a change to file-source handling lands once.
+    */
+  private def fileStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    if (f.isFile)
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else spark.readStream.schema(schema).parquet(path)
+  }
+
   /** Streaming tumbling count over a parquet directory, returned as a
     * batch DataFrame after draining all available input through a
     * memory sink (complete mode → final counts equal the batch answer).
@@ -53,15 +67,7 @@ object Streams {
   def runTumblingAgg(spark: SparkSession, path: String, timeCol: String,
                      len: String, keyCols: Seq[String], aggs: Seq[Column],
                      queryName: String = "graft_stream"): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    // the file-stream source wants a directory; for a single-file path,
-    // stream its parent with a glob filter on the file name
-    val f = new java.io.File(path)
-    val raw =
-      if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(path)
+    val raw = fileStream(spark, path)
     // nanos-long or TIMESTAMP_NTZ parquet → TimestampType (watermarks
     // reject NTZ; the session pins UTC so the cast is value-preserving)
     val src = graft.Engine.normalizeEventTime(raw, timeCol)
@@ -100,13 +106,7 @@ object Streams {
                               timeCol: String, keyCol: String, len: String,
                               delay: String,
                               queryName: String = "graft_wdistinct"): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val raw =
-      if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(path)
+    val raw = fileStream(spark, path)
     val grouped = graft.Engine.normalizeEventTime(raw, timeCol)
       .withWatermark(timeCol, delay)
       .select(window(col(timeCol), len).as("window"), col(keyCol))
@@ -135,13 +135,7 @@ object Streams {
   def runStreamTopK(spark: SparkSession, path: String, keyCol: String,
                     k: Int,
                     queryName: String = "graft_topk"): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val raw =
-      if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(path)
+    val raw = fileStream(spark, path)
     val ranked = raw.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(keyCol))
@@ -167,13 +161,7 @@ object Streams {
                     len: String, slide: String, keyCols: Seq[String],
                     aggs: Seq[Column],
                     queryName: String = "graft_hop"): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val raw =
-      if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(path)
+    val raw = fileStream(spark, path)
     val src = graft.Engine.normalizeEventTime(raw, timeCol)
     val grouped = src
       .groupBy(window(col(timeCol), len, slide) +: keyCols.map(col): _*)
@@ -202,13 +190,7 @@ object Streams {
   def runSessionAgg(spark: SparkSession, path: String, timeCol: String,
                     gap: String, keyCols: Seq[String], aggs: Seq[Column],
                     queryName: String = "graft_session"): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val raw =
-      if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(path)
+    val raw = fileStream(spark, path)
     val src = graft.Engine.normalizeEventTime(raw, timeCol)
     val grouped = src
       .groupBy(session_window(col(timeCol), gap).as("sw") +: keyCols.map(col): _*)
@@ -259,16 +241,8 @@ object Streams {
                             within: String,
                             queryName: String = "graft_ss_join"): DataFrame =
     withStatePartitions(spark) {
-    val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    def stream(): DataFrame = {
-      val raw =
-        if (f.isFile)
-          spark.readStream.schema(schema)
-            .option("pathGlobFilter", f.getName).parquet(f.getParent)
-        else spark.readStream.schema(schema).parquet(path)
-      graft.Engine.normalizeEventTime(raw, timeCol)
-    }
+    def stream(): DataFrame =
+      graft.Engine.normalizeEventTime(fileStream(spark, path), timeCol)
     val l = typedSide(stream(), typeCol, leftType, idCol, keyCol, timeCol,
       ("left_id", "k", "lts"), within)
     val r = typedSide(stream(), typeCol, rightType, idCol, keyCol, timeCol,
@@ -407,13 +381,7 @@ object Streams {
                             streamKey: String, dimKey: String,
                             groupCols: Seq[String], aggs: Seq[Column],
                             queryName: String = "graft_enrich"): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val raw =
-      if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(path)
+    val raw = fileStream(spark, path)
     val src = graft.Engine.normalizeEventTime(raw, timeCol)
     val joined = src.join(broadcast(dim), col(streamKey) === dim(dimKey))
     val grouped = joined.groupBy(groupCols.map(col): _*)
@@ -453,13 +421,7 @@ object Streams {
   def runStreamingDedup(spark: SparkSession, path: String, timeCol: String,
                         delay: String, keyCols: Seq[String],
                         queryName: String = "graft_dedup"): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val raw =
-      if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(path)
+    val raw = fileStream(spark, path)
     val src = graft.Engine.normalizeEventTime(raw, timeCol)
     val deduped = src
       .withWatermark(timeCol, delay)
