@@ -1030,6 +1030,21 @@ object SparkEntry {
           defaultWeight = 0.1)
         .select("doc_id", "source")),
 
+    // keyed pseudonymization: identifiers -> sha2(key || value) hex —
+    // irreversible without the key but deterministic, so joins across
+    // datasets keyed the same way still line up (what redaction
+    // destroys). Zero-shuffle projection; the contract here shows a
+    // pseudonymized self-join still matching
+    "p20_pseudonymize" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val p = operators.Pii.pseudonymize(e, Seq("user_id"), "k1")
+      // group on the pseudonymous key: cardinality must equal the
+      // original user cardinality (determinism ⇒ structure preserved)
+      p.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .select(col("user_id").as("pseudo_user"), col("n"))
+    }),
+
     // corpus-distribution divergence audit: per-source KL(P_source ||
     // P_corpus) over unigram distributions — the drift/selection
     // metric above t13's per-document DSIR weights. Terms rounded to
@@ -2709,6 +2724,11 @@ object SparkEntry {
         |WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |              WHEN 'src2' THEN 2500 ELSE 1000 END""".stripMargin,
+
+    "p20_pseudonymize" ->
+      """SELECT sha256('k1:' || CAST(user_id AS VARCHAR)) AS pseudo_user,
+        |  COUNT(*) AS n
+        |FROM events WHERE event_id < 500 GROUP BY 1""".stripMargin,
 
     "t17_kl_divergence" ->
       """WITH toks AS (
