@@ -1097,6 +1097,18 @@ object SparkEntry {
         Seq(("qty", false), ("l_orderkey", true), ("l_linenumber", true)),
         k = 5)),
 
+    // correlated scalar subquery in SELECT: Catalyst de-correlates it
+    // into a left outer aggregate join — per-row subqueries never
+    // execute row-at-a-time
+    "q57_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_q57")
+      t(s, dir, "customer").createOrReplaceTempView("customer_q57")
+      s.sql("""SELECT n_name,
+              |  (SELECT COUNT(*) FROM customer_q57 c
+              |   WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+              |FROM nation_q57 n""".stripMargin)
+    }),
+
     // higher-order array functions: transform / filter / aggregate /
     // zip_with over grouped arrays — all evaluated inside the row
     // projection (codegen'd lambdas), no UDF, no extra shuffle beyond
@@ -2771,6 +2783,12 @@ object SparkEntry {
         |               l_linenumber) AS rn
         |  FROM lineitem)
         |WHERE rn <= 5""".stripMargin,
+
+    "q57_scalar_subquery" ->
+      """SELECT n_name,
+        |  (SELECT COUNT(*) FROM customer c
+        |   WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+        |FROM nation n""".stripMargin,
 
     "q55_hof" ->
       """SELECT l_orderkey,
