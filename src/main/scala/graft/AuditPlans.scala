@@ -27,7 +27,10 @@ object AuditPlans {
     "s2_ann_lsh" -> "in-query brute-force ground truth for the recall oracle",
     "s3_ann_ivf" -> "in-query brute-force ground truth for the recall oracle",
     "s7_ann_ivf_kmeans" -> "in-query brute-force ground truth for the recall oracle",
-    "s10_ivfpq" -> "in-query brute-force ground truth for the recall oracle")
+    "s10_ivfpq" -> "in-query brute-force ground truth for the recall oracle",
+    "d20_semantic_decontam" ->
+      ("eval side is MB-scale by definition (the d8 asymmetry in embedding " +
+        "space): broadcast eval matrix over one corpus scan IS the scale path"))
 
   /** True when `p` provably emits ≤1 row: a global (no-grouping-key)
     * aggregate, possibly wrapped in row-preserving unary nodes

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Octo
-import graft.operators.{Clustering, Decontaminate, Dedup, Multimodal, Pii, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Decontaminate, Dedup, Graph, Multimodal, Pii, Profile, RangeJoin, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -133,6 +133,16 @@ object SparkEntry {
       val i = ck.intersect(sk).withColumn("op", lit("intersect"))
       val e = ck.distinct().except(sk).withColumn("op", lit("except"))
       u.union(i).union(e).select("op", "k")
+    }),
+
+    // §2.7 multiset (ALL) set-operation semantics — duplicates preserved
+    // per bag arithmetic, the variant q10's DISTINCT forms don't cover
+    "q58_setops_all" -> ((s, dir) => {
+      val ck = t(s, dir, "customer").select(col("c_nationkey").cast(LongType).as("k"))
+      val sk = t(s, dir, "supplier").select(col("s_nationkey").cast(LongType).as("k"))
+      val ia = ck.intersectAll(sk).withColumn("op", lit("intersect_all"))
+      val ea = ck.exceptAll(sk).withColumn("op", lit("except_all"))
+      ia.union(ea).groupBy("op", "k").agg(count(lit(1)).as("n"))
     }),
 
     // §2.10 string function battery (0-based substr/position preserved)
@@ -1072,6 +1082,65 @@ object SparkEntry {
         .agg(sum(col("term")).cast(DoubleType).as("kl"))
     }),
 
+    // SCD2 dimension merge: one full-outer join + a generator
+    // projection versions the whole dimension in a single pass —
+    // updates = changed segments (%10==0), a no-op echo (%10==5, must
+    // NOT open a new version), and brand-new keys (+1000000)
+    "p23_scd2_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val dim = c.select(col("c_custkey").cast(LongType).as("key"),
+        col("c_mktsegment").as("attr"), lit(0L).as("valid_from"))
+      val updates =
+        c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").cast(LongType).as("key"),
+            lit("MOVED").as("attr"))
+          .union(c.filter(col("c_custkey") % 10 === 5)
+            .select(col("c_custkey").cast(LongType).as("key"),
+              col("c_mktsegment").as("attr")))
+          .union(c.filter(col("c_custkey") % 25 === 0)
+            .select((col("c_custkey") + 1000000L).cast(LongType).as("key"),
+              lit("FRESH").as("attr")))
+      operators.Scd.merge2(dim, updates, batchTs = 100L)
+    }),
+
+    // materialized-view maintenance: yesterday's rollup absorbs a delta
+    // batch by MERGING PARTIAL STATES (count + exact DECIMAL sum are
+    // both associative) — the base fact data is never rescanned. The
+    // oracle is the full recompute: merge(base, delta) must equal it
+    "p24_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def partial(d: DataFrame): DataFrame = d.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value"), 2).cast(DecimalType(18, 2))).as("sv"))
+      val base = partial(ev.filter(col("event_id") % 5 =!= 0))
+      val delta = partial(ev.filter(col("event_id") % 5 === 0))
+      base.union(delta).groupBy("event_type")
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast(DoubleType).as("sum_value"))
+    }),
+
+    // link-graph authority (PageRank over a derived host graph): the
+    // domain-quality signal behind source weighting. Fixed-point
+    // BIGINT ranks — every round is integer multiply/divide + an
+    // associative long sum, so 3 damped rounds replay bit-exactly in
+    // the unrolled oracle; one shuffle per round, localCheckpointed
+    // state (the connectedComponents discipline)
+    "p21_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 17).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7) % 13).cast("string")).as("dst"))
+      Graph.pageRank(edges, iters = 3)
+    }),
+
+    // single-pass data-quality audit (the Deequ/expectations gate): all
+    // metrics are one aggregate pass with map-side partials; constraint
+    // metrics are violation counts (0 = holds); long-form output so the
+    // audit table is schema-stable and mergeable across ingest batches
+    "p22_profile" -> ((s, dir) =>
+      Profile.audit(t(s, dir, "documents"),
+        Profile.documentMetrics("doc_id", "text", "lang",
+          allowedLangs = Seq("en", "de", "fr", "es")))),
+
     // Z-order (Morton) clustering value: interleaved bits of two
     // dimensions — rows close in z are close in BOTH columns, so
     // range-partition + sort on z before a write gives parquet files
@@ -1469,6 +1538,17 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         "doc_id", "text", n = 3, threshold = 0.8, tokens = true)
+    }),
+
+    // semantic (embedding-space) decontamination — the leakage rung
+    // shingle overlap misses: eval set = every 50th vector, corpus =
+    // the rest; the corpus crosses ZERO shuffles (broadcast eval matrix
+    // + codegen'd vec_dot over one scan; see AuditPlans allowlist)
+    "d20_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontaminate.semanticScores(
+        emb.filter(col("vec_id") % 50 =!= 0),
+        emb.filter(col("vec_id") % 50 === 0), threshold = 0.35)
     }),
 
     // multimodal: binary payload + typed metadata (SQL-checkable slice)
@@ -3174,6 +3254,99 @@ object SparkEntry {
         |JOIN szb zb ON zb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / CAST(za.n + zb.n - c AS DOUBLE) >= 0.8""".stripMargin,
 
+    // replays the Spark cosine expression tree exactly
+    // (dot / (sqrt(dot_a) * sqrt(dot_b)), sequential accumulation)
+    // rather than list_cosine_similarity's sqrt(a*b) grouping
+    "d20_semantic_decontam" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+        |co AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+        |s AS (
+        |  SELECT co.vec_id AS id,
+        |    list_dot_product(co.v, ev.v)
+        |      / (sqrt(list_dot_product(co.v, co.v))
+        |         * sqrt(list_dot_product(ev.v, ev.v))) AS sim
+        |  FROM co CROSS JOIN ev)
+        |SELECT id, COUNT(*) AS n_hits, round(MAX(sim), 6) AS max_sim
+        |FROM s WHERE sim >= 0.35 GROUP BY id""".stripMargin,
+
+    "p21_pagerank" -> p21PagerankSql(iters = 3),
+
+    "p23_scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS key, c_mktsegment AS attr,
+        |         CAST(0 AS BIGINT) AS valid_from
+        |  FROM customer),
+        |u AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS key, 'MOVED' AS attr
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT CAST(c_custkey AS BIGINT), c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 5
+        |  UNION ALL SELECT CAST(c_custkey + 1000000 AS BIGINT), 'FRESH'
+        |  FROM customer WHERE c_custkey % 25 = 0),
+        |j AS (
+        |  SELECT coalesce(d.key, u.key) AS key, d.attr AS old_attr,
+        |         d.valid_from, u.attr AS new_attr
+        |  FROM dim d FULL OUTER JOIN u ON d.key = u.key)
+        |SELECT key, new_attr AS attr, CAST(100 AS BIGINT) AS valid_from,
+        |       CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        |FROM j WHERE old_attr IS NULL
+        |UNION ALL
+        |SELECT key, old_attr, valid_from, CAST(NULL AS BIGINT), TRUE
+        |FROM j WHERE old_attr IS NOT NULL
+        |        AND (new_attr IS NULL OR new_attr = old_attr)
+        |UNION ALL
+        |SELECT key, old_attr, valid_from, CAST(100 AS BIGINT), FALSE
+        |FROM j WHERE old_attr IS NOT NULL AND new_attr IS NOT NULL
+        |        AND new_attr <> old_attr
+        |UNION ALL
+        |SELECT key, new_attr, CAST(100 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM j WHERE old_attr IS NOT NULL AND new_attr IS NOT NULL
+        |        AND new_attr <> old_attr""".stripMargin,
+
+    // oracle = full recompute; the query merges base+delta partials
+    "p24_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q58_setops_all" ->
+      """WITH ck AS (SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer),
+        |sk AS (SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier),
+        |ia AS (SELECT k FROM ck INTERSECT ALL SELECT k FROM sk),
+        |ea AS (SELECT k FROM ck EXCEPT ALL SELECT k FROM sk)
+        |SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM ia GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'except_all' AS op, k, COUNT(*) AS n FROM ea GROUP BY 1, 2""".stripMargin,
+
+    "p22_profile" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS row_count,
+        |    COUNT(*) - COUNT(doc_id) AS id_nulls,
+        |    COUNT(doc_id) - COUNT(DISTINCT doc_id) AS id_dupes,
+        |    COUNT(*) - COUNT(text) AS text_nulls,
+        |    COUNT(CASE WHEN length(trim(text)) = 0 THEN 1 END) AS text_empty,
+        |    COUNT(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 END)
+        |      AS lang_invalid,
+        |    COUNT(DISTINCT lang) AS distinct_langs,
+        |    MIN(length(text)) AS min_chars,
+        |    MAX(length(text)) AS max_chars,
+        |    round(CAST(SUM(CAST(length(text) AS DECIMAL(28,6))) AS DOUBLE)
+        |          / COUNT(text), 6) AS mean_chars
+        |  FROM documents)
+        |SELECT 'row_count' AS metric, CAST(row_count AS DOUBLE) AS value FROM m
+        |UNION ALL SELECT 'id_nulls', CAST(id_nulls AS DOUBLE) FROM m
+        |UNION ALL SELECT 'id_dupes', CAST(id_dupes AS DOUBLE) FROM m
+        |UNION ALL SELECT 'text_nulls', CAST(text_nulls AS DOUBLE) FROM m
+        |UNION ALL SELECT 'text_empty', CAST(text_empty AS DOUBLE) FROM m
+        |UNION ALL SELECT 'lang_invalid', CAST(lang_invalid AS DOUBLE) FROM m
+        |UNION ALL SELECT 'distinct_langs', CAST(distinct_langs AS DOUBLE) FROM m
+        |UNION ALL SELECT 'min_chars', CAST(min_chars AS DOUBLE) FROM m
+        |UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE) FROM m
+        |UNION ALL SELECT 'mean_chars', CAST(mean_chars AS DOUBLE) FROM m""".stripMargin,
+
     "m1_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -3346,6 +3519,38 @@ object SparkEntry {
        |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
        |FROM dw JOIN enc USING (w)
        |GROUP BY doc_id""".stripMargin
+
+  /** Unrolled fixed-point PageRank replica of [[Graph.pageRank]]: all
+    * integer arithmetic (`//`, associative BIGINT sums), so every round
+    * is bit-exact — no float-rounding treaty needed (the s4 kmeans
+    * discipline, minus even the round()).
+    */
+  private def p21PagerankSql(iters: Int, dampingPct: Int = 85,
+                             scale: Long = 1000000000000L): String = {
+    def round(i: Int) =
+      s"""r$i AS (
+         |  SELECT v.host,
+         |    tp.tp + CAST(($dampingPct * coalesce(m.in_mass, 0)) // 100
+         |                 AS BIGINT) AS rank
+         |  FROM v CROSS JOIN tp
+         |  LEFT JOIN (
+         |    SELECT e.dst, CAST(SUM(p.rank // d.outdeg) AS BIGINT) AS in_mass
+         |    FROM e JOIN r${i - 1} p ON e.src = p.host
+         |           JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) m ON v.host = m.dst)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'h' || (doc_id % 17) AS src,
+       |                  'h' || ((doc_id * 7) % 13) AS dst
+       |  FROM documents),
+       |v AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |n AS (SELECT COUNT(*) AS nv FROM v),
+       |tp AS (SELECT CAST((($scale * ${100 - dampingPct}) // 100) // nv
+       |                   AS BIGINT) AS tp FROM n),
+       |r0 AS (SELECT host, CAST($scale // nv AS BIGINT) AS rank FROM v, n),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT host, rank FROM r$iters""".stripMargin
+  }
 
   private def s4KmeansSql(k: Int, iters: Int, dim: Int): String = {
     val distFold =

@@ -123,6 +123,35 @@ object Decontaminate {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Semantic (embedding-space) decontamination: flag corpus items
+    * whose embedding is cosine-close to ANY eval-set embedding — the
+    * third rung of the leakage ladder ([[scores]] exact n-gram overlap,
+    * [[fuzzyPairs]] near-dup text, this catches translations /
+    * rewordings that share no surface form). Returns
+    * `(id, n_hits, max_sim)` for flagged corpus items only.
+    *
+    * Scale shape: eval sets are MB-scale by definition while the corpus
+    * is the 100 TB side, so the right plan IS the broadcast
+    * nested-loop: the eval matrix ships to every task once and the
+    * corpus is scanned exactly once with the codegen'd `vec_dot`
+    * kernel doing |eval| dot products per row — no shuffle of the
+    * corpus at any scale (the d8/d15 asymmetry, in embedding space).
+    * `max`/`count` aggregate per corpus id with map-side combine.
+    * max_sim is rounded to 6 dp (max is order-independent; the round
+    * is only cross-engine display parity).
+    */
+  def semanticScores(corpus: DataFrame, evalSet: DataFrame,
+                     threshold: Double, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val ev = broadcast(evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).as("ev")))
+    val sim = Similarity.cosine(col("v"), col("ev"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(ev, sim >= threshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"), round(max(sim), 6).as("max_sim"))
+  }
+
   /** Rows of `idx` whose `h` might be in `hashes` (one Bloom aggregate
     * over the small side, pushed into the big side's scan as a
     * codegen'd `might_contain`). False positives pass through — callers

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring — the web-pipeline signal behind
+  * domain-level quality weighting (CommonCrawl-style host ranks feed
+  * crawl prioritization and training-data source weights).
+  *
+  * Scale design: the iteration state is one (vertex, rank) table; each
+  * round is exactly one shuffle (edges ⋈ ranks on src, then a hash
+  * aggregate keyed by dst) — the same bounded-round discipline as
+  * [[Dedup.connectedComponents]]. Edges, degrees, and every round's
+  * ranks are eagerly `localCheckpoint`ed so round N's plan does not
+  * re-analyze rounds 0..N-1 (the plan-analysis tax measured in
+  * PLANS.md). Driver traffic is one Long (the vertex count).
+  *
+  * Numeric design: ranks are fixed-point BIGINTs (`scale` = 1e12), all
+  * updates integer multiply/divide — associative, order-independent,
+  * bit-identical across partitionings AND engines, so a DuckDB oracle
+  * replays rounds exactly without any float-rounding treaty. Dangling
+  * mass (vertices with no out-links) is dropped, not redistributed —
+  * the common simplified PageRank; ranks then sum to ≤ `scale`.
+  */
+object Graph {
+
+  /** `edges` must have string columns `srcCol`, `dstCol`; parallel
+    * edges are collapsed (classic host-graph PageRank counts a link
+    * once). Returns `(host, rank)` with rank in fixed-point units of
+    * 1/`scale` after `iters` damped rounds from a uniform start.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
+               scale: Long = 1000000000000L,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && dampingPct > 0 && dampingPct < 100)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val verts = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct().localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nV = verts.count() // the one driver scalar (bounded: one Long)
+    val teleport = scale * (100L - dampingPct) / 100L / nV
+
+    var ranks = verts.select(col("host"), lit(scale / nV).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // contribution of src to each out-neighbor: rank div outdeg (exact)
+      val contrib = e.join(ranks, e("src") === ranks("host"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_mass"))
+      ranks = verts.join(contrib, verts("host") === contrib("dst"), "left")
+        .select(col("host"),
+          (lit(teleport) +
+            expr(s"(${dampingPct}L * coalesce(in_mass, 0L)) div 100L"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -1248,4 +1248,92 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(out.filter(_._1 >= 5L).map(t => (t._1, t._3)).toSeq == plain.toSeq)
   }
+
+  test("Scd.merge2 versions changed keys, keeps no-ops, inserts new keys") {
+    val dim = Seq((1L, "A", 0L), (2L, "B", 0L), (3L, "C", 0L))
+      .toDF("key", "attr", "valid_from")
+    val updates = Seq((1L, "A2"), (2L, "B"), (9L, "NEW")).toDF("key", "attr")
+    val out = operators.Scd.merge2(dim, updates, batchTs = 50L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1L, "A", 0L, 50L, false),   // changed: old row closed at batch ts
+      (1L, "A2", 50L, -1L, true),  // ...and the new version opened
+      (2L, "B", 0L, -1L, true),    // no-op update: single open row kept
+      (3L, "C", 0L, -1L, true),    // untouched key
+      (9L, "NEW", 50L, -1L, true)) // insert
+    )
+  }
+
+  test("pageRank equals a driver-side fixed-point model on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def model(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+      val e = edges.distinct
+      val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+      val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val teleport = 1000000000000L * 15L / 100L / verts.size
+      var r = verts.map(_ -> 1000000000000L / verts.size).toMap
+      for (_ <- 1 to iters) {
+        val in = e.groupBy(_._2).view
+          .mapValues(_.map { case (s, _) => r(s) / out(s) }.sum).toMap
+        r = verts.map(v =>
+          v -> (teleport + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield es.map { case (a, b) => (s"v$a", s"v$b") }
+    (0 until 5).foreach { i =>
+      val edges = gen(Gen.Parameters.default, Seed(1000L + i)).get
+      val got = operators.Graph.pageRank(edges.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == model(edges, 3), s"graph seed ${1000 + i}: $edges")
+    }
+  }
+
+  test("pageRank: a sink hub outranks its spokes; mass stays bounded") {
+    // star: three spokes all link to the hub; hub links to one spoke
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))
+      .toDF("src", "dst")
+    val r = operators.Graph.pageRank(edges, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("hub") > r("a") && r("a") > r("b") && r("b") == r("c"))
+    assert(r.values.sum <= 1000000000000L) // dangling/rounding mass only leaks down
+  }
+
+  test("Profile.audit computes violation counts in long form") {
+    val df = Seq(
+      (Some(1L), Some("hello world"), "en"),
+      (Some(1L), Some("dup id"), "de"),
+      (Some(2L), Some("   "), "xx"),
+      (None: Option[Long], None: Option[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val m = operators.Profile.audit(df,
+      operators.Profile.documentMetrics("doc_id", "text", "lang", Seq("en", "de")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("row_count") == 4.0 && m("id_nulls") == 1.0 && m("id_dupes") == 1.0)
+    assert(m("text_nulls") == 1.0 && m("text_empty") == 1.0)
+    assert(m("lang_invalid") == 1.0 && m("distinct_langs") == 3.0)
+    assert(m("min_chars") == 3.0 && m("max_chars") == 11.0)
+    assert(m("mean_chars") == ((11 + 6 + 3) / 3.0 * 1e6).round / 1e6)
+  }
+
+  test("semanticScores flags only corpus vectors cosine-close to the eval set") {
+    // eval = x axis; corpus: aligned (cos 1), 45 deg (cos ~0.707), orthogonal
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(1f, 1f, 0f)), (3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ev = Seq((100L, Array(2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = operators.Decontaminate.semanticScores(corpus, ev, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out.forall(_._2 == 1L))
+    assert(out(0)._3 == 1.0 && math.abs(out(1)._3 - 0.707107) < 1e-6)
+  }
 }
