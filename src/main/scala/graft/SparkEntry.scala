@@ -1119,6 +1119,37 @@ object SparkEntry {
           sum(col("sv")).cast(DoubleType).as("sum_value"))
     }),
 
+    // per-source grouped QA audit — the same single-pass metric battery
+    // as p22, keyed by source (the per-shard dataset-card table)
+    "p25_profile_by_source" -> ((s, dir) =>
+      Profile.auditBy(t(s, dir, "documents"), "source",
+        Profile.documentMetrics("doc_id", "text", "lang",
+          allowedLangs = Seq("en", "de", "fr", "es")))),
+
+    // time-series regularization: snap observations to an hourly grid
+    // (latest event per (user, hour) via max_by), generate each user's
+    // full hour span, LOCF-fill the gaps with an IGNORE NULLS window —
+    // the telemetry/feature-store resampling pass. Grid fan-out is
+    // bounded by span-hours per key; the fill is one partitioned window
+    "q59_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          round(col("value"), 2).as("v"), col("event_id"))
+      val obs = ev.groupBy("user_id", "h")
+        .agg(max_by(col("v"), col("event_id")).as("v"))
+      val grid = obs.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("h")
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+          col("v").isNotNull.as("observed"))
+    }),
+
     // link-graph authority (PageRank over a derived host graph): the
     // domain-quality signal behind source weighting. Fixed-point
     // BIGINT ranks — every round is integer multiply/divide + an
@@ -3304,6 +3335,55 @@ object SparkEntry {
         |SELECT key, new_attr, CAST(100 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM j WHERE old_attr IS NOT NULL AND new_attr IS NOT NULL
         |        AND new_attr <> old_attr""".stripMargin,
+
+    "p25_profile_by_source" ->
+      """WITH m AS (
+        |  SELECT source, COUNT(*) AS row_count,
+        |    COUNT(*) - COUNT(doc_id) AS id_nulls,
+        |    COUNT(doc_id) - COUNT(DISTINCT doc_id) AS id_dupes,
+        |    COUNT(*) - COUNT(text) AS text_nulls,
+        |    COUNT(CASE WHEN length(trim(text)) = 0 THEN 1 END) AS text_empty,
+        |    COUNT(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 END)
+        |      AS lang_invalid,
+        |    COUNT(DISTINCT lang) AS distinct_langs,
+        |    MIN(length(text)) AS min_chars,
+        |    MAX(length(text)) AS max_chars,
+        |    round(CAST(SUM(CAST(length(text) AS DECIMAL(28,6))) AS DOUBLE)
+        |          / COUNT(text), 6) AS mean_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, 'row_count' AS metric, CAST(row_count AS DOUBLE) AS value FROM m
+        |UNION ALL SELECT source, 'id_nulls', CAST(id_nulls AS DOUBLE) FROM m
+        |UNION ALL SELECT source, 'id_dupes', CAST(id_dupes AS DOUBLE) FROM m
+        |UNION ALL SELECT source, 'text_nulls', CAST(text_nulls AS DOUBLE) FROM m
+        |UNION ALL SELECT source, 'text_empty', CAST(text_empty AS DOUBLE) FROM m
+        |UNION ALL SELECT source, 'lang_invalid', CAST(lang_invalid AS DOUBLE) FROM m
+        |UNION ALL SELECT source, 'distinct_langs', CAST(distinct_langs AS DOUBLE) FROM m
+        |UNION ALL SELECT source, 'min_chars', CAST(min_chars AS DOUBLE) FROM m
+        |UNION ALL SELECT source, 'max_chars', CAST(max_chars AS DOUBLE) FROM m
+        |UNION ALL SELECT source, 'mean_chars', CAST(mean_chars AS DOUBLE) FROM m""".stripMargin,
+
+    "q59_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         round(value, 2) AS v, event_id
+        |  FROM events WHERE user_id < 20),
+        |obs AS (
+        |  SELECT user_id, h, arg_max(v, event_id) AS v
+        |  FROM ev GROUP BY user_id, h),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM obs GROUP BY user_id),
+        |j AS (
+        |  SELECT g.user_id, g.h, o.v
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.h = o.h)
+        |SELECT user_id, h,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  v IS NOT NULL AS observed
+        |FROM j""".stripMargin,
 
     // oracle = full recompute; the query merges base+delta partials
     "p24_incremental_agg" ->

@@ -49,12 +49,25 @@ object Profile {
         .cast(DoubleType) / count(col(textCol)), 6)))
 
   /** Run `metrics` in one aggregate pass and unpivot to long form. */
-  def audit(df: DataFrame, metrics: Seq[Metric]): DataFrame = {
-    val wide = df.agg(metrics.head.agg.cast(DoubleType).as(metrics.head.name),
+  def audit(df: DataFrame, metrics: Seq[Metric]): DataFrame =
+    stackMetrics(df.groupBy(), metrics, Nil)
+
+  /** Grouped audit: the same one-pass metrics per `groupCol` value —
+    * the per-source/per-shard QA table. Still one shuffle (the group
+    * key), map-side partials intact.
+    */
+  def auditBy(df: DataFrame, groupCol: String,
+              metrics: Seq[Metric]): DataFrame =
+    stackMetrics(df.groupBy(col(groupCol)), metrics, Seq(groupCol))
+
+  private def stackMetrics(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                           metrics: Seq[Metric],
+                           keep: Seq[String]): DataFrame = {
+    val wide = grouped.agg(
+      metrics.head.agg.cast(DoubleType).as(metrics.head.name),
       metrics.tail.map(m => m.agg.cast(DoubleType).as(m.name)): _*)
-    val stacked = metrics.map(m =>
-      s"'${m.name}', `${m.name}`").mkString(", ")
-    wide.select(expr(
-      s"stack(${metrics.size}, $stacked) AS (metric, value)"))
+    val stacked = metrics.map(m => s"'${m.name}', `${m.name}`").mkString(", ")
+    wide.select(keep.map(col) :+
+      expr(s"stack(${metrics.size}, $stacked) AS (metric, value)"): _*)
   }
 }
