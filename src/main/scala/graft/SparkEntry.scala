@@ -1632,6 +1632,30 @@ object SparkEntry {
           "rs_w", "rs_h", "rs_luma")
     }),
 
+    // audio: REAL RIFF/WAV codec round trip — 16-bit mono PCM encoded
+    // from a deterministic triangle-ish waveform, parsed back through
+    // the strict chunk-walking decoder; header fields and
+    // integer-exact sample features (peak, abs-energy) are predicted
+    // arithmetically by the oracle, so any parser regression (chunk
+    // walk, endianness, sign handling) breaks the hash
+    "m6_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 100 + 50).toInt
+            val sr = (8000 + (id % 3) * 4000).toInt
+            val samples = Array.tabulate(n)(i =>
+              ((id * 31 + i * 17) % 2048 - 1024).toShort)
+            val d = Multimodal.decodeWav(
+              Multimodal.encodePcm16Wav(sr, samples)).get
+            (id, d.sampleRate.toLong, d.nSamples.toLong,
+              d.peak.toLong, d.sumAbs)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "peak", "sum_abs")
+    }),
+
     // image near-dup via perceptual hash: real PNG encode → real codec
     // decode → aHash (area-average + mean threshold, exact arithmetic)
     // → hash-groupBy clusters. The image-side analogue of d1: one map
@@ -3509,6 +3533,21 @@ object SparkEntry {
         |  CAST(greatest((doc_id % 48 + 16) // 2, 1) AS BIGINT) AS rs_h,
         |  CAST(doc_id % 256 AS BIGINT) AS rs_luma
         |FROM documents""".stripMargin,
+
+    // arithmetic replay of the synthetic waveform: header fields are
+    // closed-form, peak/energy re-derived per sample index
+    "m6_audio_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(range(0, doc_id % 100 + 50)) AS i
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, (doc_id * 31 + i * 17) % 2048 - 1024 AS x FROM s)
+        |SELECT doc_id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(doc_id % 100 + 50 AS BIGINT) AS n_samples,
+        |  CAST(MAX(abs(x)) AS BIGINT) AS peak,
+        |  CAST(SUM(abs(x)) AS BIGINT) AS sum_abs
+        |FROM v GROUP BY doc_id""".stripMargin,
 
     // the stripe fixture makes the aHash a pure function of doc_id % 8
     // (bit y·8+x set iff (doc_id + x) % 8 >= 4), so the oracle replays

@@ -205,6 +205,82 @@ object Multimodal {
     Some(hashV)
   }
 
+  /** Decoded PCM audio summary: rate/length from the header, peak and
+    * absolute-sum energy from the samples (integer-exact features).
+    */
+  case class DecodedWav(sampleRate: Int, nSamples: Int, peak: Int,
+                        sumAbs: Long)
+
+  /** Minimal RIFF/WAVE writer: 16-bit mono PCM, the canonical
+    * training-audio interchange shape. WAV is a fully-specified byte
+    * container, so unlike image decode this needs no codec library at
+    * all — pure little-endian arithmetic.
+    */
+  def encodePcm16Wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Real RIFF/WAVE parse: validates the RIFF/WAVE magic, walks the
+    * chunk list to `fmt ` and `data` (tolerating extra chunks like
+    * LIST/INFO), and requires 16-bit mono PCM. Returns `None` for
+    * non-WAV payloads — the caller's stub-fallback boundary, same as
+    * [[decodeImage]].
+    */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedWav] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") return None
+    bb.getInt // riff size (unreliable in the wild; chunk walk governs)
+    if (fourcc() != "WAVE") return None
+    var sampleRate = -1; var ok = false
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8 && (samples == null || !ok)) {
+      val id = fourcc(); val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return None
+      val next = bb.position() + len + (len & 1) // chunks are word-aligned
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val fmt = bb.getShort; val ch = bb.getShort
+          sampleRate = bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          ok = fmt == 1 && ch == 1 && bits == 16
+          if (!ok) return None
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+        case _ => // skip LIST/INFO/etc.
+      }
+      bb.position(math.min(next, bb.limit()))
+    }
+    if (!ok || samples == null || sampleRate <= 0) None
+    else {
+      var peak = 0; var sumAbs = 0L; var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toInt)
+        if (a > peak) peak = a
+        sumAbs += a; i += 1
+      }
+      Some(DecodedWav(sampleRate, samples.length, peak, sumAbs))
+    }
+  }
+
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
                       width: Int, height: Int)
   case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,

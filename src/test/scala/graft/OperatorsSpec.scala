@@ -1249,6 +1249,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._1 >= 5L).map(t => (t._1, t._3)).toSeq == plain.toSeq)
   }
 
+  test("WAV codec: round trip, odd-chunk walk tolerance, rejection") {
+    val samples = Array.tabulate(100)(i => ((i * 37) % 2048 - 1024).toShort)
+    val wav = operators.Multimodal.encodePcm16Wav(16000, samples)
+    val d = operators.Multimodal.decodeWav(wav).get
+    assert(d.sampleRate == 16000 && d.nSamples == 100)
+    assert(d.peak == samples.map(s => math.abs(s.toInt)).max)
+    assert(d.sumAbs == samples.map(s => math.abs(s.toInt).toLong).sum)
+    // an odd-length JUNK chunk between fmt and data must be skipped
+    // with word alignment (real-world WAVs carry LIST/INFO/JUNK)
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "abcde".getBytes("US-ASCII") ++
+      Array[Byte](0) // pad to even
+    val padded = wav.take(36) ++ junk ++ wav.drop(36)
+    assert(operators.Multimodal.decodeWav(padded).contains(d))
+    assert(operators.Multimodal.decodeWav("not audio at all".getBytes).isEmpty)
+    assert(operators.Multimodal.decodeWav(Array.fill[Byte](100)(0)).isEmpty)
+  }
+
   test("Scd.merge2 versions changed keys, keeps no-ops, inserts new keys") {
     val dim = Seq((1L, "A", 0L), (2L, "B", 0L), (3L, "C", 0L))
       .toDF("key", "attr", "valid_from")
