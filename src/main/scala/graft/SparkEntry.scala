@@ -1119,6 +1119,16 @@ object SparkEntry {
           sum(col("sv")).cast(DoubleType).as("sum_value"))
     }),
 
+    // HITS hubs/authorities over the same derived host graph — the
+    // complementary link-quality model to p21 (good hubs cite good
+    // authorities); half-round max-normalization is a 1-row broadcast
+    "p26_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 17).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7) % 13).cast("string")).as("dst"))
+      Graph.hits(edges, iters = 2)
+    }),
+
     // per-source grouped QA audit — the same single-pass metric battery
     // as p22, keyed by source (the per-shard dataset-card table)
     "p25_profile_by_source" -> ((s, dir) =>
@@ -3328,6 +3338,8 @@ object SparkEntry {
 
     "p21_pagerank" -> p21PagerankSql(iters = 3),
 
+    "p26_hits" -> p26HitsSql(iters = 2),
+
     "p23_scd2_merge" ->
       """WITH dim AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS key, c_mktsegment AS attr,
@@ -3669,6 +3681,38 @@ object SparkEntry {
        |r0 AS (SELECT host, CAST($scale // nv AS BIGINT) AS rank FROM v, n),
        |${(1 to iters).map(round).mkString(",\n")}
        |SELECT host, rank FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled integer HITS replica of [[Graph.hits]] — bit-exact like
+    * the PageRank oracle (sums in HUGEINT, cast back to BIGINT).
+    */
+  private def p26HitsSql(iters: Int, scale: Long = 1000000L): String = {
+    def round(i: Int) =
+      s"""a${i}r AS (
+         |  SELECT e.dst, SUM(h.hub) AS ar
+         |  FROM e JOIN h${i - 1} h ON e.src = h.host GROUP BY e.dst),
+         |a$i AS (
+         |  SELECT v.host,
+         |    CAST((coalesce(r.ar, 0) * $scale) // m.amax AS BIGINT) AS auth
+         |  FROM v CROSS JOIN (SELECT MAX(ar) AS amax FROM a${i}r) m
+         |  LEFT JOIN a${i}r r ON v.host = r.dst),
+         |h${i}r AS (
+         |  SELECT e.src, SUM(a.auth) AS hr
+         |  FROM e JOIN a$i a ON e.dst = a.host GROUP BY e.src),
+         |h$i AS (
+         |  SELECT v.host,
+         |    CAST((coalesce(r.hr, 0) * $scale) // m.hmax AS BIGINT) AS hub
+         |  FROM v CROSS JOIN (SELECT MAX(hr) AS hmax FROM h${i}r) m
+         |  LEFT JOIN h${i}r r ON v.host = r.src)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'h' || (doc_id % 17) AS src,
+       |                  'h' || ((doc_id * 7) % 13) AS dst
+       |  FROM documents),
+       |v AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT host, CAST($scale AS BIGINT) AS hub FROM v),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT h.host, h.hub, a.auth
+       |FROM h$iters h JOIN a$iters a ON h.host = a.host""".stripMargin
   }
 
   private def s4KmeansSql(k: Int, iters: Int, dim: Int): String = {

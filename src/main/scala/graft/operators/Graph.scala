@@ -60,4 +60,45 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg) — the complementary authority
+    * model to [[pageRank]]: a good hub links to good authorities and
+    * vice versa. Same fixed-point integer discipline; each half-round
+    * max-normalizes by a global 1-row aggregate (a broadcast of one
+    * Long at any graph size, so the plan-audit's bounded-side rule
+    * clears it). `scale` = 1e6 keeps `sum × scale` far from Long
+    * overflow even at web-graph degrees (sum ≤ deg·scale ≈ 2^45 at
+    * deg 10^7). Returns `(host, hub, auth)`.
+    */
+  def hits(edges: DataFrame, iters: Int = 2, scale: Long = 1000000L,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val verts = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct().localCheckpoint(true)
+    var hub = verts.select(col("host"), lit(scale).as("hub"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, e("src") === hub("host"))
+        .groupBy("dst").agg(sum(col("hub")).as("ar"))
+      auth = verts
+        .join(aRaw, verts("host") === aRaw("dst"), "left")
+        .crossJoin(aRaw.agg(max(col("ar")).as("amax")))
+        .select(col("host"),
+          expr(s"(coalesce(ar, 0L) * ${scale}L) div amax").as("auth"))
+        .localCheckpoint(true)
+      val hRaw = e.join(auth, e("dst") === auth("host"))
+        .groupBy("src").agg(sum(col("auth")).as("hr"))
+      hub = verts
+        .join(hRaw, verts("host") === hRaw("src"), "left")
+        .crossJoin(hRaw.agg(max(col("hr")).as("hmax")))
+        .select(col("host"),
+          expr(s"(coalesce(hr, 0L) * ${scale}L) div hmax").as("hub"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, "host").select("host", "hub", "auth")
+  }
 }

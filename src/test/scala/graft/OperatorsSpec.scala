@@ -1315,6 +1315,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hits equals a driver-side fixed-point model; hub/auth split a bipartite graph") {
+    def model(edges: Seq[(String, String)], iters: Int)
+      : Map[String, (Long, Long)] = {
+      val e = edges.distinct
+      val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+      var hub = verts.map(_ -> 1000000L).toMap
+      var auth = Map.empty[String, Long]
+      for (_ <- 1 to iters) {
+        val ar = e.groupBy(_._2).view.mapValues(_.map(p => hub(p._1)).sum).toMap
+        val amax = ar.values.max
+        auth = verts.map(v => v -> ar.getOrElse(v, 0L) * 1000000L / amax).toMap
+        val hr = e.groupBy(_._1).view.mapValues(_.map(p => auth(p._2)).sum).toMap
+        val hmax = hr.values.max
+        hub = verts.map(v => v -> hr.getOrElse(v, 0L) * 1000000L / hmax).toMap
+      }
+      verts.map(v => v -> (hub(v), auth(v))).toMap
+    }
+    // citations: two hubs cite {x, y}; one weak hub cites only x
+    val edges = Seq(("h1", "x"), ("h1", "y"), ("h2", "x"), ("h2", "y"),
+      ("weak", "x"))
+    val got = operators.Graph.hits(edges.toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == model(edges, 2))
+    assert(got("x")._2 == 1000000L)              // most-cited authority
+    assert(got("x")._2 > got("y")._2)            // weak hub's extra citation
+    assert(got("h1")._1 == 1000000L && got("h1")._1 == got("h2")._1)
+    assert(got("weak")._1 < got("h1")._1)        // cites fewer authorities
+    assert(got("x")._1 == 0L && got("h1")._2 == 0L) // pure sides stay pure
+  }
+
   test("pageRank: a sink hub outranks its spokes; mass stays bounded") {
     // star: three spokes all link to the hub; hub links to one spoke
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))
