@@ -1129,6 +1129,31 @@ object SparkEntry {
       Graph.hits(edges, iters = 2)
     }),
 
+    // differentially-private stats release (Laplace mechanism, ε=1,
+    // sensitivity 1): per-source counts + inverse-CDF noise seeded
+    // from the portable poly_hash, so the "random" draw replays
+    // exactly in the oracle (the s6 fixed-sign-pattern trick applied
+    // to DP). Zero extra shuffles beyond the count agg
+    "p27_dp_counts" -> ((s, dir) => {
+      val c = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val u = ((TextAnalysis.polyHash(col("source"), 31L, 1000000007L)
+        % 1000000L).cast(DoubleType) + 0.5) / 1000000.0
+      c.select(col("source"),
+        round(col("n") + (-signum(u - 0.5))
+          * log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 6).as("dp_count"))
+    }),
+
+    // k-anonymity audit: quasi-identifier combos with fewer than k
+    // members — the re-identification risk report a privacy review
+    // runs before release. One hash aggregate; the violating set is
+    // small by definition
+    "p28_k_anonymity" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), expr("n_chars div 50").as("len_bucket"))
+        .groupBy("lang", "len_bucket").agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") < 5)),
+
     // per-source grouped QA audit — the same single-pass metric battery
     // as p22, keyed by source (the per-shard dataset-card table)
     "p25_profile_by_source" -> ((s, dir) =>
@@ -3339,6 +3364,28 @@ object SparkEntry {
     "p21_pagerank" -> p21PagerankSql(iters = 3),
 
     "p26_hits" -> p26HitsSql(iters = 2),
+
+    // the noise draw replays exactly: same poly_hash, same inverse-CDF
+    // expression tree (IEEE-deterministic), round(·,6) for display
+    "p27_dp_counts" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |h AS (
+        |  SELECT source, n,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(source) + 1),
+        |          i -> CAST(ascii(substr(source, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS ph
+        |  FROM c),
+        |u AS (SELECT source, n,
+        |        (CAST(ph % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u FROM h)
+        |SELECT source,
+        |  round(n + (-sign(u - 0.5)) * ln(1 - 2 * abs(u - 0.5)), 6) AS dp_count
+        |FROM u""".stripMargin,
+
+    "p28_k_anonymity" ->
+      """SELECT lang, n_chars // 50 AS len_bucket, COUNT(*) AS n_members
+        |FROM documents GROUP BY 1, 2 HAVING COUNT(*) < 5""".stripMargin,
 
     "p23_scd2_merge" ->
       """WITH dim AS (
