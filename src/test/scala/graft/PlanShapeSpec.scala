@@ -94,4 +94,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("GlobalSort") && !"(?m)^\\s*Sort ".r.findFirstIn(p).isDefined, p)
   }
+
+  test("p23_scd2: one join total, branches fan out via Generate, no re-join") {
+    val p = planOf("p23_scd2_merge")
+    assert("Join".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("p22_profile: the whole audit is one aggregation pass (no join, no window)") {
+    val p = planOf("p22_profile")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // multi-distinct rides a bounded Expand, then partial/final aggs
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("d20_semantic_decontam: eval side broadcasts; corpus side never shuffles pre-join") {
+    val p = planOf("d20_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // below the join: only the eval side's BroadcastExchange — the
+    // corpus scan feeds the join directly, no shuffle before it (the
+    // one hash exchange is the post-join per-id aggregate, above)
+    val below = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!below.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("p24_incremental_agg: partial-state merge keeps map-side combine on both sides") {
+    val p = planOf("p24_incremental_agg")
+    assert(!p.contains("Join"), p)
+    // two-level aggregation: base partials + delta partials + merge
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }
