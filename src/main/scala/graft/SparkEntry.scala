@@ -779,6 +779,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // schema evolution across ingest epochs: epoch 2 adds a column;
+    // mergeSchema unions the footers (epoch-1 rows read NULL for it)
+    // and the epoch= path layout becomes a prunable partition column —
+    // the append-only-lake reality at 100 TB, where rewriting old
+    // epochs to the new schema is not an option
+    "q60_schema_evolution" -> ((s, dir) => {
+      val out = s"/tmp/graft_evo_${math.abs(dir.hashCode)}"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/epoch=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars") % 5).as("quality"))
+        .write.mode("overwrite").parquet(s"$out/epoch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("quality")).as("n_with_quality"),
+          coalesce(sum(col("quality")), lit(0L)).as("sum_quality"))
+    }),
+
     // cross-doc common-phrase (boilerplate) detection: word trigrams in
     // ≥5 docs, top-200 by document frequency
     "p5_boilerplate" -> ((s, dir) =>
@@ -3386,6 +3408,14 @@ object SparkEntry {
     "p28_k_anonymity" ->
       """SELECT lang, n_chars // 50 AS len_bucket, COUNT(*) AS n_members
         |FROM documents GROUP BY 1, 2 HAVING COUNT(*) < 5""".stripMargin,
+
+    // epoch-1 rows (even doc_id) have no quality column -> NULL
+    "q60_schema_evolution" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_quality,
+        |  CAST(coalesce(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 5 END), 0)
+        |       AS BIGINT) AS sum_quality
+        |FROM documents GROUP BY source""".stripMargin,
 
     "p23_scd2_merge" ->
       """WITH dim AS (
