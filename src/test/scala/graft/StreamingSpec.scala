@@ -203,6 +203,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")), got)
   }
 
+  test("streaming SCD2 apply: per-micro-batch merges build the versioned dimension") {
+    // the CDC-apply pattern: a change stream folds into an SCD2
+    // dimension via Scd.merge2 inside foreachBatch. Here the dimension
+    // state is a driver-held localCheckpointed frame (test harness); in
+    // production it is a transactional table MERGE — identical plan per
+    // batch. Two AvailableNow drains over one checkpoint force the two
+    // update files into separate, ordered batches.
+    import graft.operators.Scd
+    val root = java.nio.file.Files.createTempDirectory("scd_stream").toFile
+    val (in, ckpt) = (s"$root/in", s"$root/ckpt")
+    var dim = Seq((1L, "A", 0L), (2L, "B", 0L)).toDF("key", "attr", "valid_from")
+      .select(col("key"), col("attr"), col("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      .localCheckpoint(true)
+    var applied = 0L
+    def drain(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ts = 100L * (id + 1)
+          val open = dim.filter(col("is_current"))
+            .select("key", "attr", "valid_from")
+          val closed = dim.filter(!col("is_current"))
+          dim = closed.unionByName(Scd.merge2(open, batch, ts))
+            .localCheckpoint(true)
+          applied += 1
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, "A2"), (9L, "NEW")).toDF("key", "attr")
+      .repartition(1).write.mode("append").parquet(in)
+    drain()
+    Seq((1L, "A3"), (2L, "B")).toDF("key", "attr")
+      .repartition(1).write.mode("append").parquet(in)
+    drain()
+    assert(applied == 2L)
+    val got = dim.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+      r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, "A", 0L, 100L, false),    // closed by batch 0
+      (1L, "A2", 100L, 200L, false), // opened by batch 0, closed by 1
+      (1L, "A3", 200L, -1L, true),
+      (2L, "B", 0L, -1L, true),      // no-op update: untouched history
+      (9L, "NEW", 100L, -1L, true)), got)
+  }
+
   test("watermark drops late rows in append-mode windowed agg") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Int)]
