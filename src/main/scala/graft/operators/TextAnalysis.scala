@@ -71,20 +71,30 @@ object TextAnalysis {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Single-pass word statistics via the codegen'd
+    * [[graft.plans.WordStats]] kernel: struct `(n_words, sum_len,
+    * n_alpha, n_stop, n_punct)` with exactly the semantics of the
+    * split/aggregate/filter HOF tree it replaces (WordStatsSpec pins
+    * the equivalence differentially). Referencing several fields of
+    * one call costs one pass — projection-level common-subexpression
+    * elimination shares the struct.
+    */
+  def wordStats(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.WordStats(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   def stopwordRatio(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val stops = filter(toks, t => array_contains(
-      array(EnStopwords.map(lit): _*), t))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+    val st = wordStats(text)
+    st.getField("n_stop").cast("double") /
+      st.getField("n_words").cast("double")
   }
 
   /** Mean word length over whitespace tokens. */
   def meanWordLen(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double")
-        / size(toks).cast("double"))
+    val st = wordStats(text)
+    st.getField("sum_len").cast("double") /
+      st.getField("n_words").cast("double")
   }
 
   /** Composite quality score in [0,1]: favors mid-length docs with low
@@ -333,14 +343,11 @@ object TextAnalysis {
     */
   def gopherRules(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
-    val nWords = size(ws).cast("long")
-    val sumLen = aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long"))
-    val meanLen = sumLen.cast("double") / nWords.cast("double")
-    val alphaFrac = size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double") /
-      nWords.cast("double")
-    val stops = array(EnStopwords.map(lit): _*)
-    val nStop = size(filter(ws, x => array_contains(stops, lower(x)))).cast("long")
+    val st = wordStats(col(textCol))
+    val nWords = st.getField("n_words")
+    val meanLen = st.getField("sum_len").cast("double") / nWords.cast("double")
+    val alphaFrac = st.getField("n_alpha").cast("double") / nWords.cast("double")
+    val nStop = st.getField("n_stop")
     docs.select(
       col(idCol),
       nWords.as("n_words"),

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Differential contract for the WordStats kernel: the codegen'd
+  * single-pass struct must equal the higher-order-function tree it
+  * replaced, field by field, over the corpus AND the edge cases the
+  * corpus never hits (empties, exotic whitespace, unicode incl. the
+  * kelvin sign, punctuation salad).
+  */
+class WordStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edgeCases = Seq(
+    "", " ", "   ", "\t", " \t ", "a", " a ", "\ta\t", "a b", "a  b",
+    "the quick brown fox", "THE AND OR of to IN Is iT", "thee anda",
+    "it, is. the; and", "...", "a-b c_d", "Kt is", "OK then",
+    "café résumé the", "中文 text and",
+    "x\nnewline\nthe", "mixedvt\fff\rcr the", "1 2 3 and 4",
+    "trailing space the ", "  leading and", "punct!?'\"()[]{}-:;")
+
+  // the ORIGINAL HOF formulations, kept verbatim as the reference
+  private def hofFrame(df: org.apache.spark.sql.DataFrame) = {
+    val t = col("t")
+    val ws = split(trim(t), "\\s+")
+    val stops = array(TextAnalysis.EnStopwords.map(lit): _*)
+    df.select(t,
+      size(ws).cast("long").as("n_words"),
+      aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long"))
+        .as("sum_len"),
+      size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(filter(ws, x => array_contains(stops, lower(x)))).cast("long")
+        .as("n_stop"),
+      length(regexp_replace(t, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("long")
+        .as("n_punct"))
+  }
+
+  private def kernelFrame(df: org.apache.spark.sql.DataFrame) = {
+    val st = TextAnalysis.wordStats(col("t"))
+    df.select(col("t"), st.getField("n_words").as("n_words"),
+      st.getField("sum_len").as("sum_len"),
+      st.getField("n_alpha").as("n_alpha"),
+      st.getField("n_stop").as("n_stop"),
+      st.getField("n_punct").as("n_punct"))
+  }
+
+  test("kernel equals the HOF tree on edge cases") {
+    val df = edgeCases.toDF("t")
+    val a = hofFrame(df).collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = kernelFrame(df).collect().map(_.toSeq).sortBy(_.head.toString)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"hof=$x kernel=$y") }
+  }
+
+  test("kernel equals the HOF tree on the documents corpus") {
+    val df = Engine.table(spark, sf, "documents")
+      .select(col("text").as("t")).limit(500)
+    val a = hofFrame(df).collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = kernelFrame(df).collect().map(_.toSeq).sortBy(_.head.toString)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("gopherRules through the kernel matches its oracle semantics on knowns") {
+    val df = Seq((1L, "the cat sat on a mat and it is fine ok " +
+      ("word " * 45).trim)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(df).collect()(0)
+    assert(r.getAs[Long]("n_words") == 56)
+    assert(r.getAs[Long]("n_stopwords") == 5) // the, a, and, it, is
+    assert(r.getAs[Boolean]("passes")) // 56 words, short words, all alpha
+  }
+}
