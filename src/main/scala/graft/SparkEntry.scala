@@ -145,6 +145,19 @@ object SparkEntry {
       ia.union(ea).groupBy("op", "k").agg(count(lit(1)).as("n"))
     }),
 
+    // full DataSourceV2 connector (the Spark-native analog of the
+    // reference's plugin datasource protocol): schema inference,
+    // id-range predicate pushdown narrowing the key space BEFORE
+    // split planning, column pruning, multi-partition readers. The
+    // filter below never creates partitions for [0, 90000)
+    "q61_dsv2_source" -> ((s, dir) =>
+      s.read.format("graft-seq").option("end", "100000").load()
+        .filter(col("id") >= 90000)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast(DecimalType(18, 3))).cast(DoubleType)
+            .as("sum_val"))),
+
     // §2.10 string function battery (0-based substr/position preserved)
     "q11_strings" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -3408,6 +3421,13 @@ object SparkEntry {
     "p28_k_anonymity" ->
       """SELECT lang, n_chars // 50 AS len_bucket, COUNT(*) AS n_members
         |FROM documents GROUP BY 1, 2 HAVING COUNT(*) < 5""".stripMargin,
+
+    // replays the synthetic sequence arithmetically over range()
+    "q61_dsv2_source" ->
+      """SELECT id % 10 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST((id * 2654435761 % 1000000) / 1000.0
+        |                AS DECIMAL(18,3))) AS DOUBLE) AS sum_val
+        |FROM range(90000, 100000) t(id) GROUP BY 1""".stripMargin,
 
     // epoch-1 rows (even doc_id) have no quality column -> NULL
     "q60_schema_evolution" ->

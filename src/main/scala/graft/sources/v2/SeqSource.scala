@@ -1,0 +1,163 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A complete DataSourceV2 connector — the Spark-native analog of the
+  * reference's plugin datasource protocol (`plugins/`, where an
+  * external process serves schema + typed rows and the engine pushes
+  * predicates down to it; cf. physical/datasources.go pushdown
+  * negotiation). Everything a real connector needs is here, small
+  * enough to read in one sitting:
+  *
+  *   - schema inference ([[TableProvider.inferSchema]]),
+  *   - column pruning ([[SupportsPushDownRequiredColumns]]) — the
+  *     reader materializes ONLY requested fields,
+  *   - predicate pushdown ([[SupportsPushDownFilters]]) — id-range
+  *     predicates narrow the key space before partition planning, so
+  *     whole input partitions are never created (the DSV2 equivalent
+  *     of partition pruning),
+  *   - split planning ([[Batch.planInputPartitions]]) — the surviving
+  *     range is sliced for executor parallelism,
+  *   - per-partition readers with no driver involvement.
+  *
+  * The table itself is a deterministic synthetic sequence
+  * `(id, val, bucket)` — `val = (id * 2654435761 mod 1e6) / 1000`,
+  * `bucket = id mod 10` — so any query over it is exactly replayable
+  * in another engine (the fixture discipline every other oracle uses).
+  */
+class SeqTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-seq"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeqTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SeqTable(
+      properties.getOrDefault("start", "0").toLong,
+      properties.getOrDefault("end", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object SeqTable {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", DoubleType, nullable = false),
+    StructField("bucket", LongType, nullable = false)))
+
+  def valOf(id: Long): Double = (id * 2654435761L % 1000000L) / 1000.0
+}
+
+class SeqTable(start: Long, end: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_seq[$start,$end)"
+  override def schema(): StructType = SeqTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(start, end, slices)
+}
+
+class SeqScanBuilder(var start: Long, var end: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SeqTable.schema
+
+  /** Accept id-range predicates (narrowing [start, end) BEFORE split
+    * planning); everything else stays a post-scan filter. Accepted
+    * filters are fully evaluated here, so they are NOT returned as
+    * residuals.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case EqualTo("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v) =>
+        start = math.max(start, v.asInstanceOf[Number].longValue() + 1)
+      case GreaterThanOrEqual("id", v) =>
+        start = math.max(start, v.asInstanceOf[Number].longValue())
+      case LessThan("id", v) =>
+        end = math.min(end, v.asInstanceOf[Number].longValue())
+      case LessThanOrEqual("id", v) =>
+        end = math.min(end, v.asInstanceOf[Number].longValue() + 1)
+      case EqualTo("id", v) =>
+        val x = v.asInstanceOf[Number].longValue()
+        start = math.max(start, x); end = math.min(end, x + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SeqScan(start, end, slices, required, pushed)
+}
+
+case class SeqRangePartition(lo: Long, hi: Long) extends InputPartition
+
+class SeqScan(start: Long, end: Long, slices: Int,
+              required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-seq [$start,$end) PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  /** Splits the (already filter-narrowed) range: an empty or shrunken
+    * range plans fewer partitions — pruning happens before any task
+    * exists, not inside one.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(end - start, 0L)
+    if (n == 0L) return Array.empty
+    val k = math.min(slices.toLong, n).toInt
+    val step = n / k
+    (0 until k).map { i =>
+      val lo = start + i * step
+      val hi = if (i == k - 1) end else lo + step
+      SeqRangePartition(lo, hi)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
+}
+
+class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqRangePartition]
+    // resolve field generators once per partition, not per row
+    val gens: Array[Long => Any] = required.fields.map(_.name match {
+      case "id" => (id: Long) => id
+      case "val" => (id: Long) => SeqTable.valOf(id)
+      case "bucket" => (id: Long) => id % 10L
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    })
+    new PartitionReader[InternalRow] {
+      private var cur = p.lo - 1
+      override def next(): Boolean = { cur += 1; cur < p.hi }
+      override def get(): InternalRow =
+        new GenericInternalRow(gens.map(g => g(cur)))
+      override def close(): Unit = ()
+    }
+  }
+}

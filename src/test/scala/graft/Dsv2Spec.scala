@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** Contracts for the DataSourceV2 connector: pushdown must narrow the
+  * key space BEFORE partition planning (the DSV2 form of partition
+  * pruning), column pruning must reach the reader, and the data must
+  * match its arithmetic definition.
+  */
+class Dsv2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    p.collectFirst { case b: BatchScanExec => b }.get
+  }
+
+  test("rows match the arithmetic definition; splits cover exactly once") {
+    val df = spark.read.format("graft-seq").option("end", "1000").load()
+    assert(df.count() == 1000)
+    val got = df.filter(col("id") < 5).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val want = (0L until 5L).map(id =>
+      (id, (id * 2654435761L % 1000000L) / 1000.0, id % 10))
+    assert(got.toSeq == want)
+  }
+
+  test("id-range filters push down and prune input partitions") {
+    val base = spark.read.format("graft-seq")
+      .option("end", "100000").option("slices", "8").load()
+    // a point lookup narrows to a single 1-row partition
+    val point = scanOf(base.filter(col("id") === 12345L))
+    assert(point.inputRDD.getNumPartitions == 1, point)
+    assert(point.scan.description().contains("[12345,12346)"),
+      point.scan.description())
+    // a range keeps parallelism but only over the surviving range
+    val range = scanOf(base.filter(col("id") >= 90000L))
+    assert(range.scan.description().contains("[90000,100000)"),
+      range.scan.description())
+    assert(range.scan.description().contains("PushedFilters: ["),
+      range.scan.description())
+    // an empty range plans ZERO partitions — no tasks at all
+    val empty = scanOf(base.filter(col("id") >= 200000L))
+    assert(empty.inputRDD.getNumPartitions == 0
+      || empty.inputRDD.partitions.isEmpty, empty)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = spark.read.format("graft-seq").option("end", "100").load()
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("bucket"),
+      scan.scan.readSchema())
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      == (0L until 10L).map(_ -> 10L).toMap)
+  }
+
+  test("non-id predicates stay as residual filters, results stay correct") {
+    val df = spark.read.format("graft-seq").option("end", "1000").load()
+      .filter(col("bucket") === 3L && col("id") < 100L)
+    val scan = scanOf(df)
+    // id predicate consumed by the source, bucket predicate residual
+    assert(scan.scan.description().contains("[0,100)"), scan.scan.description())
+    assert(df.count() == 10)
+  }
+}
