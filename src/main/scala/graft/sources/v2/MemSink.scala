@@ -1,0 +1,141 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The WRITE half of the DataSourceV2 surface ([[SeqTableProvider]] is
+  * the read half): a named in-memory table demonstrating the full
+  * distributed commit protocol —
+  *
+  *   - each task's [[DataWriter]] buffers its partition's rows and
+  *     surrenders them ONLY through its [[WriterCommitMessage]];
+  *   - the driver's [[BatchWrite.commit]] installs all messages
+  *     atomically (one map put), so a job in which ANY task failed
+  *     leaves the table exactly as it was — readers never observe a
+  *     partial write (the exactly-once guarantee object stores need a
+  *     commit service for, in its minimal honest form);
+  *   - `abort` drops the buffered messages.
+  *
+  * Values are deep-copied out of the reused `InternalRow` before
+  * buffering — the classic V2 writer bug, pinned by the spec.
+  */
+class MemTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-mem"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MemStore.schemaOf(options.get("table"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MemTable(properties.get("table"), schema)
+}
+
+/** Driver-side store: table name -> (schema, committed rows). */
+object MemStore {
+  final case class Stored(schema: StructType, rows: Array[Array[Any]])
+  private val tables = new java.util.concurrent.ConcurrentHashMap[String, Stored]
+  def schemaOf(name: String): StructType = {
+    val s = tables.get(name)
+    require(s != null, s"graft-mem table '$name' does not exist")
+    s.schema
+  }
+  def get(name: String): Option[Stored] = Option(tables.get(name))
+  def put(name: String, s: Stored): Unit = tables.put(name, s)
+  def append(name: String, schema: StructType, rows: Array[Array[Any]]): Unit =
+    tables.merge(name, Stored(schema, rows),
+      (old, add) => Stored(old.schema, old.rows ++ add.rows))
+  def clear(name: String): Unit = tables.remove(name)
+}
+
+class MemTable(tableName: String, schema0: StructType)
+    extends Table with SupportsWrite with SupportsRead {
+  require(tableName != null && tableName.nonEmpty,
+    "graft-mem requires option 'table'")
+  override def name(): String = s"graft_mem:$tableName"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new MemBatchWrite(tableName, info.schema(), overwrite)
+      }
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      private val stored = MemStore.get(tableName).getOrElse(
+        MemStore.Stored(schema0, Array.empty))
+      override def readSchema(): StructType = stored.schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(MemPartition(stored.rows))
+      override def createReaderFactory(): PartitionReaderFactory =
+        (partition: InputPartition) => {
+          val rows = partition.asInstanceOf[MemPartition].rows
+          new PartitionReader[InternalRow] {
+            private var i = -1
+            override def next(): Boolean = { i += 1; i < rows.length }
+            override def get(): InternalRow = new GenericInternalRow(
+              rows(i).map {
+                case s: String => UTF8String.fromString(s)
+                case v => v
+              })
+            override def close(): Unit = ()
+          }
+        }
+    }
+}
+
+case class MemPartition(rows: Array[Array[Any]]) extends InputPartition
+
+case class MemCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
+
+class MemBatchWrite(tableName: String, schema: StructType, overwrite: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MemWriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.flatMap(_.asInstanceOf[MemCommit].rows)
+    if (overwrite) MemStore.put(tableName, MemStore.Stored(schema, rows))
+    else MemStore.append(tableName, schema, rows)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MemWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      override def write(record: InternalRow): Unit =
+        // InternalRow instances are reused by the caller: copy values out
+        buf += schema.fields.zipWithIndex.map { case (f, i) =>
+          f.dataType match {
+            case StringType => record.getUTF8String(i).toString
+            case LongType => record.getLong(i)
+            case IntegerType => record.getInt(i)
+            case DoubleType => record.getDouble(i)
+            case BooleanType => record.getBoolean(i)
+            case other =>
+              throw new IllegalArgumentException(s"graft-mem: unsupported $other")
+          }
+        }
+      override def commit(): WriterCommitMessage = MemCommit(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

@@ -60,6 +60,46 @@ class Dsv2Spec extends SparkSpec {
       == (0L until 10L).map(_ -> 10L).toMap)
   }
 
+  test("graft-mem write commit protocol: round trip, overwrite, append") {
+    val df = (0L until 100L).map(i => (i, s"v$i", i * 0.5)).toDF("id", "s", "x")
+      .repartition(8) // multi-task write: per-task buffers, one job commit
+    df.write.format("graft-mem").option("table", "t_rt").mode("append").save()
+    val back = spark.read.format("graft-mem").option("table", "t_rt").load()
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s", "x"))
+    // string values survive the reused-InternalRow boundary (deep copy)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet == (0L until 100L).map(i => (i, s"v$i", i * 0.5)).toSet)
+    df.filter(col("id") < 10).write.format("graft-mem")
+      .option("table", "t_rt").mode("overwrite").save()
+    assert(spark.read.format("graft-mem").option("table", "t_rt").load()
+      .count() == 10)
+    df.filter(col("id") < 5).write.format("graft-mem")
+      .option("table", "t_rt").mode("append").save()
+    assert(spark.read.format("graft-mem").option("table", "t_rt").load()
+      .count() == 15)
+    graft.sources.v2.MemStore.clear("t_rt")
+  }
+
+  test("graft-mem atomicity: a failed task leaves the table untouched") {
+    val good = (0L until 10L).map(i => (i, s"v$i")).toDF("id", "s")
+    good.write.format("graft-mem").option("table", "t_atomic")
+      .mode("append").save()
+    // a write job whose partition 3 fails mid-task: commit() never runs
+    val bad = (0L until 100L).map(i => (i, "x")).toDF("id", "s")
+      .repartition(8)
+      .select(when(col("id") === 42L,
+        raise_error(lit("boom"))).otherwise(col("s")).as("s"), col("id"))
+      .select("id", "s")
+    intercept[Exception] {
+      bad.write.format("graft-mem").option("table", "t_atomic")
+        .mode("overwrite").save()
+    }
+    val after = spark.read.format("graft-mem").option("table", "t_atomic").load()
+    assert(after.count() == 10) // the pre-failure contents, not a partial write
+    assert(after.collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    graft.sources.v2.MemStore.clear("t_atomic")
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
