@@ -116,11 +116,25 @@ case class SeqRangePartition(lo: Long, hi: Long) extends InputPartition
 
 class SeqScan(start: Long, end: Long, slices: Int,
               required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-seq [$start,$end) PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  /** Post-pushdown statistics: row count is exact for a sequence, size
+    * assumes 8 bytes per surviving column. This is what lets the
+    * optimizer broadcast a filtered connector table into joins — the
+    * stats reflect the PRUNED range, not the raw table (the part
+    * file-format sources get from footers and a V2 connector must
+    * report itself).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(end - start, 0L)
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(rows * 8L * math.max(required.fields.length, 1))
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
 
   /** Splits the (already filter-narrowed) range: an empty or shrunken
     * range plans fewer partitions — pruning happens before any task

@@ -100,6 +100,31 @@ class Dsv2Spec extends SparkSpec {
     graft.sources.v2.MemStore.clear("t_atomic")
   }
 
+  test("reported statistics reflect the pruned range and drive broadcast joins") {
+    val big = spark.read.format("graft-seq").option("end", "10000000").load()
+    val narrowed = big.filter(col("id") >= 9999000L) // 1000 rows after pushdown
+    val dim = Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+    // the connector side reports ~KBs post-pushdown, so the optimizer
+    // broadcasts IT — not the other side, and not a sort-merge join
+    val joined = narrowed.join(dim, narrowed("id") % 100 === dim("doc_id") % 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("SQL DDL surface: CREATE TABLE ... USING graft-seq") {
+    spark.sql("DROP TABLE IF EXISTS seq_ddl")
+    spark.sql("CREATE TABLE seq_ddl USING `graft-seq` " +
+      "OPTIONS (`end` '500', slices '4')")
+    try {
+      val got = spark.sql(
+        "SELECT bucket, COUNT(*) AS n FROM seq_ddl WHERE id >= 400 GROUP BY bucket")
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        == (0L until 10L).map(_ -> 10L).toMap)
+    } finally spark.sql("DROP TABLE IF EXISTS seq_ddl")
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
