@@ -254,6 +254,39 @@ class StreamingSpec extends SparkSpec {
       (9L, "NEW", 100L, -1L, true)), got)
   }
 
+  test("transformWithState caps per-key emissions across micro-batches (Spark 4 state API)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, String)](spark, 1)
+      val capped = in.toDS().groupByKey(_._1)
+        .transformWithState(new graft.streaming.PerKeyCap(3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(),
+          implicitly[org.apache.spark.sql.Encoder[(Long, String)]])
+      val q = capped.writeStream.format("memory")
+        .queryName("cap_out").outputMode("append").start()
+      try {
+        in.addData((1L, "a"), (1L, "b"), (2L, "x"))
+        q.processAllAvailable()
+        // user 1 already holds 2 of its 3 slots; only one more admits
+        in.addData((1L, "c"), (1L, "d"), (1L, "e"), (2L, "y"))
+        q.processAllAvailable()
+        val emitted = spark.table("cap_out").collect()
+          .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+        assert(emitted == Map(1L -> 3, 2L -> 2), emitted)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late rows in append-mode windowed agg") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Int)]
