@@ -3,7 +3,7 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -68,10 +68,50 @@ class SeqTable(start: Long, end: Long, slices: Int)
 
 class SeqScanBuilder(var start: Long, var end: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SeqTable.schema
+  private var aggPushed: Option[Array[String]] = None // kinds, in order
+
+  /** Global MIN(id)/MAX(id)/COUNT(*) answer arithmetically from the
+    * (already filter-narrowed) range — the whole scan collapses to one
+    * one-row partition with NO Spark-side aggregation (complete
+    * pushdown), the same contract the built-in JDBC V2 source
+    * negotiates with databases. Grouped or unsupported aggregates are
+    * declined and Spark aggregates normally.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Array[String]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions().nonEmpty) return None
+    val kinds = agg.aggregateExpressions().map {
+      case _: CountStar => "count_star"
+      case m: Min => m.column() match {
+        case f: NamedReference if f.describe() == "id" => "min_id"
+        case _ => return None
+      }
+      case m: Max => m.column() match {
+        case f: NamedReference if f.describe() == "id" => "max_id"
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(kinds)
+  }
 
   /** Accept id-range predicates (narrowing [start, end) BEFORE split
     * planning); everything else stays a post-scan filter. Accepted
@@ -109,7 +149,44 @@ class SeqScanBuilder(var start: Long, var end: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(start, end, slices, required, pushed)
+  override def build(): Scan = aggPushed match {
+    case Some(kinds) => new SeqAggScan(start, end, kinds)
+    case None => new SeqScan(start, end, slices, required, pushed)
+  }
+}
+
+/** Completely-pushed global aggregate: one partition, one row, zero
+  * Spark-side aggregation.
+  */
+class SeqAggScan(start: Long, end: Long, kinds: Array[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(kinds.map(k => StructField(k, LongType, nullable = true)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-seq agg-pushdown [$start,$end) ${kinds.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqRangePartition(start, end))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqAggReaderFactory(kinds)
+}
+
+class SeqAggReaderFactory(kinds: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqRangePartition]
+    val n = math.max(p.hi - p.lo, 0L)
+    val row: Array[Any] = kinds.map {
+      case "count_star" => n
+      case "min_id" => if (n == 0L) null else p.lo
+      case "max_id" => if (n == 0L) null else p.hi - 1
+    }
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(row)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class SeqRangePartition(lo: Long, hi: Long) extends InputPartition

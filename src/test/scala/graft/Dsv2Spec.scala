@@ -125,6 +125,26 @@ class Dsv2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS seq_ddl")
   }
 
+  test("global MIN/MAX/COUNT push down completely: no Spark-side aggregation") {
+    val df = spark.read.format("graft-seq").option("end", "1000000").load()
+      .filter(col("id") >= 250L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (999750L, 250L, 999999L))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("agg-pushdown"), scan.scan.description())
+    // complete pushdown: the plan's only aggregate (if any) sees 1 row —
+    // assert no hash/sort aggregate over the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") || scan.inputRDD.getNumPartitions == 1,
+      plan)
+    // grouped aggregation is declined and still correct
+    val grouped = spark.read.format("graft-seq").option("end", "100").load()
+      .groupBy("bucket").agg(max("id").as("m"))
+    assert(grouped.collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toMap
+      == (0L until 10L).map(b => b -> (90L + b)).toMap)
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
