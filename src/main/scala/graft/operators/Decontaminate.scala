@@ -143,11 +143,16 @@ object Decontaminate {
   def semanticScores(corpus: DataFrame, evalSet: DataFrame,
                      threshold: Double, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    graft.plans.VecExpressions.register(corpus.sparkSession)
+    // norms precomputed per ROW (the Similarity.scala discipline):
+    // dot/(vn*en) is the same IEEE expression tree as cosine(), one
+    // vec_dot per pair instead of three
     val ev = broadcast(evalSet.select(col(idCol).as("eval_id"),
-      col(vecCol).as("ev")))
-    val sim = Similarity.cosine(col("v"), col("ev"))
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(ev, sim >= threshold)
+      col(vecCol).as("ev"), Similarity.norm(col(vecCol)).as("en")))
+    val co = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("vn"))
+    val sim = Similarity.dot(col("v"), col("ev")) / (col("vn") * col("en"))
+    co.join(ev, sim >= threshold)
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits"), round(max(sim), 6).as("max_sim"))
   }

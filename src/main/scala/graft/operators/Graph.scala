@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph authority scoring — the web-pipeline signal behind
@@ -41,6 +41,7 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val nV = verts.count() // the one driver scalar (bounded: one Long)
+    require(nV > 0, "pageRank: the edge list is empty (no vertices)")
     val teleport = scale * (100L - dampingPct) / 100L / nV
 
     var ranks = verts.select(col("host"), lit(scale / nV).as("rank"))
@@ -65,19 +66,27 @@ object Graph {
     * model to [[pageRank]]: a good hub links to good authorities and
     * vice versa. Same fixed-point integer discipline; each half-round
     * max-normalizes by a global 1-row aggregate (a broadcast of one
-    * Long at any graph size, so the plan-audit's bounded-side rule
-    * clears it). `scale` = 1e6 keeps `sum × scale` far from Long
-    * overflow even at web-graph degrees (sum ≤ deg·scale ≈ 2^45 at
-    * deg 10^7). Returns `(host, hub, auth)`.
+    * value at any graph size, so the plan-audit's bounded-side rule
+    * clears it). The per-key Long sums are safe to web-graph degrees
+    * (sum ≤ deg·scale ≈ 2^45 at deg 10^7), and the `sum × scale`
+    * normalization numerator — which DOES exceed a Long there — runs
+    * in DECIMAL(38,0), matching the oracle's HUGEINT arithmetic
+    * exactly. Returns `(host, hub, auth)`.
     */
   def hits(edges: DataFrame, iters: Int = 2, scale: Long = 1000000L,
            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
+    require(e.head(1).nonEmpty, "hits: the edge list is empty")
     val verts = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
       .distinct().localCheckpoint(true)
+    // (raw div (38,0)) parses as IntegralDivide on decimals -> BIGINT,
+    // exact at any in-degree (the Long multiply would wrap at ~2^63)
+    def normalized(raw: String, mx: String): Column =
+      expr(s"CAST(coalesce($raw, 0L) AS DECIMAL(38,0)) * $scale div $mx")
+        .cast("long")
     var hub = verts.select(col("host"), lit(scale).as("hub"))
       .localCheckpoint(true)
     var auth: DataFrame = null
@@ -87,16 +96,14 @@ object Graph {
       auth = verts
         .join(aRaw, verts("host") === aRaw("dst"), "left")
         .crossJoin(aRaw.agg(max(col("ar")).as("amax")))
-        .select(col("host"),
-          expr(s"(coalesce(ar, 0L) * ${scale}L) div amax").as("auth"))
+        .select(col("host"), normalized("ar", "amax").as("auth"))
         .localCheckpoint(true)
       val hRaw = e.join(auth, e("dst") === auth("host"))
         .groupBy("src").agg(sum(col("auth")).as("hr"))
       hub = verts
         .join(hRaw, verts("host") === hRaw("src"), "left")
         .crossJoin(hRaw.agg(max(col("hr")).as("hmax")))
-        .select(col("host"),
-          expr(s"(coalesce(hr, 0L) * ${scale}L) div hmax").as("hub"))
+        .select(col("host"), normalized("hr", "hmax").as("hub"))
         .localCheckpoint(true)
     }
     hub.join(auth, "host").select("host", "hub", "auth")

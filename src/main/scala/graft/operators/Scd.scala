@@ -25,9 +25,14 @@ object Scd {
     *   - new key → new open row starting at `batchTs`.
     */
   def merge2(dim: DataFrame, updates: DataFrame, batchTs: Long): DataFrame = {
+    // explicit presence flags, NOT attr-null checks: a dimension (or
+    // update) row may legitimately carry a NULL attribute, and the
+    // change test is null-safe so NULL -> NULL is a no-op while
+    // NULL -> 'X' closes + reopens
     val d = dim.select(col("key"), col("attr").as("old_attr"),
-      col("valid_from"))
-    val u = updates.select(col("key"), col("attr").as("new_attr"))
+      col("valid_from"), lit(true).as("has_old"))
+    val u = updates.select(col("key"), col("attr").as("new_attr"),
+      lit(true).as("has_new"))
     val openNew = struct(col("new_attr").as("attr"),
       lit(batchTs).as("valid_from"),
       lit(null).cast(LongType).as("valid_to"), lit(true).as("is_current"))
@@ -37,9 +42,9 @@ object Scd {
       lit(batchTs).as("valid_to"), lit(false).as("is_current"))
     d.join(u, Seq("key"), "full_outer")
       .select(col("key"), explode(
-        when(col("old_attr").isNull, array(openNew)) // insert
-          .when(col("new_attr").isNull || col("new_attr") === col("old_attr"),
-            array(keepOld)) // no-op
+        when(col("has_old").isNull, array(openNew)) // insert
+          .when(col("has_new").isNull || col("new_attr") <=> col("old_attr"),
+            array(keepOld)) // absent or unchanged (null-safe): no-op
           .otherwise(array(closeOld, openNew))) // change: close + reopen
         .as("r"))
       .select(col("key"), col("r.attr"), col("r.valid_from"),

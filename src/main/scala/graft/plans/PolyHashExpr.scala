@@ -18,6 +18,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * replaced). `mult * modulus` must fit in a signed long — both callers
   * use moduli < 2³¹.
   */
+/** Shared truncation-tolerant UTF-8 code-point walk for the string
+  * kernels (PolyHash, CharEntropy, WordStats). UTF8String does not
+  * guarantee valid UTF-8 (web/Parquet text can carry truncated
+  * sequences); a multi-byte lead whose continuation bytes run past the
+  * buffer degrades to one code point per byte instead of reading out
+  * of bounds — one policy, one place.
+  *
+  * Returns `(codePoint << 3) | step` packed in a Long (step ∈ 1..4).
+  */
+object Utf8Walk {
+  @inline def next(bytes: Array[Byte], i: Int, n: Int): Long = {
+    val b0 = bytes(i) & 0xff
+    if (b0 < 0x80) (b0.toLong << 3) | 1L
+    else if (b0 < 0xe0) {
+      if (i + 1 < n)
+        ((((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)).toLong << 3) | 2L
+      else (b0.toLong << 3) | 1L
+    } else if (b0 < 0xf0) {
+      if (i + 2 < n)
+        ((((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f)).toLong << 3) | 3L
+      else (b0.toLong << 3) | 1L
+    } else {
+      if (i + 3 < n)
+        ((((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)).toLong << 3) | 4L
+      else (b0.toLong << 3) | 1L
+    }
+  }
+}
+
 object PolyHashUtil {
   def hash(s: UTF8String, mult: Long, modulus: Long): Long = {
     val bytes = s.getBytes
@@ -25,30 +56,9 @@ object PolyHashUtil {
     var i = 0
     val n = bytes.length
     while (i < n) {
-      val b0 = bytes(i) & 0xff
-      var cp = 0
-      var len = 1
-      // UTF8String does not guarantee valid UTF-8 (web/Parquet text can
-      // carry truncated sequences); a multi-byte lead whose continuation
-      // bytes run past the buffer degrades to one code point per byte
-      // instead of reading out of bounds
-      if (b0 < 0x80) { cp = b0 }
-      else if (b0 < 0xe0) {
-        if (i + 1 < n) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2 }
-        else cp = b0
-      } else if (b0 < 0xf0) {
-        if (i + 2 < n) {
-          cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
-            (bytes(i + 2) & 0x3f); len = 3
-        } else cp = b0
-      } else {
-        if (i + 3 < n) {
-          cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); len = 4
-        } else cp = b0
-      }
-      acc = (acc * mult + cp) % modulus
-      i += len
+      val cs = Utf8Walk.next(bytes, i, n)
+      acc = (acc * mult + (cs >>> 3)) % modulus
+      i += (cs & 7L).toInt
     }
     acc
   }

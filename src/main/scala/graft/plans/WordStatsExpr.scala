@@ -85,24 +85,9 @@ object WordStatsUtil {
 
     var i = 0
     while (i < len) {
-      val b0 = bytes(i) & 0xff
-      var cp = 0
-      var step = 1
-      if (b0 < 0x80) cp = b0
-      else if (b0 < 0xe0) {
-        if (i + 1 < len) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); step = 2 }
-        else cp = b0
-      } else if (b0 < 0xf0) {
-        if (i + 2 < len) {
-          cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
-            (bytes(i + 2) & 0x3f); step = 3
-        } else cp = b0
-      } else {
-        if (i + 3 < len) {
-          cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); step = 4
-        } else cp = b0
-      }
+      val cs = Utf8Walk.next(bytes, i, len)
+      val cp = (cs >>> 3).toInt
+      val step = (cs & 7L).toInt
       if (isPunct(cp)) nPunct += 1
       if (i >= lo && i < hi) { // inside the trimmed region
         if (isWs(cp)) {

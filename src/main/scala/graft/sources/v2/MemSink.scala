@@ -124,7 +124,8 @@ class MemWriterFactory(schema: StructType) extends DataWriterFactory {
       override def write(record: InternalRow): Unit =
         // InternalRow instances are reused by the caller: copy values out
         buf += schema.fields.zipWithIndex.map { case (f, i) =>
-          f.dataType match {
+          if (record.isNullAt(i)) null
+          else f.dataType match {
             case StringType => record.getUTF8String(i).toString
             case LongType => record.getLong(i)
             case IntegerType => record.getInt(i)

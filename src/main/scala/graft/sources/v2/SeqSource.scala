@@ -127,18 +127,29 @@ class SeqScanBuilder(var start: Long, var end: Long, slices: Int)
       case EqualTo("id", _: java.lang.Long | _: java.lang.Integer) => true
       case _ => false
     }
+    // Math.addExact-style care at the Long edges: `id > MaxValue`
+    // matches nothing (start := end), `id <= MaxValue` must NOT wrap
+    // end to MinValue — the filter is consumed here, so an overflow
+    // would silently return wrong rows rather than crash
+    def succ(x: Long): Option[Long] =
+      if (x == Long.MaxValue) None else Some(x + 1)
     accepted.foreach {
       case GreaterThan("id", v) =>
-        start = math.max(start, v.asInstanceOf[Number].longValue() + 1)
+        succ(v.asInstanceOf[Number].longValue()) match {
+          case Some(s) => start = math.max(start, s)
+          case None => start = end // > MaxValue: empty
+        }
       case GreaterThanOrEqual("id", v) =>
         start = math.max(start, v.asInstanceOf[Number].longValue())
       case LessThan("id", v) =>
         end = math.min(end, v.asInstanceOf[Number].longValue())
       case LessThanOrEqual("id", v) =>
-        end = math.min(end, v.asInstanceOf[Number].longValue() + 1)
+        succ(v.asInstanceOf[Number].longValue())
+          .foreach(s => end = math.min(end, s)) // <= MaxValue: no-op bound
       case EqualTo("id", v) =>
         val x = v.asInstanceOf[Number].longValue()
-        start = math.max(start, x); end = math.min(end, x + 1)
+        start = math.max(start, x)
+        succ(x).foreach(s => end = math.min(end, s))
       case _ =>
     }
     pushed = accepted

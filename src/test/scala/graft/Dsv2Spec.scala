@@ -145,6 +145,22 @@ class Dsv2Spec extends SparkSpec {
       == (0L until 10L).map(b => b -> (90L + b)).toMap)
   }
 
+  test("Long-edge filter bounds do not wrap: > MaxValue empty, <= MaxValue full") {
+    val df = spark.read.format("graft-seq").option("end", "100").load()
+    assert(df.filter(col("id") > Long.MaxValue).count() == 0)
+    assert(df.filter(col("id") <= Long.MaxValue).count() == 100)
+    assert(df.filter(col("id") === Long.MaxValue).count() == 0)
+  }
+
+  test("graft-mem round-trips NULL cells") {
+    val df = Seq((1L, Some("a")), (2L, None)).toDF("id", "s")
+    df.write.format("graft-mem").option("table", "t_null").mode("append").save()
+    val got = spark.read.format("graft-mem").option("table", "t_null").load()
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, Some("a")), (2L, None)))
+    graft.sources.v2.MemStore.clear("t_null")
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)

@@ -1285,6 +1285,40 @@ class OperatorsSpec extends SparkSpec {
     )
   }
 
+  test("Scd.merge2 treats NULL attributes as values, not as join misses") {
+    val dim = Seq((1L, Option.empty[String], 0L), (2L, Some("B"), 0L))
+      .toDF("key", "attr", "valid_from")
+    // 1: NULL -> X (a real change); 2: B -> NULL (also a real change)
+    val updates = Seq((1L, Some("X")), (2L, Option.empty[String]))
+      .toDF("key", "attr")
+    val out = operators.Scd.merge2(dim, updates, 50L).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1L, None, 0L, 50L, false), (1L, Some("X"), 50L, -1L, true),
+      (2L, Some("B"), 0L, 50L, false), (2L, None, 50L, -1L, true)))
+    // and NULL -> NULL is a no-op, not a new version
+    val noop = operators.Scd.merge2(
+      Seq((3L, Option.empty[String], 0L)).toDF("key", "attr", "valid_from"),
+      Seq((3L, Option.empty[String])).toDF("key", "attr"), 50L).collect()
+    assert(noop.length == 1 && noop(0).getBoolean(4) && noop(0).getLong(2) == 0L)
+  }
+
+  test("hits normalization stays exact past the Long-multiply range") {
+    // scale chosen so sum(hub) * scale overflows a Long: 3 hubs at full
+    // scale feed one authority -> ar = 6e18 (fits), ar*scale = 1.2e37
+    // (wraps in Long, exact in the DECIMAL(38,0) path)
+    val big = 2000000000000000000L // 2e18
+    val edges = Seq(("a", "x"), ("b", "x"), ("c", "x")).toDF("src", "dst")
+    val got = operators.Graph.hits(edges, iters = 1, scale = big)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // model in BigInt: ar(x) = 3*big -> auth normalizes to big; each
+    // hub's hr = auth(x) = big -> hub normalizes to big
+    assert(got("x") == (0L, big))
+    assert(got("a") == (big, 0L) && got("b") == (big, 0L) && got("c") == (big, 0L))
+  }
+
   test("pageRank equals a driver-side fixed-point model on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
