@@ -57,9 +57,27 @@ object MemStore {
 }
 
 class MemTable(tableName: String, schema0: StructType)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(tableName != null && tableName.nonEmpty,
     "graft-mem requires option 'table'")
+
+  /** DML surface: `DELETE FROM <catalog table> WHERE ...` — Spark
+    * compiles the predicate to source filters and the table applies
+    * them atomically (one map put). Supports equality/comparison
+    * filters on any column plus IsNull/IsNotNull; anything else is
+    * declined via canDeleteWhere and Spark reports the delete as
+    * unsupported rather than deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(MemTable.evaluable(schema0, _))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    MemStore.get(tableName).foreach { stored =>
+      val keep = stored.rows.filterNot(row =>
+        filters.forall(MemTable.matches(stored.schema, row, _)))
+      MemStore.put(tableName, MemStore.Stored(stored.schema, keep))
+    }
   override def name(): String = s"graft_mem:$tableName"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
@@ -99,6 +117,63 @@ class MemTable(tableName: String, schema0: StructType)
           }
         }
     }
+}
+
+object MemTable {
+  import org.apache.spark.sql.sources._
+
+  private[v2] def evaluable(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _) => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case And(l, r) => evaluable(schema, l) && evaluable(schema, r)
+    case Or(l, r) => evaluable(schema, l) && evaluable(schema, r)
+    // Not is declined: collapsing a NULL comparison to "no match" is
+    // only sound outside negation (NOT (NULL = x) must keep the row,
+    // but the collapse would delete it)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case _ => false
+  }
+
+  /** SQL three-valued logic collapsed to "row matches": a NULL
+    * comparison result means the row does NOT match the delete
+    * predicate (and therefore survives), exactly like DELETE's WHERE.
+    */
+  private[v2] def matches(schema: StructType, row: Array[Any], f: Filter): Boolean = {
+    def v(name: String): Any = row(schema.fieldIndex(name))
+    def cmp(name: String, x: Any): Option[Int] = {
+      val a = v(name)
+      if (a == null || x == null) None
+      else Some((a, x) match {
+        case (l: Long, r: Number) => java.lang.Long.compare(l, r.longValue())
+        case (l: Int, r: Number) => java.lang.Long.compare(l.toLong, r.longValue())
+        case (l: Double, r: Number) => java.lang.Double.compare(l, r.doubleValue())
+        case (l: String, r: String) => l.compareTo(r)
+        case (l: Boolean, r: Boolean) => java.lang.Boolean.compare(l, r)
+        case other =>
+          throw new IllegalArgumentException(s"graft-mem delete: $other")
+      })
+    }
+    f match {
+      case EqualTo(a, x) => cmp(a, x).contains(0)
+      case GreaterThan(a, x) => cmp(a, x).exists(_ > 0)
+      case GreaterThanOrEqual(a, x) => cmp(a, x).exists(_ >= 0)
+      case LessThan(a, x) => cmp(a, x).exists(_ < 0)
+      case LessThanOrEqual(a, x) => cmp(a, x).exists(_ <= 0)
+      case IsNull(a) => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case And(l, r) => matches(schema, row, l) && matches(schema, row, r)
+      case Or(l, r) => matches(schema, row, l) || matches(schema, row, r)
+      case AlwaysTrue() => true
+      case AlwaysFalse() => false
+      case other =>
+        throw new IllegalArgumentException(s"graft-mem delete: $other")
+    }
+  }
 }
 
 case class MemPartition(rows: Array[Array[Any]]) extends InputPartition

@@ -161,6 +161,27 @@ class Dsv2Spec extends SparkSpec {
     graft.sources.v2.MemStore.clear("t_null")
   }
 
+  test("DELETE FROM a graft-mem catalog table applies filters with SQL null semantics") {
+    spark.sql("DROP TABLE IF EXISTS mem_dml")
+    Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("b")))
+      .toDF("id", "s")
+      .write.format("graft-mem").option("table", "mem_dml").mode("append").save()
+    spark.sql("CREATE TABLE mem_dml USING `graft-mem` OPTIONS (`table` 'mem_dml')")
+    try {
+      // s = 'b' is NULL for row 3 -> row 3 survives (DELETE three-valued logic)
+      spark.sql("DELETE FROM mem_dml WHERE s = 'b'")
+      val left = spark.read.format("graft-mem").option("table", "mem_dml")
+        .load().collect().map(_.getLong(0)).toSet
+      assert(left == Set(1L, 3L), left)
+      spark.sql("DELETE FROM mem_dml WHERE s IS NULL")
+      assert(spark.read.format("graft-mem").option("table", "mem_dml")
+        .load().collect().map(_.getLong(0)).toSet == Set(1L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mem_dml")
+      graft.sources.v2.MemStore.clear("mem_dml")
+    }
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
