@@ -523,6 +523,32 @@ object SparkEntry {
       Dedup.dedupClusters(pairs)
     }),
 
+    // dedup QA: cluster-size histogram (count-of-counts over CC
+    // labels, singletons folded in arithmetically) — the shape report
+    // that decides whether near-dup pruning is worth running
+    "p29_cluster_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.8, tokens = true, maxDocFreq = Some(50))
+          .select("id_a", "id_b"))
+      val hist = clusters.groupBy(col("n_members").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      val singles = docs.agg(count(lit(1)).as("nd"))
+        .crossJoin(clusters.agg(coalesce(sum("n_members"), lit(0L)).as("inc")))
+        .select(lit(1L).as("cluster_size"),
+          (col("nd") - col("inc")).as("n_clusters"))
+      hist.unionByName(singles).groupBy("cluster_size")
+        .agg(sum("n_clusters").as("n_clusters"))
+    }),
+
+    // classifier QA: language-ID confusion matrix (predicted vs
+    // labeled) — one hash aggregate over a zero-shuffle projection
+    "t18_langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))),
+
     // dedup-aware (leakage-safe) train/eval split: one split decision
     // per near-dup cluster (CC label), so near-duplicates never
     // straddle train and eval — p2's plain hash split leaks one copy
@@ -2322,6 +2348,52 @@ object SparkEntry {
         |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
         |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM final GROUP BY comp""".stripMargin,
+
+    // d7's CC lattice, then count-of-counts with the singleton row
+    // derived arithmetically
+    "p29_cluster_histogram" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8),
+        |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |lbl AS (
+        |  SELECT id, id AS comp FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, lbl.comp FROM lbl JOIN edges e ON e.a = lbl.id),
+        |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id),
+        |cl AS (SELECT comp, COUNT(*) AS n FROM final GROUP BY comp),
+        |h AS (
+        |  SELECT n AS cluster_size, COUNT(*) AS n_clusters FROM cl GROUP BY n
+        |  UNION ALL
+        |  SELECT 1, (SELECT COUNT(*) FROM documents)
+        |            - (SELECT coalesce(SUM(n), 0) FROM cl))
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "t18_langid_confusion" ->
+      s"""SELECT lang, ${langIdSql("text")} AS lang_pred, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // d7's CC lattice + the p2 hash rule keyed by the cluster label
     "d18_leakage_split" ->

@@ -53,7 +53,17 @@ object MemStore {
   def append(name: String, schema: StructType, rows: Array[Array[Any]]): Unit =
     tables.merge(name, Stored(schema, rows),
       (old, add) => Stored(old.schema, old.rows ++ add.rows))
-  def clear(name: String): Unit = tables.remove(name)
+  def clear(name: String): Unit = { tables.remove(name); epochs.remove(name) }
+
+  // committed stream epochs per table — the idempotence ledger
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]
+  def commitEpoch(name: String, epochKey: String, schema: StructType,
+                  rows: Array[Array[Any]]): Unit = {
+    val set = epochs.computeIfAbsent(name,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    if (set.add(epochKey)) append(name, schema, rows) // replay -> no-op
+  }
 }
 
 class MemTable(tableName: String, schema0: StructType)
@@ -82,7 +92,7 @@ class MemTable(tableName: String, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -91,6 +101,9 @@ class MemTable(tableName: String, schema0: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new MemBatchWrite(tableName, info.schema(), overwrite)
+        override def toStreaming:
+            org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new MemStreamingWrite(tableName, info.schema())
       }
     }
 
@@ -190,6 +203,35 @@ class MemBatchWrite(tableName: String, schema: StructType, overwrite: Boolean)
     else MemStore.append(tableName, schema, rows)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming sink half of the commit protocol: each micro-batch is an
+  * epoch; a replayed epoch (failure after commit, before the
+  * checkpoint advanced) is recognized by its epochId and skipped — the
+  * idempotent-commit rule that makes a replayable source + this sink
+  * exactly-once end-to-end. Epoch ids are scoped per query run
+  * (`runId:epoch`), so two different streaming queries into one table
+  * never mask each other's batches.
+  */
+class MemStreamingWrite(tableName: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val runId = java.util.UUID.randomUUID().toString
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new MemStreamingWriterFactory(schema)
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit =
+    MemStore.commitEpoch(tableName, s"$runId:$epochId", schema,
+      messages.flatMap(_.asInstanceOf[MemCommit].rows))
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MemStreamingWriterFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new MemWriterFactory(schema).createWriter(partitionId, taskId)
 }
 
 class MemWriterFactory(schema: StructType) extends DataWriterFactory {

@@ -182,6 +182,40 @@ class Dsv2Spec extends SparkSpec {
     }
   }
 
+  test("graft-mem streaming sink: micro-batches land once; replayed epochs are no-ops") {
+    val root = java.nio.file.Files.createTempDirectory("memsink").toFile
+    val in = s"$root/in"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .repartition(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream.format("graft-mem")
+        .option("table", "t_stream")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    Seq((3L, "c")).toDF("id", "s").repartition(1).write.mode("append").parquet(in)
+    drain() // restart from checkpoint: batch 0 must not re-land
+    val got = spark.read.format("graft-mem").option("table", "t_stream").load()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")), got)
+    // direct replay of one epoch: second commit with the same id is a no-op
+    graft.sources.v2.MemStore.commitEpoch("t_epoch", "run:0",
+      spark.read.format("graft-mem").option("table", "t_stream").load().schema,
+      Array(Array[Any](9L, "z")))
+    graft.sources.v2.MemStore.commitEpoch("t_epoch", "run:0",
+      spark.read.format("graft-mem").option("table", "t_stream").load().schema,
+      Array(Array[Any](9L, "z")))
+    assert(graft.sources.v2.MemStore.get("t_epoch").get.rows.length == 1)
+    graft.sources.v2.MemStore.clear("t_stream")
+    graft.sources.v2.MemStore.clear("t_epoch")
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
