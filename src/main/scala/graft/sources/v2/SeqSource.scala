@@ -57,13 +57,26 @@ object SeqTable {
 }
 
 class SeqTable(start: Long, end: Long, slices: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_seq[$start,$end)"
   override def schema(): StructType = SeqTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(start, end, slices)
+
+  /** `_slice` — which input partition produced the row (the `_metadata`
+    * discipline file sources use, on a connector): hidden from `SELECT *`,
+    * materialized only when named explicitly.
+    */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_slice"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def comment(): String = "input-partition ordinal of the row"
+    })
 }
 
 class SeqScanBuilder(var start: Long, var end: Long, slices: Int)
@@ -200,7 +213,8 @@ class SeqAggReaderFactory(kinds: Array[String]) extends PartitionReaderFactory {
   }
 }
 
-case class SeqRangePartition(lo: Long, hi: Long) extends InputPartition
+case class SeqRangePartition(lo: Long, hi: Long, idx: Int = 0)
+    extends InputPartition
 
 class SeqScan(start: Long, end: Long, slices: Int,
               required: StructType, pushed: Array[Filter])
@@ -236,7 +250,7 @@ class SeqScan(start: Long, end: Long, slices: Int,
     (0 until k).map { i =>
       val lo = start + i * step
       val hi = if (i == k - 1) end else lo + step
-      SeqRangePartition(lo, hi)
+      SeqRangePartition(lo, hi, i)
     }.toArray
   }
 
@@ -252,6 +266,7 @@ class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
       case "id" => (id: Long) => id
       case "val" => (id: Long) => SeqTable.valOf(id)
       case "bucket" => (id: Long) => id % 10L
+      case "_slice" => (_: Long) => p.idx.toLong
       case other => throw new IllegalArgumentException(s"unknown column $other")
     })
     new PartitionReader[InternalRow] {

@@ -216,6 +216,17 @@ class Dsv2Spec extends SparkSpec {
     graft.sources.v2.MemStore.clear("t_epoch")
   }
 
+  test("metadata column _slice: hidden from *, selectable, one value per partition") {
+    val df = spark.read.format("graft-seq").option("end", "100")
+      .option("slices", "4").load()
+    assert(!df.columns.contains("_slice"))
+    val slices = df.select(col("id"), col("_slice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(slices.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // rows map to their covering range slice
+    slices.foreach { case (id, s) => assert(s == id / 25, (id, s)) }
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)

@@ -1285,6 +1285,46 @@ class OperatorsSpec extends SparkSpec {
     )
   }
 
+  test("Scd.merge2 invariants hold on random dimensions and update batches") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nDim <- Gen.choose(0, 12)
+      dimKeys <- Gen.pick(nDim, 0L until 20L)
+      dimAttrs <- Gen.listOfN(nDim, Gen.oneOf("A", "B", "C"))
+      nUpd <- Gen.choose(0, 12)
+      updKeys <- Gen.pick(nUpd, 0L until 25L)
+      updAttrs <- Gen.listOfN(nUpd, Gen.oneOf("A", "B", "C"))
+    } yield (dimKeys.toSeq.zip(dimAttrs), updKeys.toSeq.zip(updAttrs))
+    (0 until 5).foreach { i =>
+      val (dimRows, updRows) = gen(Gen.Parameters.default, Seed(77L + i)).get
+      val dim = dimRows.map { case (k, a) => (k, a, 0L) }
+        .toDF("key", "attr", "valid_from")
+      val upd = updRows.toDF("key", "attr")
+      val out = operators.Scd.merge2(dim, upd, 9L).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      val dimMap = dimRows.toMap
+      val updMap = updRows.toMap
+      val changed = dimMap.keySet.intersect(updMap.keySet)
+        .count(k => dimMap(k) != updMap(k))
+      val inserts = updMap.keySet.diff(dimMap.keySet).size
+      assert(out.length == dimRows.size + changed + inserts, s"seed ${77 + i}")
+      // exactly one open row per surviving key, carrying the latest attr
+      val open = out.filter(_._5)
+      assert(open.map(_._1).distinct.length == open.length)
+      assert(open.length == dimMap.keySet.union(updMap.keySet).size)
+      open.foreach { case (k, a, _, vt, _) =>
+        assert(vt == -1L)
+        assert(a == updMap.getOrElse(k, dimMap(k)))
+      }
+      // every closed row closed at the batch timestamp
+      out.filterNot(_._5).foreach { case (k, a, _, vt, _) =>
+        assert(vt == 9L && a == dimMap(k) && updMap(k) != a)
+      }
+    }
+  }
+
   test("Scd.merge2 treats NULL attributes as values, not as join misses") {
     val dim = Seq((1L, Option.empty[String], 0L), (2L, Some("B"), 0L))
       .toDF("key", "attr", "valid_from")
