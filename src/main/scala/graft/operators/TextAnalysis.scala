@@ -84,6 +84,14 @@ object TextAnalysis {
       graft.plans.WordStats(
         org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
+  /** Hashed DSIR feature buckets (uni+bigram) via the codegen'd
+    * [[graft.plans.DsirBuckets]] kernel.
+    */
+  def dsirBuckets(text: Column, buckets: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.DsirBuckets(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), buckets))
+
   def stopwordRatio(text: Column): Column = {
     val st = wordStats(text)
     st.getField("n_stop").cast("double") /
@@ -595,20 +603,12 @@ object TextAnalysis {
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256,
                   alpha: Double = 1.0, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    graft.plans.PolyHashExpr.register(docs.sparkSession)
-    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
-      split(trim(col(textCol)), "\\s+").as("ts"))
-    val uni = base.select(col("doc_id"), col("is_tgt"),
-      explode(col("ts")).as("feat"))
-    // bind ts to an attribute before lambda indexing (see bigramLogProb)
-    val big = base.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("is_tgt"),
-        explode(transform(sequence(lit(1), size(col("ts")) - 1),
-          i => concat(element_at(col("ts"), i), lit(" "),
-            element_at(col("ts"), i + 1)))).as("feat"))
-    val feats = uni.unionByName(big).select(col("doc_id"), col("is_tgt"),
-      pmod(call_function("poly_hash", col("feat"), lit(31L), lit(1000000007L)),
-        lit(buckets.toLong)).as("b"))
+    // uni+bigram hashed features in ONE codegen'd walk (DsirBuckets):
+    // the former split + two explodes + interpreted transform lambda
+    // concatenated every bigram string per row; identical feature
+    // multiset (DsirBucketsSpec differential)
+    val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+      explode(dsirBuckets(col(textCol), buckets)).as("b"))
     // the per-doc-bucket counts feed four consumers (raw model, target
     // model, their totals, and the final scoring join) — persist so the
     // corpus-wide explode+aggregate runs ONCE; dc is bounded by

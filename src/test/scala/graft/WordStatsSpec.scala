@@ -60,6 +60,29 @@ class WordStatsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("DsirBuckets kernel equals the split/explode/transform feature multiset") {
+    graft.plans.PolyHashExpr.register(spark)
+    val df = (edgeCases ++ Engine.table(spark, sf, "documents")
+      .select("text").limit(200).collect().map(_.getString(0))).toDF("t")
+    // the ORIGINAL formulation, kept verbatim as the reference
+    val base = df.select(col("t"), split(trim(col("t")), "\\s+").as("ts"))
+    val uni = base.select(col("t"), explode(col("ts")).as("feat"))
+    val big = base.filter(size(col("ts")) >= 2)
+      .select(col("t"), explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat(element_at(col("ts"), i), lit(" "),
+          element_at(col("ts"), i + 1)))).as("feat"))
+    val want = uni.unionByName(big).select(col("t"),
+      pmod(call_function("poly_hash", col("feat"), lit(31L), lit(1000000007L)),
+        lit(256L)).as("b"))
+      .groupBy("t", "b").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = df.select(col("t"),
+      explode(TextAnalysis.dsirBuckets(col("t"), 256)).as("b"))
+      .groupBy("t", "b").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("gopherRules through the kernel matches its oracle semantics on knowns") {
     val df = Seq((1L, "the cat sat on a mat and it is fine ok " +
       ("word " * 45).trim)).toDF("doc_id", "text")
