@@ -62,9 +62,11 @@ class SeqTable(start: Long, end: Long, slices: Int)
   override def name(): String = s"graft_seq[$start,$end)"
   override def schema(): StructType = SeqTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(start, end, slices)
+    new SeqScanBuilder(start, end, slices,
+      options.getLong("rowsPerBatch", 1000L))
 
   /** `_slice` — which input partition produced the row (the `_metadata`
     * discipline file sources use, on a connector): hidden from `SELECT *`,
@@ -79,7 +81,8 @@ class SeqTable(start: Long, end: Long, slices: Int)
     })
 }
 
-class SeqScanBuilder(var start: Long, var end: Long, slices: Int)
+class SeqScanBuilder(var start: Long, var end: Long, slices: Int,
+                     rowsPerBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -175,7 +178,7 @@ class SeqScanBuilder(var start: Long, var end: Long, slices: Int)
 
   override def build(): Scan = aggPushed match {
     case Some(kinds) => new SeqAggScan(start, end, kinds)
-    case None => new SeqScan(start, end, slices, required, pushed)
+    case None => new SeqScan(start, end, slices, required, pushed, rowsPerBatch)
   }
 }
 
@@ -217,10 +220,14 @@ case class SeqRangePartition(lo: Long, hi: Long, idx: Int = 0)
     extends InputPartition
 
 class SeqScan(start: Long, end: Long, slices: Int,
-              required: StructType, pushed: Array[Filter])
+              required: StructType, pushed: Array[Filter],
+              rowsPerBatch: Long = 1000L)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqMicroBatchStream(start, end, rowsPerBatch, slices, required)
   override def description(): String =
     s"graft-seq [$start,$end) PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
@@ -254,6 +261,61 @@ class SeqScan(start: Long, end: Long, slices: Int,
     }.toArray
   }
 
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
+}
+
+/** Streaming READ half: the sequence as a replayable micro-batch
+  * source. Offsets are plain positions in the id space; each batch
+  * covers `[startOffset, min(startOffset + rowsPerBatch, end))` and is
+  * split like the batch scan, so a batch replayed from the checkpoint
+  * regenerates identical rows (the replayability that makes the
+  * source + an idempotent sink exactly-once).
+  * [[SupportsTriggerAvailableNow]]: the end bound is already fixed, so
+  * prepare is a no-op and AvailableNow drains batch-by-batch to it.
+  */
+class SeqMicroBatchStream(start: Long, end: Long, rowsPerBatch: Long,
+                          slices: Int, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  case class SeqOffset(pos: Long) extends Offset {
+    override def json(): String = pos.toString
+  }
+
+  override def initialOffset(): Offset = SeqOffset(start)
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.toLong)
+  // admission-control path: each batch admits at most rowsPerBatch ids
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    SeqOffset(math.min(end,
+      startOffset.asInstanceOf[SeqOffset].pos + rowsPerBatch))
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = SeqOffset(end)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def commit(offset: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(startO: Offset, endO: Offset): Array[InputPartition] = {
+    val lo = startO.asInstanceOf[SeqOffset].pos
+    val hi = endO.asInstanceOf[SeqOffset].pos
+    val n = math.max(hi - lo, 0L)
+    if (n == 0L) return Array.empty
+    val k = math.min(slices.toLong, n).toInt
+    val step = n / k
+    (0 until k).map { i =>
+      val a = lo + i * step
+      val b = if (i == k - 1) hi else a + step
+      SeqRangePartition(a, b, i)
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required)
 }

@@ -227,6 +227,19 @@ class Dsv2Spec extends SparkSpec {
     slices.foreach { case (id, s) => assert(s == id / 25, (id, s)) }
   }
 
+  test("graft-seq streams as a replayable micro-batch source (AvailableNow)") {
+    val q = spark.readStream.format("graft-seq")
+      .option("end", "1000").option("rowsPerBatch", "300").load()
+      .writeStream.format("memory").queryName("seq_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("seq_stream")
+    assert(got.count() == 1000)
+    assert(got.select("id").distinct().count() == 1000) // once each
+    assert(q.recentProgress.length >= 3, // drained in batches, not one gulp
+      q.recentProgress.length)
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
