@@ -68,9 +68,36 @@ object MemStore {
 
 class MemTable(tableName: String, schema0: StructType)
     extends Table with SupportsWrite with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(tableName != null && tableName.nonEmpty,
     "graft-mem requires option 'table'")
+
+  /** UPDATE / MERGE INTO via GROUP-based row-level operations, with
+    * the whole table as the single group: Spark scans the current
+    * rows through the normal read path, computes the full replacement
+    * set (carried-over + updated + inserted rows), and the write
+    * REPLACES the scanned group — here, an overwrite commit. The same
+    * atomic-commit guarantee as batch writes applies: a failed
+    * rewrite leaves the table untouched.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command():
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        MemTable.this.newScanBuilder(options)
+      override def newWriteBuilder(w: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new Write {
+            override def toBatch: BatchWrite =
+              new MemBatchWrite(tableName, w.schema(), overwrite = true)
+          }
+        }
+    }
 
   /** DML surface: `DELETE FROM <catalog table> WHERE ...` — Spark
     * compiles the predicate to source filters and the table applies
@@ -238,20 +265,28 @@ class MemWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
-      override def write(record: InternalRow): Unit =
-        // InternalRow instances are reused by the caller: copy values out
+      override def write(record: InternalRow): Unit = {
+        // InternalRow instances are reused by the caller: copy values
+        // out. Row-level-operation rewrites (UPDATE/MERGE) prepend an
+        // internal bookkeeping column to the replacement rows; the
+        // declared table columns are the TRAILING fields, so align the
+        // schema to the tail.
+        val off = record.numFields - schema.fields.length
+        require(off >= 0,
+          s"graft-mem: row has ${record.numFields} fields for schema $schema")
         buf += schema.fields.zipWithIndex.map { case (f, i) =>
-          if (record.isNullAt(i)) null
+          if (record.isNullAt(off + i)) null
           else f.dataType match {
-            case StringType => record.getUTF8String(i).toString
-            case LongType => record.getLong(i)
-            case IntegerType => record.getInt(i)
-            case DoubleType => record.getDouble(i)
-            case BooleanType => record.getBoolean(i)
+            case StringType => record.getUTF8String(off + i).toString
+            case LongType => record.getLong(off + i)
+            case IntegerType => record.getInt(off + i)
+            case DoubleType => record.getDouble(off + i)
+            case BooleanType => record.getBoolean(off + i)
             case other =>
               throw new IllegalArgumentException(s"graft-mem: unsupported $other")
           }
         }
+      }
       override def commit(): WriterCommitMessage = MemCommit(buf.toArray)
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()

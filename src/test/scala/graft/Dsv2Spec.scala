@@ -240,6 +240,30 @@ class Dsv2Spec extends SparkSpec {
       q.recentProgress.length)
   }
 
+  test("UPDATE and MERGE INTO rewrite the table through group-based row-level ops") {
+    spark.sql("DROP TABLE IF EXISTS mem_rlo")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .write.format("graft-mem").option("table", "mem_rlo").mode("append").save()
+    spark.sql("CREATE TABLE mem_rlo USING `graft-mem` OPTIONS (`table` 'mem_rlo')")
+    try {
+      spark.sql("UPDATE mem_rlo SET s = 'B' WHERE id = 2")
+      assert(spark.table("mem_rlo").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((1L, "a"), (2L, "B"), (3L, "c")))
+      spark.sql("""MERGE INTO mem_rlo t
+        USING (SELECT * FROM VALUES (2L, 'bb'), (9L, 'new') AS u(id, s)) u
+        ON t.id = u.id
+        WHEN MATCHED THEN UPDATE SET s = u.s
+        WHEN NOT MATCHED THEN INSERT (id, s) VALUES (u.id, u.s)""")
+      assert(spark.table("mem_rlo").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+        == Set((1L, "a"), (2L, "bb"), (3L, "c"), (9L, "new")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mem_rlo")
+      graft.sources.v2.MemStore.clear("mem_rlo")
+    }
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
