@@ -52,6 +52,25 @@ class WordStatsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"hof=$x kernel=$y") }
   }
 
+  test("kernel equals the HOF tree on random unicode strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (3, Gen.oneOf(' ', '\t', '\n', '\r', '\f', '')),
+      (2, Gen.oneOf(".,;:!?'\"()[]{}-".toSeq)),
+      (1, Gen.oneOf('é', 'ß', '中', '文', 'K', ' ', '')),
+      (1, Gen.oneOf("the", "a", "IT", "Is").flatMap(s => Gen.const(s.head))))
+    val strGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, charGen))
+      .map(_.mkString)
+    val samples = (0 until 60).flatMap(i =>
+      strGen(Gen.Parameters.default, Seed(5000L + i)))
+    val df = samples.toDF("t")
+    val a = hofFrame(df).collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = kernelFrame(df).collect().map(_.toSeq).sortBy(_.head.toString)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"hof=$x kernel=$y") }
+  }
+
   test("kernel equals the HOF tree on the documents corpus") {
     val df = Engine.table(spark, sf, "documents")
       .select(col("text").as("t")).limit(500)
