@@ -3523,23 +3523,24 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 25 = 0),
         |j AS (
         |  SELECT coalesce(d.key, u.key) AS key, d.attr AS old_attr,
-        |         d.valid_from, u.attr AS new_attr
+        |         d.valid_from, u.attr AS new_attr,
+        |         d.key IS NOT NULL AS has_old, u.key IS NOT NULL AS has_new
         |  FROM dim d FULL OUTER JOIN u ON d.key = u.key)
         |SELECT key, new_attr AS attr, CAST(100 AS BIGINT) AS valid_from,
         |       CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
-        |FROM j WHERE old_attr IS NULL
+        |FROM j WHERE NOT has_old
         |UNION ALL
         |SELECT key, old_attr, valid_from, CAST(NULL AS BIGINT), TRUE
-        |FROM j WHERE old_attr IS NOT NULL
-        |        AND (new_attr IS NULL OR new_attr = old_attr)
+        |FROM j WHERE has_old
+        |        AND (NOT has_new OR new_attr IS NOT DISTINCT FROM old_attr)
         |UNION ALL
         |SELECT key, old_attr, valid_from, CAST(100 AS BIGINT), FALSE
-        |FROM j WHERE old_attr IS NOT NULL AND new_attr IS NOT NULL
-        |        AND new_attr <> old_attr
+        |FROM j WHERE has_old AND has_new
+        |        AND new_attr IS DISTINCT FROM old_attr
         |UNION ALL
         |SELECT key, new_attr, CAST(100 AS BIGINT), CAST(NULL AS BIGINT), TRUE
-        |FROM j WHERE old_attr IS NOT NULL AND new_attr IS NOT NULL
-        |        AND new_attr <> old_attr""".stripMargin,
+        |FROM j WHERE has_old AND has_new
+        |        AND new_attr IS DISTINCT FROM old_attr""".stripMargin,
 
     "p25_profile_by_source" ->
       """WITH m AS (

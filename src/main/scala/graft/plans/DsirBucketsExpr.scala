@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -11,20 +10,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * replacing a split + two explodes + an interpreted `transform`
   * lambda that concatenated every bigram string per row.
   *
-  * Exact replication contract (differentially pinned): features are
-  * the tokens of `split(trim(text), "\s+")` (limit -1 semantics:
-  * empty tokens at exotic-whitespace edges ARE features) and the
-  * strings `w_i || ' ' || w_(i+1)`; each is poly-hashed
+  * Replication contract (differentially pinned on valid UTF-8):
+  * features are the tokens of `split(trim(text), "\s+")` (limit -1
+  * semantics: empty tokens at exotic-whitespace edges ARE features)
+  * and the strings `w_i || ' ' || w_(i+1)`; each is poly-hashed
   * (`acc*31 + cp mod 1e9+7`, [[PolyHashUtil]]'s code-point fold) and
   * bucketed mod `buckets`. The bigram hash is computed INCREMENTALLY —
   * fold(w_i) continued through ' ' and w_(i+1) — never materializing
   * the concatenated string.
+  *
+  * Malformed UTF-8: truncated multi-byte sequences degrade per
+  * [[Utf8Walk]]'s one-code-point-per-byte policy (shared by every
+  * string kernel here), whereas the split-based formulation would
+  * round-trip through java.lang.String and fold U+FFFD — the two paths
+  * may bucket such bytes differently. Either way the mapping is a
+  * deterministic hash into the same bucket space, so DSIR weights
+  * remain well-defined; only cross-formulation equality is scoped to
+  * valid UTF-8.
   */
 object DsirBucketsUtil {
   private val Mult = 31L
   private val Mod = 1000000007L
 
-  def buckets(s: UTF8String, nBuckets: Long): GenericArrayData = {
+  def buckets(s: UTF8String,
+              nBuckets: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val bytes = s.getBytes
     val len = bytes.length
     var lo = 0
@@ -32,7 +41,8 @@ object DsirBucketsUtil {
     var hi = len
     while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
 
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // primitive buffer: no per-token boxing on the corpus-wide walk
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
     var hUni = 0L
     var hBig = 0L
     var hasPrev = false
@@ -66,7 +76,8 @@ object DsirBucketsUtil {
       i += step
     }
     closeWord()
-    new GenericArrayData(out.toArray)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.result())
   }
 }
 

@@ -54,6 +54,9 @@ object MemStore {
     tables.merge(name, Stored(schema, rows),
       (old, add) => Stored(old.schema, old.rows ++ add.rows))
   def clear(name: String): Unit = { tables.remove(name); epochs.remove(name) }
+  /** Atomic read-modify-write of a table's contents (no-op if absent). */
+  def mutate(name: String)(f: Stored => Stored): Unit =
+    tables.computeIfPresent(name, (_, old) => f(old))
 
   // committed stream epochs per table — the idempotence ledger
   private val epochs =
@@ -110,10 +113,11 @@ class MemTable(tableName: String, schema0: StructType)
     filters.forall(MemTable.evaluable(schema0, _))
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    MemStore.get(tableName).foreach { stored =>
-      val keep = stored.rows.filterNot(row =>
-        filters.forall(MemTable.matches(stored.schema, row, _)))
-      MemStore.put(tableName, MemStore.Stored(stored.schema, keep))
+    // read-modify-write as ONE atomic map operation, so a concurrent
+    // batch-write commit can never be lost to a stale snapshot
+    MemStore.mutate(tableName) { stored =>
+      MemStore.Stored(stored.schema, stored.rows.filterNot(row =>
+        filters.forall(MemTable.matches(stored.schema, row, _))))
     }
   override def name(): String = s"graft_mem:$tableName"
   override def schema(): StructType = schema0
@@ -130,7 +134,7 @@ class MemTable(tableName: String, schema0: StructType)
           new MemBatchWrite(tableName, info.schema(), overwrite)
         override def toStreaming:
             org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new MemStreamingWrite(tableName, info.schema())
+          new MemStreamingWrite(tableName, info.schema(), info.queryId())
       }
     }
 
@@ -236,19 +240,21 @@ class MemBatchWrite(tableName: String, schema: StructType, overwrite: Boolean)
   * epoch; a replayed epoch (failure after commit, before the
   * checkpoint advanced) is recognized by its epochId and skipped — the
   * idempotent-commit rule that makes a replayable source + this sink
-  * exactly-once end-to-end. Epoch ids are scoped per query run
-  * (`runId:epoch`), so two different streaming queries into one table
-  * never mask each other's batches.
+  * exactly-once end-to-end. Epoch keys are scoped by the STREAMING
+  * QUERY id (stable across restarts of the same checkpoint, unlike a
+  * run id — a replay after restart carries the same queryId:epoch and
+  * is correctly recognized), so distinct queries into one table never
+  * mask each other's batches.
   */
-class MemStreamingWrite(tableName: String, schema: StructType)
+class MemStreamingWrite(tableName: String, schema: StructType,
+                        queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-  private val runId = java.util.UUID.randomUUID().toString
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new MemStreamingWriterFactory(schema)
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit =
-    MemStore.commitEpoch(tableName, s"$runId:$epochId", schema,
+    MemStore.commitEpoch(tableName, s"$queryId:$epochId", schema,
       messages.flatMap(_.asInstanceOf[MemCommit].rows))
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = ()

@@ -64,9 +64,11 @@ class SeqTable(start: Long, end: Long, slices: Int)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(start, end, slices,
-      options.getLong("rowsPerBatch", 1000L))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val rpb = options.getLong("rowsPerBatch", 1000L)
+    require(rpb > 0, s"graft-seq: rowsPerBatch must be positive, got $rpb")
+    new SeqScanBuilder(start, end, slices, rpb)
+  }
 
   /** `_slice` — which input partition produced the row (the `_metadata`
     * discipline file sources use, on a connector): hidden from `SELECT *`,
@@ -240,8 +242,12 @@ class SeqScan(start: Long, end: Long, slices: Int,
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = math.max(end - start, 0L)
-    override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(rows * 8L * math.max(required.fields.length, 1))
+    // saturating multiply: a wrapped-negative size would read as TINY
+    // and trick the optimizer into broadcasting a quintillion-row side
+    private val bytes =
+      try Math.multiplyExact(rows, 8L * math.max(required.fields.length, 1))
+      catch { case _: ArithmeticException => Long.MaxValue }
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
   }
 
