@@ -523,6 +523,13 @@ object SparkEntry {
       Dedup.dedupClusters(pairs)
     }),
 
+    // asymmetric near-dup: shingle containment (quotation/subset
+    // detection) — directed pairs, |A∩B| / |A| ≥ 0.9; the d2 inverted
+    // index with a different denominator
+    "d21_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.9, tokens = true, maxDocFreq = Some(50))),
+
     // dedup QA: cluster-size histogram (count-of-counts over CC
     // labels, singletons folded in arithmetically) — the shape report
     // that decides whether near-dup pruning is worth running
@@ -1752,6 +1759,23 @@ object SparkEntry {
         .toDF("doc_id", "sample_rate", "n_samples", "peak", "sum_abs")
     }),
 
+    // header-only metadata scan: IHDR fields without pixel decode —
+    // the binary-column audit that must never inflate image data
+    "m7_png_header" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (id % 64 + 16).toInt
+            val h = (id % 48 + 16).toInt
+            val png = Multimodal.encodeSolidPng(w, h, (id % 256).toInt)
+            val (pw, ph, depth, ctype) = Multimodal.pngHeader(png).get
+            (id, pw.toLong, ph.toLong, depth.toLong, ctype.toLong)
+          }
+        }
+        .toDF("doc_id", "width", "height", "bit_depth", "color_type")
+    }),
+
     // image near-dup via perceptual hash: real PNG encode → real codec
     // decode → aHash (area-average + mean threshold, exact arithmetic)
     // → hash-groupBy clusters. The image-side analogue of d1: one map
@@ -2348,6 +2372,38 @@ object SparkEntry {
         |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
         |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM final GROUP BY comp""".stripMargin,
+
+    "d21_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(c AS DOUBLE) / CAST(za.n_sh AS DOUBLE) AS containment
+        |FROM common JOIN sz za ON za.doc_id = id_a
+        |WHERE CAST(c AS DOUBLE) / CAST(za.n_sh AS DOUBLE) >= 0.9""".stripMargin,
+
+    // encoder fixture: TYPE_INT_RGB -> 8-bit truecolor (type 2)
+    "m7_png_header" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+        |  CAST(doc_id % 48 + 16 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(2 AS BIGINT) AS color_type
+        |FROM documents""".stripMargin,
 
     // d7's CC lattice, then count-of-counts with the singleton row
     // derived arithmetically

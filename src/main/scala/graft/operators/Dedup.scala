@@ -130,6 +130,37 @@ object Dedup {
     ngramJaccardPairsFromIndex(capDocFreq(idx, maxDocFreq), threshold)
   }
 
+  /** Asymmetric near-dup: shingle containment `C(A→B) = |A∩B| / |A|` —
+    * the quotation/subset relationship symmetric Jaccard misses (a
+    * short doc fully quoted inside a long one scores high containment
+    * but low Jaccard, because the union is dominated by the long doc).
+    * Returns DIRECTED pairs `(id_a, id_b, containment)` with
+    * containment of A in B at or above `threshold`.
+    *
+    * Scale shape: the d2 inverted index verbatim — per-doc-distinct
+    * hashed shingles, key-partitioned self-join, `maxDocFreq` skew cap
+    * — only the denominator changes (|A| instead of the union).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDocFreq: Option[Int] = None,
+                       tokens: Boolean = false): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n, None, tokens)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = capDocFreq(idx, maxDocFreq)
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = capped.toDF("id_a", "shingle")
+      .join(capped.toDF("id_b", "shingle"), "shingle")
+      .filter(col("id_a") =!= col("id_b")) // directed: both orders kept
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common.join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("sz_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Exact substring-span duplication (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", the suffix-array
     * substring dedup, re-expressed as a shingle join): pairs of

@@ -205,6 +205,27 @@ object Multimodal {
     Some(hashV)
   }
 
+  /** Header-only PNG metadata: width, height, bit depth, color type
+    * straight from the IHDR chunk — the 100 TB metadata-scan pattern
+    * (dims/format audits over a binary column must NOT decode pixels;
+    * 33 bytes of header reads vs megabytes of inflate per image).
+    * Returns `None` for non-PNG payloads.
+    */
+  def pngHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes.length < 33) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    var i = 0
+    while (i < 8) { if ((bytes(i) & 0xFF) != sig(i)) return None; i += 1 }
+    // first chunk must be IHDR per spec: length(4) type(4) data(13)
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    if (be32(8) != 13) return None
+    if (!(bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' &&
+        bytes(15) == 'R')) return None
+    Some((be32(16), be32(20), bytes(24) & 0xFF, bytes(25) & 0xFF))
+  }
+
   /** Decoded PCM audio summary: rate/length from the header, peak and
     * absolute-sum energy from the samples (integer-exact features).
     */
