@@ -523,6 +523,19 @@ object SparkEntry {
       Dedup.dedupClusters(pairs)
     }),
 
+    // quality-weighted sampling: keep-probability = the doc's quality
+    // score, with the "coin flip" drawn from the portable Knuth hash —
+    // deterministic, replayable, and zero-shuffle (filter + project)
+    "p30_quality_sampling" -> ((s, dir) => {
+      val u = operators.Sampling.hashKey(col("doc_id")).cast(DoubleType) /
+        4294967296.0
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"), u.as("u"))
+        .filter(col("u") < col("q"))
+        .select(col("doc_id"), round(col("q"), 6).as("q"))
+    }),
+
     // asymmetric near-dup: shingle containment (quotation/subset
     // detection) — directed pairs, |A∩B| / |A| ≥ 0.9; the d2 inverted
     // index with a different denominator
@@ -2372,6 +2385,32 @@ object SparkEntry {
         |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
         |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM final GROUP BY comp""".stripMargin,
+
+    // t2's quality expression + the portable-hash coin flip
+    "p30_quality_sampling" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |derived AS (
+         |  SELECT doc_id, text, punct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(list_transform(string_split_regex(trim(lower(text)), '\\s+'), x -> x),
+         |                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |      + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+         |      + least(stopword_ratio * 5.0, 1.0) * 0.25 AS q,
+         |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+         |      / 4294967296.0 AS u
+         |  FROM derived)
+         |SELECT doc_id, round(q, 6) AS q FROM q WHERE u < q""".stripMargin,
 
     "d21_containment" ->
       """WITH toks AS (
