@@ -264,6 +264,23 @@ class Dsv2Spec extends SparkSpec {
     }
   }
 
+  test("connector to connector: replayable source + idempotent sink, exactly once") {
+    val ckpt = java.nio.file.Files.createTempDirectory("seq2mem").toFile
+    val q = spark.readStream.format("graft-seq")
+      .option("end", "500").option("rowsPerBatch", "150").load()
+      .select(col("id"), col("bucket"))
+      .writeStream.format("graft-mem")
+      .option("table", "t_s2m")
+      .option("checkpointLocation", s"$ckpt/c")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.format("graft-mem").option("table", "t_s2m").load()
+    assert(got.count() == 500)
+    assert(got.select("id").distinct().count() == 500) // once each
+    graft.sources.v2.MemStore.clear("t_s2m")
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
