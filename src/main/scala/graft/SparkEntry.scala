@@ -523,6 +523,23 @@ object SparkEntry {
       Dedup.dedupClusters(pairs)
     }),
 
+    // edit-distance-verified near-dup: shingle candidates (cheap,
+    // key-partitioned) verified by exact Levenshtein — the
+    // short-text dedup verifier; the O(len²) DP runs only on the
+    // candidate pairs the index surfaced, never all-pairs
+    "d22_edit_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, tokens = true, maxDocFreq = Some(50))
+        .select("id_a", "id_b")
+      val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      cand.join(ta, "id_a").join(tb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("text_a"), col("text_b")).cast(LongType).as("edit_dist"))
+        .filter(col("edit_dist") <= 100)
+    }),
+
     // quality-weighted sampling: keep-probability = the doc's quality
     // score, with the "coin flip" drawn from the portable Knuth hash —
     // deterministic, replayable, and zero-shuffle (filter + project)
@@ -2385,6 +2402,35 @@ object SparkEntry {
         |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
         |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM final GROUP BY comp""".stripMargin,
+
+    "d22_edit_verify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(c AS DOUBLE) / CAST(za.n_sh + zb.n_sh - c AS DOUBLE) >= 0.5)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+        |FROM cand
+        |JOIN documents ta ON ta.doc_id = id_a
+        |JOIN documents tb ON tb.doc_id = id_b
+        |WHERE levenshtein(ta.text, tb.text) <= 100""".stripMargin,
 
     // t2's quality expression + the portable-hash coin flip
     "p30_quality_sampling" ->

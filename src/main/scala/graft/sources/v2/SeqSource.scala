@@ -327,6 +327,55 @@ class SeqMicroBatchStream(start: Long, end: Long, rowsPerBatch: Long,
 }
 
 class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
+
+  /** Columnar (vectorized) reads — the parquet-reader discipline on a
+    * connector: rows are materialized straight into column vectors in
+    * 4096-row batches, and the plan carries a single ColumnarToRow
+    * boundary instead of per-row object churn inside the scan.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val p = partition.asInstanceOf[SeqRangePartition]
+    val capacity = 4096
+    new PartitionReader[ColumnarBatch] {
+      private var cur = p.lo
+      private var batch: ColumnarBatch = _
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (cur >= p.hi) return false
+        val n = math.min(capacity.toLong, p.hi - cur).toInt
+        val vectors = OnHeapColumnVector.allocateColumns(n, required)
+        var c = 0
+        while (c < required.fields.length) {
+          val v = vectors(c)
+          required.fields(c).name match {
+            case "id" =>
+              var r = 0; while (r < n) { v.putLong(r, cur + r); r += 1 }
+            case "val" =>
+              var r = 0
+              while (r < n) { v.putDouble(r, SeqTable.valOf(cur + r)); r += 1 }
+            case "bucket" =>
+              var r = 0; while (r < n) { v.putLong(r, (cur + r) % 10L); r += 1 }
+            case "_slice" =>
+              var r = 0; while (r < n) { v.putLong(r, p.idx.toLong); r += 1 }
+            case other =>
+              throw new IllegalArgumentException(s"unknown column $other")
+          }
+          c += 1
+        }
+        batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], n)
+        cur += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeqRangePartition]
     // resolve field generators once per partition, not per row

@@ -281,6 +281,19 @@ class Dsv2Spec extends SparkSpec {
     graft.sources.v2.MemStore.clear("t_s2m")
   }
 
+  test("graft-seq reads columnar: vectorized batches behind one ColumnarToRow boundary") {
+    val df = spark.read.format("graft-seq").option("end", "10000").load()
+      .filter(col("bucket") === 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(df.count() == 1000)
+    val sums = df.agg(sum(col("id")).as("s"), sum(col("val")).as("v")).collect()(0)
+    val wantIds = (0L until 10000L).filter(_ % 10 == 7)
+    assert(sums.getLong(0) == wantIds.sum)
+    assert(math.abs(sums.getDouble(1) -
+      wantIds.map(id => (id * 2654435761L % 1000000L) / 1000.0).sum) < 1e-6)
+  }
+
   test("non-id predicates stay as residual filters, results stay correct") {
     val df = spark.read.format("graft-seq").option("end", "1000").load()
       .filter(col("bucket") === 3L && col("id") < 100L)
