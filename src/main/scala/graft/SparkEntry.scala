@@ -540,6 +540,20 @@ object SparkEntry {
         .filter(col("edit_dist") <= 100)
     }),
 
+    // lakehouse maintenance: small-file compaction planning (OPTIMIZE
+    // bin-packing) over a simulated file listing — per-partition
+    // cumsum cut at the target size; plans 100 TB of files by
+    // shuffling only the LISTING
+    "p31_compaction_plan" -> ((s, dir) => {
+      val listing = t(s, dir, "documents").select(
+        col("source").as("part"),
+        concat(lit("f"), col("doc_id").cast("string"), lit(".parquet"))
+          .as("file"),
+        (col("n_chars") * 100L).as("bytes"))
+      operators.Layout.compactionPlan(listing, "part", "file", "bytes",
+        targetBytes = 1000000L)
+    }),
+
     // quality-weighted sampling: keep-probability = the doc's quality
     // score, with the "coin flip" drawn from the portable Knuth hash —
     // deterministic, replayable, and zero-shuffle (filter + project)
@@ -2402,6 +2416,21 @@ object SparkEntry {
         |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
         |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM final GROUP BY comp""".stripMargin,
+
+    "p31_compaction_plan" ->
+      """WITH listing AS (
+        |  SELECT source AS part, 'f' || doc_id || '.parquet' AS file,
+        |         n_chars * 100 AS bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT part, file, bytes,
+        |    coalesce(SUM(bytes) OVER (PARTITION BY part
+        |      ORDER BY bytes DESC, file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM listing)
+        |SELECT part, file, CAST(bytes AS BIGINT) AS bytes,
+        |       CAST(cum // 1000000 AS BIGINT) AS group_id
+        |FROM c""".stripMargin,
 
     "d22_edit_verify" ->
       """WITH toks AS (

@@ -43,4 +43,32 @@ object Layout {
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
   }
+
+  /** Small-file compaction planning — the lakehouse maintenance pass
+    * (OPTIMIZE / bin-packing): assign each file of a partition to a
+    * target-size output group by a deterministic running-total cut.
+    * Greedy by (size desc, name) order: `group = floor(cumsum_before /
+    * target)` — groups can overflow by at most one file, never
+    * underfill below target except the last.
+    *
+    * Scale shape: the input is FILE METADATA (one row per file — a
+    * listing, not data), windowed per table-partition — the same
+    * per-group cumsum as sequence packing; planning 100 TB of files
+    * costs one shuffle of the listing.
+    */
+  def compactionPlan(files: DataFrame, partitionCol: String,
+                     fileCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCol)
+      .orderBy(col(bytesCol).desc, col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files.select(col(partitionCol).as("part"), col(fileCol).as("file"),
+        col(bytesCol).as("bytes"))
+      .withColumn("__cum", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      // integer division: exact at any cumulative size (double division
+      // would lose precision past 2^53 bytes)
+      .withColumn("group_id", expr(s"__cum div ${targetBytes}L"))
+      .drop("__cum")
+  }
 }
