@@ -593,6 +593,35 @@ object SparkEntry {
         .agg(sum("n_clusters").as("n_clusters"))
     }),
 
+    // corpus-law diagnostics: least-squares Zipf slope on the log-log
+    // rank/frequency curve of the top-100 tokens (healthy natural text
+    // sits near -1; spam/boilerplate bends it). The regression runs
+    // over a BOUNDED 100-row set (TakeOrdered top-k, then a window on
+    // 100 rows); per-term products round to 12 dp and sum as DECIMAL
+    // so the reduction is order-independent
+    "t19_zipf_fit" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+      val ranked = counts.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))))
+      val terms = ranked.select(
+        round(log(col("rank").cast(DoubleType)), 12).as("x"),
+        round(log(col("c").cast(DoubleType)), 12).as("y"))
+      def dsum12(c: Column) = sum(round(c, 12).cast(DecimalType(28, 12)))
+        .cast(DoubleType)
+      terms.agg(count(lit(1)).as("n"), dsum12(col("x")).as("sx"),
+          dsum12(col("y")).as("sy"), dsum12(col("x") * col("y")).as("sxy"),
+          dsum12(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"))
+    }),
+
     // classifier QA: language-ID confusion matrix (predicted vs
     // labeled) — one hash aggregate over a zero-shuffle projection
     "t18_langid_confusion" -> ((s, dir) =>
@@ -2564,6 +2593,28 @@ object SparkEntry {
     "t18_langid_confusion" ->
       s"""SELECT lang, ${langIdSql("text")} AS lang_pred, COUNT(*) AS n
          |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "t19_zipf_fit" ->
+      """WITH counts AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w ORDER BY c DESC, w LIMIT 100),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        |  FROM counts),
+        |terms AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 12) AS x,
+        |         round(ln(CAST(c AS DOUBLE)), 12) AS y FROM ranked),
+        |ag AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(x*y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(round(x*x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM terms)
+        |SELECT n, round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope
+        |FROM ag""".stripMargin,
 
     // d7's CC lattice + the p2 hash rule keyed by the cluster label
     "d18_leakage_split" ->
