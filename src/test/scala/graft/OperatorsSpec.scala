@@ -1285,6 +1285,64 @@ class OperatorsSpec extends SparkSpec {
     )
   }
 
+  test("compactionPlan: groups respect the target with at-most-one-file overflow") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf("p1", "p2"),
+      Gen.choose(1L, 900000L)))
+    (0 until 3).foreach { i =>
+      val files = gen(Gen.Parameters.default, Seed(42L + i)).get
+        .zipWithIndex.map { case ((p, b), j) => (p, s"f$j", b) }
+      val plan = operators.Layout.compactionPlan(
+        files.toDF("part", "file", "bytes"), "part", "file", "bytes",
+        targetBytes = 1000000L).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // every file appears exactly once
+      assert(plan.length == files.size)
+      plan.groupBy(t => (t._1, t._4)).foreach { case ((_, _), members) =>
+        val total = members.map(_._3).sum
+        val maxFile = members.map(_._3).max
+        // a group only exceeds the target by its last-added file
+        assert(total - maxFile < 1000000L, members.mkString(","))
+      }
+      // group ids are dense from 0 within each partition
+      plan.groupBy(_._1).foreach { case (_, ms) =>
+        val ids = ms.map(_._4).distinct.sorted.toSeq
+        assert(ids == (0L until ids.length).toSeq, ids)
+      }
+    }
+  }
+
+  test("pngHeader matches the full decoder's dimensions without inflating") {
+    for (id <- Seq(0L, 17L, 255L, 1000L)) {
+      val w = (id % 64 + 16).toInt; val h = (id % 48 + 16).toInt
+      val png = operators.Multimodal.encodeSolidPng(w, h, (id % 256).toInt)
+      val (pw, ph, depth, ctype) = operators.Multimodal.pngHeader(png).get
+      val full = operators.Multimodal.decodeImage(png).get
+      assert((pw, ph) == (full.width, full.height) && (pw, ph) == (w, h))
+      assert(depth == 8 && ctype == 2) // 8-bit truecolor
+    }
+    assert(operators.Multimodal.pngHeader("not a png at all!!".getBytes).isEmpty)
+    assert(operators.Multimodal.pngHeader(
+      operators.Multimodal.encodePcm16Wav(8000, Array[Short](1, 2))).isEmpty)
+  }
+
+  test("containmentPairs is directional: the quoted doc scores 1.0, the quoter lower") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // fully quoted inside 2
+      (2L, "intro words here alpha beta gamma delta epsilon zeta plus " +
+        "lots of extra trailing content tokens everywhere around it"),
+      (3L, "completely different text about other things entirely"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.9, tokens = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1→2 is full containment; 2→1 fails the threshold (2 has many
+    // shingles outside 1); 3 pairs with nobody
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(out.head._3 == 1.0)
+  }
+
   test("Scd.merge2 invariants hold on random dimensions and update batches") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
