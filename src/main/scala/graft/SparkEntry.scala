@@ -1849,6 +1849,31 @@ object SparkEntry {
         .toDF("doc_id", "width", "height", "bit_depth", "color_type")
     }),
 
+    // audio feature extraction through the real codec: decode the PCM
+    // samples back out of the WAV container and emit per-frame
+    // absolute-energy rows (50-sample frames, integer-exact sums) —
+    // the framing pass an audio training pipeline runs after decode
+    "m8_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .flatMap { id =>
+          val n = (id % 100 + 50).toInt
+          val sr = (8000 + (id % 3) * 4000).toInt
+          val raw = Array.tabulate(n)(i =>
+            ((id * 31 + i * 17) % 2048 - 1024).toShort)
+          val (_, samples) = Multimodal.decodeWavSamples(
+            Multimodal.encodePcm16Wav(sr, raw)).get
+          (0 until (samples.length + 49) / 50).map { f =>
+            var e = 0L
+            var i = f * 50
+            val hi = math.min(samples.length, (f + 1) * 50)
+            while (i < hi) { e += math.abs(samples(i).toInt); i += 1 }
+            (id, f.toLong, e)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "energy")
+    }),
+
     // image near-dup via perceptual hash: real PNG encode → real codec
     // decode → aHash (area-average + mean threshold, exact arithmetic)
     // → hash-groupBy clusters. The image-side analogue of d1: one map
@@ -3951,6 +3976,20 @@ object SparkEntry {
         |  CAST(MAX(abs(x)) AS BIGINT) AS peak,
         |  CAST(SUM(abs(x)) AS BIGINT) AS sum_abs
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    "m8_audio_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id % 100 + 50 AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, unnest(range(0, (n + 49) // 50)) AS frame_idx
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, frame_idx,
+        |    unnest(range(frame_idx * 50, least(n, (frame_idx + 1) * 50))) AS i
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(SUM(abs((doc_id * 31 + i * 17) % 2048 - 1024)) AS BIGINT)
+        |    AS energy
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // the stripe fixture makes the aHash a pure function of doc_id % 8
     // (bit y·8+x set iff (doc_id + x) % 8 >= 4), so the oracle replays

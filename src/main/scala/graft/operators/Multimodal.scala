@@ -258,7 +258,22 @@ object Multimodal {
     * non-WAV payloads — the caller's stub-fallback boundary, same as
     * [[decodeImage]].
     */
-  def decodeWav(bytes: Array[Byte]): Option[DecodedWav] = {
+  def decodeWav(bytes: Array[Byte]): Option[DecodedWav] =
+    decodeWavSamples(bytes).map { case (sampleRate, samples) =>
+      var peak = 0; var sumAbs = 0L; var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toInt)
+        if (a > peak) peak = a
+        sumAbs += a; i += 1
+      }
+      DecodedWav(sampleRate, samples.length, peak, sumAbs)
+    }
+
+  /** Full decode: `(sampleRate, samples)` — the input to feature
+    * extraction (framed energies, resampling); [[decodeWav]] is the
+    * summary view over the same parse.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
     if (bytes.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -291,15 +306,7 @@ object Multimodal {
       bb.position(math.min(next, bb.limit()))
     }
     if (!ok || samples == null || sampleRate <= 0) None
-    else {
-      var peak = 0; var sumAbs = 0L; var i = 0
-      while (i < samples.length) {
-        val a = math.abs(samples(i).toInt)
-        if (a > peak) peak = a
-        sumAbs += a; i += 1
-      }
-      Some(DecodedWav(sampleRate, samples.length, peak, sumAbs))
-    }
+    else Some((sampleRate, samples))
   }
 
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
