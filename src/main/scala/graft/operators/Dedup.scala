@@ -90,6 +90,19 @@ object Dedup {
     capDocFreq(idx, maxDocFreq)
   }
 
+  /** The shared index-build prelude of the pair operators: hash the
+    * shingles to 64 bits (same equality classes w.h.p., a fraction of
+    * the shuffle bytes) and persist BEFORE any doc-frequency cap, so
+    * the frequency pass and the anti-join probe share one explode.
+    * One place to change the hashing/persistence discipline.
+    */
+  private[graft] def hashedShingleIndex(df: DataFrame, idCol: String,
+                                        textCol: String, n: Int,
+                                        tokens: Boolean): DataFrame =
+    shingleIndex(df, idCol, textCol, n, None, tokens)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Drop index entries whose shingle occurs in more than `cap` docs —
     * the skew control for inverted-index self-joins (a shingle in k
     * docs contributes k² candidate pairs; boilerplate spans push k to
@@ -124,9 +137,7 @@ object Dedup {
     // persist BEFORE the cap so the frequency pass and the anti-join
     // probe share one explode (capping inside shingleIndex would run
     // the explode twice on an unpersisted plan)
-    val idx = shingleIndex(df, idCol, textCol, n, None, tokens)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = hashedShingleIndex(df, idCol, textCol, n, tokens)
     ngramJaccardPairsFromIndex(capDocFreq(idx, maxDocFreq), threshold)
   }
 
@@ -145,9 +156,7 @@ object Dedup {
                        n: Int, threshold: Double,
                        maxDocFreq: Option[Int] = None,
                        tokens: Boolean = false): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n, None, tokens)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = hashedShingleIndex(df, idCol, textCol, n, tokens)
     val capped = capDocFreq(idx, maxDocFreq)
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = capped.toDF("id_a", "shingle")
@@ -178,9 +187,7 @@ object Dedup {
                         textCol: String = "text", n: Int = 8,
                         minShared: Int = 1,
                         maxDocFreq: Option[Int] = None): DataFrame = {
-    val raw = shingleIndex(docs, idCol, textCol, n, None, tokens = true)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = hashedShingleIndex(docs, idCol, textCol, n, tokens = true)
     val idx = capDocFreq(raw, maxDocFreq)
       .select(col("id"), col("shingle").as("h"))
     val a = idx.toDF("id_a", "h")

@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.LongType
 object Scd {
 
   /** `dim`: current open rows `(key, attr, valid_from)`; `updates`:
-    * this batch's `(key, attr)`. Returns the merged dimension
-    * `(key, attr, valid_from, valid_to, is_current)`:
+    * this batch's `(key, attr)` — ONE ROW PER KEY. A CDC batch that
+    * carries several changes to one key must be reduced to last-wins
+    * first ([[lastWins]]); feeding duplicates here fans the full-outer
+    * join out per duplicate and emits multiple open versions for the
+    * key, breaking the one-current-row invariant. Returns the merged
+    * dimension `(key, attr, valid_from, valid_to, is_current)`:
     *   - key absent from updates, or attr unchanged → open row kept;
     *   - attr changed → old row closed at `batchTs` + new open row;
     *   - new key → new open row starting at `batchTs`.
@@ -50,4 +54,16 @@ object Scd {
       .select(col("key"), col("r.attr"), col("r.valid_from"),
         col("r.valid_to"), col("r.is_current"))
   }
+
+  /** Reduce a CDC batch to one last-wins row per key — the required
+    * pre-step before [[merge2]] when a batch can carry several changes
+    * to the same key. `seqCol` orders the changes (change-log offset /
+    * event time); ties break on the attribute for determinism.
+    */
+  def lastWins(updates: DataFrame, keyCol: String, attrCol: String,
+               seqCol: String): DataFrame =
+    updates.groupBy(col(keyCol).as("key"))
+      .agg(max_by(struct(col(attrCol).as("attr")),
+        struct(col(seqCol), col(attrCol))).as("w"))
+      .select(col("key"), col("w.attr").as("attr"))
 }

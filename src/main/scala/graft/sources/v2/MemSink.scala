@@ -44,15 +44,27 @@ object MemStore {
   final case class Stored(schema: StructType, rows: Array[Array[Any]])
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, Stored]
   def schemaOf(name: String): StructType = {
+    require(name != null && name.nonEmpty, "graft-mem requires option 'table'")
     val s = tables.get(name)
     require(s != null, s"graft-mem table '$name' does not exist")
     s.schema
   }
+
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq
   def get(name: String): Option[Stored] = Option(tables.get(name))
   def put(name: String, s: Stored): Unit = tables.put(name, s)
   def append(name: String, schema: StructType, rows: Array[Array[Any]]): Unit =
     tables.merge(name, Stored(schema, rows),
-      (old, add) => Stored(old.schema, old.rows ++ add.rows))
+      (old, add) => {
+        // rows are stored positionally: a reordered/retyped append
+        // would silently transpose values under the old schema
+        require(sameShape(old.schema, add.schema),
+          s"graft-mem append to '$name': schema ${add.schema.simpleString} " +
+            s"does not match stored ${old.schema.simpleString}")
+        Stored(old.schema, old.rows ++ add.rows)
+      })
   def clear(name: String): Unit = { tables.remove(name); epochs.remove(name) }
   /** Atomic read-modify-write of a table's contents (no-op if absent). */
   def mutate(name: String)(f: Stored => Stored): Unit =

@@ -40,11 +40,14 @@ class SeqTableProvider extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SeqTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    val slices = properties.getOrDefault("slices", "8").toInt
+    require(slices > 0, s"graft-seq: slices must be positive, got $slices")
     new SeqTable(
       properties.getOrDefault("start", "0").toLong,
       properties.getOrDefault("end", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      slices)
+  }
 }
 
 object SeqTable {
@@ -54,6 +57,23 @@ object SeqTable {
     StructField("bucket", LongType, nullable = false)))
 
   def valOf(id: Long): Double = (id * 2654435761L % 1000000L) / 1000.0
+
+  /** ONE slicing rule for batch and streaming reads — the exactly-once
+    * replay contract depends on both paths splitting a range
+    * identically.
+    */
+  def slice(lo: Long, hi: Long, slices: Int): Array[InputPartition] = {
+    require(slices > 0, s"graft-seq: slices must be positive, got $slices")
+    val n = math.max(hi - lo, 0L)
+    if (n == 0L) return Array.empty
+    val k = math.min(slices.toLong, n).toInt
+    val step = n / k
+    (0 until k).map { i =>
+      val a = lo + i * step
+      val b = if (i == k - 1) hi else a + step
+      SeqRangePartition(a, b, i)
+    }.toArray
+  }
 }
 
 class SeqTable(start: Long, end: Long, slices: Int)
@@ -255,17 +275,8 @@ class SeqScan(start: Long, end: Long, slices: Int,
     * range plans fewer partitions — pruning happens before any task
     * exists, not inside one.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(end - start, 0L)
-    if (n == 0L) return Array.empty
-    val k = math.min(slices.toLong, n).toInt
-    val step = n / k
-    (0 until k).map { i =>
-      val lo = start + i * step
-      val hi = if (i == k - 1) end else lo + step
-      SeqRangePartition(lo, hi, i)
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    SeqTable.slice(start, end, slices)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required)
@@ -309,19 +320,9 @@ class SeqMicroBatchStream(start: Long, end: Long, rowsPerBatch: Long,
   override def commit(offset: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  override def planInputPartitions(startO: Offset, endO: Offset): Array[InputPartition] = {
-    val lo = startO.asInstanceOf[SeqOffset].pos
-    val hi = endO.asInstanceOf[SeqOffset].pos
-    val n = math.max(hi - lo, 0L)
-    if (n == 0L) return Array.empty
-    val k = math.min(slices.toLong, n).toInt
-    val step = n / k
-    (0 until k).map { i =>
-      val a = lo + i * step
-      val b = if (i == k - 1) hi else a + step
-      SeqRangePartition(a, b, i)
-    }.toArray
-  }
+  override def planInputPartitions(startO: Offset, endO: Offset): Array[InputPartition] =
+    SeqTable.slice(startO.asInstanceOf[SeqOffset].pos,
+      endO.asInstanceOf[SeqOffset].pos, slices)
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required)
 }

@@ -1383,6 +1383,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Scd.lastWins reduces a multi-change CDC batch before merge2") {
+    // key 1 changes twice in one batch: only the latest survives
+    val batch = Seq((1L, "X", 10L), (1L, "Y", 20L), (2L, "B", 5L))
+      .toDF("key", "attr", "seq")
+    val reduced = operators.Scd.lastWins(batch, "key", "attr", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reduced == Map(1L -> "Y", 2L -> "B"))
+    val dim = Seq((1L, "A", 0L)).toDF("key", "attr", "valid_from")
+    val out = operators.Scd.merge2(dim,
+        operators.Scd.lastWins(batch, "key", "attr", "seq"), 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(4)))
+    // exactly one open row per key — the invariant raw duplicates break
+    assert(out.count(t => t._1 == 1L && t._3) == 1)
+    assert(out.toSet == Set((1L, "A", false), (1L, "Y", true), (2L, "B", true)))
+  }
+
   test("Scd.merge2 treats NULL attributes as values, not as join misses") {
     val dim = Seq((1L, Option.empty[String], 0L), (2L, Some("B"), 0L))
       .toDF("key", "attr", "valid_from")
