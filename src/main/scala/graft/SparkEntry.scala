@@ -1249,6 +1249,26 @@ object SparkEntry {
       operators.Scd.merge2(dim, updates, batchTs = 100L)
     }),
 
+    // incremental JOIN maintenance (the delta rule): with only the
+    // fact side changing, Δ(F ⋈ D) = ΔF ⋈ D — the maintained result
+    // appends the delta's join, never re-joining the base. At 100 TB
+    // only the delta batch scans; the dimension broadcasts into it
+    "p32_incremental_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def joined(o: DataFrame): DataFrame = o
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("p"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("p"))
+      joined(orders.filter(col("o_orderkey") % 7 =!= 0)) // "the base view"
+        .unionByName(joined(orders.filter(col("o_orderkey") % 7 === 0)))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    }),
+
     // materialized-view maintenance: yesterday's rollup absorbs a delta
     // batch by MERGING PARTIAL STATES (count + exact DECIMAL sum are
     // both associative) — the base fact data is never rescanned. The
@@ -3841,6 +3861,14 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
         |  v IS NOT NULL AS observed
         |FROM j""".stripMargin,
+
+    // oracle = the one-shot full join the incremental form maintains
+    "p32_incremental_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // oracle = full recompute; the query merges base+delta partials
     "p24_incremental_agg" ->
