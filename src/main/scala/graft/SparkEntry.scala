@@ -1975,6 +1975,18 @@ object SparkEntry {
         .select(col("left_id").as("click_id"),
           col("right_id").as("purchase_id"), col("k").as("user_id"))),
 
+    // stream-stream interval FULL OUTER join: bounded state AND
+    // complete output on BOTH sides — unconverted clicks and orphan
+    // purchases each surface null-padded when the watermark closes
+    // their window (completes the streaming outer-join matrix)
+    "st11_stream_full_join" -> ((s, dir) =>
+      Streams.runStreamIntervalLeftJoin(s, s"$dir/events.parquet", "ts",
+          "event_type", "user_id", "event_id", "click", "purchase",
+          "1 hour", queryName = "st11_stream_full_join",
+          joinType = "full_outer")
+        .select(col("left_id").as("click_id"),
+          col("right_id").as("purchase_id"), col("k").as("user_id"))),
+
     // streaming exact dedup: watermark-bounded per-key state, append
     // mode; final drained output = the batch DISTINCT (the oracle)
     "st3_stream_dedup" -> ((s, dir) =>
@@ -2975,6 +2987,16 @@ object SparkEntry {
         |  c.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP)
+        |     <= CAST(c.ts AS TIMESTAMP) + INTERVAL '1 hour'""".stripMargin,
+
+    "st11_stream_full_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  coalesce(c.user_id, p.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP)

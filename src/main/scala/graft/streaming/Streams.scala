@@ -303,7 +303,8 @@ object Streams {
                                 keyCol: String, idCol: String,
                                 leftType: String, rightType: String,
                                 within: String,
-                                queryName: String = "graft_ss_ljoin"): DataFrame =
+                                queryName: String = "graft_ss_ljoin",
+                                joinType: String = "left_outer"): DataFrame =
     withStatePartitions(spark) {
     val base = graft.Engine.normalizeEventTime(
         spark.read.parquet(path), timeCol)
@@ -321,8 +322,12 @@ object Streams {
         col("k") === col("rk") &&
         col("rts") >= col("lts") &&
         col("rts") <= col("lts") + expr(s"INTERVAL $within"),
-        "left_outer")
-      .select(col("left_id"), col("right_id"), col("k"))
+        joinType)
+      // coalesce the key across sides: full-outer's unmatched RIGHT
+      // rows carry only rk (k is null) — without the coalesce the
+      // sentinel filter's null predicate would silently drop them
+      .select(col("left_id"), col("right_id"),
+        coalesce(col("k"), col("rk")).as("k"))
     // sentinel ts clears every left row's close condition
     // (wm = sentinel - within > lts + within for all data lts)
     val flushTs = base
