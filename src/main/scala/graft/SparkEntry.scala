@@ -410,6 +410,19 @@ object SparkEntry {
       operators.AsOf.asofJoin(views, purchases, "user_id", "ts", Seq("p_value"))
     }),
 
+    // forward as-of: each view matched to the NEXT purchase at or
+    // after it (pandas merge_asof direction='forward') — same
+    // union+window single-shuffle plan, frame and pick mirrored
+    "q62_asof_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+      operators.AsOf.asofJoin(views, purchases, "user_id", "ts",
+        Seq("p_value"), direction = "forward")
+    }),
+
     // union/variant typing (§1.4): per-row runtime-typed JSON values,
     // union-narrowing cast (NULL on mismatch)
     "q32_variant" -> ((s, dir) =>
@@ -2318,6 +2331,15 @@ object SparkEntry {
         |     (SELECT user_id, ts, max(value) AS p_value FROM events
         |      WHERE event_type = 'purchase' GROUP BY 1, 2) p
         |ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
+
+    "q62_asof_forward" ->
+      """SELECT v.event_id, v.user_id, v.ts, p.p_value AS asof_p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'view') v
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, max(value) AS p_value FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        |ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin,
 
     "q32_variant" ->
       """SELECT event_id,

@@ -33,40 +33,52 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, rightCols: Seq[String],
-               toleranceSeconds: Option[Long] = None): DataFrame = {
+               toleranceSeconds: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val leftCols = left.columns.toSeq
     // The right payload travels as ONE struct so last(ignoreNulls) picks
     // the whole latest right row atomically — filling columns
     // independently could mix fields from different right rows when the
     // latest row holds a NULL in one payload column (round-1 ADVICE).
     // The right event time rides along as __t for the tolerance check.
+    // side ordering makes the equal-timestamp case match in BOTH
+    // directions: backward (right sorts first, window looks back) and
+    // forward (right sorts after, window looks ahead)
+    val rSide = if (fwd) 1 else 0
     val r = right.select(
       col(keyCol), col(timeCol),
       struct((rightCols.map(col) :+ col(timeCol).as("__t")): _*).as("__r"))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rSide))
       .withColumns(leftCols.filterNot(Seq(keyCol, timeCol).contains)
         .map(c => c -> lit(null)).toMap)
     val rStructType = r.schema("__r").dataType
-    // side 0 sorts before side 1 at equal timestamps, so a right row at
-    // exactly leftTime matches (ASOF >= semantics)
     val l = left
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(1 - rSide))
       .withColumn("__r", lit(null).cast(rStructType))
     val ordered = Seq(col("__side"), col("__r")) ++ leftCols.map(col)
     val unioned = l.select(ordered: _*).unionByName(r.select(ordered: _*))
-    val w = Window.partitionBy(col(keyCol))
+    val wBase = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (fwd) (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        first(col("__r"), ignoreNulls = true))
+      else (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        last(col("__r"), ignoreNulls = true))
     val matched = unioned
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .withColumn("__asof", pick.over(w))
+      .filter(col("__side") === (1 - rSide))
     // µs-exact staleness check — whole-second truncation would disagree
     // with a sub-second oracle at the boundary
     val keep = toleranceSeconds match {
       case None => lit(true)
       case Some(tol) =>
-        unix_micros(col(timeCol)) - unix_micros(col("__asof.__t")) <=
-          tol * 1000000L
+        val gap =
+          if (fwd) unix_micros(col("__asof.__t")) - unix_micros(col(timeCol))
+          else unix_micros(col(timeCol)) - unix_micros(col("__asof.__t"))
+        gap <= tol * 1000000L
     }
     matched.select((leftCols.map(col) ++
       rightCols.map(c =>
