@@ -558,6 +558,18 @@ object SparkEntry {
         .filter(col("edit_dist") >= 0 && col("edit_dist") <= 100)
     }),
 
+    // curriculum construction: order the corpus easiest-first by
+    // quality score with the DISTRIBUTED global rank (range partition
+    // + per-partition offsets — no single-task window), the training
+    // order a curriculum-learning schedule feeds the data loader
+    "p33_curriculum" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      val (ranked, _) = operators.Ranking.globalRowNumber(
+        scored, Seq(col("q").desc, col("doc_id")), "curriculum_pos")
+      ranked.select(col("doc_id"), col("q"), col("curriculum_pos"))
+    }),
+
     // lakehouse maintenance: small-file compaction planning (OPTIMIZE
     // bin-packing) over a simulated file listing — per-partition
     // cumsum cut at the target size; plans 100 TB of files by
@@ -2529,6 +2541,32 @@ object SparkEntry {
         |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
         |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM final GROUP BY comp""".stripMargin,
+
+    // t2's quality expression + a plain global ROW_NUMBER
+    "p33_curriculum" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |derived AS (
+         |  SELECT doc_id, text, punct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(list_transform(string_split_regex(trim(lower(text)), '\\s+'), x -> x),
+         |                t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS DOUBLE)
+         |              / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+         |  FROM base),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+         |      + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.25
+         |      + least(stopword_ratio * 5.0, 1.0) * 0.25, 6) AS q
+         |  FROM derived)
+         |SELECT doc_id, q,
+         |  row_number() OVER (ORDER BY q DESC, doc_id) AS curriculum_pos
+         |FROM q""".stripMargin,
 
     "p31_compaction_plan" ->
       """WITH listing AS (
