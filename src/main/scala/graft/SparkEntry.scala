@@ -558,6 +558,15 @@ object SparkEntry {
         .filter(col("edit_dist") >= 0 && col("edit_dist") <= 100)
     }),
 
+    // sequence-length distribution for packing/batching plans: log2
+    // buckets computed INTEGER-exactly as length(bin(x)) - 1 (no
+    // float log at bucket boundaries), one map-side-combined aggregate
+    "p34_length_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select((length(bin(col("n_chars"))) - 1).cast(LongType)
+          .as("log2_bucket"))
+        .groupBy("log2_bucket").agg(count(lit(1)).as("n_docs"))),
+
     // curriculum construction: order the corpus easiest-first by
     // quality score with the DISTRIBUTED global rank (range partition
     // + per-partition offsets — no single-task window), the training
@@ -2541,6 +2550,11 @@ object SparkEntry {
         |final AS (SELECT id, MIN(comp) AS comp FROM lbl GROUP BY id)
         |SELECT comp AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |FROM final GROUP BY comp""".stripMargin,
+
+    "p34_length_histogram" ->
+      """SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+        |       COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // t2's quality expression + a plain global ROW_NUMBER
     "p33_curriculum" ->
