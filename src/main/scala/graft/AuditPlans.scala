@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan-hygiene audit: builds the physical plan of every SparkEntry
   * query and flags scale hazards — CartesianProduct /
@@ -32,6 +33,18 @@ object AuditPlans {
       ("eval side is MB-scale by definition (the d8 asymmetry in embedding " +
         "space): broadcast eval matrix over one corpus scan IS the scale path"))
 
+  /** True when `p`'s output is bounded by a limit: some node in the
+    * subtree is a limit/top-k (TakeOrderedAndProject, CollectLimit,
+    * Global/LocalLimit), so downstream single-task shapes (e.g. an
+    * unpartitioned window) see a constant-size input regardless of the
+    * corpus size.
+    */
+  private[graft] def boundedByLimit(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case l if l.nodeName.contains("Limit") ||
+        l.nodeName.contains("TakeOrdered") => l
+    }.isDefined
+
   /** True when `p` provably emits ≤1 row: a global (no-grouping-key)
     * aggregate, possibly wrapped in row-preserving unary nodes
     * (project/filter/exchange/codegen). Generate/Expand nodes stop the
@@ -45,6 +58,19 @@ object AuditPlans {
     case _ => false
   }
 
+  /** Scale hazards in a physical plan: all-pairs joins whose build side
+    * is not provably ≤1 row, and unpartitioned windows (single-task
+    * global sort — the documented WindowExec warning) over input not
+    * bounded by a limit. Shared by the main gate and its spec.
+    */
+  private[graft] def hazards(plan: SparkPlan): Seq[String] = plan.collect {
+    case j if (j.nodeName.contains("CartesianProduct") ||
+        j.nodeName.contains("BroadcastNestedLoopJoin")) &&
+        !j.children.exists(boundedOneRow) => j.nodeName
+    case w: WindowExec if w.partitionSpec.isEmpty &&
+        !boundedByLimit(w.child) => "UnpartitionedWindow"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = Engine.session("local[8]", 8)
@@ -55,11 +81,7 @@ object AuditPlans {
         try {
           val plan = SparkEntry.queries(name)(spark, sfDir)
             .queryExecution.sparkPlan
-          val allPairs = plan.collect {
-            case j if (j.nodeName.contains("CartesianProduct") ||
-                j.nodeName.contains("BroadcastNestedLoopJoin")) &&
-                !j.children.exists(boundedOneRow) => j.nodeName
-          }
+          val allPairs = hazards(plan)
           if (allPairs.isEmpty) "ok"
           else allowed.get(name) match {
             case Some(why) => s"ALLOWED ${allPairs.mkString(",")} ($why)"

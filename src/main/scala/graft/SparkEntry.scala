@@ -1638,16 +1638,33 @@ object SparkEntry {
     }),
 
     // ranking functions: spend quartiles + percent_rank over per-user
-    // totals (window input is user-cardinality, not the corpus)
+    // totals. User cardinality grows with the corpus, so even this
+    // pre-aggregated input must NOT go through a global (empty
+    // partitionBy) window — that is a single-task sort. Instead rank
+    // distributed via Ranking.globalRowNumber and derive ntile /
+    // percent_rank arithmetically from (rn, N): SQL-standard ntile(4)
+    // gives the first N mod 4 buckets ceil(N/4) rows and the rest
+    // floor(N/4); percent_rank = (rn-1)/(N-1). Ties cannot occur
+    // (user_id is a unique tiebreak), so rank == row_number here.
     "q44_ranking" -> ((s, dir) => {
       val totals = t(s, dir, "events").groupBy("user_id")
         .agg(sum(round(col("value"), 2).cast(DecimalType(18, 2)))
           .cast("double").as("total"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("total").desc, col("user_id"))
-      totals.select(col("user_id"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"))
+      val (ranked, n) = operators.Ranking.globalRowNumber(
+        totals, Seq(col("total").desc, col("user_id")), "rn")
+      val base = n / 4
+      val rem = n % 4
+      val cut = rem * (base + 1) // rows in the (base+1)-sized buckets
+      val quartile =
+        when(col("rn") <= cut,
+          floor((col("rn") - 1) / (base + 1)).cast("long") + 1L)
+        .otherwise(
+          floor((col("rn") - 1 - cut) / math.max(base, 1L)).cast("long")
+            + rem + 1L)
+      ranked.select(col("user_id"),
+        quartile.as("quartile"),
+        round((col("rn") - 1).cast("double")
+          / math.max(n - 1L, 1L).toDouble, 6).as("pct_rank"))
     }),
 
     // GLOBAL ranking without the single-task global window: range

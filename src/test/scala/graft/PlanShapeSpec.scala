@@ -29,6 +29,34 @@ class PlanShapeSpec extends SparkSpec {
       .r.findFirstIn(formatted).isDefined, formatted)
   }
 
+  test("AuditPlans.hazards flags an unpartitioned window, passes partitioned and limit-bounded forms") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(100).select(col("id"), (col("id") % 7).as("k"))
+    // sparkPlan (pre-AQE), matching the AuditPlans gate: AQE's
+    // AdaptiveSparkPlanExec hides the inner tree from collect()
+    def hz(d: org.apache.spark.sql.DataFrame) =
+      AuditPlans.hazards(d.queryExecution.sparkPlan)
+    // global window over unbounded input: the single-task scale killer
+    val bad = df.select(col("id"),
+      row_number().over(Window.orderBy("id")).as("rn"))
+    assert(hz(bad).contains("UnpartitionedWindow"), bad.queryExecution)
+    // partitioned window: fine
+    val part = df.select(col("id"),
+      row_number().over(Window.partitionBy("k").orderBy("id")).as("rn"))
+    assert(hz(part).isEmpty, part.queryExecution)
+    // global window over a top-k'd (limit-bounded) input: fine
+    val bounded = df.orderBy(col("id").desc).limit(10).select(col("id"),
+      row_number().over(Window.orderBy("id")).as("rn"))
+    assert(hz(bounded).isEmpty, bounded.queryExecution)
+  }
+
+  test("q44_ranking plans with no WindowExec at all (distributed ranking path)") {
+    val p = planOf("q44_ranking")
+    assert(!p.contains("Window"), p)
+    assert(AuditPlans.hazards(
+      SparkEntry.queries("q44_ranking")(spark, sf).queryExecution.sparkPlan).isEmpty)
+  }
+
   test("q5_join5: every dimension join broadcasts; the fact side never shuffles for a join") {
     val p = planOf("q5_join5")
     assert(p.contains("BroadcastHashJoin"), p)
