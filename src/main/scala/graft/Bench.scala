@@ -80,6 +80,23 @@ object Bench {
     val samples = Vector.fill(5)(csvFlagship()).sorted
     val csvSec = samples(samples.length / 2)
     val csvRps = liRows / csvSec
+    // Regression guard (VERDICT r5 task 3): the flagship must stay
+    // well above the reference's 1.0M rows/s. Gate on the MIN sample,
+    // not the median — PLANS.md §flagship-drift: this host's medians
+    // swing 0.15-0.36 s run-to-run under identical config (scheduler /
+    // cpufreq jitter), while the min is reproducible within ±10%. A
+    // true code regression (slower parse path, lost parallelism) moves
+    // the min; ambient load cannot. Threshold = 2M rows/s at sf0.1
+    // (2× baseline); override via SPARK_GRAFT_FLAGSHIP_MIN_RPS, 0
+    // disables.
+    val gateRps = sys.env.get("SPARK_GRAFT_FLAGSHIP_MIN_RPS")
+      .map(_.toDouble).getOrElse(2e6)
+    val bestRps = liRows / samples.head
+    val gateFailed = sfDir.endsWith("sf0.1") && gateRps > 0 && bestRps < gateRps
+    if (gateFailed) System.err.println(
+      f"[bench] FLAGSHIP REGRESSION: best sample ${samples.head}%.3f s = " +
+      f"$bestRps%.0f rows/s < $gateRps%.0f rows/s gate " +
+      f"(samples: ${samples.map(s => f"$s%.3f").mkString(", ")})")
 
     // SPARK_GRAFT_ONLY=q1_agg,t1_langid_tokens limits the run while
     // iterating on one operator; unset = full suite (driver mode).
@@ -151,10 +168,12 @@ object Bench {
     val json = s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
       s""""queries":$qs,"q_relational_total":${short(qRelTotal)},""" +
       s""""flagship_csv_rows_per_sec":${csvRps.toLong},""" +
+      s""""flagship_best_rows_per_sec":${bestRps.toLong},""" +
       s""""sf":$sfNum,"full":"BENCH_LOCAL.json"}"""
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""flagship_csv_groupby_sec":$csvSec,"flagship_csv_rows_per_sec":$csvRps,""" +
       s""""flagship_samples_sec":${samples.mkString("[", ",", "]")},""" +
+      s""""flagship_best_rows_per_sec":$bestRps,""" +
       s""""baseline_octosql_rows_per_sec":1.0E6,"sf":"$sfDir"}"""
     // full-precision record to a file: stdout goes through sbt's logger
     // in some launch modes, and the driver's tail capture is bounded
@@ -162,5 +181,8 @@ object Bench {
       (jsonFull + "\n").getBytes("UTF-8"))
     spark.stop() // before the JSON line: shutdown logging must not follow it
     println(json)
+    // loud exit AFTER the JSON line so the driver's capture still gets
+    // the metrics; rc=1 flags the regression for the round record
+    if (gateFailed) sys.exit(1)
   }
 }
