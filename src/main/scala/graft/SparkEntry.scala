@@ -1181,15 +1181,19 @@ object SparkEntry {
     "t10_freq_spectrum" -> ((s, dir) =>
       TextAnalysis.freqSpectrum(t(s, dir, "documents"))),
 
-    // distributed BPE merge learning (tokenizer prep): 5 merges over
-    // the corpus word-frequency table, 1-row argmax per round
+    // distributed BPE merge learning (tokenizer prep), BATCHED: 14
+    // rounds x top-16 window of symbol-disjoint merges per round (~70
+    // effective merges at sf0.1) — the driver-serial depth is rounds,
+    // not merges: a 30k-merge vocab is ~2k serial jobs instead of 30k
     "t9_bpe" -> ((s, dir) =>
-      TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 5)),
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 14,
+        window = 16)),
 
     // BPE tokenizer APPLICATION: per-doc token counts under the learned
     // merges — word-level memoization (encode the vocab, join the docs)
     "t12_bpe_encode" -> ((s, dir) =>
-      TextAnalysis.bpeEncode(t(s, dir, "documents"), rounds = 5)),
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), rounds = 3,
+        window = 8)),
 
     // per-doc n-gram novelty: fraction of a doc's distinct 3-gram
     // shingles appearing in no other doc (inverted index, no all-pairs)
@@ -3353,9 +3357,9 @@ object SparkEntry {
          |  CAST(floor((cum - n_chars) / 2000) AS BIGINT) AS shard
          |FROM c""".stripMargin,
 
-    "t9_bpe" -> bpeSql(rounds = 5),
+    "t9_bpe" -> bpeSql(rounds = 14, window = 16),
 
-    "t12_bpe_encode" -> bpeEncodeSql(rounds = 5),
+    "t12_bpe_encode" -> bpeEncodeSql(rounds = 3, window = 8),
 
     "t7_novelty" ->
       """WITH toks AS (
@@ -4178,9 +4182,25 @@ object SparkEntry {
     * at segmentation table `s<rounds>` (with per-round winners in
     * `b1..b<rounds>`).
     */
-  private def bpeCtes(rounds: Int): String = {
+  /** DuckDB replica of [[TextAnalysis.bpeTrain]]'s batched rule.
+    * Per round: bigram-count the current segmentation, window the top
+    * `window` pairs by (count desc, pair), KEEP a candidate iff its two
+    * symbols appear in no better-ranked candidate (a per-row NOT
+    * EXISTS — the same rule the Scala side applies, chosen over greedy
+    * filtering exactly so both engines can express it without a
+    * sequential fold), then apply all kept merges as an unrolled
+    * replace chain. A missing krk slot replaces the 5-space sentinel
+    * (symbols are non-empty and space-free, so a padded segmentation
+    * never contains 3+ consecutive spaces) — a no-op.
+    */
+  private def bpeCtes(rounds: Int, window: Int): String = {
     def round(i: Int): String = {
       val prev = s"s${i - 1}"
+      val applied = (1 to window).foldLeft("' ' || seg || ' '") { (acc, k) =>
+        s"""replace($acc,
+           |      coalesce((SELECT ' ' || pair || ' ' FROM b$i WHERE krk = $k), '     '),
+           |      coalesce((SELECT ' ' || merged || ' ' FROM b$i WHERE krk = $k), ''))""".stripMargin
+      }
       s"""p$i AS (
          |  SELECT pair, SUM(f) AS c FROM (
          |    SELECT f, unnest(list_transform(range(1, len(sy)),
@@ -4188,35 +4208,43 @@ object SparkEntry {
          |    FROM (SELECT f, string_split(seg, '  ') AS sy FROM $prev)
          |    WHERE len(sy) >= 2)
          |  GROUP BY 1),
-         |b$i AS (
-         |  SELECT $i AS round, replace(pair, '  ', '') AS merged, pair, c
-         |  FROM p$i ORDER BY c DESC, pair LIMIT 1),
-         |s$i AS (
-         |  SELECT w, f,
-         |    trim(replace(' ' || seg || ' ',
-         |      ' ' || (SELECT pair FROM b$i) || ' ',
-         |      ' ' || (SELECT merged FROM b$i) || ' ')) AS seg
+         |k$i AS MATERIALIZED (
+         |  SELECT pair, c, replace(pair, '  ', '') AS merged,
+         |    string_split(pair, '  ')[1] AS a, string_split(pair, '  ')[2] AS b,
+         |    row_number() OVER (ORDER BY c DESC, pair) AS rk
+         |  FROM p$i ORDER BY c DESC, pair LIMIT $window),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS batch, pair, c, merged,
+         |    row_number() OVER (ORDER BY rk) AS krk
+         |  FROM k$i k1
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM k$i k2 WHERE k2.rk < k1.rk
+         |      AND (k2.a IN (k1.a, k1.b) OR k2.b IN (k1.a, k1.b)))),
+         |s$i AS MATERIALIZED (
+         |  SELECT w, f, trim($applied) AS seg
          |  FROM $prev)""".stripMargin
     }
-    s"""WITH w AS (
+    s"""WITH w AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
        |    FROM documents)
        |  GROUP BY 1),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT w, f, array_to_string(string_split(w, ''), '  ') AS seg
        |  FROM w),
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
-  private def bpeSql(rounds: Int): String =
-    s"""${bpeCtes(rounds)}
-       |${(1 to rounds)
-        .map(i => s"SELECT CAST(round AS BIGINT) AS round, merged, CAST(c AS BIGINT) AS pair_count FROM b$i")
-        .mkString("\nUNION ALL\n")}""".stripMargin
+  private def bpeSql(rounds: Int, window: Int): String =
+    s"""${bpeCtes(rounds, window)}
+       |SELECT CAST(row_number() OVER (ORDER BY batch, krk) AS BIGINT) AS round,
+       |  merged, CAST(c AS BIGINT) AS pair_count
+       |FROM (${(1 to rounds)
+        .map(i => s"SELECT batch, krk, merged, c FROM b$i")
+        .mkString("\nUNION ALL\n")})""".stripMargin
 
-  private def bpeEncodeSql(rounds: Int): String =
-    s"""${bpeCtes(rounds)},
+  private def bpeEncodeSql(rounds: Int, window: Int): String =
+    s"""${bpeCtes(rounds, window)},
        |enc AS (
        |  SELECT w, len(string_split(seg, '  ')) AS n_tok FROM s$rounds),
        |dw AS (

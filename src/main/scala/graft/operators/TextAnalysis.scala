@@ -494,9 +494,9 @@ object TextAnalysis {
     * diverge on runs.
     */
   def bpeMerges(docs: DataFrame, rounds: Int,
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text", window: Int = 1): DataFrame = {
     val spark = docs.sparkSession
-    val (segs, out) = bpeTrain(docs, rounds, textCol)
+    val (segs, out) = bpeTrain(docs, rounds, textCol, window)
     segs.unpersist()
     import spark.implicits._
     out.toDF("round", "merged", "pair_count")
@@ -519,8 +519,8 @@ object TextAnalysis {
     * smaller than the corpus.
     */
   def bpeEncode(docs: DataFrame, rounds: Int, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val (segs, _) = bpeTrain(docs, rounds, textCol)
+                textCol: String = "text", window: Int = 1): DataFrame = {
+    val (segs, _) = bpeTrain(docs, rounds, textCol, window)
     val enc = segs.select(col("w"),
       size(split(col("seg"), "  ")).cast("long").as("n_tok"))
     docs.select(col(idCol).as("doc_id"),
@@ -532,11 +532,28 @@ object TextAnalysis {
 
   /** Shared BPE training loop: returns the final word segmentation
     * table `(w, f, seg)` (caller owns the unpersist) and the learned
-    * merges `(round, merged, pair_count)`.
+    * merges `(round, merged, pair_count)` where `round` is the GLOBAL
+    * 1-based merge sequence number.
+    *
+    * `window` > 1 enables BATCHED merge learning (VERDICT r5 task 4 —
+    * classic BPE's one-merge-per-global-argmax makes the driver-serial
+    * depth equal the vocab size; 30k merges = 30k serial Spark jobs).
+    * Per round, ONE distributed bigram count brings the top-`window`
+    * pairs (by count desc, pair asc) to the driver; a candidate is
+    * KEPT iff neither of its symbols appears in any better-ranked
+    * candidate of the window. Kept merges are therefore pairwise
+    * symbol-disjoint — their replaces commute, so applying the whole
+    * batch in one chained-replace pass equals applying them one at a
+    * time. Counts are from the start-of-round segmentation (the
+    * standard batched-BPE approximation); the rule is deterministic,
+    * so the SQL oracle replays it exactly. `window = 1` degenerates to
+    * classic one-merge-per-round BPE.
     */
-  private def bpeTrain(docs: DataFrame, rounds: Int, textCol: String)
+  private def bpeTrain(docs: DataFrame, rounds: Int, textCol: String,
+                       window: Int = 1)
       : (DataFrame, Seq[(Long, String, Long)]) = {
     require(rounds > 0, s"rounds must be positive: $rounds")
+    require(window > 0, s"window must be positive: $window")
     val words = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -544,34 +561,51 @@ object TextAnalysis {
       .select(col("w"), col("f"), concat_ws("  ", split(col("w"), "")).as("seg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-    for (r <- 1 to rounds) {
+    var seq = 0L
+    for (_ <- 1 to rounds) {
       // bind the symbol array before indexing (element_at on the raw
       // split() re-runs the split per pair element — O(symbols²)/word)
       val sy = col("__sy")
-      val best = segs
+      val top = segs
         .select(col("f"), split(col("seg"), "  ").as("__sy"))
         .filter(size(sy) >= 2)
         .select(col("f"), explode(transform(sequence(lit(1), size(sy) - 1),
           j => concat(element_at(sy, j), lit("  "), element_at(sy, j + 1))))
           .as("pair"))
         .groupBy("pair").agg(sum("f").as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1)
+        .orderBy(col("c").desc, col("pair")).limit(window)
         .collect()
-      if (best.nonEmpty) {
-        val pair = best(0).getString(0)
-        val merged = pair.replace("  ", "")
-        out += ((r.toLong, merged, best(0).getLong(1)))
+        .map(r => (r.getString(0), r.getLong(1)))
+      // keep a candidate iff its symbols are disjoint from EVERY
+      // better-ranked candidate in the window (not just the kept ones:
+      // that makes the rule a per-row NOT EXISTS — expressible in the
+      // DuckDB oracle without a sequential fold)
+      def syms(pair: String): Set[String] = {
+        val i = pair.indexOf("  ")
+        Set(pair.substring(0, i), pair.substring(i + 2))
+      }
+      val kept = top.zipWithIndex.filter { case ((pair, _), i) =>
+        val s = syms(pair)
+        !top.take(i).exists { case (better, _) => (syms(better) & s).nonEmpty }
+      }.map(_._1)
+      if (kept.nonEmpty) {
+        kept.foreach { case (pair, c) =>
+          seq += 1; out += ((seq, pair.replace("  ", ""), c))
+        }
         // eager localCheckpoint, not persist: materializes the new
         // segmentation NOW (while the previous round's data is still
         // available) and truncates lineage, so no round ever replays
         // earlier rounds' replaces. The old persist-then-unpersist order
         // dropped the previous cache before the lazy successor was ever
         // materialized — every round recomputed the whole chain from
-        // the word table (O(rounds²) replace work).
-        val next = segs.select(col("w"), col("f"),
-          trim(call_function("replace",
-            concat(lit(" "), col("seg"), lit(" ")),
-            lit(s" $pair "), lit(s" $merged "))).as("seg"))
+        // the word table (O(rounds²) replace work). The whole batch is
+        // ONE chained-replace projection (kept merges commute).
+        val applied = kept.foldLeft(
+          concat(lit(" "), col("seg"), lit(" "))) { case (acc, (pair, _)) =>
+            call_function("replace", acc,
+              lit(s" $pair "), lit(s" ${pair.replace("  ", "")} "))
+        }
+        val next = segs.select(col("w"), col("f"), trim(applied).as("seg"))
           .localCheckpoint(true)
         segs.unpersist()
         segs = next

@@ -676,6 +676,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> ((3L, 5L)), 2L -> ((1L, 1L))))
   }
 
+  test("bpeMerges batched: disjoint pairs merge in one round, shared-symbol pairs blocked") {
+    import spark.implicits._
+    // word freqs: "ab"x3, "cd"x2 -> pairs (a b)=3, (c d)=2: symbol-
+    // disjoint, BOTH merge in round 1 with global seq 1, 2
+    val disjoint = Seq((1L, "ab ab ab cd cd")).toDF("doc_id", "text")
+    val out1 = TextAnalysis.bpeMerges(disjoint, rounds = 1, window = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out1.toSeq == Seq((1L, "ab", 3L), (2L, "cd", 2L)))
+    // "ab"x3, "bc"x2, "cd"x2 -> candidates ranked (a b)=3, (b c)=2,
+    // (c d)=2. (b c) shares b with the better-ranked (a b) -> blocked;
+    // (c d) shares c with the better-ranked CANDIDATE (b c) -> blocked
+    // too (the rule checks all better-ranked candidates, kept or not,
+    // so it is a per-row NOT EXISTS both engines express identically)
+    val blocked = Seq((1L, "ab ab ab bc bc cd cd")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.bpeMerges(blocked, rounds = 1, window = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out2.toSeq == Seq((1L, "ab", 3L)))
+    // window=1 degenerates to classic serial BPE: same corpus, 2
+    // rounds -> (a b) then (b c) ("bc" freq unchanged; "c d" now ties
+    // but 'b  c' sorts first)
+    val serial = TextAnalysis.bpeMerges(blocked, rounds = 2, window = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(serial.toSeq == Seq((1L, "ab"), (2L, "bc")))
+  }
+
   test("Decontaminate: empty benchmark yields all-zero contamination") {
     val docs = Engine.table(spark, sf, "documents")
     val out = graft.operators.Decontaminate.scores(
