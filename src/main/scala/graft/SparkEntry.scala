@@ -1929,6 +1929,53 @@ object SparkEntry {
         .toDF("doc_id", "width", "height", "bit_depth", "color_type")
     }),
 
+    // ISO-BMFF (MP4) header-only metadata: real box walk (ftyp brand,
+    // mvhd timescale/duration, tkhd dimensions; unknown boxes skipped)
+    // over synthesized containers — the compressed-video audit path
+    // that needs no codec because the container layer is pure bytes
+    "m9_mp4_header" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val timescale = 1000L * (id % 3 + 1)
+            val duration = id % 5000 + 1000
+            val w = (id % 320 + 64).toInt
+            val h = (id % 240 + 48).toInt
+            val m = Multimodal.mp4Header(
+              Multimodal.encodeMp4(timescale, duration, w, h)).get
+            (id, m.brand, m.timescale, m.duration,
+              m.duration * 1000 / m.timescale, m.width.toLong,
+              m.height.toLong, m.nTopBoxes.toLong)
+          }
+        }
+        .toDF("doc_id", "brand", "timescale", "duration", "duration_ms",
+          "width", "height", "n_top_boxes")
+    }),
+
+    // MP3 frame-header scan: walk MPEG-1 Layer III frames (4-byte
+    // header fully determines frame length), skipping a leading ID3v2
+    // tag — duration/bitrate metadata without decoding a single sample
+    "m10_mp3_scan" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          val bitrates = Array(128, 160, 192, 224, 256)
+          val rates = Array(44100, 48000, 32000)
+          it.map { id =>
+            val br = bitrates((id % 5).toInt)
+            val sr = rates((id % 3).toInt)
+            val nFrames = (id % 30 + 5).toInt
+            val m = Multimodal.mp3Scan(Multimodal.encodeMp3(
+              br, sr, nFrames, id3Bytes = (id % 50).toInt)).get
+            (id, m.nFrames.toLong, m.bitrateKbps.toLong,
+              m.sampleRate.toLong, m.totalSamples * 1000 / m.sampleRate)
+          }
+        }
+        .toDF("doc_id", "n_frames", "bitrate_kbps", "sample_rate",
+          "duration_ms")
+    }),
+
     // audio feature extraction through the real codec: decode the PCM
     // samples back out of the WAV container and emit per-frame
     // absolute-energy rows (50-sample frames, integer-exact sums) —
@@ -2695,6 +2742,31 @@ object SparkEntry {
         |  CAST(c AS DOUBLE) / CAST(za.n_sh AS DOUBLE) AS containment
         |FROM common JOIN sz za ON za.doc_id = id_a
         |WHERE CAST(c AS DOUBLE) / CAST(za.n_sh AS DOUBLE) >= 0.9""".stripMargin,
+
+    // fixture parameters replayed arithmetically; integer division
+    // (//) replays the Long division in the Scala side exactly
+    "m9_mp4_header" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  CAST(1000 * (doc_id % 3 + 1) AS BIGINT) AS timescale,
+        |  CAST(doc_id % 5000 + 1000 AS BIGINT) AS duration,
+        |  CAST((doc_id % 5000 + 1000) * 1000
+        |       // (1000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 320 + 64 AS BIGINT) AS width,
+        |  CAST(doc_id % 240 + 48 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_top_boxes
+        |FROM documents""".stripMargin,
+
+    "m10_mp3_scan" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 30 + 5 AS BIGINT) AS n_frames,
+        |  CAST(([128,160,192,224,256])[CAST(doc_id % 5 AS INT) + 1]
+        |       AS BIGINT) AS bitrate_kbps,
+        |  CAST(([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1]
+        |       AS BIGINT) AS sample_rate,
+        |  CAST((doc_id % 30 + 5) * 1152 * 1000
+        |       // ([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1]
+        |       AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     // encoder fixture: TYPE_INT_RGB -> 8-bit truecolor (type 2)
     "m7_png_header" ->

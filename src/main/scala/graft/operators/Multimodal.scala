@@ -431,4 +431,212 @@ object Multimodal {
         col("media").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
           .as("frame_bytes"))
   }
+
+  // ---- ISO-BMFF (MP4) header-only metadata -------------------------
+
+  /** MP4 container metadata from a header-only box walk: no sample
+    * data is read, matching [[pngHeader]]'s audit discipline. `width`/
+    * `height` are the tkhd 16.16 fixed-point values shifted down.
+    */
+  case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+                     width: Int, height: Int, nTopBoxes: Int)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Walk the boxes in `bytes[from, to)`, returning `(type, payloadFrom,
+    * payloadTo)` per box. Handles 64-bit `largesize` (size == 1) and
+    * to-end-of-file boxes (size == 0); bails on malformed sizes.
+    */
+  private def walkBoxes(bytes: Array[Byte], from: Int, to: Int)
+      : Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = from
+    while (o + 8 <= to) {
+      val size32 = be32(bytes, o)
+      val typ = fourcc(bytes, o + 4)
+      val (payload, end) =
+        if (size32 == 1 && o + 16 <= to) (o + 16, o + be64(bytes, o + 8))
+        else if (size32 == 0) (o + 8, to.toLong) // box extends to EOF
+        else (o + 8, o + size32)
+      if (end < payload || end > to) return out.result() // malformed: stop
+      out += ((typ, payload, end.toInt))
+      o = end.toInt
+    }
+    out.result()
+  }
+
+  /** Header-only ISO-BMFF metadata scan: ftyp major brand, mvhd
+    * timescale/duration, first tkhd width/height — from the box tree
+    * alone, skipping unknown boxes (free/skip/mdat never read). `None`
+    * when the payload is not a BMFF container (no ftyp-led box walk).
+    * Pure byte arithmetic — no codec, like the WAV path: the container
+    * layer of MP4 is a fully-specified byte format even though the
+    * codec payloads (H.264/AAC) need libraries the JDK lacks.
+    */
+  def mp4Header(bytes: Array[Byte]): Option[Mp4Meta] = {
+    val top = walkBoxes(bytes, 0, bytes.length)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val brand = fourcc(bytes, top.head._2)
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val inMoov = walkBoxes(bytes, moov._2, moov._3)
+    val (ts, dur) = inMoov.find(_._1 == "mvhd") match {
+      case Some((_, p, _)) =>
+        val version = bytes(p) & 0xFF
+        if (version == 1) (be32(bytes, p + 20), be64(bytes, p + 24))
+        else (be32(bytes, p + 12), be32(bytes, p + 16))
+      case None => return None
+    }
+    val wh = inMoov.find(_._1 == "trak").flatMap { case (_, p, e) =>
+      walkBoxes(bytes, p, e).find(_._1 == "tkhd").map { case (_, tp, _) =>
+        val version = bytes(tp) & 0xFF
+        val base = if (version == 1) tp + 88 else tp + 76
+        ((be32(bytes, base) >> 16).toInt, (be32(bytes, base + 4) >> 16).toInt)
+      }
+    }.getOrElse((0, 0))
+    Some(Mp4Meta(brand, ts, dur, wh._1, wh._2, top.size))
+  }
+
+  /** Minimal ISO-BMFF writer for fixtures and tests: ftyp + free +
+    * moov(mvhd + trak(tkhd)). The `free` box between ftyp and moov
+    * exercises unknown-box skipping in [[mp4Header]].
+    */
+  def encodeMp4(timescale: Long, duration: Long,
+                width: Int, height: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      bb.array()
+    })
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0)                       // version 0 + flags
+      bb.putInt(0).putInt(0)             // creation, modification
+      bb.putInt(timescale.toInt).putInt(duration.toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+      bb.position(bb.position() + 10)    // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)              // unity matrix
+      bb.position(bb.position() + 24)    // pre_defined
+      bb.putInt(2)                       // next_track_ID
+      bb.array()
+    })
+    val tkhd = box("tkhd", {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(7)                       // version 0 + flags (enabled)
+      bb.putInt(0).putInt(0)             // creation, modification
+      bb.putInt(1).putInt(0)             // track_ID, reserved
+      bb.putInt(duration.toInt)
+      bb.position(bb.position() + 8)     // reserved
+      bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/res
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)
+      bb.putInt(width << 16).putInt(height << 16)
+      bb.array()
+    })
+    val free = box("free", new Array[Byte](12))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ free ++ moov
+  }
+
+  // ---- MP3 frame-header scan ---------------------------------------
+
+  /** MP3 stream metadata from frame headers only (MPEG-1 Layer III):
+    * frame count, first-frame bitrate/sample-rate, total samples
+    * (1152/frame). No audio decode — the 4-byte header per frame fully
+    * determines the frame length, so the scan is a pointer walk.
+    */
+  case class Mp3Meta(nFrames: Int, bitrateKbps: Int, sampleRate: Int,
+                     totalSamples: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1-14; 0 = free, 15 =
+    * invalid. Sample rates index 0-2. Public constants from the
+    * MPEG-1 audio spec (ISO/IEC 11172-3).
+    */
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3SampleRates = Array(44100, 48000, 32000, -1)
+
+  /** Frame-header walk: skips a leading ID3v2 tag (syncsafe size),
+    * then counts MPEG-1 Layer III frames until the bytes stop syncing.
+    * `None` if no valid first frame is found.
+    */
+  def mp3Scan(bytes: Array[Byte]): Option[Mp3Meta] = {
+    var o = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), then size bytes
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      o = 10 + sz
+    }
+    var nFrames = 0
+    var firstBitrate = 0
+    var firstRate = 0
+    var done = false
+    while (!done && o + 4 <= bytes.length) {
+      val b1 = bytes(o) & 0xFF; val b2 = bytes(o + 1) & 0xFF
+      val b3 = bytes(o + 2) & 0xFF
+      val sync = b1 == 0xFF && (b2 & 0xE0) == 0xE0
+      val mpeg1 = ((b2 >> 3) & 3) == 3
+      val layer3 = ((b2 >> 1) & 3) == 1
+      val br = Mp3Bitrates((b3 >> 4) & 15)
+      val sr = Mp3SampleRates((b3 >> 2) & 3)
+      if (!(sync && mpeg1 && layer3 && br > 0 && sr > 0)) done = true
+      else {
+        val padding = (b3 >> 1) & 1
+        val frameLen = 144000 * br / sr + padding
+        if (o + frameLen > bytes.length) done = true
+        else {
+          if (nFrames == 0) { firstBitrate = br; firstRate = sr }
+          nFrames += 1
+          o += frameLen
+        }
+      }
+    }
+    if (nFrames == 0) None
+    else Some(Mp3Meta(nFrames, firstBitrate, firstRate, nFrames * 1152L))
+  }
+
+  /** Fixture writer: `nFrames` valid MPEG-1 Layer III frame headers
+    * with zeroed payloads, optionally behind an ID3v2 tag of
+    * `id3Bytes` — enough container structure to exercise every branch
+    * of [[mp3Scan]] without a codec.
+    */
+  def encodeMp3(bitrateKbps: Int, sampleRate: Int, nFrames: Int,
+                id3Bytes: Int = 0): Array[Byte] = {
+    val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
+    val srIdx = Mp3SampleRates.indexOf(sampleRate)
+    require(brIdx > 0 && srIdx >= 0 && srIdx < 3,
+      s"unsupported MPEG-1 L3 params: $bitrateKbps kbps / $sampleRate Hz")
+    val frameLen = 144000 * bitrateKbps / sampleRate // no padding bit
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write(Array[Byte](((id3Bytes >> 21) & 0x7F).toByte,
+        ((id3Bytes >> 14) & 0x7F).toByte, ((id3Bytes >> 7) & 0x7F).toByte,
+        (id3Bytes & 0x7F).toByte))
+      out.write(new Array[Byte](id3Bytes))
+    }
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xFF.toByte
+    frame(1) = 0xFB.toByte // MPEG-1, Layer III, no CRC
+    frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
+    frame(3) = 0xC0.toByte // mono
+    (1 to nFrames).foreach(_ => out.write(frame))
+    out.toByteArray
+  }
 }

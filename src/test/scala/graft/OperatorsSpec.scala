@@ -701,6 +701,37 @@ class OperatorsSpec extends SparkSpec {
     assert(serial.toSeq == Seq((1L, "ab"), (2L, "bc")))
   }
 
+  test("mp4Header: box walk finds brand/timescale/duration/dims, skips free, rejects non-BMFF") {
+    import graft.operators.Multimodal
+    val bytes = Multimodal.encodeMp4(timescale = 90000, duration = 450000,
+      width = 640, height = 360)
+    val m = Multimodal.mp4Header(bytes).get
+    assert(m.brand == "isom" && m.timescale == 90000L &&
+      m.duration == 450000L && m.width == 640 && m.height == 360)
+    assert(m.nTopBoxes == 3) // ftyp + free + moov: free was walked over
+    assert(Multimodal.mp4Header("not an mp4 container".getBytes).isEmpty)
+    assert(Multimodal.mp4Header(bytes.take(20)).isEmpty) // truncated moov
+    // malformed size (runs past EOF) stops the walk instead of throwing
+    val bad = bytes.clone(); bad(0) = 0x7F.toByte
+    assert(Multimodal.mp4Header(bad).isEmpty)
+  }
+
+  test("mp3Scan: counts frames behind an ID3v2 tag; stops at desync; rejects garbage") {
+    import graft.operators.Multimodal
+    val bytes = Multimodal.encodeMp3(bitrateKbps = 192, sampleRate = 44100,
+      nFrames = 12, id3Bytes = 37)
+    val m = Multimodal.mp3Scan(bytes).get
+    assert(m.nFrames == 12 && m.bitrateKbps == 192 && m.sampleRate == 44100)
+    assert(m.totalSamples == 12L * 1152)
+    // trailing garbage after the last full frame is ignored
+    val withJunk = bytes ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.mp3Scan(withJunk).get.nFrames == 12)
+    // a truncated final frame doesn't count
+    val truncated = Multimodal.mp3Scan(bytes.dropRight(1)).get
+    assert(truncated.nFrames == 11)
+    assert(Multimodal.mp3Scan("definitely not audio".getBytes).isEmpty)
+  }
+
   test("Decontaminate: empty benchmark yields all-zero contamination") {
     val docs = Engine.table(spark, sf, "documents")
     val out = graft.operators.Decontaminate.scores(
