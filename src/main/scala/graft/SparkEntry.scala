@@ -1098,7 +1098,16 @@ object SparkEntry {
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val isBatch = col("id") % 10 === 0
-      val index = banded.filter(!isBatch)   // stored corpus index
+      // Stored corpus index: written ONCE at ingest, bucketed by the
+      // probe-join key (band, sig) — every later incremental probe
+      // joins with zero Exchange on the index side, and the per-bucket
+      // skew-cap aggregation below rides the same pre-partitioning.
+      // At 100 TB this is the difference between reshuffling the
+      // corpus-sized index per daily batch and never reshuffling it.
+      graft.sources.Sink.writeBucketed(banded.filter(!isBatch),
+        "graft_d19_band_index", Seq("band", "sig"), numBuckets = 8,
+        sortCols = Seq("band", "sig"))
+      val index = s.table("graft_d19_band_index")
       val probe = banded.filter(isBatch)    // today's arriving batch
       // skew guard on BOTH sides: a degenerate signature shared by m
       // probe docs and n index docs yields m×n candidates — cap each

@@ -22,6 +22,24 @@ object Sink {
                     bucketCols: Seq[String], numBuckets: Int,
                     sortCols: Seq[String] = Nil,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      // an orphaned warehouse dir (table written by a previous JVM the
+      // in-memory catalog never heard of) fails CTAS with
+      // LOCATION_ALREADY_EXISTS even under Overwrite — drop both the
+      // catalog entry and any leftover location first
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), table)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     var w = df.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)

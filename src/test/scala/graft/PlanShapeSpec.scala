@@ -57,6 +57,52 @@ class PlanShapeSpec extends SparkSpec {
       SparkEntry.queries("q44_ranking")(spark, sf).queryExecution.sparkPlan).isEmpty)
   }
 
+  test("d19: bucketed band index joins the probe with no Exchange on the index side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // building the query once writes the bucketed index table
+    SparkEntry.queries("d19_index_probe")(spark, sf)
+    // exchanges are inserted by EnsureRequirements (executedPlan), and
+    // AQE wraps that tree — disable AQE + broadcast so the probe join
+    // plans as a plain SortMergeJoin whose sides we can inspect
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val index = spark.table("graft_d19_band_index")
+      // the skew-cap aggregation rides the bucketing: zero exchanges
+      val keep = index.groupBy("band", "sig").count()
+      assert(keep.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.isEmpty)
+      // a fresh (unbucketed) probe batch joins on the bucket key: the
+      // probe side shuffles INTO the index's layout, the index side
+      // never re-partitions
+      val probe = spark.range(100).selectExpr("id", "cast(id % 4 as int) as band",
+        "cast(id % 7 as bigint) as sig")
+      val joined = probe.join(index, Seq("band", "sig"))
+      val smj = joined.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, joined.queryExecution.executedPlan)
+      def hasIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case f: FileSourceScanExec
+          if f.toString.contains("graft_d19_band_index") => f }.nonEmpty
+      val (indexSide, probeSide) =
+        if (hasIndexScan(smj.head.right)) (smj.head.right, smj.head.left)
+        else (smj.head.left, smj.head.right)
+      assert(hasIndexScan(indexSide))
+      assert(indexSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        indexSide)
+      assert(probeSide.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        probeSide)
+      // and the index scan itself reports its bucketing to the planner
+      val scans = indexSide.collect { case f: FileSourceScanExec => f }
+      assert(scans.forall(_.bucketedScan), scans.map(_.toString).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q5_join5: every dimension join broadcasts; the fact side never shuffles for a join") {
     val p = planOf("q5_join5")
     assert(p.contains("BroadcastHashJoin"), p)
