@@ -943,7 +943,19 @@ object SparkEntry {
     // the append-only-lake reality at 100 TB, where rewriting old
     // epochs to the new schema is not an option
     "q60_schema_evolution" -> ((s, dir) => {
-      val out = s"/tmp/graft_evo_${math.abs(dir.hashCode)}"
+      // fresh temp dir per invocation (ADVICE r5): a fixed hash-keyed
+      // path could inherit stale epoch files from an earlier run (or a
+      // hashCode collision between dataset dirs) and mergeSchema would
+      // silently fold them into the result
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_evo_").toString
+      java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(out))
+      }))
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -1290,8 +1302,12 @@ object SparkEntry {
           .union(c.filter(col("c_custkey") % 10 === 5)
             .select(col("c_custkey").cast(LongType).as("key"),
               col("c_mktsegment").as("attr")))
+          // FRESH keys are NEGATED custkeys (ADVICE r5): an additive
+          // offset collides with real keys at sf >= 10 (custkey reaches
+          // 1.5M), breaking merge2's one-row-per-key precondition;
+          // negation is scale-proof at any SF
           .union(c.filter(col("c_custkey") % 25 === 0)
-            .select((col("c_custkey") + 1000000L).cast(LongType).as("key"),
+            .select((-col("c_custkey")).cast(LongType).as("key"),
               lit("FRESH").as("attr")))
       operators.Scd.merge2(dim, updates, batchTs = 100L)
     }),
@@ -3988,7 +4004,7 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 10 = 0
         |  UNION ALL SELECT CAST(c_custkey AS BIGINT), c_mktsegment
         |  FROM customer WHERE c_custkey % 10 = 5
-        |  UNION ALL SELECT CAST(c_custkey + 1000000 AS BIGINT), 'FRESH'
+        |  UNION ALL SELECT CAST(-c_custkey AS BIGINT), 'FRESH'
         |  FROM customer WHERE c_custkey % 25 = 0),
         |j AS (
         |  SELECT coalesce(d.key, u.key) AS key, d.attr AS old_attr,

@@ -41,7 +41,12 @@ class MemTableProvider extends TableProvider
 
 /** Driver-side store: table name -> (schema, committed rows). */
 object MemStore {
-  final case class Stored(schema: StructType, rows: Array[Array[Any]])
+  /** `version` advances on every committed mutation — the snapshot
+    * token row-level rewrites use to detect a concurrent write between
+    * their scan and their commit (see [[replaceIfVersion]]).
+    */
+  final case class Stored(schema: StructType, rows: Array[Array[Any]],
+                          version: Long = 0L)
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, Stored]
   def schemaOf(name: String): StructType = {
     require(name != null && name.nonEmpty, "graft-mem requires option 'table'")
@@ -54,21 +59,42 @@ object MemStore {
     a.fields.map(f => (f.name, f.dataType)).toSeq ==
       b.fields.map(f => (f.name, f.dataType)).toSeq
   def get(name: String): Option[Stored] = Option(tables.get(name))
-  def put(name: String, s: Stored): Unit = tables.put(name, s)
+  def put(name: String, s: Stored): Unit =
+    tables.compute(name, (_, old) =>
+      s.copy(version = if (old == null) 1L else old.version + 1L))
   def append(name: String, schema: StructType, rows: Array[Array[Any]]): Unit =
-    tables.merge(name, Stored(schema, rows),
+    tables.merge(name, Stored(schema, rows, version = 1L),
       (old, add) => {
         // rows are stored positionally: a reordered/retyped append
         // would silently transpose values under the old schema
         require(sameShape(old.schema, add.schema),
           s"graft-mem append to '$name': schema ${add.schema.simpleString} " +
             s"does not match stored ${old.schema.simpleString}")
-        Stored(old.schema, old.rows ++ add.rows)
+        Stored(old.schema, old.rows ++ add.rows, old.version + 1L)
       })
   def clear(name: String): Unit = { tables.remove(name); epochs.remove(name) }
-  /** Atomic read-modify-write of a table's contents (no-op if absent). */
+  /** Atomic read-modify-write of a table's contents (no-op if absent).
+    * The version advances automatically; `f` need not manage it.
+    */
   def mutate(name: String)(f: Stored => Stored): Unit =
-    tables.computeIfPresent(name, (_, old) => f(old))
+    tables.computeIfPresent(name, (_, old) =>
+      f(old).copy(version = old.version + 1L))
+  /** Atomic compare-and-swap on the snapshot version: commits `s` only
+    * if the table is still at `expected` (ADVICE r5 — a row-level
+    * rewrite's REPLACE must not blindly overwrite rows appended by a
+    * concurrent batch commit between its scan and its commit). Returns
+    * false on a version conflict; the caller fails the write, leaving
+    * the table exactly as the concurrent writer committed it.
+    */
+  def replaceIfVersion(name: String, expected: Long, s: Stored): Boolean = {
+    val ok = new java.util.concurrent.atomic.AtomicBoolean(false)
+    tables.compute(name, (_, old) => {
+      val cur = if (old == null) 0L else old.version
+      if (cur == expected) { ok.set(true); s.copy(version = cur + 1L) }
+      else old
+    })
+    ok.get()
+  }
 
   // committed stream epochs per table — the idempotence ledger
   private val epochs =
@@ -100,16 +126,24 @@ class MemTable(tableName: String, schema0: StructType)
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      // snapshot version at scan-build time: the rewrite's commit is a
+      // compare-and-swap against it, so rows committed by a concurrent
+      // writer between scan and commit fail the rewrite instead of
+      // being silently lost (the same reason deleteWhere uses mutate)
+      @volatile private var scanVersion: Long = -1L
       override def command():
           org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        scanVersion = MemStore.get(tableName).map(_.version).getOrElse(0L)
         MemTable.this.newScanBuilder(options)
+      }
       override def newWriteBuilder(w: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite =
-              new MemBatchWrite(tableName, w.schema(), overwrite = true)
+              new MemBatchWrite(tableName, w.schema(), overwrite = true,
+                expectVersion = () => scanVersion)
           }
         }
     }
@@ -178,12 +212,27 @@ class MemTable(tableName: String, schema0: StructType)
 object MemTable {
   import org.apache.spark.sql.sources._
 
-  private[v2] def evaluable(schema: StructType, f: Filter): Boolean = f match {
-    case EqualTo(a, _) => schema.fieldNames.contains(a)
-    case GreaterThan(a, _) => schema.fieldNames.contains(a)
-    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
-    case LessThan(a, _) => schema.fieldNames.contains(a)
-    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+  /** Comparison filters additionally require a type `cmp` supports
+    * (ADVICE r5): a DELETE comparing e.g. a binary or array column
+    * must be DECLINED via canDeleteWhere, not accepted and then thrown
+    * from deleteWhere mid-mutation.
+    */
+  private def comparable(schema: StructType, name: String): Boolean =
+    schema.fields.find(_.name == name).exists(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    })
+
+  private[graft] def evaluable(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => comparable(schema, a)
+    case GreaterThan(a, _) => comparable(schema, a)
+    case GreaterThanOrEqual(a, _) => comparable(schema, a)
+    case LessThan(a, _) => comparable(schema, a)
+    case LessThanOrEqual(a, _) => comparable(schema, a)
     case IsNull(a) => schema.fieldNames.contains(a)
     case IsNotNull(a) => schema.fieldNames.contains(a)
     case And(l, r) => evaluable(schema, l) && evaluable(schema, r)
@@ -236,13 +285,28 @@ case class MemPartition(rows: Array[Array[Any]]) extends InputPartition
 
 case class MemCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
 
-class MemBatchWrite(tableName: String, schema: StructType, overwrite: Boolean)
+/** `expectVersion` (when set, by the row-level rewrite path) turns the
+  * overwrite commit into a compare-and-swap against the version the
+  * rewrite's scan saw; `() => -1` / plain overwrites commit blindly
+  * (SaveMode.Overwrite semantics — replace whatever is there).
+  */
+class MemBatchWrite(tableName: String, schema: StructType, overwrite: Boolean,
+                    expectVersion: () => Long = () => -1L)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.flatMap(_.asInstanceOf[MemCommit].rows)
-    if (overwrite) MemStore.put(tableName, MemStore.Stored(schema, rows))
+    val expected = expectVersion()
+    if (overwrite && expected >= 0) {
+      if (!MemStore.replaceIfVersion(tableName, expected,
+          MemStore.Stored(schema, rows)))
+        throw new java.util.ConcurrentModificationException(
+          s"graft-mem row-level rewrite of '$tableName': table changed " +
+            s"since the rewrite's scan (expected version $expected); " +
+            "the rewrite was aborted and the concurrent commit kept")
+    }
+    else if (overwrite) MemStore.put(tableName, MemStore.Stored(schema, rows))
     else MemStore.append(tableName, schema, rows)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -304,14 +304,25 @@ class SeqMicroBatchStream(start: Long, end: Long, rowsPerBatch: Long,
   override def initialOffset(): Offset = SeqOffset(start)
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.toLong)
-  // admission-control path: each batch admits at most rowsPerBatch ids
+  // admission-control path: the declared default limit and the
+  // admission logic must AGREE (ADVICE r5) — the default is
+  // maxRows(rowsPerBatch), and a caller-supplied maxRows/allAvailable
+  // is honored rather than silently re-capped
   override def latestOffset(startOffset: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
+    val admit = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _: ReadAllAvailable => end // unbounded: drain to the end
+      case _ => rowsPerBatch // composite/unknown: the configured cap
+    }
     SeqOffset(math.min(end,
-      startOffset.asInstanceOf[SeqOffset].pos + rowsPerBatch))
+      startOffset.asInstanceOf[SeqOffset].pos + admit))
+  }
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    org.apache.spark.sql.connector.read.streaming.ReadLimit
+      .maxRows(rowsPerBatch)
   override def reportLatestOffset(): Offset = SeqOffset(end)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -264,6 +264,49 @@ class Dsv2Spec extends SparkSpec {
     }
   }
 
+  test("row-level rewrite commit is version-checked: a concurrent commit is never lost") {
+    import graft.sources.v2.{MemStore, MemBatchWrite, MemCommit}
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val schema = StructType(Seq(StructField("id", LongType)))
+    MemStore.clear("mem_cas")
+    MemStore.append("mem_cas", schema, Array(Array[Any](1L)))
+    val scanVersion = MemStore.get("mem_cas").get.version
+    // a concurrent batch append lands between the rewrite's scan and
+    // its commit
+    MemStore.append("mem_cas", schema, Array(Array[Any](2L)))
+    val rewrite = new MemBatchWrite("mem_cas", schema, overwrite = true,
+      expectVersion = () => scanVersion)
+    val err = intercept[java.util.ConcurrentModificationException] {
+      rewrite.commit(Array(MemCommit(Array(Array[Any](99L)))))
+    }
+    assert(err.getMessage.contains("mem_cas"))
+    // the concurrent writer's rows survive untouched
+    assert(MemStore.get("mem_cas").get.rows.map(_.head) sameElements
+      Array[Any](1L, 2L))
+    // at the CURRENT version the rewrite commits fine
+    val fresh = MemStore.get("mem_cas").get.version
+    new MemBatchWrite("mem_cas", schema, overwrite = true,
+      expectVersion = () => fresh)
+      .commit(Array(MemCommit(Array(Array[Any](99L)))))
+    assert(MemStore.get("mem_cas").get.rows.map(_.head) sameElements
+      Array[Any](99L))
+    MemStore.clear("mem_cas")
+  }
+
+  test("canDeleteWhere declines comparisons on types cmp cannot order") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.sources._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType),
+      StructField("tags", ArrayType(StringType))))
+    def can(f: Filter) = graft.sources.v2.MemTable.evaluable(schema, f)
+    assert(can(EqualTo("id", 1L)))
+    assert(can(IsNull("payload"))) // null tests need no ordering
+    assert(!can(EqualTo("payload", Array[Byte](1)))) // declined up front
+    assert(!can(LessThan("tags", null)))
+    assert(!can(And(EqualTo("id", 1L), EqualTo("payload", Array[Byte](1)))))
+  }
+
   test("connector to connector: replayable source + idempotent sink, exactly once") {
     val ckpt = java.nio.file.Files.createTempDirectory("seq2mem").toFile
     val q = spark.readStream.format("graft-seq")
