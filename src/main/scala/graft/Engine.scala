@@ -36,6 +36,13 @@ object Engine {
       // testdata events.parquet uses TIMESTAMP(NANOS) which Spark's
       // vectorized reader rejects; read as long and convert (table()).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-profile streaming state width (see
+      // Streams.withStatePartitions): stateful operators pin
+      // shuffle.partitions at query start, and 32 state-store
+      // partitions are pure per-batch overhead for a single-node
+      // drain. On a cluster, override to O(total executor cores) via
+      // SPARK_GRAFT_CONF — same scaling rule as shuffle.partitions.
+      .config("spark.graft.streaming.statePartitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

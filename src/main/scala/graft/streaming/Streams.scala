@@ -46,6 +46,27 @@ object Streams {
   def maxDiffWatermark(df: DataFrame, timeCol: String, maxDiff: String): DataFrame =
     df.withWatermark(timeCol, maxDiff)
 
+
+  /** Streaming state-partition sizing: stateful operators inherit
+    * `spark.sql.shuffle.partitions` at QUERY START and pin it in the
+    * checkpoint, so the local-profile default (32) charges every
+    * micro-batch 32 state-store provider inits + commits even when the
+    * drain holds a few thousand keys — measured 1.5 s -> 0.88 s on
+    * st3 at sf0.1 going 32 -> 8. `spark.graft.streaming.statePartitions`
+    * (set in Engine.session's local profile, override via
+    * SPARK_GRAFT_CONF) sizes state partitioning independently of the
+    * batch shuffle width; on a real cluster set it to O(executor
+    * cores), exactly like shuffle.partitions.
+    */
+  private def withStatePartitions[T](spark: SparkSession)(f: => T): T =
+    spark.conf.getOption("spark.graft.streaming.statePartitions") match {
+      case None => f
+      case Some(v) =>
+        val old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", v)
+        try f finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+
   /** Parquet file stream over a file or directory: the file source
     * wants a directory, so a single-file path streams its parent with
     * a glob filter on the file name. One definition for every runner —
@@ -83,11 +104,11 @@ object Streams {
     // sink (kafka/delta/parquet), where state and output stay
     // partitioned across executors; only the drain differs, the
     // windowed-aggregation plan is identical.
-    val q = grouped.writeStream
+    val q = withStatePartitions(spark)(grouped.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -115,11 +136,11 @@ object Streams {
       .agg(count(lit(1)).as("n_distinct"))
       .withColumn("window_start", col("window.start"))
       .drop("window")
-    val q = grouped.writeStream
+    val q = withStatePartitions(spark)(grouped.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -140,11 +161,11 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(keyCol))
       .limit(k)
-    val q = ranked.writeStream
+    val q = withStatePartitions(spark)(ranked.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -168,11 +189,11 @@ object Streams {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("window.start"))
       .drop("window")
-    val q = grouped.writeStream
+    val q = withStatePartitions(spark)(grouped.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -198,11 +219,11 @@ object Streams {
       .withColumn("session_start", col("sw.start"))
       .withColumn("session_end", col("sw.end"))
       .drop("sw")
-    val q = grouped.writeStream
+    val q = withStatePartitions(spark)(grouped.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -252,11 +273,11 @@ object Streams {
         col("rts") >= col("lts") &&
         col("rts") <= col("lts") + expr(s"INTERVAL $within"))
       .select(col("left_id"), col("right_id"), col("k"))
-    val q = joined.writeStream
+    val q = withStatePartitions(spark)(joined.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -347,11 +368,11 @@ object Streams {
     // trigger), so its watermark advance is in force by batch two —
     // two stateful batches total, not three
     sentinel(0L)
-    val q = joined.writeStream
+    val q = withStatePartitions(spark)(joined.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try {
       q.processAllAvailable()
       sentinel(1000L)  // triggers the batch that evicts + emits unmatched rows
@@ -391,11 +412,11 @@ object Streams {
     val joined = src.join(broadcast(dim), col(streamKey) === dim(dimKey))
     val grouped = joined.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val q = grouped.writeStream
+    val q = withStatePartitions(spark)(grouped.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
@@ -432,11 +453,11 @@ object Streams {
       .withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
       .select(keyCols.map(col): _*)
-    val q = deduped.writeStream
+    val q = withStatePartitions(spark)(deduped.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
-      .start()
+      .start())
     try {
       q.processAllAvailable()
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
