@@ -543,6 +543,24 @@ object SparkEntry {
     // entirely when |len_a − len_b| already exceeds the bound. The
     // verify cost is bounded by candidates × len × k, never all-pairs
     // (sf1 measurement: 24.2 s unbanded → banded+prefilter below)
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // key = ln(u)/w from the portable hash, distributed top-k — the
+    // exact-size weighted corpus sample (longer docs more likely, no
+    // reservoir state, no global sort)
+    "p35_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedSample(t(s, dir, "documents"),
+        "doc_id", "n_chars", k = 50)),
+
+    // winnowing fingerprints (the MOSS algorithm, SIGMOD 2003): hash
+    // word 3-grams positionally, keep each 4-window's rightmost
+    // minimum — any >= 6-token shared run shares a fingerprint at
+    // ~2/(w+1) density. Pairs from the fingerprint inverted index
+    // with the standard df cap; portable poly_hash, so the oracle
+    // replays fingerprints bit-for-bit
+    "d23_winnowing" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, minCommon = 5, maxDocFreq = 50)),
+
     "d22_edit_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cand = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -2689,6 +2707,58 @@ object SparkEntry {
         |SELECT part, file, CAST(bytes AS BIGINT) AS bytes,
         |       CAST(cum // 1000000 AS BIGINT) AS group_id
         |FROM c""".stripMargin,
+
+    "p35_weighted_sample" ->
+      """SELECT doc_id,
+        |  greatest(CAST(n_chars AS DOUBLE), 1.0) AS weight,
+        |  round(ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+        |           / 4294967296.0)
+        |        / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS sel_key
+        |FROM documents
+        |ORDER BY ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+        |            / 4294967296.0)
+        |         / greatest(CAST(n_chars AS DOUBLE), 1.0) DESC, doc_id
+        |LIMIT 50""".stripMargin,
+
+    // winnowing replica: positional 3-gram poly hashes, 4-window min
+    // (QUALIFY p >= 4 keeps only full windows), rightmost-tie select
+    // via MAX(p) over the in-window min matches, df-capped pair counts
+    "d23_winnowing" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |gsrc AS (
+        |  SELECT doc_id,
+        |    array_to_string(ts[CAST(p AS INT):CAST(p AS INT) + 2], ' ') AS g,
+        |    p
+        |  FROM (SELECT doc_id, ts, CAST(unnest(range(1, len(ts) - 1)) AS BIGINT) AS p
+        |        FROM toks WHERE len(ts) >= 3)),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, p,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(g) + 1),
+        |        i -> CAST(ascii(substr(g, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM gsrc),
+        |wmins AS (
+        |  SELECT doc_id, p AS e,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM grams QUALIFY p >= 4),
+        |sel AS (
+        |  SELECT w.doc_id, w.e, MAX(g.p) AS selp, MIN(w.wmin) AS fp
+        |  FROM wmins w JOIN grams g
+        |    ON g.doc_id = w.doc_id AND g.h = w.wmin
+        |   AND g.p BETWEEN w.e - 3 AND w.e
+        |  GROUP BY 1, 2),
+        |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+        |fpk AS MATERIALIZED (
+        |  SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_common
+        |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
 
     "d22_edit_verify" ->
       """WITH toks AS (

@@ -808,4 +808,74 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): hash every word `k`-gram positionally, slide a
+    * window of `w` consecutive hashes, and keep each window's minimum
+    * (rightmost on ties). Guarantee: any match of at least w+k-1
+    * consecutive tokens shares a fingerprint, at an expected density
+    * of 2/(w+1) — position-robust substring detection at a fraction
+    * of the full shingle index's size.
+    *
+    * Scale shape: one generator pass (positional gram hashes), one
+    * partitioned window min, and an EQUI-join selection (the window →
+    * member-position relation is exploded to offsets 0..w-1, not a
+    * range join — AuditPlans-clean). Hashes go through the portable
+    * [[graft.plans.PolyHash]] kernel so the DuckDB oracle replays
+    * fingerprints bit-for-bit.
+    *
+    * Returns the DISTINCT per-doc fingerprint hash set `(id, fp)`.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1, w >= 2: k=$k w=$w")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // positional gram hashes: p is 1-based so the oracle's range(1, …)
+    // replays positions directly
+    val grams = docs
+      .select(col(idCol).cast("long").as("id"), toks.as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("ts")) - (k - 1)),
+        p => graft.operators.TextAnalysis.polyHash(
+          concat_ws(" ", slice(col("ts"), p, lit(k))), 31L, 1000000007L))))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    // min hash of the full window ending at e (e >= w)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("p").rowsBetween(-(w - 1), 0)
+    val wmins = grams
+      .select(col("id"), col("p").as("e"), min("h").over(win).as("wmin"))
+      .filter(col("e") >= w)
+    // rightmost position in [e-w+1, e] holding the min: explode the
+    // window extent to offsets so the selection join is pure equi
+    val sel = wmins
+      .select(col("id"), col("e"), col("wmin"),
+        explode(sequence(lit(0), lit(w - 1))).as("j"))
+      .select(col("id"), col("e"), col("wmin"), (col("e") - col("j")).as("p"))
+      .join(grams, Seq("id", "p"))
+      .filter(col("h") === col("wmin"))
+      .groupBy("id", "e").agg(max("p").as("sel"), first("wmin").as("fp"))
+    sel.select(col("id"), col("fp")).distinct()
+  }
+
+  /** Winnowing near-dup pairs: shared-fingerprint counts over the
+    * [[winnowFingerprints]] inverted index, with the standard
+    * document-frequency skew cap (a fingerprint in every doc is
+    * boilerplate, not evidence). Returns `(id_a, id_b, n_common)`
+    * with `n_common >= minCommon`.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4, minCommon: Int = 5,
+                  maxDocFreq: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("fp")
+    val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    capped.select(col("fp"), col("id").as("id_a"))
+      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
 }

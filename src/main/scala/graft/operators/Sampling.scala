@@ -189,6 +189,30 @@ object Sampling {
     * shard IS the file-sized unit), so the aggregation state per key is
     * ~budget characters — safe at any corpus size.
     */
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    * row draws u from the portable hash key and scores
+    * key = ln(u)/w — the top-k by key (descending; keys are negative,
+    * heavier rows sit closer to 0) is an exact-size weighted sample,
+    * the one-pass reservoir result without any reservoir state.
+    *
+    * Scale shape: a zero-shuffle scoring projection + distributed
+    * top-k (TakeOrderedAndProject — per-partition heaps, never a
+    * global sort; the q9 discipline). Weights are clamped >= 1 so
+    * zero-weight rows stay sampleable-but-last rather than dividing
+    * by zero. Integer hash → the draw replays exactly in any engine;
+    * only the final ln/division is floating point.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val w = greatest(col(weightCol).cast("double"), lit(1.0))
+    val u = (hashKey(col(idCol)).cast("double") + 0.5) / 4294967296.0
+    df.select(col(idCol), w.as("weight"), (log(u) / w).as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), round(col("sel_key"), 6).as("sel_key"))
+  }
+
   def exportShards(df: DataFrame, idCol: String, groupCol: String,
                    tokensCol: String, textCol: String,
                    budget: Long): DataFrame =

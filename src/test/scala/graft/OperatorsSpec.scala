@@ -701,6 +701,49 @@ class OperatorsSpec extends SparkSpec {
     assert(serial.toSeq == Seq((1L, "ab"), (2L, "bc")))
   }
 
+  test("winnowing: shared >= w+k-1 token runs share a fingerprint; disjoint docs share none") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val common = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens >= w+k-1 = 6
+    val docs = Seq(
+      (1L, s"one two $common three four"),
+      (2L, s"$common nine ten eleven twelve"),
+      (3L, "totally different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the winnowing guarantee: docs 1 and 2 share the 8-token run
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert((byDoc(2L) & byDoc(3L)).isEmpty)
+    // density: for n grams there are n-w+1 windows; selections are a
+    // subset, and every full-window doc selects at least one
+    docs.collect().foreach { r =>
+      val n = r.getString(1).trim.split("\\s+").length - 2 // k=3 grams
+      assert(byDoc(r.getLong(0)).size <= n - 4 + 1)
+      assert(byDoc(r.getLong(0)).nonEmpty)
+    }
+    // determinism: second run yields the identical fingerprint sets
+    val again = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fps.toSet)
+  }
+
+  test("winnowPairs finds the cloned pair and respects minCommon") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra trailing words"),
+      (3L, "entirely unrelated content " + (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minCommon = 3, maxDocFreq = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("mp4Header: box walk finds brand/timescale/duration/dims, skips free, rejects non-BMFF") {
     import graft.operators.Multimodal
     val bytes = Multimodal.encodeMp4(timescale = 90000, duration = 450000,
