@@ -1037,6 +1037,27 @@ object SparkEntry {
           (col("ap") >= col("lo") && col("ap") <= col("hi"))
             .as("approx_ok"))),
 
+    // KMV (bottom-k) distinct sketch per event type: k smallest
+    // portable hashes -> (k-1)·M/h_k estimate, exact below k. Unlike
+    // HLL (q38) the sketch itself is deterministic and engine-
+    // portable, so the oracle replays h_k bit-for-bit — and bottom-k
+    // sketches compose under set algebra (q64)
+    "q63_kmv_sketch" -> ((s, dir) =>
+      operators.Sketches.kmvEstimate(t(s, dir, "events"),
+        "user_id", "event_type", k = 64)),
+
+    // KMV set algebra: union sketch of click-users and purchase-users
+    // -> Jaccard from the both-sides fraction -> intersection
+    // cardinality, the estimate HLL cannot give without inclusion-
+    // exclusion error blowup. All top-k shapes are TakeOrdered
+    "q64_kmv_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.Sketches.kmvIntersect(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", k = 64)
+    }),
+
     // HyperLogLog distinct-count contract: the sketch (one pass, tiny
     // fixed state per group — the 100 TB path where exact distinct
     // needs a full shuffle of the keys) must land within 10% of exact;
@@ -3325,6 +3346,55 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS approx_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q63_kmv_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    (user_id * 2654435761) % 4294967296 AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth_min
+        |  FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(kth_min AS BIGINT) AS kth_min,
+        |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |        ELSE 63.0 * 4294967296.0 / CAST(kth_min AS DOUBLE) END,
+        |        4) AS est
+        |FROM s""".stripMargin,
+
+    "q64_kmv_intersect" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS h
+        |  FROM events WHERE event_type = 'click' ORDER BY h LIMIT 64),
+        |hb AS (
+        |  SELECT DISTINCT (user_id * 2654435761) % 4294967296 AS h
+        |  FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT 64),
+        |m AS (
+        |  SELECT h, COUNT(*) = 2 AS in_both
+        |  FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+        |  GROUP BY h),
+        |u AS (SELECT * FROM m ORDER BY h LIMIT 64),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_union, MAX(h) AS kth,
+        |    SUM(CASE WHEN in_both THEN 1 ELSE 0 END) AS nb
+        |  FROM u),
+        |est AS (
+        |  SELECT n_union, kth, nb,
+        |    round(CASE WHEN n_union < 64 THEN CAST(n_union AS DOUBLE)
+        |          ELSE 63.0 * 4294967296.0 / CAST(kth AS DOUBLE) END,
+        |          4) AS union_est
+        |  FROM agg)
+        |SELECT CAST(n_union AS BIGINT) AS n_union_kept,
+        |  CAST(kth AS BIGINT) AS union_kth_min,
+        |  CAST(nb AS BIGINT) AS n_both, union_est,
+        |  round(CAST(nb AS DOUBLE) / CAST(n_union AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(nb AS DOUBLE) / CAST(n_union AS DOUBLE) * union_est,
+        |        4) AS intersection_est
+        |FROM est""".stripMargin,
 
     "q48_freq_items" ->
       """WITH f AS (

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketches with SET OPERATIONS
+  * (Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007 — the "distinct
+  * sampling" / bottom-k family behind Theta sketches).
+  *
+  * A KMV sketch of a key set is its k smallest hash values. The k-th
+  * minimum h_k estimates cardinality as (k-1) · M / h_k (hashes
+  * uniform on [0, M)); with fewer than k distinct keys the sketch IS
+  * the set and the count is exact. Unlike HLL, bottom-k sketches
+  * compose under set algebra: the union sketch is the k smallest of
+  * the merged sketches, and the fraction of union-sketch members
+  * present in both sides estimates Jaccard — giving intersection
+  * cardinality, which HLL cannot provide without inclusion-exclusion
+  * error blowup.
+  *
+  * Everything is driven by the portable integer hash
+  * ([[Sampling.hashKey]]), so sketches — not just estimates — replay
+  * bit-for-bit in any engine: the DuckDB oracle reproduces h_k
+  * exactly. Scale shape: one distinct-hash aggregate, one
+  * per-group top-k window over ≤ k·groups rows; no global sort.
+  */
+object Sketches {
+
+  /** Per-group KMV sketch summary: `(group, n_kept, kth_min, est)`.
+    * `est` is rounded to 4 decimals (double division is the only
+    * floating step; both engines divide the same integers).
+    */
+  def kmvEstimate(df: DataFrame, keyCol: String, groupCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    val hashes = df
+      .select(col(groupCol).as("grp"), Sampling.hashKey(col(keyCol)).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("h")
+    val sk = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_min"))
+    sk.select(col("grp").as(groupCol), col("n_kept"), col("kth_min"),
+      round(when(col("n_kept") < k, col("n_kept").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * 4294967296.0
+          / col("kth_min").cast("double")), 4).as("est"))
+  }
+
+  /** KMV set algebra between two key sets A and B: the union sketch
+    * (k smallest of A's and B's sketches merged), Jaccard from the
+    * both-sides fraction, and the intersection estimate
+    * J · est(A ∪ B). Returns one row:
+    * `(n_union_kept, union_kth_min, union_est, n_both, jaccard, intersection_est)`.
+    */
+  def kmvIntersect(a: DataFrame, b: DataFrame, keyCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2: $k")
+    // k smallest = ORDER BY + LIMIT: TakeOrderedAndProject (per-
+    // partition heaps), never a global window/sort — the q9 discipline,
+    // and what keeps this under AuditPlans' unpartitioned-window gate
+    def sketch(df: DataFrame): DataFrame =
+      df.select(Sampling.hashKey(col(keyCol)).as("h")).distinct()
+        .orderBy("h").limit(k)
+    val merged = sketch(a).unionByName(sketch(b))
+      .groupBy("h")
+      .agg((count(lit(1)) === 2).as("both"))
+    val u = merged.orderBy("h").limit(k)
+    u.agg(count(lit(1)).as("n_union_kept"), max("h").as("union_kth_min"),
+        sum(when(col("both"), 1L).otherwise(0L)).as("n_both"))
+      .select(col("n_union_kept"), col("union_kth_min"), col("n_both"),
+        round(when(col("n_union_kept") < k, col("n_union_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * 4294967296.0
+            / col("union_kth_min").cast("double")), 4).as("union_est"))
+      .select(col("n_union_kept"), col("union_kth_min"), col("n_both"),
+        col("union_est"),
+        round(col("n_both").cast("double")
+          / col("n_union_kept").cast("double"), 6).as("jaccard"),
+        round(col("n_both").cast("double") / col("n_union_kept").cast("double")
+          * col("union_est"), 4).as("intersection_est"))
+  }
+}

@@ -701,6 +701,33 @@ class OperatorsSpec extends SparkSpec {
     assert(serial.toSeq == Seq((1L, "ab"), (2L, "bc")))
   }
 
+  test("KMV sketch: exact below k, within 3 sigma above k, intersection tracks real overlap") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 40 distinct keys < k=64: the sketch IS the set, estimate exact
+    val small = (1L to 40L).map(i => (i, "g")).toDF("user_id", "event_type")
+    val es = Sketches.kmvEstimate(small, "user_id", "event_type", k = 64)
+      .collect().head
+    assert(es.getLong(1) == 40L && es.getDouble(3) == 40.0)
+    // 20k distinct keys: (k-1)M/h_k within 3·n/sqrt(k-2) of truth
+    val big = (1L to 20000L).map(i => (i, "g")).toDF("user_id", "event_type")
+    val eb = Sketches.kmvEstimate(big, "user_id", "event_type", k = 64)
+      .collect().head
+    val err = math.abs(eb.getDouble(3) - 20000.0)
+    assert(err < 3 * 20000.0 / math.sqrt(62), s"est=${eb.getDouble(3)}")
+    // intersection: A = 1..6000, B = 4001..10000 -> |A∩B|=2000, |A∪B|=10000
+    val aSet = (1L to 6000L).toDF("user_id")
+    val bSet = (4001L to 10000L).toDF("user_id")
+    val ix = Sketches.kmvIntersect(aSet, bSet, "user_id", k = 64)
+      .collect().head
+    val interEst = ix.getDouble(5)
+    assert(math.abs(interEst - 2000.0) < 1500.0, s"inter=$interEst") // J±3σ band
+    // determinism: identical sketch values on a second run
+    val again = Sketches.kmvIntersect(aSet, bSet, "user_id", k = 64)
+      .collect().head
+    assert(again == ix)
+  }
+
   test("winnowing: shared >= w+k-1 token runs share a fingerprint; disjoint docs share none") {
     import spark.implicits._
     import graft.operators.Dedup
