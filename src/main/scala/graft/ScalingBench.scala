@@ -18,6 +18,23 @@ package graft
   * generate the latter two with `runMain graft.SoakGen <src> <dst> N`).
   */
 object ScalingBench {
+
+  /** Least-squares slope of ln(time) on ln(sf): the scaling exponent.
+    * 1.0 = linear in data, < 1 sub-linear/overhead-bound, > 1
+    * super-linear. NaN-times and non-positive times are dropped; NaN
+    * when fewer than two valid points remain.
+    */
+  private[graft] def fitExponent(ts: Seq[(Double, Double)]): Double = {
+    val pts = ts.filter(p => !p._2.isNaN && p._2 > 0)
+      .map { case (sf, t) => (math.log(sf), math.log(t)) }
+    if (pts.size < 2) return Double.NaN
+    val mx = pts.map(_._1).sum / pts.size
+    val my = pts.map(_._2).sum / pts.size
+    val num = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    num / den
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = Seq(
       0.1 -> args.lift(0).getOrElse("/root/testdata/sf0.1"),
@@ -62,17 +79,6 @@ object ScalingBench {
         times((n, sf)) = t
         println(f"[scaling] sf$sf%-4s $n%-28s $t%8.2f s")
       }
-    }
-
-    def fitExponent(ts: Seq[(Double, Double)]): Double = {
-      val pts = ts.filter(p => !p._2.isNaN && p._2 > 0)
-        .map { case (sf, t) => (math.log(sf), math.log(t)) }
-      if (pts.size < 2) return Double.NaN
-      val mx = pts.map(_._1).sum / pts.size
-      val my = pts.map(_._2).sum / pts.size
-      val num = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
-      val den = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
-      num / den
     }
 
     val records = names.map { n =>
