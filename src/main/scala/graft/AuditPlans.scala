@@ -33,17 +33,24 @@ object AuditPlans {
       ("eval side is MB-scale by definition (the d8 asymmetry in embedding " +
         "space): broadcast eval matrix over one corpus scan IS the scale path"))
 
-  /** True when `p`'s output is bounded by a limit: some node in the
-    * subtree is a limit/top-k (TakeOrderedAndProject, CollectLimit,
-    * Global/LocalLimit), so downstream single-task shapes (e.g. an
-    * unpartitioned window) see a constant-size input regardless of the
-    * corpus size.
+  /** True when `p`'s OUTPUT row count is bounded by a limit: `p`
+    * itself is a limit/top-k (TakeOrderedAndProject, CollectLimit,
+    * Global/LocalLimit — but NOT WindowGroupLimit, which bounds rows
+    * per group, not total), or `p` is a row-preserving unary node over
+    * a bounded input. A limit found merely somewhere in the subtree
+    * does NOT bound the output — `corpus.join(dim.limit(10))` is
+    * corpus-sized even though a GlobalLimit exists below it — so the
+    * walk follows only the direct input chain and stops at joins,
+    * unions, generates and expands.
     */
-  private[graft] def boundedByLimit(p: SparkPlan): Boolean =
-    p.collectFirst {
-      case l if l.nodeName.contains("Limit") ||
-        l.nodeName.contains("TakeOrdered") => l
-    }.isDefined
+  private[graft] def boundedByLimit(p: SparkPlan): Boolean = {
+    val n = p.nodeName
+    if ((n.contains("Limit") && !n.contains("WindowGroupLimit")) ||
+        n.contains("TakeOrdered")) true
+    else if (p.children.length == 1 && !n.contains("Generate") &&
+        !n.contains("Expand")) boundedByLimit(p.children.head)
+    else false
+  }
 
   /** True when `p` provably emits ≤1 row: a global (no-grouping-key)
     * aggregate, possibly wrapped in row-preserving unary nodes

@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // normalized (no trailing separators): the flagship gate and the
+    // sf-number parse below both key off the dir NAME, and a trailing
+    // slash must not silently disable either
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      .replaceAll("/+$", "")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(s"local[$cpus]", cpus.toInt)
 

@@ -22,6 +22,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
+  }
+
+  /** q60's scratch dir: created ONCE per JVM (one shutdown hook, not
+    * one per invocation), and wiped on each call so no earlier epoch
+    * files survive into the next mergeSchema read.
+    */
+  private lazy val evoBase: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_evo_")
+    java.lang.Runtime.getRuntime.addShutdownHook(
+      new Thread(() => rmTree(p.toFile)))
+    p
+  }
+  private def evoDir: String = {
+    evoBase.toFile.listFiles().foreach(rmTree)
+    evoBase.toString
+  }
+
   /** Exact, order-independent sum of a double column, returned as double. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
@@ -961,19 +981,13 @@ object SparkEntry {
     // the append-only-lake reality at 100 TB, where rewriting old
     // epochs to the new schema is not an option
     "q60_schema_evolution" -> ((s, dir) => {
-      // fresh temp dir per invocation (ADVICE r5): a fixed hash-keyed
-      // path could inherit stale epoch files from an earlier run (or a
-      // hashCode collision between dataset dirs) and mergeSchema would
-      // silently fold them into the result
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_evo_").toString
-      java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(new java.io.File(out))
-      }))
+      // one JVM-wide temp dir, CLEARED on every invocation (ADVICE r5
+      // + review): a fixed hash-keyed path could inherit stale epoch
+      // files that mergeSchema silently folds in, while a fresh dir
+      // per call leaks a parquet dir and a shutdown hook every bench/
+      // soak iteration — so: single dir, single exit hook, per-call
+      // wipe before the epoch writes
+      val out = evoDir
       val docs = t(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -2742,8 +2756,8 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
 
     // winnowing replica: positional 3-gram poly hashes, 4-window min
-    // (QUALIFY p >= 4 keeps only full windows), rightmost-tie select
-    // via MAX(p) over the in-window min matches, df-capped pair counts
+    // (QUALIFY p >= 4 keeps only full windows; the fingerprint SET is
+    // the distinct window minima), df-capped pair counts
     "d23_winnowing" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
@@ -2766,13 +2780,7 @@ object SparkEntry {
         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
         |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
         |  FROM grams QUALIFY p >= 4),
-        |sel AS (
-        |  SELECT w.doc_id, w.e, MAX(g.p) AS selp, MIN(w.wmin) AS fp
-        |  FROM wmins w JOIN grams g
-        |    ON g.doc_id = w.doc_id AND g.h = w.wmin
-        |   AND g.p BETWEEN w.e - 3 AND w.e
-        |  GROUP BY 1, 2),
-        |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
+        |fps AS MATERIALIZED (SELECT DISTINCT doc_id, wmin AS fp FROM wmins),
         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
         |fpk AS MATERIALIZED (
         |  SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
@@ -4426,7 +4434,9 @@ object SparkEntry {
     * EXISTS — the same rule the Scala side applies, chosen over greedy
     * filtering exactly so both engines can express it without a
     * sequential fold), then apply all kept merges as an unrolled
-    * replace chain. A missing krk slot replaces the 5-space sentinel
+    * replace chain IN RANK ORDER (normative: an earlier merge can
+    * create occurrences of a later pair's symbol, so the order is
+    * part of the algorithm, not an implementation detail). A missing krk slot replaces the 5-space sentinel
     * (symbols are non-empty and space-free, so a padded segmentation
     * never contains 3+ consecutive spaces) — a no-op.
     */

@@ -841,22 +841,20 @@ object Dedup {
         p => graft.operators.TextAnalysis.polyHash(
           concat_ws(" ", slice(col("ts"), p, lit(k))), 31L, 1000000007L))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
-    // min hash of the full window ending at e (e >= w)
+    // min hash of the full window ending at e (e >= w). The classic
+    // algorithm then picks the RIGHTMOST position holding each
+    // window's min — but that tie-break only matters when positions
+    // are exposed: the fingerprint HASH selected for window e is its
+    // min by definition, so the per-doc fingerprint set is exactly
+    // the distinct window minima. One partitioned window pass, no
+    // selection join.
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("p").rowsBetween(-(w - 1), 0)
-    val wmins = grams
+    grams
       .select(col("id"), col("p").as("e"), min("h").over(win).as("wmin"))
       .filter(col("e") >= w)
-    // rightmost position in [e-w+1, e] holding the min: explode the
-    // window extent to offsets so the selection join is pure equi
-    val sel = wmins
-      .select(col("id"), col("e"), col("wmin"),
-        explode(sequence(lit(0), lit(w - 1))).as("j"))
-      .select(col("id"), col("e"), col("wmin"), (col("e") - col("j")).as("p"))
-      .join(grams, Seq("id", "p"))
-      .filter(col("h") === col("wmin"))
-      .groupBy("id", "e").agg(max("p").as("sel"), first("wmin").as("fp"))
-    sel.select(col("id"), col("fp")).distinct()
+      .select(col("id"), col("wmin").as("fp"))
+      .distinct()
   }
 
   /** Winnowing near-dup pairs: shared-fingerprint counts over the

@@ -484,21 +484,38 @@ object Multimodal {
   def mp4Header(bytes: Array[Byte]): Option[Mp4Meta] = {
     val top = walkBoxes(bytes, 0, bytes.length)
     if (top.isEmpty || top.head._1 != "ftyp") return None
+    // every payload read is bounds-guarded: a walkable container with
+    // a TRUNCATED payload (declared size larger than the fields it
+    // must hold) is malformed input and returns None — never an
+    // ArrayIndexOutOfBounds that kills a whole scan over real-world
+    // bytes (one bad file must cost one null row, not the job)
+    if (top.head._3 - top.head._2 < 4) return None
     val brand = fourcc(bytes, top.head._2)
     val moov = top.find(_._1 == "moov").getOrElse(return None)
     val inMoov = walkBoxes(bytes, moov._2, moov._3)
     val (ts, dur) = inMoov.find(_._1 == "mvhd") match {
-      case Some((_, p, _)) =>
+      case Some((_, p, e)) =>
+        if (e - p < 1) return None
         val version = bytes(p) & 0xFF
-        if (version == 1) (be32(bytes, p + 20), be64(bytes, p + 24))
-        else (be32(bytes, p + 12), be32(bytes, p + 16))
+        if (version == 1) {
+          if (e - p < 32) return None
+          (be32(bytes, p + 20), be64(bytes, p + 24))
+        } else {
+          if (e - p < 20) return None
+          (be32(bytes, p + 12), be32(bytes, p + 16))
+        }
       case None => return None
     }
     val wh = inMoov.find(_._1 == "trak").flatMap { case (_, p, e) =>
-      walkBoxes(bytes, p, e).find(_._1 == "tkhd").map { case (_, tp, _) =>
-        val version = bytes(tp) & 0xFF
-        val base = if (version == 1) tp + 88 else tp + 76
-        ((be32(bytes, base) >> 16).toInt, (be32(bytes, base + 4) >> 16).toInt)
+      walkBoxes(bytes, p, e).find(_._1 == "tkhd").flatMap { case (_, tp, te) =>
+        if (te - tp < 1) None
+        else {
+          val version = bytes(tp) & 0xFF
+          val base = if (version == 1) tp + 88 else tp + 76
+          if (te - (if (version == 1) tp + 88 else tp + 76) < 8) None
+          else Some(((be32(bytes, base) >> 16).toInt,
+            (be32(bytes, base + 4) >> 16).toInt))
+        }
       }
     }.getOrElse((0, 0))
     Some(Mp4Meta(brand, ts, dur, wh._1, wh._2, top.size))
@@ -620,7 +637,11 @@ object Multimodal {
                 id3Bytes: Int = 0): Array[Byte] = {
     val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
     val srIdx = Mp3SampleRates.indexOf(sampleRate)
-    require(brIdx > 0 && srIdx >= 0 && srIdx < 3,
+    // positive-value checks matter: the tables end in -1 sentinels, so
+    // indexOf(-1) lands on a "valid" index and would otherwise sail
+    // past this require into a negative frame length
+    require(bitrateKbps > 0 && sampleRate > 0 &&
+      brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx < 3,
       s"unsupported MPEG-1 L3 params: $bitrateKbps kbps / $sampleRate Hz")
     val frameLen = 144000 * bitrateKbps / sampleRate // no padding bit
     val out = new java.io.ByteArrayOutputStream()

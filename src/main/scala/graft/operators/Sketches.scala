@@ -30,15 +30,29 @@ object Sketches {
     * floating step; both engines divide the same integers).
     */
   def kmvEstimate(df: DataFrame, keyCol: String, groupCol: String,
-                  k: Int): DataFrame = {
+                  k: Int, salts: Int = 32): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2: $k")
     val hashes = df
       .select(col(groupCol).as("grp"), Sampling.hashKey(col(keyCol)).as("h"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window
+    // two-phase top-k: a single per-group window would sort a group's
+    // ENTIRE distinct-key set in one task (groups are few and huge at
+    // corpus scale). Phase 1 takes the k smallest per (group, salt) —
+    // every task bounded by the group's 1/salts share; phase 2 takes
+    // the k smallest of those ≤ salts·k survivors. The result set is
+    // identical (the global k minima survive their salt's cut), so
+    // the oracle needs no salt awareness.
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp", "salt").orderBy("h")
+    val phase1 = hashes
+      .withColumn("salt", pmod(col("h"), lit(salts.toLong)))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= k)
+      .select("grp", "h")
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("h")
-    val sk = hashes
-      .withColumn("rn", row_number().over(w))
+    val sk = phase1
+      .withColumn("rn", row_number().over(w2))
       .filter(col("rn") <= k)
       .groupBy("grp")
       .agg(count(lit(1)).as("n_kept"), max("h").as("kth_min"))

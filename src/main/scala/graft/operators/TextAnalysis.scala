@@ -541,13 +541,16 @@ object TextAnalysis {
     * Per round, ONE distributed bigram count brings the top-`window`
     * pairs (by count desc, pair asc) to the driver; a candidate is
     * KEPT iff neither of its symbols appears in any better-ranked
-    * candidate of the window. Kept merges are therefore pairwise
-    * symbol-disjoint — their replaces commute, so applying the whole
-    * batch in one chained-replace pass equals applying them one at a
-    * time. Counts are from the start-of-round segmentation (the
-    * standard batched-BPE approximation); the rule is deterministic,
-    * so the SQL oracle replays it exactly. `window = 1` degenerates to
-    * classic one-merge-per-round BPE.
+    * candidate of the window, so kept merges are pairwise
+    * symbol-disjoint. NOTE: disjoint symbols do NOT make the replaces
+    * commute — an earlier merge can CREATE occurrences of a later
+    * kept pair's left symbol (e.g. (a,b)->"ab" then ("ab","c") sees
+    * the new "ab"s) — so the application ORDER (rank order, best
+    * count first) is normative, part of the algorithm's definition,
+    * and replayed identically by the SQL oracle's unrolled replace
+    * chain. Counts are from the start-of-round segmentation (the
+    * standard batched-BPE approximation); the rule is deterministic.
+    * `window = 1` degenerates to classic one-merge-per-round BPE.
     */
   private def bpeTrain(docs: DataFrame, rounds: Int, textCol: String,
                        window: Int = 1)
@@ -599,7 +602,8 @@ object TextAnalysis {
         // dropped the previous cache before the lazy successor was ever
         // materialized — every round recomputed the whole chain from
         // the word table (O(rounds²) replace work). The whole batch is
-        // ONE chained-replace projection (kept merges commute).
+        // ONE chained-replace projection in rank order (the order is
+        // normative — see the bpeTrain scaladoc).
         val applied = kept.foldLeft(
           concat(lit(" "), col("seg"), lit(" "))) { case (acc, (pair, _)) =>
             call_function("replace", acc,

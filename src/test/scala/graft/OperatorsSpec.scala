@@ -784,6 +784,26 @@ class OperatorsSpec extends SparkSpec {
     // malformed size (runs past EOF) stops the walk instead of throwing
     val bad = bytes.clone(); bad(0) = 0x7F.toByte
     assert(Multimodal.mp4Header(bad).isEmpty)
+    // WALKABLE but truncated payloads must yield None, not AIOOBE:
+    // ftyp(16) + moov(16) containing an empty-payload mvhd(8)
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val truncatedMvhd = box("ftyp", "isomxxxx".getBytes) ++
+      box("moov", box("mvhd", Array.empty[Byte]))
+    assert(Multimodal.mp4Header(truncatedMvhd).isEmpty)
+    // and an empty ftyp payload (no room for the brand fourcc)
+    val emptyFtyp = box("ftyp", Array.empty[Byte]) ++
+      box("moov", Array.empty[Byte])
+    assert(Multimodal.mp4Header(emptyFtyp).isEmpty)
+    // short tkhd: mvhd valid, tkhd payload too small for dims
+    val shortTkhd = box("ftyp", "isomxxxx".getBytes) ++
+      box("moov", box("mvhd", new Array[Byte](100)) ++
+        box("trak", box("tkhd", new Array[Byte](20))))
+    val st = Multimodal.mp4Header(shortTkhd)
+    assert(st.isDefined && st.get.width == 0 && st.get.height == 0)
   }
 
   test("mp3Scan: counts frames behind an ID3v2 tag; stops at desync; rejects garbage") {

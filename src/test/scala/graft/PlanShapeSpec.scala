@@ -48,6 +48,13 @@ class PlanShapeSpec extends SparkSpec {
     val bounded = df.orderBy(col("id").desc).limit(10).select(col("id"),
       row_number().over(Window.orderBy("id")).as("rn"))
     assert(hz(bounded).isEmpty, bounded.queryExecution)
+    // a limit on a JOINED dimension does not bound the window input:
+    // corpus x dim.limit(10) is corpus-sized — must still be flagged
+    val dim = spark.range(50).select(col("id").as("dk")).limit(10)
+    val joined = df.join(dim, col("dk") === col("id") % 50)
+      .select(col("id"), row_number().over(Window.orderBy("id")).as("rn"))
+    assert(hz(joined).contains("UnpartitionedWindow"),
+      joined.queryExecution.sparkPlan)
   }
 
   test("q44_ranking plans with no WindowExec at all (distributed ranking path)") {
