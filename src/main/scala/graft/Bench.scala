@@ -30,14 +30,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = System.nanoTime() - t0
-      spark.sqlContext.clearCache() // no cross-query cache pinning
-      // localCheckpoint blocks (CC rounds, BPE rounds) survive the query
-      // — unpersist them eagerly (blocking) instead of waiting for the
-      // ContextCleaner to notice their RDDs got GC'd; then a GC nudge
-      // for the rest, so 100+ queries' worth of dead blocks never
-      // squeeze the block manager in later queries
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      Engine.releaseCaches(spark) // no cross-query cache pinning
       System.gc()
       dt
     }

@@ -70,6 +70,23 @@ object Engine {
     spark
   }
 
+  /** Release every cached/persisted block in the session: clears the
+    * SQL cache and eagerly unpersists surviving RDDs (localCheckpoint
+    * blocks from CC/BPE rounds included — waiting for the
+    * ContextCleaner to notice dead references lets 100+ queries' worth
+    * of blocks squeeze the block manager). Operators that persist
+    * corpus-scale intermediates (shingle indexes, band signatures,
+    * ANN cells) cannot unpersist them before their RETURNED lazy plan
+    * is consumed, so a session that chains many operator invocations
+    * should call this between logical jobs — Bench, Verify and
+    * ScalingBench do, after every query.
+    */
+  def releaseCaches(spark: SparkSession): Unit = {
+    spark.sqlContext.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   /** Normalize an event-time column to TimestampType regardless of how
     * the parquet writer encoded it: INT64 TIMESTAMP(NANOS) arrives as a
     * nanos-long under the legacy flag; timestamp[us] without timezone

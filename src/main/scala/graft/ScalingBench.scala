@@ -57,9 +57,7 @@ object ScalingBench {
         return Double.NaN
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      Engine.releaseCaches(spark)
       System.gc()
       dt
     }

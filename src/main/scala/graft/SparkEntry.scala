@@ -3957,7 +3957,7 @@ object SparkEntry {
         |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
         |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
         |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q
         |  FROM u),
         |n AS (
         |  SELECT doc_id, scheme,
@@ -4336,15 +4336,17 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS checksum
         |FROM documents""".stripMargin,
 
+    // fixed-size-frame contract: only FULL 64-byte frames are emitted
+    // (docs under one frame yield no rows), so frame_len is constant
     "m3_media_frames" ->
       """WITH base AS (
-        |  SELECT doc_id, length(text) AS n FROM documents),
+        |  SELECT doc_id, length(text) AS n FROM documents WHERE length(text) >= 64),
         |idxs AS (
         |  SELECT doc_id, n,
-        |    unnest(range(0, greatest(CAST(n // 64 AS INT) - 1, 0) + 1, 4)) AS fi
+        |    unnest(range(0, CAST(n // 64 AS INT), 4)) AS fi
         |  FROM base)
         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
-        |  CAST(least(64, greatest(n - fi * 64, 0)) AS BIGINT) AS frame_len
+        |  CAST(64 AS BIGINT) AS frame_len
         |FROM idxs""".stripMargin,
 
     "m4_media_decode" ->

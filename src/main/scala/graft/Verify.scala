@@ -28,12 +28,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist intermediates (dedup indexes, CC labels)
-      // must not pin cache blocks across the other ~100 queries; also
-      // free surviving localCheckpoint RDDs eagerly rather than waiting
-      // for the ContextCleaner (same hygiene as Bench.force)
-      spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // must not pin cache blocks across the other ~170 queries
+      Engine.releaseCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

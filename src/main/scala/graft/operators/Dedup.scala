@@ -792,12 +792,22 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // pigeonhole: pairs within Hamming distance d share at least one
+    // of d+1 blocks, so the block count must FOLLOW maxDist — a fixed
+    // 4-way split silently loses recall for maxDist > 3 (a 5-bit-apart
+    // pair can touch all 4 blocks). maxDist = 3 keeps the historical
+    // 4 x 16-bit layout.
+    require(maxDist >= 0 && maxDist < 64, s"maxDist out of range: $maxDist")
+    val nblocks = maxDist + 1
     val sig = simhash(df, idCol, textCol)
     val blocks = sig.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nblocks).map { b =>
+        val start = b * 64 / nblocks
+        val width = (b + 1) * 64 / nblocks - start
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(lit(b).as("blk"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
-      ): _*)).as("bk"))
+          shiftright(col("simhash"), start).bitwiseAND(mask).as("key"))
+      }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.blk"), col("bk.key"))
     val cand = blocks.toDF("id_a", "sh_a", "blk", "key")
       .join(blocks.toDF("id_b", "sh_b", "blk", "key"), Seq("blk", "key"))

@@ -424,8 +424,13 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int = 64,
                    stride: Int = 4): DataFrame = {
     val nFrames = floor(octet_length(col("media")) / frameBytes).cast("int")
-    media.select(col("doc_id"), col("media"),
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))
+    // media with zero FULL frames yields zero rows — the old
+    // greatest(-1, 0) clamp emitted a frame_idx=0 row whose bytes were
+    // the short remainder (or empty), handing consumers a frame that
+    // violates the fixed-size contract
+    media.filter(octet_length(col("media")) >= frameBytes)
+      .select(col("doc_id"), col("media"),
+        explode(sequence(lit(0), nFrames - 1, lit(stride)))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         col("media").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))

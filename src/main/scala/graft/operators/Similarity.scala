@@ -19,6 +19,20 @@ import graft.plans.VecExpressions
   */
 object Similarity {
 
+  /** Row's first column (an array<float|double>) as Array[Double]:
+    * getSeq[Float] alone unboxes with a Float ClassTag and throws
+    * ClassCastException on double embeddings (which several upstream
+    * transforms produce) — the same tolerance kmeansCentroids has.
+    */
+  private def toDoubleVec(r: org.apache.spark.sql.Row): Array[Double] =
+    r.getSeq[Any](0).map {
+      case f: Float  => f.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"embedding must be array<float|double>, found element $other")
+    }.toArray
+
+
   /** Codegen'd dot product (requires `VecExpressions.register` on the
     * session that analyzes the query — all operators here do that).
     */
@@ -119,18 +133,28 @@ object Similarity {
               bits: Int = 8, dim: Int = 64, tables: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
-    def withBuckets(d: DataFrame, id: String, v: String): DataFrame =
-      d.select(col(idCol).as(id), col(vecCol).as(v))
-        .select(col(id), col(v),
-          posexplode(lshBucketsAll(col(v), dim, bits, tables))
-            .as(Seq("tbl", "bucket")))
-    val c = withBuckets(corpus, "neighbor_id", "cv")
-    val q = withBuckets(queries, "query_id", "qv")
-    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+    // candidate generation carries IDS ONLY: dragging both vectors
+    // through the multi-table distinct shuffles tables× copies of the
+    // embeddings (the cosinePairsLsh comment's measured 9× tax — GBs
+    // where ids are MBs); vectors re-attach via equi-joins after the
+    // dedup, and norms are computed once per row, so each surviving
+    // pair costs one vec_dot + one divide
+    def bucketIds(d: DataFrame, id: String): DataFrame =
+      d.select(col(idCol).as(id),
+        posexplode(lshBucketsAll(col(vecCol), dim, bits, tables))
+          .as(Seq("tbl", "bucket")))
+      .select(id, "tbl", "bucket")
+    val cands = bucketIds(corpus, "neighbor_id")
+      .join(broadcast(bucketIds(queries, "query_id")), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id", "qv", "cv")
+      .select("query_id", "neighbor_id")
       .distinct()
-    val scored = cands.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = cands.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     rankTopK(scored, k)
   }
 
@@ -165,7 +189,7 @@ object Similarity {
         .select(col(vecCol).as("cv"), xxhash64(col(idCol)).as("h"))
         .orderBy("h").limit(nlist)
         .select("cv")
-        .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        .collect().map(toDoubleVec)
     }
     require(raw.nonEmpty, "ivfTopK needs at least one centroid")
     // L2-normalized so cosine argmax == dot argmax (query norm scales
@@ -388,7 +412,7 @@ object Similarity {
     val rawCents: Array[Array[Double]] = trainedCentroids.getOrElse {
       corpus.select(col(vecCol).as("cv"), xxhash64(col(idCol)).as("h"))
         .orderBy("h").limit(nlist).select("cv")
-        .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        .collect().map(toDoubleVec)
     }
     require(rawCents.nonEmpty, "ivfPqTopK needs at least one centroid")
     val cents = rawCents.map { v =>

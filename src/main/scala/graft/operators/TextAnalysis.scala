@@ -411,7 +411,9 @@ object TextAnalysis {
     val host = regexp_replace(noPort, "^www\\.", "")
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the '?' must precede any '#': an unanchored match would find a
+    // '?' INSIDE the fragment and leak fragment content into the query
+    val query = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val kept = array_join(filter(split(query, "&"),
       p => !p.rlike("^(utm_[A-Za-z0-9_]+|fbclid|gclid)=")), "&")
     concat(scheme, lit("://"), host, path,
@@ -521,8 +523,15 @@ object TextAnalysis {
   def bpeEncode(docs: DataFrame, rounds: Int, idCol: String = "doc_id",
                 textCol: String = "text", window: Int = 1): DataFrame = {
     val (segs, _) = bpeTrain(docs, rounds, textCol, window)
+    // materialize the (vocab-sized) encoding table eagerly so the
+    // training segmentation's cache blocks can be released NOW —
+    // returning a plan that still referenced segs would leak the
+    // persisted table into the caller's session (bpeTrain's caller-
+    // owns-the-unpersist contract)
     val enc = segs.select(col("w"),
       size(split(col("seg"), "  ")).cast("long").as("n_tok"))
+      .localCheckpoint(true)
+    segs.unpersist()
     docs.select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .join(enc, "w")

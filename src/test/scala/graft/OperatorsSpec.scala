@@ -701,6 +701,44 @@ class OperatorsSpec extends SparkSpec {
     assert(serial.toSeq == Seq((1L, "ab"), (2L, "bc")))
   }
 
+  test("simhashPairs is COMPLETE for any maxDist: every exact pair within distance is found") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 40 near-variants: many pairs land at Hamming distances 1..10,
+    // with differing bits spread across blocks — the shape that lost
+    // recall when banding was fixed at 4 blocks regardless of maxDist
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i " +
+        s"extra token${i % 7} filler${i % 3}")).toDF("doc_id", "text")
+    val maxDist = 8
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, sa) <- sig; (ib, sb) <- sig if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= maxDist
+    } yield (ia, ib)).toSet
+    assert(exact.nonEmpty, "fixture produced no close pairs; adjust text")
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == exact,
+      s"missing: ${(exact -- found).take(5)}; extra: ${(found -- exact).take(5)}")
+  }
+
+  test("sampleFrames emits only FULL frames: sub-frame media yields zero rows") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(
+      (1L, Array.fill[Byte](10)(1)),   // < 1 frame -> no rows
+      (2L, Array.fill[Byte](64)(2)),   // exactly 1 frame
+      (3L, Array.fill[Byte](100)(3)),  // 1 full frame + remainder
+      (4L, Array.empty[Byte]))         // empty -> no rows
+      .toDF("doc_id", "media")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).length))
+    assert(frames.toSet == Set((2L, 0, 64), (3L, 0, 64)))
+  }
+
   test("KMV sketch: exact below k, within 3 sigma above k, intersection tracks real overlap") {
     import spark.implicits._
     import graft.operators.Sketches
