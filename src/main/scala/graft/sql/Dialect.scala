@@ -59,8 +59,10 @@ object Dialect {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
       .collectFirst { case t: TypecheckException => t }.getOrElse(e)
 
-  private val ClauseKw = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
-    "UNION", "INTERSECT", "EXCEPT", "TRIGGER")
+  // single source of truth with the rewrite layer: a keyword added to
+  // one copy but not the other would desynchronize FROM-clause
+  // detection between binding and naming
+  private val ClauseKw = OctoSql.ClauseKw
   private val JoinKw = Set("JOIN", "LEFT", "RIGHT", "FULL", "OUTER", "INNER",
     "CROSS", "LOOKUP", "ON", "AS", "USING")
   private val AggNames = Set("count", "sum", "avg", "min", "max", "array_agg",
@@ -303,7 +305,10 @@ object Dialect {
   // ---- TVFs ----------------------------------------------------------
 
   private val TvfNames = Set("tumble", "hop", "max_diff_watermark", "poll", "range")
-  private var tvfCounter = 0
+  // atomic: concurrent prepare() calls on one session must never mint
+  // the same TVF view name (createOrReplaceTempView would stomp one
+  // query's source with the other's)
+  private val tvfCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Parse `INTERVAL <n> <unit>` (or `INTERVAL '<n>' <unit>`) starting
     * at `i`; returns (seconds, index-after). Units per the reference
@@ -314,8 +319,11 @@ object Dialect {
     val ni = nextNonWs(ts, i + 1)
     if (ni < 0) return None
     val numTok = ts(ni)
-    val num = BigDecimal(
+    // a non-numeric follower means this INTERVAL token was not an
+    // interval literal (e.g. a column named `interval`) — not ours
+    val num = try BigDecimal(
       if (numTok.startsWith("'")) numTok.substring(1, numTok.length - 1) else numTok)
+      catch { case _: NumberFormatException => return None }
     val ui = nextNonWs(ts, ni + 1)
     if (ui < 0) return None
     val mult: BigDecimal = ts(ui).toLowerCase.stripSuffix("s") match {
@@ -395,8 +403,7 @@ object Dialect {
 
   private def applyTvf(spark: SparkSession, name: String, inner: Vector[String],
                        rels: scala.collection.mutable.Map[String, RelInfo]): String = {
-    tvfCounter += 1
-    val view = s"tvf_${name}_$tvfCounter"
+    val view = s"tvf_${name}_${tvfCounter.incrementAndGet()}"
     val args = namedArgs(inner)
     def required(arg: String): Vector[String] =
       args.getOrElse(arg, throw new TypecheckException(
@@ -784,6 +791,18 @@ object Dialect {
     var i = nextNonWs(tokens, from)
     var expectRel = true
     var depth = 0
+    // alias after a relation, accepting the optional AS keyword
+    // (`FROM t AS a` ≡ `FROM t a` — AS sits in JoinKw, so without the
+    // skip the alias was dropped and star expansion lost the
+    // qualifier). Returns (alias, index-after-alias).
+    def aliasAt(after: Int): (Option[String], Int) = {
+      var a = nextNonWs(tokens, after)
+      if (a >= 0 && tokens(a).equalsIgnoreCase("AS"))
+        a = nextNonWs(tokens, a + 1)
+      if (a >= 0 && isIdent(tokens(a)) && !JoinKw.contains(tokens(a).toUpperCase) &&
+          !ClauseKw.contains(tokens(a).toUpperCase)) (Some(tokens(a)), a + 1)
+      else (None, after)
+    }
     while (i >= 0 && i < tokens.length) {
       val t = tokens(i)
       val up = t.toUpperCase
@@ -792,25 +811,19 @@ object Dialect {
         if (expectRel && depth == 0) {
           val close = OctoSql.matching(tokens, i)
           // subquery: schema unknown here
-          val a = nextNonWs(tokens, close + 1)
-          val alias =
-            if (a >= 0 && isIdent(tokens(a)) && !JoinKw.contains(tokens(a).toUpperCase) &&
-                !ClauseKw.contains(tokens(a).toUpperCase)) Some(tokens(a)) else None
+          val (alias, after) = aliasAt(close + 1)
           out += Rel(alias, None)
           expectRel = false
-          i = alias.map(_ => nextNonWs(tokens, close + 1)).getOrElse(close) + 1
+          i = if (alias.isDefined) after else close + 1
         } else { depth += 1; i += 1 }
       } else if (t == ")") { depth -= 1; i += 1 }
       else if (depth == 0 && up == "JOIN") { expectRel = true; i += 1 }
       else if (depth == 0 && t == ",") { expectRel = true; i += 1 }
       else if (depth == 0 && expectRel && isIdent(t) && !JoinKw.contains(up)) {
-        val a = nextNonWs(tokens, i + 1)
-        val alias =
-          if (a >= 0 && isIdent(tokens(a)) && !JoinKw.contains(tokens(a).toUpperCase) &&
-              !ClauseKw.contains(tokens(a).toUpperCase)) Some(tokens(a)) else None
+        val (alias, after) = aliasAt(i + 1)
         out += Rel(alias, Some(t))
         expectRel = false
-        i = (if (alias.isDefined) a else i) + 1
+        i = if (alias.isDefined) after else i + 1
       } else i += 1
     }
     out.result()

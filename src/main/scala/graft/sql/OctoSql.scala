@@ -190,13 +190,24 @@ object OctoSql {
       b2.result()
     }
 
-    // strip TRIGGER ... clause up to next major keyword
+    // strip TRIGGER ... clauses up to the next major keyword — ALL of
+    // them (each UNION branch may carry one), and only when the next
+    // token is a trigger form (ON WATERMARK / DELAY e / COUNTING n,
+    // parser/sqlparser/ast.go:3752-3800): a COLUMN named `trigger`
+    // (SELECT trigger FROM t) must not truncate the query
     val majors = Set("GROUP", "ORDER", "HAVING", "LIMIT", "UNION", ")", "WITH")
-    val trigIdx = tokens.indexWhere(_.equalsIgnoreCase("TRIGGER"))
-    if (trigIdx >= 0) {
-      val end = tokens.indexWhere(t => majors.contains(t.toUpperCase), trigIdx + 1)
-      tokens = if (end < 0) tokens.take(trigIdx)
-      else tokens.take(trigIdx) ++ tokens.drop(end)
+    val triggerForms = Set("ON", "DELAY", "COUNTING")
+    var trigIdx = tokens.indexWhere(_.equalsIgnoreCase("TRIGGER"))
+    while (trigIdx >= 0) {
+      val follow = tokens.indexWhere(x => !isWs(x), trigIdx + 1)
+      if (follow >= 0 && triggerForms.contains(tokens(follow).toUpperCase)) {
+        val end = tokens.indexWhere(t => majors.contains(t.toUpperCase), trigIdx + 1)
+        tokens = if (end < 0) tokens.take(trigIdx)
+        else tokens.take(trigIdx) ++ tokens.drop(end)
+        trigIdx = tokens.indexWhere(_.equalsIgnoreCase("TRIGGER"), trigIdx)
+      } else {
+        trigIdx = tokens.indexWhere(_.equalsIgnoreCase("TRIGGER"), trigIdx + 1)
+      }
     }
 
     // -> and ->* object access
@@ -302,18 +313,36 @@ object OctoSql {
         if (isCall && fnRenames.contains(t.toLowerCase)) {
           out += fnRenames(t.toLowerCase); k += 1
         } else if (isCall && t.equalsIgnoreCase("unnest")) {
-          // nested unnest(unnest(x)) → explode(flatten(x)): Spark
-          // rejects nested generators (reference nests them, map.go)
+          // nested unnest^d(x) → explode(flatten^{d-1}(x)): Spark
+          // rejects nested generators (the reference nests them
+          // arbitrarily, map.go) — peel EVERY directly-nested layer;
+          // recursing on the payload would re-emit an explode inside
+          // flatten(), which fails analysis at depth 3+
           val close = matching(ts, nextNonWs)
-          val innerToks = ts.slice(nextNonWs + 1, close)
-          val innerHead = innerToks.indexWhere(x => !isWs(x))
-          if (innerHead >= 0 && innerToks(innerHead).equalsIgnoreCase("unnest")) {
-            val innerOpen = innerToks.indexWhere(_ == "(", innerHead)
-            val innerClose = matching(innerToks, innerOpen)
-            val payload = rewriteCalls(innerToks.slice(innerOpen + 1, innerClose))
-            out += "explode"; out += "("; out += "flatten"; out += "("
+          var depth = 1
+          var inner = ts.slice(nextNonWs + 1, close)
+          var peeling = true
+          while (peeling) {
+            val h = inner.indexWhere(x => !isWs(x))
+            peeling = false
+            if (h >= 0 && inner(h).equalsIgnoreCase("unnest")) {
+              val o = inner.indexWhere(_ == "(", h)
+              if (o >= 0) {
+                val c = matching(inner, o)
+                // peel only when the call spans the whole payload
+                if (c >= 0 && inner.drop(c + 1).forall(isWs)) {
+                  depth += 1; inner = inner.slice(o + 1, c); peeling = true
+                }
+              }
+            }
+          }
+          if (depth > 1) {
+            val payload = rewriteCalls(inner)
+            out += "explode"; out += "("
+            (1 until depth).foreach { _ => out += "flatten"; out += "(" }
             payload.foreach(out += _)
-            out += ")"; out += ")"
+            (1 until depth).foreach(_ => out += ")")
+            out += ")"
             k = close + 1
           } else {
             out += "explode"; k += 1

@@ -260,8 +260,7 @@ object Streams {
                             keyCol: String, idCol: String,
                             leftType: String, rightType: String,
                             within: String,
-                            queryName: String = "graft_ss_join"): DataFrame =
-    withStatePartitions(spark) {
+                            queryName: String = "graft_ss_join"): DataFrame = {
     def stream(): DataFrame =
       graft.Engine.normalizeEventTime(fileStream(spark, path), timeCol)
     val l = typedSide(stream(), typeCol, leftType, idCol, keyCol, timeCol,
@@ -302,31 +301,13 @@ object Streams {
     * none of this is needed — the log keeps flowing and the watermark
     * advances on its own.
     */
-  /** Stream-stream joins keep 4 state stores per partition per batch;
-    * each store pays fixed snapshot/maintenance cost every micro-batch,
-    * so at local[32]'s 32 shuffle partitions a 3-batch drain touches
-    * ~400 stores mostly holding a handful of rows. The harness drains
-    * under 8 state partitions (stream-start conf; results are
-    * partition-count independent) — on a real cluster you'd size this
-    * to executors×cores instead, where the same fixed cost amortizes
-    * over real per-partition volume.
-    */
-  private def withStatePartitions[A](spark: SparkSession, n: Int = 8)
-                                    (body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
-  }
-
   def runStreamIntervalLeftJoin(spark: SparkSession, path: String,
                                 timeCol: String, typeCol: String,
                                 keyCol: String, idCol: String,
                                 leftType: String, rightType: String,
                                 within: String,
                                 queryName: String = "graft_ss_ljoin",
-                                joinType: String = "left_outer"): DataFrame =
-    withStatePartitions(spark) {
+                                joinType: String = "left_outer"): DataFrame = {
     val base = graft.Engine.normalizeEventTime(
         spark.read.parquet(path), timeCol)
       .select(col(idCol), col(keyCol), col(typeCol), col(timeCol))
@@ -345,8 +326,7 @@ object Streams {
         col("rts") <= col("lts") + expr(s"INTERVAL $within"),
         joinType)
       // coalesce the key across sides: full-outer's unmatched RIGHT
-      // rows carry only rk (k is null) — without the coalesce the
-      // sentinel filter's null predicate would silently drop them
+      // rows carry only rk (k is null)
       .select(col("left_id"), col("right_id"),
         coalesce(col("k"), col("rk")).as("k"))
     // sentinel ts clears every left row's close condition
@@ -387,7 +367,14 @@ object Streams {
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
       finally walk.close()
     }
-    spark.table(queryName).filter(col("k") =!= -1L)
+    // sentinels are identified by their IDS (left -1 / right -2),
+    // null-safely: filtering on k =!= -1 would (a) drop legitimate
+    // data rows whose key happens to be -1 and (b) three-valued-logic
+    // away outer rows whose key is NULL (a NULL-keyed left row never
+    // matches, flushes null-padded, and NULL =!= -1 is NULL -> dropped
+    // — while the batch LEFT JOIN oracle keeps it)
+    spark.table(queryName)
+      .filter(!(col("left_id") <=> -1L) && !(col("right_id") <=> -2L))
   }
 
   /** Stream-static enrichment join: an unbounded event stream

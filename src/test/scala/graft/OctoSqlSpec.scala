@@ -273,6 +273,42 @@ class OctoSqlSpec extends SparkSpec {
     assert(row.getLong(2) == 4L) // reference len() is Int (int64)
   }
 
+  test("triple-nested unnest flattens to explode(flatten(flatten(x)))") {
+    val arr4 = write("arr4.json", """{"xs": [[[1, 2], [3]], [[4]]]}""" + "\n")
+    val rows = OctoSql.run(spark,
+      s"SELECT unnest(unnest(unnest(xs))) AS v FROM $arr4")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("columns named trigger/interval do not confuse the clause rewrites") {
+    val f = write("trig.json",
+      """{"trigger": 1, "interval": 5}
+        |{"trigger": 2, "interval": 7}
+        |""".stripMargin)
+    // a COLUMN reference `trigger` must not truncate the query, and a
+    // column `interval` must not be parsed as an interval literal
+    val rows = OctoSql.run(spark,
+      s"SELECT trigger, interval FROM $f ORDER BY trigger")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1.0, 5.0), (2.0, 7.0)))
+    // the real clause still strips: TRIGGER COUNTING over a group-by
+    val agg = OctoSql.run(spark,
+      s"SELECT trigger, COUNT(*) AS c FROM $f GROUP BY trigger TRIGGER COUNTING 1")
+      .collect()
+    assert(agg.length == 2)
+  }
+
+  test("FROM ... AS alias keeps the qualifier (alias with and without AS agree)") {
+    val noAs = OctoSql.run(spark,
+      s"SELECT p.k, q.w FROM $join1 p JOIN $join2 q ON p.k = q.k")
+      .collect().map(r => (r.getString(0), r.get(1).toString)).sorted
+    val withAs = OctoSql.run(spark,
+      s"SELECT p.k, q.w FROM $join1 AS p JOIN $join2 AS q ON p.k = q.k")
+      .collect().map(r => (r.getString(0), r.get(1).toString)).sorted
+    assert(withAs.toSeq == noAs.toSeq && noAs.nonEmpty)
+  }
+
   test("panic() raises, unix time round-trips (functions/panic.in)") {
     intercept[Exception] {
       OctoSql.run(spark, "SELECT panic('boom')").collect()
