@@ -178,7 +178,7 @@ def main():
                  999_999_999, 1_000_000_000, 1_000_000_001, 1_500_000_000,
                  59_999_999_999, 60_000_000_000, 61_000_000_000,
                  3_599_000_000_000, 3_600_000_000_000, 3_661_000_000_000,
-                 86_400_000_000_000, 2**63 - 1, -(2**63 - 1),
+                 86_400_000_000_000, 2**63 - 1, -(2**63 - 1), -(2**63),
                  2_333_333_333, -2_333_333_333]
     for _ in range(2000):
         durations.append(rng.getrandbits(rng.randint(1, 63)) *

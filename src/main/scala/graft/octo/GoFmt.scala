@@ -103,8 +103,12 @@ object GoFmt {
   /** Go `time.Duration.String()` over nanoseconds. */
   def goDuration(nanos: Long): String = {
     if (nanos == 0L) return "0s"
+    // Long.MinValue cannot be |·|'d in two's complement (Go negates in
+    // uint64 space); it IS reachable — nanosOf and goDurationU saturate
+    // to MinValue on underflow — so pin Go's exact rendering for it
+    if (nanos == Long.MinValue) return "-2562047h47m16.854775808s"
     val neg = nanos < 0
-    var u: Long = math.abs(nanos) // Long.MinValue impossible from our sources
+    var u: Long = math.abs(nanos)
     val sb = new StringBuilder
     if (u < 1000000000L) {
       // sub-second: ns / µs / ms with trimmed fraction

@@ -145,6 +145,13 @@ object OType {
     * name. Lines must be JSON objects; a non-object or unparseable line
     * raises with the reference's message shape.
     */
+  /** NOTE on nullability asymmetry (reference parity, not a bug): a
+    * TOP-LEVEL field missing from some lines keeps its plain type —
+    * json/impl.go:46-52 only sums types of PRESENT keys — while a
+    * missing NESTED struct field sums with NULL (octosql/types.go:263,
+    * TypeSum's deep merge). Identical data types differently by
+    * nesting depth in the reference too.
+    */
   def inferJsonl(lines: Iterator[String], limit: Int = 100): Seq[(String, OType)] = {
     val fields = scala.collection.mutable.LinkedHashMap[String, OType]()
     var i = 0

@@ -43,27 +43,12 @@ object CdcBoundariesUtil {
     var cpIdx = 0 // 1-based count of code points consumed
     var i = 0
     while (i < n) {
-      val b0 = bytes(i) & 0xff
-      var cp = 0
-      var len = 1
-      // same malformed-sequence degradation as PolyHashUtil: a lead
-      // byte whose continuation runs past the buffer counts as one
-      // code point per byte (valid UTF-8 decodes identically either way)
-      if (b0 < 0x80) { cp = b0 }
-      else if (b0 < 0xe0) {
-        if (i + 1 < n) { cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2 }
-        else cp = b0
-      } else if (b0 < 0xf0) {
-        if (i + 2 < n) {
-          cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
-            (bytes(i + 2) & 0x3f); len = 3
-        } else cp = b0
-      } else {
-        if (i + 3 < n) {
-          cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
-            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); len = 4
-        } else cp = b0
-      }
+      // shared truncation-tolerant UTF-8 walk (Utf8Walk — one policy,
+      // one place: a future change to the malformed-sequence handling
+      // must not diverge between the CDC kernel and poly_hash)
+      val packed = Utf8Walk.next(bytes, i, n)
+      val cp = (packed >>> 3).toInt
+      val len = (packed & 7L).toInt
       cpIdx += 1
       if (cpIdx > window) {
         // evict the code point leaving the window before shifting

@@ -438,7 +438,14 @@ object OctoResolve {
           case base =>
             OctoAggFn(base, lname, arg).toAggregateExpression(distinct)
         }
-      case _ => u // reference aggregates take exactly one expression
+      case args =>
+        // reference aggregates take exactly ONE expression (the parser
+        // shape in logical/group_by.go); falling through to Spark's
+        // native multi-arg resolution would compute a silently
+        // different result (e.g. count(a, b) = rows where BOTH are
+        // non-null) instead of the reference's typecheck rejection
+        throw new graft.sql.Dialect.TypecheckException(
+          s"unknown aggregate: $lname(${args.length} arguments)")
     }
   }
 

@@ -47,14 +47,28 @@ object OctoConfig {
 
   /** name → database config; empty when no config file exists
     * (config.Read treats a missing file as the empty config).
+    * Cached by (path, mtime): table resolution consults the config for
+    * every one-dot table name — including plain `people.csv` — and a
+    * query with N table references would otherwise stat + fully parse
+    * the YAML 2N+ times. An edited file (new mtime) re-parses.
     */
+  private val dbCache =
+    new java.util.concurrent.atomic.AtomicReference[((Path, Long), Map[String, DbConfig])]()
   def databases: Map[String, DbConfig] = configPath match {
     case Some(p) if Files.exists(p) =>
-      try parse(new String(Files.readAllBytes(p), "UTF-8"))
-      catch {
-        case e: Exception =>
-          throw new IllegalArgumentException(
-            s"couldn't unmarshal yaml configuration: ${e.getMessage}")
+      val key = (p, Files.getLastModifiedTime(p).toMillis)
+      val cached = dbCache.get()
+      if (cached != null && cached._1 == key) cached._2
+      else {
+        val parsed =
+          try parse(new String(Files.readAllBytes(p), "UTF-8"))
+          catch {
+            case e: Exception =>
+              throw new IllegalArgumentException(
+                s"couldn't unmarshal yaml configuration: ${e.getMessage}")
+          }
+        dbCache.set((key, parsed))
+        parsed
       }
     case _ => Map.empty
   }

@@ -27,7 +27,10 @@ object OctoJson {
     * `WithPreview()` open (json/impl.go:27-56).
     */
   def infer(path: String): Seq[(String, OType)] = {
-    val src = scala.io.Source.fromFile(path)
+    // explicit UTF-8: the platform default charset can mis-decode
+    // multibyte field names and silently desynchronize inference from
+    // Spark's (always-UTF-8) executors
+    val src = scala.io.Source.fromFile(path, "UTF-8")
     try OType.inferJsonl(src.getLines())
     finally src.close()
   }

@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object PathTable {
 
-  /** Options parsed from a `path?k=v&k2=v2` suffix. */
+  /** Options parsed from a `path?k=v&k2=v2` suffix. Split on the FIRST
+    * '?' only: a second '?' (inside an option value, or a typo'd
+    * double option block) must not silently discard every option and
+    * read the file with defaults.
+    */
   private def splitOpts(spec: String): (String, Map[String, String]) =
-    spec.split('?') match {
+    spec.split("\\?", 2) match {
       case Array(p)       => (p, Map.empty)
       case Array(p, opts) =>
         (p, opts.split('&').filter(_.nonEmpty).map { kv =>
@@ -27,7 +31,6 @@ object PathTable {
             case Array(k)    => k -> "true"
           }
         }.toMap)
-      case parts          => (parts.head, Map.empty)
     }
 
   /** Resolve a table spec to a DataFrame. Accepts `path.ext[?opts]`,
@@ -71,7 +74,9 @@ object PathTable {
     */
   def readStdin(spark: SparkSession, format: String,
                 opts: Map[String, String] = Map.empty): DataFrame =
-    readStdinLines(spark, format, scala.io.Source.stdin.getLines().toSeq, opts)
+    readStdinLines(spark, format,
+      scala.io.Source.fromInputStream(System.in, "UTF-8").getLines().toSeq,
+      opts)
 
   /** stdin with the content already drained (the CLI and the golden
     * scenario runner inject it). The line ordinal is assigned on the
@@ -194,6 +199,14 @@ object PathTable {
       spark.readStream.format(classOf[TailFileProvider].getName)
         .option("path", f.getAbsolutePath).load()
     else
-      spark.readStream.text(path).select(col("value").as("text"))
+      // keep the documented lines-table schema {number, text} on the
+      // glob/directory branch too, so the same query works on either
+      // shape. A GLOBAL line ordinal is undefined across multiple
+      // tailed files (and streaming forbids monotonically_increasing_
+      // id), so number is typed NULL here; the single-file branch
+      // (TailFileProvider) carries real ordinals
+      spark.readStream.text(path)
+        .select(lit(null).cast("long").as("number"),
+          col("value").as("text"))
   }
 }

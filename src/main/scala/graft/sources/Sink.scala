@@ -29,12 +29,17 @@ object Sink {
       // catalog entry and any leftover location first
       val spark = df.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      // the catalog lowercases identifiers, so the on-disk location is
+      // the lowercased name — checking the verbatim name would miss
+      // the orphan on a case-sensitive filesystem and CTAS would still
+      // fail with LOCATION_ALREADY_EXISTS
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:"), table)
+          .stripPrefix("file:"), table.toLowerCase(java.util.Locale.ROOT))
       if (loc.exists()) {
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          if (f.isDirectory)
+            Option(f.listFiles()).foreach(_.foreach(rm)) // null on I/O error
           f.delete()
         }
         rm(loc)

@@ -342,8 +342,13 @@ class StreamingSpec extends SparkSpec {
       // appending a new file mid-stream surfaces its rows
       java.nio.file.Files.writeString(new java.io.File(dir, "two.log").toPath, "l3\n")
       q.processAllAvailable()
-      val texts = spark.table("tail_lines").collect().map(_.getString(0)).toSet
-      assert(texts == Set("l1", "l2", "l3"))
+      // schema matches the lines-table contract {number, text}; a
+      // global ordinal is undefined across multiple tailed files, so
+      // number is typed NULL on the glob branch
+      assert(stream.columns.toSeq == Seq("number", "text"))
+      val rows = spark.table("tail_lines").collect()
+      assert(rows.map(_.getAs[String]("text")).toSet == Set("l1", "l2", "l3"))
+      assert(rows.forall(_.isNullAt(0)))
     } finally q.stop()
   }
 
