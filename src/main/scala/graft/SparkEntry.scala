@@ -1072,6 +1072,62 @@ object SparkEntry {
         "user_id", k = 64)
     }),
 
+    // ordered-funnel analysis (signup -> click -> purchase, each step
+    // strictly after the previous, all within 7 days of first signup).
+    // Three filtered per-user min-aggregates chained by equi-joins on
+    // user_id: each stage shuffles only the users still in the funnel
+    // (monotonically shrinking), every event_type filter is pushed to
+    // the scan, and no per-user event arrays are collected — the shape
+    // that survives power-law users at 100 TB where the ClickHouse
+    // windowFunnel-style collect_list-per-user form does not
+    "q65_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.select(lit(1).as("stage"), col("user_id"))
+        .union(s2.select(lit(2).as("stage"), col("user_id")))
+        .union(s3.select(lit(3).as("stage"), col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // cohort retention: users cohorted by the week of their first
+    // signup; a (cohort_week, weeks_since) cell counts distinct users
+    // active that many weeks later. Two shuffles total — one per-user
+    // min, one distinct on (user, week) — then a user_id equi-join;
+    // the weeks_since arithmetic is exact (both sides Monday-truncated
+    // dates, so the day diff is always a multiple of 7)
+    "q66_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast(DateType)
+          .as("cohort_week"))
+      val active = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast(DateType).as("w")).distinct()
+      cohort.join(active, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (datediff(col("w"), col("cohort_week")) / 7).cast(IntegerType)
+            .as("weeks_since"))
+        .filter(col("weeks_since") >= 0)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(countDistinct("user_id").as("n_active"))
+        // DATE rendered as a string: the comparator normalizes DATE
+        // and TIMESTAMP asymmetrically across engines
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd")
+          .as("cohort_week"), col("weeks_since"), col("n_active"))
+    }),
+
     // HyperLogLog distinct-count contract: the sketch (one pass, tiny
     // fixed state per group — the 100 TB path where exact distinct
     // needs a full shuffle of the keys) must land within 10% of exact;
@@ -3403,6 +3459,45 @@ object SparkEntry {
         |  round(CAST(nb AS DOUBLE) / CAST(n_union AS DOUBLE) * union_est,
         |        4) AS intersection_est
         |FROM est""".stripMargin,
+
+    "q65_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t1 + INTERVAL 7 DAY
+        |  GROUP BY 1)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+        |  SELECT CAST(1 AS INTEGER) AS stage, user_id FROM s1
+        |  UNION ALL SELECT 2, user_id FROM s2
+        |  UNION ALL SELECT 3, user_id FROM s3)
+        |GROUP BY 1""".stripMargin,
+
+    "q66_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', cohort_week, w) // 7 AS INTEGER)
+        |    AS weeks_since,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM cohort JOIN active USING (user_id)
+        |WHERE datediff('day', cohort_week, w) >= 0
+        |GROUP BY 1, 2""".stripMargin,
 
     "q48_freq_items" ->
       """WITH f AS (

@@ -44,4 +44,24 @@ class QueriesSpec extends SparkSpec {
       .collect().map(_.getDouble(1))
     assert(rows.sameElements(rows.sortBy(-(_: Double))))
   }
+
+  test("q65_funnel stage counts are monotonically non-increasing") {
+    val byStage = SparkEntry.queries("q65_funnel")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byStage.contains(1), "funnel lost stage 1")
+    val counts = (1 to 3).map(s => byStage.getOrElse(s, 0L))
+    assert(counts == counts.sortBy(-(_: Long)),
+      s"a later funnel stage gained users: $byStage")
+  }
+
+  test("q66_retention week-0 cells cover every cohort user") {
+    val df = SparkEntry.queries("q66_retention")(spark, sf)
+    val week0 = df.filter(col("weeks_since") === 0)
+      .agg(sum("n_active")).collect()(0).getLong(0)
+    val signups = Engine.table(spark, sf, "events")
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    // each cohort user's own first signup event is activity in week 0
+    assert(week0 == signups, s"week-0 active $week0 != cohort $signups")
+  }
 }
