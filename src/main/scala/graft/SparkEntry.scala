@@ -581,6 +581,16 @@ object SparkEntry {
       Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 3, w = 4, minCommon = 5, maxDocFreq = 50)),
 
+    // set-similarity join via prefix filtering (All-Pairs/PPJoin):
+    // only each doc's n−⌈0.8n⌉+1 RAREST tokens (global df-asc order)
+    // generate candidates — boilerplate tokens never index, so the
+    // skew d2 caps with maxDocFreq never forms. All-integer threshold
+    // algebra (9·inter ≥ 4·(na+nb) ⟺ J ≥ 4/5); the oracle computes
+    // ground truth WITHOUT the filter, proving losslessness on data
+    "d24_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
+        tNum = 4, tDen = 5)),
+
     "d22_edit_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cand = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -825,6 +835,31 @@ object SparkEntry {
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
         .select((col("n_found").cast("double") / col("n_exact").cast("double")
           >= 0.5).as("recall_ok"))
+    }),
+
+    // reciprocal rank fusion (Cormack et al. 2009) — the hybrid-
+    // retrieval shape: fuse a lexical (BM25) and a semantic (cosine)
+    // top-50 list by rrf = Σ 1/(60 + rank). Ranks come from bounded
+    // lists (limit-bounded windows; audit-clean), the fuse is one
+    // full-outer join on doc_id, and the fused score is IEEE
+    // arithmetic on integer ranks — bit-identical across engines
+    "s11_rrf" -> ((s, dir) => {
+      val wT = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val tr = TextAnalysis.bm25TopK(t(s, dir, "documents"),
+          Seq("spark", "join", "window"), topK = 50)
+        .withColumn("r_text", row_number().over(wT))
+        .select("doc_id", "r_text")
+      val emb = t(s, dir, "embeddings")
+      val vr = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("r_vec"))
+      tr.join(vr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_text"), col("r_vec"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     }),
 
     // IVF with TRAINED cells (the production build: k-means the corpus,
@@ -1127,6 +1162,90 @@ object SparkEntry {
         .select(date_format(col("cohort_week"), "yyyy-MM-dd")
           .as("cohort_week"), col("weeks_since"), col("n_active"))
     }),
+
+    // event-sequence Markov transition matrix (session path analysis):
+    // per-user lag() pairs adjacent events, then one grouped count and
+    // a prev-partitioned window normalizes rows into transition
+    // probabilities. Both windows are partitioned (user_id / prev) —
+    // no global sort anywhere — and p is a raw IEEE division of two
+    // BIGINTs, bit-identical across engines without any rounding
+    "q67_markov" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(
+        """WITH seq AS (
+          |  SELECT user_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |                          ORDER BY ts, event_id) AS prev
+          |  FROM events),
+          |c AS (
+          |  SELECT prev, event_type AS curr, COUNT(*) AS n
+          |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+          |SELECT prev, curr, n,
+          |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev)
+          |    AS DOUBLE) AS p
+          |FROM c""".stripMargin)
+    }),
+
+    // last-touch marketing attribution: each purchase credits the
+    // user's most recent preceding non-purchase event within 3 days,
+    // else 'direct'. LOCF via last_value(CASE…) IGNORE NULLS over a
+    // per-user window (partitioned — bounded tasks at any scale); the
+    // two LOCF columns ride the same total order (ts, event_id) and
+    // the same predicate, so they always come from the same touch row
+    "q70_attribution" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(
+        """WITH tagged AS (
+          |  SELECT user_id, ts, event_type,
+          |    last_value(CASE WHEN event_type <> 'purchase'
+          |               THEN event_type END) IGNORE NULLS
+          |      OVER w AS touch_type,
+          |    last_value(CASE WHEN event_type <> 'purchase'
+          |               THEN ts END) IGNORE NULLS
+          |      OVER w AS touch_ts
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING
+          |                        AND 1 PRECEDING))
+          |SELECT CASE WHEN touch_ts IS NULL
+          |            OR touch_ts < ts - INTERVAL 3 DAY
+          |            THEN 'direct' ELSE touch_type END AS channel,
+          |  COUNT(*) AS n_purchases
+          |FROM tagged WHERE event_type = 'purchase'
+          |GROUP BY 1""".stripMargin)
+    }),
+
+    // EXACT equi-depth histogram (16 buckets over a 6M-row column at
+    // sf1): global rank via Ranking.globalRowNumber — range
+    // repartition + per-partition offsets, the distributed form of
+    // row_number() OVER (ORDER BY ...) — then bucket = (rn−1)·16 div N
+    // and one aggregate. No single-task window anywhere; prices ride
+    // as exact DECIMAL-derived cents so bucket boundaries are
+    // bit-identical across engines (no double truncate-vs-round)
+    "q69_equidepth" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      val (ranked, total) = operators.Ranking.globalRowNumber(li,
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")))
+      ranked
+        .select(expr(s"((rn - 1) * 16) div ${total}L").as("bucket"),
+          col("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo"),
+          max("cents").as("hi"))
+    }),
+
+    // count-min sketch heavy hitters: a depth×width counter matrix
+    // built in ONE constant-state aggregate (vs exact per-key counts,
+    // which shuffle every distinct key — the thing that doesn't fit
+    // at 100 TB), then min-over-rows point estimates. Portable integer
+    // hashes -> the oracle replays every cell bit-for-bit; `exact`
+    // rides along as the in-query quality oracle (est >= exact always)
+    "q68_cms_heavy" -> ((s, dir) =>
+      operators.Sketches.cmsHeavyHitters(t(s, dir, "events"),
+        "user_id", depth = 4, width = 256, topK = 10)),
 
     // HyperLogLog distinct-count contract: the sketch (one pass, tiny
     // fixed state per group — the 100 TB path where exact distinct
@@ -1534,6 +1653,24 @@ object SparkEntry {
         concat(lit("h"), (col("doc_id") % 17).cast("string")).as("src"),
         concat(lit("h"), ((col("doc_id") * 7) % 13).cast("string")).as("dst"))
       Graph.pageRank(edges, iters = 3)
+    }),
+
+    // per-vertex triangle counts (graph clustering signal — link-farm
+    // detection / community density in a crawl graph): degree-ordered
+    // orientation bounds every pivot's wedge fan-out to O(sqrt(m))
+    // even on power-law graphs; each triangle is enumerated exactly
+    // once. The synthetic user graph keeps a CONSTANT average degree
+    // (vertices = users, which scale with the corpus; ~66 events/user
+    // at every sf), so the plan's cost grows linearly with data — the
+    // fixed-modulus alternative saturates into a complete graph
+    "p36_triangles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val m = ev.agg((max(col("user_id")) + 1L).as("m"))
+      val edges = ev.crossJoin(broadcast(m)).select(
+        col("user_id").as("src"),
+        ((col("user_id") * 31 + col("event_id") * 7 + 1) % col("m"))
+          .as("dst"))
+      Graph.triangles(edges)
     }),
 
     // single-pass data-quality audit (the Deequ/expectations gate): all
@@ -2845,6 +2982,24 @@ object SparkEntry {
         |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
 
+    "d24_prefix_jaccard" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |toks AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, tok FROM t0 WHERE length(tok) > 0),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE 9 * n_inter >= 4 * (sa.n + sb.n)""".stripMargin,
+
     "d22_edit_verify" ->
       """WITH toks AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts
@@ -3499,6 +3654,74 @@ object SparkEntry {
         |WHERE datediff('day', cohort_week, w) >= 0
         |GROUP BY 1, 2""".stripMargin,
 
+    "q67_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, event_type AS curr, COUNT(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, curr, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev)
+        |    AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+
+    "q70_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |               THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |               THEN ts END IGNORE NULLS)
+        |      OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_ts IS NULL
+        |            OR touch_ts < ts - INTERVAL 3 DAY
+        |            THEN 'direct' ELSE touch_type END AS channel,
+        |  COUNT(*) AS n_purchases
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
+    "q69_equidepth" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS cents,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+        |      AS rn,
+        |    COUNT(*) OVER () AS total
+        |  FROM v)
+        |SELECT (rn - 1) * 16 // total AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(cents) AS lo,
+        |  MAX(cents) AS hi
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q68_cms_heavy" ->
+      """WITH r AS (SELECT user_id AS k FROM events),
+        |cells AS (
+        |  SELECT t.j,
+        |    (k * (2654435761 + t.j * 40503)) % 4294967296 % 256 AS c,
+        |    COUNT(*) AS n
+        |  FROM r CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
+        |exact AS (SELECT k, COUNT(*) AS exact FROM r GROUP BY 1),
+        |est AS (
+        |  SELECT k, exact, MIN(n) AS est
+        |  FROM exact CROSS JOIN range(0, 4) t(j)
+        |  JOIN cells ON cells.j = t.j AND cells.c =
+        |    (k * (2654435761 + t.j * 40503)) % 4294967296 % 256
+        |  GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(est AS BIGINT) AS est,
+        |  CAST(exact AS BIGINT) AS exact
+        |FROM est ORDER BY est DESC, user_id LIMIT 10""".stripMargin,
+
     "q48_freq_items" ->
       """WITH f AS (
         |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
@@ -4076,6 +4299,49 @@ object SparkEntry {
     "s10_ivfpq" ->
       "SELECT true AS recall_ok",
 
+    "s11_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |              AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+        |       WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE)
+        |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
+        |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+        |tr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_text
+        |  FROM bm),
+        |vs AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id = 0),
+        |vrk AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+        |  FROM vs ORDER BY cosine DESC, doc_id LIMIT 50),
+        |f AS (
+        |  SELECT coalesce(tr.doc_id, vrk.doc_id) AS doc_id,
+        |    CAST(r_text AS INT) AS r_text, CAST(r_vec AS INT) AS r_vec
+        |  FROM tr FULL OUTER JOIN vrk ON tr.doc_id = vrk.doc_id)
+        |SELECT doc_id, r_text, r_vec,
+        |  coalesce(1.0 / (60 + r_text), 0.0)
+        |    + coalesce(1.0 / (60 + r_vec), 0.0) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
     "t5_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -4197,6 +4463,42 @@ object SparkEntry {
         |FROM s WHERE sim >= 0.35 GROUP BY id""".stripMargin,
 
     "p21_pagerank" -> p21PagerankSql(iters = 3),
+
+    "p36_triangles" ->
+      """WITH mm AS (SELECT MAX(user_id) + 1 AS m FROM events),
+        |e0 AS (
+        |  SELECT user_id AS src,
+        |    (user_id * 31 + event_id * 7 + 1) % m AS dst
+        |  FROM events, mm),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |wd AS (
+        |  SELECT und.a, und.b, d1.deg AS da, d2.deg AS db
+        |  FROM und
+        |  JOIN deg d1 ON d1.v = und.a
+        |  JOIN deg d2 ON d2.v = und.b),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS w,
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dw
+        |  FROM wd),
+        |tri AS (
+        |  SELECT e1.u, e1.w AS v1, e2.w AS v2
+        |  FROM o e1
+        |  JOIN o e2 ON e1.u = e2.u
+        |    AND (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))
+        |  JOIN o e3 ON e3.u = e1.w AND e3.w = e2.w)
+        |SELECT v, COUNT(*) AS n_tri FROM (
+        |  SELECT u AS v FROM tri
+        |  UNION ALL SELECT v1 FROM tri
+        |  UNION ALL SELECT v2 FROM tri)
+        |GROUP BY 1""".stripMargin,
 
     "p26_hits" -> p26HitsSql(iters = 2),
 

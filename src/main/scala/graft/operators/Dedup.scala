@@ -170,6 +170,73 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Set-similarity join via PREFIX FILTERING (Chaudhuri et al. 2006;
+    * Bayardo et al., WWW 2007 "All-Pairs"; Xiao et al.'s PPJoin
+    * family) — the other classic candidate-generation scheme next to
+    * the full inverted index (d2) and MinHash banding (d3). Each doc's
+    * distinct tokens are ordered by global rarity (document frequency
+    * asc, token asc); a pair with Jaccard ≥ t MUST share a token among
+    * each side's first `n − ⌈t·n⌉ + 1` tokens under that shared order,
+    * so only prefix tokens are indexed. The prefix holds the RAREST
+    * tokens, so candidate buckets are intrinsically small — frequent
+    * boilerplate tokens never generate candidates at all, the skew
+    * that d2 needs `maxDocFreq` to cap.
+    *
+    * The threshold is the exact rational `tNum/tDen`, and everything —
+    * prefix length `n − ⌈tNum·n/tDen⌉ + 1`, the verify predicate
+    * `(tDen+tNum)·|A∩B| ≥ tNum·(|A|+|B|)` — is integer arithmetic:
+    * no float anywhere, bit-identical in any engine. The DuckDB
+    * oracle computes ground truth WITHOUT the filter (plain inverted-
+    * index join), so the gate proves losslessness on real data.
+    *
+    * Scale shape: one token explode (distinct per doc), a tiny df
+    * aggregate, per-doc partitioned rank windows, a prefix-key
+    * equi-join, then exact intersection counts only for candidate
+    * pairs. Returns `(doc_a, doc_b, n_inter, n_union)`.
+    */
+  def prefixFilterJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .persist() // feeds df counts, sizes, prefix build, and verify
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rank each doc's tokens under the global (df, tok) rarity order;
+    // window is partitioned per doc — bounded by doc length
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "tok")
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, "id")
+      // ⌈tNum·n/tDen⌉ = (tNum·n + tDen − 1) div tDen, all integer
+      .filter(col("rn") <=
+        col("n") - expr(s"(${tNum}L * n + ${tDen - 1}L) div ${tDen}L") + 1)
+      .select(col("id"), col("tok"))
+    val cands = prefix.toDF("doc_a", "tok")
+      .join(prefix.toDF("doc_b", "tok"), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify on candidates only: intersection by re-joining the
+    // full token sets of each side
+    val inter = cands
+      .join(toks.toDF("doc_a", "tok"), "doc_a")
+      .join(toks.toDF("doc_b", "tok"), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(lit(tDen + tNum) * col("n_inter") >=
+        lit(tNum) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"))
+  }
+
   /** Exact substring-span duplication (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", the suffix-array
     * substring dedup, re-expressed as a shingle join): pairs of

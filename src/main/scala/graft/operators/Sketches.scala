@@ -62,6 +62,53 @@ object Sketches {
           / col("kth_min").cast("double")), 4).as("est"))
   }
 
+  /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005).
+    * The sketch is a depth×width counter matrix: row j counts keys
+    * under hash_j, and est(x) = min_j counter[j][h_j(x)] ≥ true(x)
+    * always (collisions only ADD). Building it is ONE map-side-
+    * combinable aggregate whose state is depth·width cells — constant
+    * regardless of key cardinality. That is the 100 TB story: exact
+    * per-key counts shuffle every distinct key; the sketch shuffles
+    * ≤ partitions·depth·width partial cells, then point-estimates any
+    * candidate set by a broadcast-sized join against the matrix.
+    *
+    * Hashes are the portable Knuth-multiplicative family
+    * ([[Sampling.hashKey]] with a per-row odd multiplier), integer-
+    * only and engine-replayable, so the DuckDB oracle reproduces every
+    * cell and every estimate bit-for-bit. Row multipliers stay odd
+    * (40503·j keeps parity) — an even multiplier would collapse the
+    * hash onto even residues.
+    *
+    * Returns the `topK` candidates by estimate (TakeOrdered, no global
+    * sort): `(key, est, exact)` — `exact` is the in-query oracle of
+    * sketch quality (est ≥ exact must hold on every row; the spec
+    * asserts it).
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 4,
+                      width: Int = 256, topK: Int = 10): DataFrame = {
+    require(depth >= 1 && width >= 2 && topK >= 1)
+    val rows = df.select(col(keyCol).cast("long").as("k"))
+    def hj = pmod(col("k") * (lit(2654435761L) + col("j") * 40503L),
+      lit(4294967296L)) % width
+    // matrix: depth copies of the input -> (j, cell) counts. The
+    // explode multiplies rows BEFORE the aggregate, but partial
+    // aggregation collapses each task to <= depth*width cells, so the
+    // exchange is constant-size.
+    val cells = rows
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("j"), hj.as("c"))
+      .groupBy("j", "c").agg(count(lit(1)).as("n"))
+    val exact = rows.groupBy("k").agg(count(lit(1)).as("exact"))
+    val est = exact
+      .select(col("k"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("k"), col("exact"), col("j"), hj.as("c"))
+      .join(cells, Seq("j", "c"))
+      .groupBy("k", "exact").agg(min(col("n")).as("est"))
+    est.select(col("k").as(keyCol), col("est"), col("exact"))
+      .orderBy(col("est").desc, col(keyCol)).limit(topK)
+  }
+
   /** KMV set algebra between two key sets A and B: the union sketch
     * (k smallest of A's and B's sketches merged), Jaccard from the
     * both-sides fraction, and the intersection estimate

@@ -1687,6 +1687,79 @@ class OperatorsSpec extends SparkSpec {
     assert(r.values.sum <= 1000000000000L) // dangling/rounding mass only leaks down
   }
 
+  test("prefixFilterJaccardPairs equals brute-force Jaccard on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 't').map(_.toString)
+    // clusters of near-identical docs + random background docs
+    val docs = (0 until 30).map { i =>
+      val base = if (i < 10) Seq("x", "y", "z", "w", "v", vocab(i % 5))
+        else rnd.shuffle(vocab).take(4 + rnd.nextInt(8)).toSeq
+      (i.toLong, rnd.shuffle(base).mkString(" "))
+    }
+    val sets = docs.map { case (id, txt) =>
+      id -> txt.split("\\s+").filter(_.nonEmpty).toSet }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      if 9 * inter >= 4 * (sets(a).size + sets(b).size)
+    } yield (a, b, inter.toLong,
+      (sets(a).size + sets(b).size - inter).toLong)).toSet
+    val got = graft.operators.Dedup
+      .prefixFilterJaccardPairs(docs.toDF("doc_id", "text"), tNum = 4, tDen = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == brute,
+      s"missed=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("triangles counts K4 and ignores pendant paths") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: each vertex is in C(3,2)=3 triangles; the
+    // pendant path 4-5-6 adds none. Edges mixed-direction + a dup +
+    // a self-loop to exercise canonicalization.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L),
+        (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 6L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.triangles(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("triangles equals brute-force enumeration on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }
+      .groupBy(_._1).map { case (v, e) => v -> e.map(_._2).toSet }
+    val verts = adj.keys.toSeq.sorted
+    val brute = verts.map { v =>
+      val n = adj(v).toSeq
+      v -> (for {
+        i <- n.indices; j <- (i + 1) until n.size
+        if adj(n(i)).contains(n(j))
+      } yield 1).size.toLong
+    }.filter(_._2 > 0).toMap
+    val got = graft.operators.Graph.triangles(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+
+  test("cmsHeavyHitters never underestimates and ranks the true heavy key first") {
+    import spark.implicits._
+    // key 7 appears 62x (60 + once in each background range); 40
+    // background keys once or twice
+    val rows = (Seq.fill(60)(7L) ++ (1L to 40L) ++ (1L to 20L)).toDF("k")
+    val got = graft.operators.Sketches
+      .cmsHeavyHitters(rows, "k", depth = 4, width = 64, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.head._1 == 7L && got.head._3 == 62L)
+    got.foreach { case (k, est, exact) =>
+      assert(est >= exact, s"CMS underestimated key $k: $est < $exact") }
+  }
+
   test("Profile.audit computes violation counts in long form") {
     val df = Seq(
       (Some(1L), Some("hello world"), "en"),

@@ -10,7 +10,7 @@ class QueriesSpec extends SparkSpec {
 
   // queries whose correct answer may legitimately be empty at sf0.001
   private val mayBeEmpty = Set("q2_filter", "d2_ngram_jaccard",
-    "d3_minhash_lsh", "d5_embed_pairs")
+    "d3_minhash_lsh", "d5_embed_pairs", "d24_prefix_jaccard")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs") {
@@ -52,6 +52,52 @@ class QueriesSpec extends SparkSpec {
     val counts = (1 to 3).map(s => byStage.getOrElse(s, 0L))
     assert(counts == counts.sortBy(-(_: Long)),
       s"a later funnel stage gained users: $byStage")
+  }
+
+  test("q67_markov transition probabilities sum to 1 per source state") {
+    val sums = SparkEntry.queries("q67_markov")(spark, sf)
+      .groupBy("prev").agg(sum("p").as("tot")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"transitions from ${r.getString(0)} sum to ${r.getDouble(1)}"))
+  }
+
+  test("q70_attribution credits every purchase exactly once") {
+    val total = SparkEntry.queries("q70_attribution")(spark, sf)
+      .agg(sum("n_purchases")).collect()(0).getLong(0)
+    val purchases = graft.Engine.table(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(total == purchases, s"$total attributed vs $purchases purchases")
+  }
+
+  test("q69_equidepth buckets are equi-depth and value-ordered") {
+    val rows = SparkEntry.queries("q69_equidepth")(spark, sf)
+      .orderBy("bucket").collect()
+    assert(rows.length == 16)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1, s"depths not balanced: ${ns.mkString(",")}")
+    // bucket value ranges must not overlap (lo of bucket k+1 >= hi of k)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) >= a.getLong(3),
+        s"bucket ranges overlap: ${a.getLong(3)} > ${b.getLong(2)}")
+    case _ => }
+  }
+
+  test("q68_cms_heavy estimates dominate exact counts") {
+    SparkEntry.queries("q68_cms_heavy")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS underestimated user ${r.getLong(0)}")
+    }
+  }
+
+  test("s11_rrf fuses only ranked docs and bounds the fused score") {
+    val rows = SparkEntry.queries("s11_rrf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!(r.isNullAt(1) && r.isNullAt(2)),
+        s"doc ${r.getLong(0)} in neither source ranking")
+      val rrf = r.getDouble(3)
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0, s"rrf out of range: $rrf")
+    }
   }
 
   test("q66_retention week-0 cells cover every cohort user") {
