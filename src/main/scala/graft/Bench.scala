@@ -176,9 +176,12 @@ object Bench {
       s""""flagship_best_rows_per_sec":$bestRps,""" +
       s""""baseline_octosql_rows_per_sec":1.0E6,"sf":"$sfDir"}"""
     // full-precision record to a file: stdout goes through sbt's logger
-    // in some launch modes, and the driver's tail capture is bounded
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (jsonFull + "\n").getBytes("UTF-8"))
+    // in some launch modes, and the driver's tail capture is bounded.
+    // Subset runs (SPARK_GRAFT_ONLY) must not clobber the committed
+    // full-suite record with a 3-query file
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (jsonFull + "\n").getBytes("UTF-8"))
     spark.stop() // before the JSON line: shutdown logging must not follow it
     println(json)
     // loud exit AFTER the JSON line so the driver's capture still gets

@@ -582,14 +582,15 @@ object SparkEntry {
         k = 3, w = 4, minCommon = 5, maxDocFreq = 50)),
 
     // set-similarity join via prefix filtering (All-Pairs/PPJoin):
-    // only each doc's n−⌈0.8n⌉+1 RAREST tokens (global df-asc order)
-    // generate candidates — boilerplate tokens never index, so the
-    // skew d2 caps with maxDocFreq never forms. All-integer threshold
-    // algebra (9·inter ≥ 4·(na+nb) ⟺ J ≥ 4/5); the oracle computes
-    // ground truth WITHOUT the filter, proving losslessness on data
+    // only each doc's n−⌈0.8n⌉+1 RAREST 3-token shingles (global
+    // df-asc order) generate candidates — boilerplate never indexes,
+    // so the skew d2 caps with maxDocFreq never forms, and a length
+    // filter rides the candidate join. All-integer threshold algebra
+    // (9·inter ≥ 4·(na+nb) ⟺ J ≥ 4/5); the oracle computes ground
+    // truth WITHOUT the filter, proving losslessness on real data
     "d24_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
-        tNum = 4, tDen = 5)),
+        tNum = 4, tDen = 5, shingleN = 3)),
 
     "d22_edit_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1184,6 +1185,83 @@ object SparkEntry {
           |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev)
           |    AS DOUBLE) AS p
           |FROM c""".stripMargin)
+    }),
+
+    // TPC-H Q3 (shipping priority, adapted: o_orderpriority stands in
+    // for o_shippriority): the canonical fact-fact join with pushed
+    // date filters on BOTH scan sides, a broadcast customer dim, and a
+    // bounded top-10 (TakeOrdered). Revenue is the exact decimal
+    // product sum (q5 treaty) so ordering can't split on float noise
+    "q71_tpch_q3" -> ((s, dir) => {
+      val cut = lit("1999-01-01").cast(TimestampType)
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+            * (lit(1).cast(DecimalType(3, 2))
+              - col("l_discount").cast(DecimalType(4, 2))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+
+    // TPC-H Q10 (returned items): which customers returned the most
+    // revenue last quarter — lineitem R-flag filter pushed to the
+    // scan, one fact-fact join, broadcast customer+nation, top-20
+    "q72_tpch_q10" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("2000-04-01").cast(TimestampType))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+            * (lit(1).cast(DecimalType(3, 2))
+              - col("l_discount").cast(DecimalType(4, 2))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // TPC-H Q8 (national market share): NATION_3's share of PROMO
+    // revenue sold into ASIA per order-year. Two nation joins (one
+    // per side of the trade), all dims broadcast, the share a single
+    // division of two exact decimal sums — group keys never touch
+    // floats, so the per-year rows hash identically across engines
+    "q73_tpch_q8" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val nc = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val sp = t(s, dir, "supplier")
+      val ns = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation"))
+      val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2))
+          - col("l_discount").cast(DecimalType(4, 2)))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(nc), c("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
+        .join(broadcast(ns), sp("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("s_nation") === "NATION_3", rev)).as("nat"),
+          sum(rev).as("tot"))
+        .select(col("o_year"),
+          round(coalesce(col("nat"), lit(0)).cast(DoubleType)
+            / col("tot").cast(DoubleType), 6).as("mkt_share"))
     }),
 
     // last-touch marketing attribution: each purchase credits the
@@ -2984,10 +3062,14 @@ object SparkEntry {
 
     "d24_prefix_jaccard" ->
       """WITH t0 AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         |  FROM documents),
         |toks AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, tok FROM t0 WHERE length(tok) > 0),
+        |  SELECT DISTINCT doc_id,
+        |    ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |      || ' ' || ts[CAST(i AS INT) + 2] AS tok
+        |  FROM t0, unnest(range(1, len(ts) - 1)) r(i)
+        |  WHERE len(ts) >= 3),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -3667,6 +3749,56 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev)
         |    AS DOUBLE) AS p
         |FROM c""".stripMargin,
+
+    "q71_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q72_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q73_tpch_q8" ->
+      """WITH f AS (
+        |  SELECT year(o_orderdate) AS o_year, n2.n_name AS s_nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2))
+        |        - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+        |SELECT CAST(o_year AS INT) AS o_year,
+        |  round(CAST(coalesce(
+        |      SUM(CASE WHEN s_nation = 'NATION_3' THEN rev END), 0)
+        |    AS DOUBLE) / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+        |FROM f GROUP BY 1""".stripMargin,
 
     "q70_attribution" ->
       """WITH tagged AS (

@@ -196,14 +196,32 @@ object Dedup {
     */
   def prefixFilterJaccardPairs(docs: DataFrame, tNum: Int, tDen: Int,
                                idCol: String = "doc_id",
-                               textCol: String = "text"): DataFrame = {
+                               textCol: String = "text",
+                               shingleN: Int = 1): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
-    val toks = docs
-      .select(col(idCol).as("id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .distinct()
+    require(shingleN >= 1, s"shingleN must be >= 1: $shingleN")
+    // set elements: single word tokens, or textual n-token shingles.
+    // Shingles matter beyond recall semantics: on a low-diversity
+    // corpus (small vocabulary, short docs) EVERY word is frequent, so
+    // word-level prefixes prune nothing and the t=0.8 answer itself is
+    // quadratic in clone-family sizes (measured at sf0.1: 2.97M true
+    // word-level pairs vs 256 shingle-level). Phrase-level sets are
+    // what near-dup dedup actually compares (d2's shingle index).
+    val raw =
+      if (shingleN == 1)
+        docs.select(col(idCol).as("id"),
+            explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+      else
+        docs.select(col(idCol).as("id"),
+            split(trim(col(textCol)), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= shingleN)
+          .select(col("id"), explode(expr(
+            s"transform(sequence(0, size(ts) - $shingleN)," +
+              s" i -> concat_ws(' ', slice(ts, i + 1, $shingleN)))"))
+            .as("tok"))
+    val toks = raw.distinct()
       .persist() // feeds df counts, sizes, prefix build, and verify
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -217,10 +235,14 @@ object Dedup {
       // ⌈tNum·n/tDen⌉ = (tNum·n + tDen − 1) div tDen, all integer
       .filter(col("rn") <=
         col("n") - expr(s"(${tNum}L * n + ${tDen - 1}L) div ${tDen}L") + 1)
-      .select(col("id"), col("tok"))
-    val cands = prefix.toDF("doc_a", "tok")
-      .join(prefix.toDF("doc_b", "tok"), "tok")
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("id"), col("tok"), col("n"))
+    // length filter rides the candidate join: J ≥ t ⇒ t·|B| ≤ |A| (and
+    // symmetrically) — prunes cross-size candidates before the verify
+    val cands = prefix.toDF("doc_a", "tok", "na")
+      .join(prefix.toDF("doc_b", "tok", "nb"), "tok")
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(tDen) * col("na") >= lit(tNum) * col("nb") &&
+        lit(tDen) * col("nb") >= lit(tNum) * col("na"))
       .select("doc_a", "doc_b").distinct()
     // exact verify on candidates only: intersection by re-joining the
     // full token sets of each side

@@ -1712,6 +1712,27 @@ class OperatorsSpec extends SparkSpec {
       .toSet
     assert(got == brute,
       s"missed=${brute -- got} extra=${got -- brute}")
+
+    // shingle mode: same theorem over 3-token shingle sets
+    val shSets = docs.map { case (id, txt) =>
+      val w = txt.split("\\s+").filter(_.nonEmpty)
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val shBrute = (for {
+      a <- shSets.keys; b <- shSets.keys
+      if a < b && shSets(a).nonEmpty && shSets(b).nonEmpty
+      inter = (shSets(a) & shSets(b)).size
+      if 9 * inter >= 4 * (shSets(a).size + shSets(b).size)
+    } yield (a, b, inter.toLong,
+      (shSets(a).size + shSets(b).size - inter).toLong)).toSet
+    val shGot = graft.operators.Dedup
+      .prefixFilterJaccardPairs(docs.toDF("doc_id", "text"),
+        tNum = 4, tDen = 5, shingleN = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(shGot == shBrute,
+      s"shingles: missed=${shBrute -- shGot} extra=${shGot -- shBrute}")
   }
 
   test("triangles counts K4 and ignores pendant paths") {
