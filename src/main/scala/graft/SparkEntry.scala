@@ -3840,7 +3840,7 @@ object SparkEntry {
       """WITH r AS (SELECT user_id AS k FROM events),
         |cells AS (
         |  SELECT t.j,
-        |    (k * (2654435761 + t.j * 40503)) % 4294967296 % 256 AS c,
+        |    (k * (2654435761 + t.j * 81006)) % 4294967296 % 256 AS c,
         |    COUNT(*) AS n
         |  FROM r CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
         |exact AS (SELECT k, COUNT(*) AS exact FROM r GROUP BY 1),
@@ -3848,7 +3848,7 @@ object SparkEntry {
         |  SELECT k, exact, MIN(n) AS est
         |  FROM exact CROSS JOIN range(0, 4) t(j)
         |  JOIN cells ON cells.j = t.j AND cells.c =
-        |    (k * (2654435761 + t.j * 40503)) % 4294967296 % 256
+        |    (k * (2654435761 + t.j * 81006)) % 4294967296 % 256
         |  GROUP BY 1, 2)
         |SELECT k AS user_id, CAST(est AS BIGINT) AS est,
         |  CAST(exact AS BIGINT) AS exact
@@ -4457,8 +4457,13 @@ object SparkEntry {
         |  FROM bm),
         |vs AS (
         |  SELECT c.vec_id AS doc_id,
-        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                           CAST(c.embedding AS DOUBLE[])) AS cosine
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(c.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(q.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[]))))
+        |      AS cosine
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id = 0),
         |vrk AS (

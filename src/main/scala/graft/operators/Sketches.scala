@@ -75,9 +75,10 @@ object Sketches {
     * Hashes are the portable Knuth-multiplicative family
     * ([[Sampling.hashKey]] with a per-row odd multiplier), integer-
     * only and engine-replayable, so the DuckDB oracle reproduces every
-    * cell and every estimate bit-for-bit. Row multipliers stay odd
-    * (40503·j keeps parity) — an even multiplier would collapse the
-    * hash onto even residues.
+    * cell and every estimate bit-for-bit. The row step 81006 = 2·40503
+    * is EVEN, so odd + even·j stays odd for every row — an odd step
+    * makes rows 1 and 3 even (odd+odd), collapsing them onto 1/8 and
+    * 1/2 of the cells (review-measured: 32 and 128 of 256).
     *
     * Returns the `topK` candidates by estimate (TakeOrdered, no global
     * sort): `(key, est, exact)` — `exact` is the in-query oracle of
@@ -88,7 +89,7 @@ object Sketches {
                       width: Int = 256, topK: Int = 10): DataFrame = {
     require(depth >= 1 && width >= 2 && topK >= 1)
     val rows = df.select(col(keyCol).cast("long").as("k"))
-    def hj = pmod(col("k") * (lit(2654435761L) + col("j") * 40503L),
+    def hj = pmod(col("k") * (lit(2654435761L) + col("j") * 81006L),
       lit(4294967296L)) % width
     // matrix: depth copies of the input -> (j, cell) counts. The
     // explode multiplies rows BEFORE the aggregate, but partial

@@ -1781,6 +1781,20 @@ class OperatorsSpec extends SparkSpec {
       assert(est >= exact, s"CMS underestimated key $k: $est < $exact") }
   }
 
+  test("CMS hash rows each cover the full cell range (odd multipliers)") {
+    // an even row multiplier collapses that row onto a fraction of the
+    // cells (odd base + odd step made rows 1 and 3 cover 32/256 and
+    // 128/256); replicate the column arithmetic and require near-full
+    // coverage for every row of the q68 config
+    for (j <- 0 until 4) {
+      val mult = 2654435761L + j * 81006L
+      assert(mult % 2 == 1, s"row $j multiplier is even: $mult")
+      val cells = (0L until 10000L)
+        .map(k => ((k * mult) % 4294967296L) % 256).toSet
+      assert(cells.size > 250, s"row $j covers only ${cells.size}/256 cells")
+    }
+  }
+
   test("Profile.audit computes violation counts in long form") {
     val df = Seq(
       (Some(1L), Some("hello world"), "en"),

@@ -10,7 +10,7 @@ class QueriesSpec extends SparkSpec {
 
   // queries whose correct answer may legitimately be empty at sf0.001
   private val mayBeEmpty = Set("q2_filter", "d2_ngram_jaccard",
-    "d3_minhash_lsh", "d5_embed_pairs", "d24_prefix_jaccard")
+    "d3_minhash_lsh", "d5_embed_pairs")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs") {
