@@ -971,6 +971,37 @@ object SparkEntry {
       TextAnalysis.bm25TopK(t(s, dir, "documents"),
         Seq("spark", "join", "window"), topK = 20)),
 
+    // PMI collocations (Church & Hanks 1990): bigrams whose parts
+    // co-occur far above independence — the classic phrase-mining /
+    // tokenizer-seeding signal. All counts are integer aggregates;
+    // pmi = ln((c_xy·N²)/(N_big·c_x·c_y)) is one fixed double tree
+    // (identical operand order in the oracle), rounded to 6 dp;
+    // bounded top-20 via TakeOrdered
+    "t20_pmi" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(split(trim(col("text")), "\\s+").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val cu = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(count(lit(1)).as("n_uni"))
+      val big = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2)," +
+            " i -> named_struct('x', ts[i], 'y', ts[i + 1]))")).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+      val cb = big.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val nBig = big.agg(count(lit(1)).as("n_big"))
+      cb.filter(col("c_xy") >= 10)
+        .join(cu.toDF("x", "c_x"), "x")
+        .join(cu.toDF("y", "c_y"), "y")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+        .select(col("x"), col("y"), col("c_xy"),
+          round(log((col("c_xy").cast("double") * col("n_uni") * col("n_uni"))
+            / (col("n_big").cast("double") * col("c_x") * col("c_y"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y")).limit(20)
+    }),
+
     // apply a linear quality classifier (hashed bag-of-words, the
     // fastText shape): integer-valued stand-in weights synthesized
     // deterministically so the oracle replays the model bit-for-bit;
@@ -1262,6 +1293,19 @@ object SparkEntry {
         .select(col("o_year"),
           round(coalesce(col("nat"), lit(0)).cast(DoubleType)
             / col("tot").cast(DoubleType), 6).as("mkt_share"))
+    }),
+
+    // local clustering coefficient (Watts-Strogatz): triangle density
+    // of each vertex's neighborhood on the p36 user graph — the only
+    // float is one division of two integers, rounded to 6 dp
+    "p37_clustering_coef" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val m = ev.agg((max(col("user_id")) + 1L).as("m"))
+      val edges = ev.crossJoin(broadcast(m)).select(
+        col("user_id").as("src"),
+        ((col("user_id") * 31 + col("event_id") * 7 + 1) % col("m"))
+          .as("dst"))
+      Graph.clusteringCoefficient(edges)
     }),
 
     // last-touch marketing attribution: each purchase credits the
@@ -2407,6 +2451,18 @@ object SparkEntry {
           queryName = "st10_stream_topk")
         .select(col("user_id"), col("n"))),
 
+    // streaming count-min sketch: the per-day depth×width cell matrix
+    // maintained by the micro-batch engine — state per window is
+    // ≤ depth·width cells, CONSTANT in key cardinality (per-key
+    // windowed counts would hold every distinct key in the state
+    // store). Same portable hashes as batch q68; drained table equals
+    // the batch windowed sketch the oracle computes
+    "st12_stream_cms" -> ((s, dir) =>
+      Streams.runStreamCms(s, s"$dir/events.parquet", "ts", "1 day",
+          "user_id", depth = 4, width = 256,
+          queryName = "st12_stream_cms")
+        .select(col("window_start"), col("j"), col("c"), col("n"))),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -3427,6 +3483,28 @@ object SparkEntry {
         |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t20_pmi" ->
+      """WITH t0 AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |uni AS (SELECT unnest(ts) AS tok FROM t0),
+        |u AS (SELECT tok FROM uni WHERE length(tok) > 0),
+        |cu AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY 1),
+        |nu AS (SELECT COUNT(*) AS n_uni FROM u),
+        |big AS (
+        |  SELECT ts[CAST(i AS INT)] AS x, ts[CAST(i AS INT) + 1] AS y
+        |  FROM t0, unnest(range(1, len(ts))) r(i) WHERE len(ts) >= 2),
+        |cb AS (SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY 1, 2),
+        |nb AS (SELECT COUNT(*) AS n_big FROM big)
+        |SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+        |  round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+        |    / (CAST(n_big AS DOUBLE) * cx.c * cy.c)), 6) AS pmi
+        |FROM cb
+        |JOIN cu cx ON cx.tok = cb.x
+        |JOIN cu cy ON cy.tok = cb.y, nu, nb
+        |WHERE c_xy >= 10
+        |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
 
     "t13_dsir" ->
       """WITH toks AS (
@@ -4637,6 +4715,50 @@ object SparkEntry {
         |  UNION ALL SELECT v2 FROM tri)
         |GROUP BY 1""".stripMargin,
 
+    "p37_clustering_coef" ->
+      """WITH mm AS (SELECT MAX(user_id) + 1 AS m FROM events),
+        |e0 AS (
+        |  SELECT user_id AS src,
+        |    (user_id * 31 + event_id * 7 + 1) % m AS dst
+        |  FROM events, mm),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |wd AS (
+        |  SELECT und.a, und.b, d1.deg AS da, d2.deg AS db
+        |  FROM und
+        |  JOIN deg d1 ON d1.v = und.a
+        |  JOIN deg d2 ON d2.v = und.b),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS w,
+        |    CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dw
+        |  FROM wd),
+        |tri AS (
+        |  SELECT e1.u, e1.w AS v1, e2.w AS v2
+        |  FROM o e1
+        |  JOIN o e2 ON e1.u = e2.u
+        |    AND (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))
+        |  JOIN o e3 ON e3.u = e1.w AND e3.w = e2.w),
+        |tc AS (
+        |  SELECT v, COUNT(*) AS n_tri FROM (
+        |    SELECT u AS v FROM tri
+        |    UNION ALL SELECT v1 FROM tri
+        |    UNION ALL SELECT v2 FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.v, CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(deg.deg AS BIGINT) AS deg,
+        |  round(CASE WHEN deg.deg >= 2
+        |    THEN CAST(2 * coalesce(tc.n_tri, 0) AS DOUBLE)
+        |         / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS coef
+        |FROM deg LEFT JOIN tc ON tc.v = deg.v""".stripMargin,
+
     "p26_hits" -> p26HitsSql(iters = 2),
 
     // the noise draw replays exactly: same poly_hash, same inverse-CDF
@@ -4942,7 +5064,16 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "st12_stream_cms" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+        |    AS window_start,
+        |  CAST(t.j AS INT) AS j,
+        |  (user_id * (2654435761 + t.j * 81006)) % 4294967296 % 256 AS c,
+        |  COUNT(*) AS n
+        |FROM events CROSS JOIN range(0, 4) t(j)
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** Unrolled DuckDB replica of Lloyd's k-means (s4), iteration by

@@ -116,6 +116,32 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Per-vertex local clustering coefficient (Watts & Strogatz 1998):
+    * c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close v's
+    * neighborhood is to a clique, the standard community-density /
+    * link-farm signal on crawl graphs. Rides [[triangles]] for the
+    * numerator; the only float step is the final division of two
+    * integers (rounded to 6 dp), so the oracle replays exactly.
+    * Degree-1 vertices get 0. Returns `(v, n_tri, deg, coef)`.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
+                            dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+              greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.join(triangles(edges, srcCol, dstCol), Seq("v"), "left")
+      .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("deg"),
+        round(when(col("deg") >= 2,
+            (lit(2L) * coalesce(col("n_tri"), lit(0L))).cast("double")
+              / (col("deg") * (col("deg") - 1L)).cast("double"))
+          .otherwise(lit(0.0)), 6).as("coef"))
+  }
+
   /** HITS hubs & authorities (Kleinberg) — the complementary authority
     * model to [[pageRank]]: a good hub links to good authorities and
     * vice versa. Same fixed-point integer discipline; each half-round

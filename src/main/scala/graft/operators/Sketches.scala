@@ -85,12 +85,19 @@ object Sketches {
     * sketch quality (est ≥ exact must hold on every row; the spec
     * asserts it).
     */
+  /** CMS cell index for key `k` under hash row `j`: portable integer
+    * arithmetic (odd multiplier for every j — see cmsHeavyHitters),
+    * shared by the batch heavy-hitter query and the streaming
+    * windowed-sketch runner so both replay in any engine.
+    */
+  def cmsCell(k: Column, j: Column, width: Int): Column =
+    pmod(k * (lit(2654435761L) + j * 81006L), lit(4294967296L)) % width
+
   def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 4,
                       width: Int = 256, topK: Int = 10): DataFrame = {
     require(depth >= 1 && width >= 2 && topK >= 1)
     val rows = df.select(col(keyCol).cast("long").as("k"))
-    def hj = pmod(col("k") * (lit(2654435761L) + col("j") * 81006L),
-      lit(4294967296L)) % width
+    def hj = cmsCell(col("k"), col("j"), width)
     // matrix: depth copies of the input -> (j, cell) counts. The
     // explode multiplies rows BEFORE the aggregate, but partial
     // aggregation collapses each task to <= depth*width cells, so the

@@ -113,6 +113,39 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming count-min sketch: per tumbling window, the depth×width
+    * cell-count matrix ([[graft.operators.Sketches.cmsCell]], same
+    * portable hashes as the batch q68) maintained incrementally by the
+    * micro-batch engine. State per window is ≤ depth·width cells —
+    * CONSTANT in key cardinality, which is the entire point of
+    * sketching a stream: per-key windowed counts would hold every
+    * distinct key in the state store. Complete-mode memory drain as in
+    * [[runTumblingAgg]] (harness-only); the final table equals the
+    * batch windowed sketch, which is the DuckDB oracle.
+    */
+  def runStreamCms(spark: SparkSession, path: String, timeCol: String,
+                   len: String, keyCol: String, depth: Int, width: Int,
+                   queryName: String = "graft_stream_cms"): DataFrame = {
+    val raw = fileStream(spark, path)
+    val cells = graft.Engine.normalizeEventTime(raw, timeCol)
+      .select(col(timeCol), col(keyCol).cast("long").as("k"))
+      .select(col(timeCol), col("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col(timeCol), col("j"),
+        graft.operators.Sketches.cmsCell(col("k"), col("j"), width).as("c"))
+      .groupBy(window(col(timeCol), len), col("j"), col("c"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+    val q = withStatePartitions(spark)(cells.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming per-window DISTINCT counts (the windowed-DAU shape):
     * `dropDuplicates` on (window, key) collapses repeats inside each
     * window, then a windowed count — two stateful operators in one

@@ -1768,6 +1768,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == brute, s"got=$got brute=$brute")
   }
 
+  test("clusteringCoefficient: K4 corners are 1.0, pendant chain is 0") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // 1,2,3 sit in a pure K4 corner: 3 triangles over C(3,2)=3 pairs
+    Seq(1L, 2L, 3L).foreach(v => assert(got(v) == ((3L, 3L, 1.0)), s"$v: ${got(v)}"))
+    // 4 has degree 4 (K4 + pendant): 3 triangles over C(4,2)=6 pairs
+    assert(got(4L) == ((3L, 4L, 0.5)))
+    // chain vertices close nothing
+    assert(got(5L) == ((0L, 2L, 0.0)) && got(6L) == ((0L, 1L, 0.0)))
+  }
+
   test("cmsHeavyHitters never underestimates and ranks the true heavy key first") {
     import spark.implicits._
     // key 7 appears 62x (60 + once in each background range); 40
