@@ -22,6 +22,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  /** Synthetic user graph shared by p36/p37 (and replayed verbatim in
+    * both oracles): vertices are users (they scale with the corpus,
+    * ~66 events/user at every sf => CONSTANT average degree, so graph
+    * queries scale linearly instead of saturating into a dense graph).
+    */
+  private def userGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val m = ev.agg((max(col("user_id")) + 1L).as("m"))
+    ev.crossJoin(broadcast(m)).select(
+      col("user_id").as("src"),
+      ((col("user_id") * 31 + col("event_id") * 7 + 1) % col("m")).as("dst"))
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmTree)
     f.delete()
@@ -1298,15 +1311,8 @@ object SparkEntry {
     // local clustering coefficient (Watts-Strogatz): triangle density
     // of each vertex's neighborhood on the p36 user graph — the only
     // float is one division of two integers, rounded to 6 dp
-    "p37_clustering_coef" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val m = ev.agg((max(col("user_id")) + 1L).as("m"))
-      val edges = ev.crossJoin(broadcast(m)).select(
-        col("user_id").as("src"),
-        ((col("user_id") * 31 + col("event_id") * 7 + 1) % col("m"))
-          .as("dst"))
-      Graph.clusteringCoefficient(edges)
-    }),
+    "p37_clustering_coef" -> ((s, dir) =>
+      Graph.clusteringCoefficient(userGraphEdges(s, dir))),
 
     // last-touch marketing attribution: each purchase credits the
     // user's most recent preceding non-purchase event within 3 days,
@@ -1785,15 +1791,8 @@ object SparkEntry {
     // (vertices = users, which scale with the corpus; ~66 events/user
     // at every sf), so the plan's cost grows linearly with data — the
     // fixed-modulus alternative saturates into a complete graph
-    "p36_triangles" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val m = ev.agg((max(col("user_id")) + 1L).as("m"))
-      val edges = ev.crossJoin(broadcast(m)).select(
-        col("user_id").as("src"),
-        ((col("user_id") * 31 + col("event_id") * 7 + 1) % col("m"))
-          .as("dst"))
-      Graph.triangles(edges)
-    }),
+    "p36_triangles" -> ((s, dir) =>
+      Graph.triangles(userGraphEdges(s, dir))),
 
     // single-pass data-quality audit (the Deequ/expectations gate): all
     // metrics are one aggregate pass with map-side partials; constraint

@@ -83,13 +83,28 @@ object Graph {
     */
   def triangles(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst"): DataFrame = {
-    val und = edges
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    trianglesOf(und, degreesOf(und))
+  }
+
+  /** Canonical undirected edges: `(a < b)`, self-loops and parallel
+    * edges dropped. One definition feeds [[triangles]] and
+    * [[clusteringCoefficient]] so the canonicalization cannot drift.
+    */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+                                  dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
               greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(col("a").as("v"))
+
+  /** `(v, deg)` over canonical undirected edges. */
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  private def trianglesOf(und: DataFrame, deg: DataFrame): DataFrame = {
     // rank(v) = (deg, v) packed into one orderable struct-free pair of
     // columns; orientation keeps the edge's (lo-rank -> hi-rank) form
     val withDeg = und
@@ -126,14 +141,9 @@ object Graph {
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
                             dstCol: String = "dst"): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-              greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(col("a").as("v"))
-      .union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    deg.join(triangles(edges, srcCol, dstCol), Seq("v"), "left")
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = degreesOf(und)
+    deg.join(trianglesOf(und, deg), Seq("v"), "left")
       .select(col("v"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         col("deg"),
         round(when(col("deg") >= 2,

@@ -62,6 +62,14 @@ object Sketches {
           / col("kth_min").cast("double")), 4).as("est"))
   }
 
+  /** CMS cell index for key `k` under hash row `j`: portable integer
+    * arithmetic (odd multiplier for every j — see cmsHeavyHitters),
+    * shared by the batch heavy-hitter query and the streaming
+    * windowed-sketch runner so both replay in any engine.
+    */
+  def cmsCell(k: Column, j: Column, width: Int): Column =
+    pmod(k * (lit(2654435761L) + j * 81006L), lit(4294967296L)) % width
+
   /** Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005).
     * The sketch is a depth×width counter matrix: row j counts keys
     * under hash_j, and est(x) = min_j counter[j][h_j(x)] ≥ true(x)
@@ -85,14 +93,6 @@ object Sketches {
     * sketch quality (est ≥ exact must hold on every row; the spec
     * asserts it).
     */
-  /** CMS cell index for key `k` under hash row `j`: portable integer
-    * arithmetic (odd multiplier for every j — see cmsHeavyHitters),
-    * shared by the batch heavy-hitter query and the streaming
-    * windowed-sketch runner so both replay in any engine.
-    */
-  def cmsCell(k: Column, j: Column, width: Int): Column =
-    pmod(k * (lit(2654435761L) + j * 81006L), lit(4294967296L)) % width
-
   def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 4,
                       width: Int = 256, topK: Int = 10): DataFrame = {
     require(depth >= 1 && width >= 2 && topK >= 1)
