@@ -1231,6 +1231,23 @@ object SparkEntry {
           |FROM c""".stripMargin)
     }),
 
+    // market-basket co-occurrence (the A-priori candidate step):
+    // part pairs bought in the same order, by support. Pair
+    // generation is per-basket C(b,2) with b = basket size — bounded
+    // by order width, never corpus-quadratic — via a key-partitioned
+    // self-join on the order; support counting is one map-side-
+    // combinable aggregate; top-20 is a TakeOrdered
+    "q74_basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.toDF("ok", "pa").join(li.toDF("ok", "pb"), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("pa"), col("pb")).limit(20)
+    }),
+
     // TPC-H Q3 (shipping priority, adapted: o_orderpriority stands in
     // for o_shippriority): the canonical fact-fact join with pushed
     // date filters on BOTH scan sides, a broadcast customer dim, and a
@@ -3826,6 +3843,19 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev)
         |    AS DOUBLE) AS p
         |FROM c""".stripMargin,
+
+    "q74_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT a.pk AS pa, b.pk AS pb
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sup AS (
+        |  SELECT pa, pb, COUNT(*) AS support FROM p GROUP BY 1, 2)
+        |SELECT pa, pb, CAST(support AS BIGINT) AS support
+        |FROM sup WHERE support >= 2
+        |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin,
 
     "q71_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -1748,24 +1748,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
   }
 
-  test("triangles equals brute-force enumeration on a random graph") {
+  test("triangles equals brute-force enumeration across random graphs") {
     import spark.implicits._
-    val rnd = new scala.util.Random(7)
-    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
-    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
-      .filter { case (a, b) => a != b }
-      .groupBy(_._1).map { case (v, e) => v -> e.map(_._2).toSet }
-    val verts = adj.keys.toSeq.sorted
-    val brute = verts.map { v =>
-      val n = adj(v).toSeq
-      v -> (for {
-        i <- n.indices; j <- (i + 1) until n.size
-        if adj(n(i)).contains(n(j))
-      } yield 1).size.toLong
-    }.filter(_._2 > 0).toMap
-    val got = graft.operators.Graph.triangles(edges.toDF("src", "dst"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == brute, s"got=$got brute=$brute")
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .filter { case (a, b) => a != b }
+        .groupBy(_._1).map { case (v, e) => v -> e.map(_._2).toSet }
+      val verts = adj.keys.toSeq.sorted
+      val brute = verts.map { v =>
+        val n = adj(v).toSeq
+        v -> (for {
+          i <- n.indices; j <- (i + 1) until n.size
+          if adj(n(i)).contains(n(j))
+        } yield 1).size.toLong
+      }.filter(_._2 > 0).toMap
+      val got = graft.operators.Graph.triangles(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute, s"seed=$seed got=$got brute=$brute")
+    }
   }
 
   test("clusteringCoefficient: K4 corners are 1.0, pendant chain is 0") {
