@@ -22,6 +22,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  /** Stopword list shared by the t21 RAKE query and its oracle. */
+  private val RakeStopwords = Seq("the", "a", "an", "of", "and", "to",
+    "in", "is", "on", "for", "with", "as", "by", "at", "or", "be",
+    "are", "was", "it", "this", "that", "from")
+
   /** Synthetic user graph shared by p36/p37 (and replayed verbatim in
     * both oracles): vertices are users (they scale with the corpus,
     * ~66 events/user at every sf => CONSTANT average degree, so graph
@@ -983,6 +988,15 @@ object SparkEntry {
     "t14_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(t(s, dir, "documents"),
         Seq("spark", "join", "window"), topK = 20)),
+
+    // RAKE keyword extraction (Rose et al. 2010): stopword-free token
+    // runs as candidate phrases (gaps-and-islands, per-doc partitioned
+    // windows), scored by Σ deg(w)/freq(w) in fixed-point INTEGER
+    // arithmetic — the re-orderable sum stays exact, the oracle
+    // replays bit-for-bit
+    "t21_rake" -> ((s, dir) =>
+      TextAnalysis.rakePhrases(t(s, dir, "documents"), RakeStopwords,
+        topK = 20)),
 
     // PMI collocations (Church & Hanks 1990): bigrams whose parts
     // co-occur far above independence — the classic phrase-mining /
@@ -3499,6 +3513,48 @@ object SparkEntry {
         |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t21_rake" -> {
+      val stop = RakeStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    lower(ts[CAST(i AS INT)]) AS w
+         |  FROM t0, unnest(range(1, len(ts) + 1)) r(i)
+         |  WHERE length(ts[CAST(i AS INT)]) > 0),
+         |marked AS (
+         |  SELECT doc_id, pos, w, w IN ($stop) AS is_stop FROM toks),
+         |grouped AS (
+         |  SELECT doc_id, pos, w, is_stop,
+         |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM marked),
+         |phrases AS (
+         |  SELECT doc_id, grp,
+         |    array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+         |    COUNT(*) AS len
+         |  FROM grouped WHERE NOT is_stop
+         |  GROUP BY 1, 2 HAVING COUNT(*) <= 8),
+         |pw AS (
+         |  SELECT doc_id, grp, phrase, len,
+         |    unnest(string_split(phrase, ' ')) AS w
+         |  FROM phrases),
+         |stats AS (
+         |  SELECT w, COUNT(*) AS freq, SUM(len - 1) AS deg
+         |  FROM pw GROUP BY 1),
+         |occ AS (
+         |  SELECT doc_id, grp, phrase, len,
+         |    SUM(deg * 1000000 // freq) AS score
+         |  FROM pw JOIN stats USING (w)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT phrase, CAST(MIN(len) AS INT) AS n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST(MIN(score) AS BIGINT) AS score
+         |FROM occ GROUP BY phrase
+         |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+    },
 
     "t20_pmi" ->
       """WITH t0 AS (

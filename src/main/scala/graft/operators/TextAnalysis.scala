@@ -187,6 +187,67 @@ object TextAnalysis {
     * top-k window. The corpus size N rides along as a broadcast scalar,
     * not a driver action, so the whole thing stays one lazy plan.
     */
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (gaps-and-islands over a per-doc
+    * partitioned window); each word's corpus stats are freq(w) =
+    * phrase-occurrences containing w and deg(w) = Σ (len−1) over those
+    * occurrences (its co-member count); a phrase scores
+    * Σ_w deg(w)·SCALE div freq(w) — INTEGER arithmetic throughout
+    * (the classic deg/freq ratio sum, fixed-point so the re-orderable
+    * sum stays exact and any engine replays it bit-for-bit). Returns
+    * the `topK` distinct phrases by (score desc, phrase):
+    * `(phrase, n_words, n_occurrences, score)`.
+    *
+    * Scale shape: one posexplode, per-doc partitioned windows (bounded
+    * by doc length), two word-level hash aggregates, one phrase-text
+    * aggregate, TakeOrdered top-k. `maxLen` caps phrase length (runs
+    * longer than it are dropped — degenerate stopword-free text).
+    */
+  def rakePhrases(docs: DataFrame, stopwords: Seq[String], topK: Int = 20,
+                  maxLen: Int = 8, scale: Long = 1000000L,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(stopwords.nonEmpty && topK >= 1 && maxLen >= 1)
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("pos"), lower(col("tok")).as("w"))
+      .withColumn("is_stop", col("w").isin(stopwords: _*))
+    // islands: running stopword count per doc — consecutive non-stop
+    // tokens share a group id
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val grouped = toks
+      .withColumn("grp",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+    val phrases = grouped
+      .groupBy("doc_id", "grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w"))))
+        .as("ws"))
+      .select(col("doc_id"), col("grp"),
+        expr("transform(ws, x -> x.w)").as("words"),
+        size(col("ws")).as("len"))
+      .filter(col("len") <= maxLen)
+      .withColumn("phrase", concat_ws(" ", col("words")))
+    val pw = phrases.select(col("doc_id"), col("grp"), col("phrase"),
+      col("len"), explode(col("words")).as("w"))
+    val stats = pw.groupBy("w").agg(
+      count(lit(1)).as("freq"),
+      sum(col("len") - 1L).as("deg"))
+    // per-occurrence score = Σ over its words (all-integer, ≤ maxLen
+    // terms); identical for every occurrence of the same phrase text,
+    // so min() over occurrences IS the phrase score
+    val occScore = pw.join(stats, "w")
+      .groupBy("doc_id", "grp", "phrase", "len")
+      .agg(sum(expr(s"deg * ${scale}L div freq")).as("score"))
+    occScore.groupBy("phrase")
+      .agg(min("len").as("n_words"), count(lit(1)).as("n_occurrences"),
+        min("score").as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(topK)
+  }
+
   def tfidfTopK(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", k: Int = 3): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),

@@ -1799,6 +1799,20 @@ class OperatorsSpec extends SparkSpec {
       assert(est >= exact, s"CMS underestimated key $k: $est < $exact") }
   }
 
+  test("rakePhrases scores stopword-free runs by the deg/freq sum") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox of the lazy dog")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .rakePhrases(docs, Seq("the", "of"), topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // each word appears once (freq 1); deg = len-1 per phrase member:
+    // "quick brown fox" = 3 words x (2 * 1e6) = 6e6; "lazy dog" = 2 x 1e6
+    assert(got == Map(
+      "quick brown fox" -> ((3, 1L, 6000000L)),
+      "lazy dog" -> ((2, 1L, 2000000L))), got.toString)
+  }
+
   test("CMS hash rows each cover the full cell range (odd multipliers)") {
     // an even row multiplier collapses that row onto a fraction of the
     // cells (odd base + odd step made rows 1 and 3 cover 32/256 and
