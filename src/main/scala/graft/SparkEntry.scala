@@ -3542,7 +3542,7 @@ object SparkEntry {
          |    unnest(string_split(phrase, ' ')) AS w
          |  FROM phrases),
          |stats AS (
-         |  SELECT w, COUNT(*) AS freq, SUM(len - 1) AS deg
+         |  SELECT w, COUNT(*) AS freq, SUM(len) AS deg
          |  FROM pw GROUP BY 1),
          |occ AS (
          |  SELECT doc_id, grp, phrase, len,

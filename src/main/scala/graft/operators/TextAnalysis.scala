@@ -187,11 +187,24 @@ object TextAnalysis {
     * top-k window. The corpus size N rides along as a broadcast scalar,
     * not a driver action, so the whole thing stays one lazy plan.
     */
+  /** Top-k characteristic terms per document by TF-IDF (tf × ln((N+1)/
+    * (df+1)), ties broken by term asc). Output: `(doc_id, term, tf,
+    * df_docs, rank)` for rank ≤ k — integer columns only, so results
+    * hash-compare exactly across engines; the float tfidf score is
+    * used for ordering and dropped.
+    *
+    * Distributed shape: explode → (doc,term) hash-agg (map-side
+    * combine) → term-level doc-frequency agg → join back on term (AQE
+    * decides broadcast vs shuffle — vocabularies can be huge) → per-doc
+    * top-k window. The corpus size N rides along as a broadcast scalar,
+    * not a driver action, so the whole thing stays one lazy plan.
+    */
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
     * maximal stopword-free token runs (gaps-and-islands over a per-doc
     * partitioned window); each word's corpus stats are freq(w) =
-    * phrase-occurrences containing w and deg(w) = Σ (len−1) over those
-    * occurrences (its co-member count); a phrase scores
+    * phrase-occurrences containing w and deg(w) = Σ len over those
+    * occurrences (Rose 2010's degree: the word plus its co-members);
+    * a phrase scores
     * Σ_w deg(w)·SCALE div freq(w) — INTEGER arithmetic throughout
     * (the classic deg/freq ratio sum, fixed-point so the re-orderable
     * sum stays exact and any engine replays it bit-for-bit). Returns
@@ -235,7 +248,7 @@ object TextAnalysis {
       col("len"), explode(col("words")).as("w"))
     val stats = pw.groupBy("w").agg(
       count(lit(1)).as("freq"),
-      sum(col("len") - 1L).as("deg"))
+      sum(col("len").cast("long")).as("deg"))
     // per-occurrence score = Σ over its words (all-integer, ≤ maxLen
     // terms); identical for every occurrence of the same phrase text,
     // so min() over occurrences IS the phrase score
@@ -272,6 +285,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
         col("rank").cast("long").as("rank"))
   }
+
+
 
   /** Per-document unigram language-model score — the CCNet-style
     * "perplexity" quality filter, with the LM trained on the corpus

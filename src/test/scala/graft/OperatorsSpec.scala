@@ -1806,11 +1806,11 @@ class OperatorsSpec extends SparkSpec {
       .rakePhrases(docs, Seq("the", "of"), topK = 10)
       .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
       .toMap
-    // each word appears once (freq 1); deg = len-1 per phrase member:
-    // "quick brown fox" = 3 words x (2 * 1e6) = 6e6; "lazy dog" = 2 x 1e6
+    // each word appears once (freq 1); Rose-2010 deg = len per member:
+    // "quick brown fox" = 3 words x (3 * 1e6) = 9e6; "lazy dog" = 2 x 2e6
     assert(got == Map(
-      "quick brown fox" -> ((3, 1L, 6000000L)),
-      "lazy dog" -> ((2, 1L, 2000000L))), got.toString)
+      "quick brown fox" -> ((3, 1L, 9000000L)),
+      "lazy dog" -> ((2, 1L, 4000000L))), got.toString)
   }
 
   test("CMS hash rows each cover the full cell range (odd multipliers)") {
