@@ -22,6 +22,36 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  /** Unrolled DuckDB replica of [[operators.Sampling.maxCoverageSelect]]:
+    * k greedy rounds as chained CTEs — pick argmax-gain doc over
+    * tokens not yet covered (tie: smallest id), union its tokens into
+    * the covered set.
+    */
+  private def p40CoverageSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val prev = if (i == 1) ""
+        else s"WHERE tok NOT IN (SELECT tok FROM c${i - 1}) "
+      val pick = s"p$i AS (SELECT id, COUNT(*) AS gain FROM toks " +
+        s"${prev}GROUP BY 1 ORDER BY gain DESC, id LIMIT 1)"
+      val cov =
+        if (i == 1) "c1 AS (SELECT DISTINCT tok FROM toks JOIN p1 USING (id))"
+        else s"c$i AS (SELECT tok FROM c${i - 1} " +
+          s"UNION SELECT tok FROM toks JOIN p$i USING (id))"
+      s"$pick,\n$cov"
+    }.mkString(",\n")
+    val selects = (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS round, id AS doc_id, " +
+        s"CAST(gain AS BIGINT) AS gain FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |toks AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS id, tok FROM t0 WHERE length(tok) > 0),
+       |$rounds
+       |$selects""".stripMargin
+  }
+
   /** Stopword list shared by the t21 RAKE query and its oracle. */
   private val RakeStopwords = Seq("the", "a", "an", "of", "and", "to",
     "in", "is", "on", "for", "with", "as", "by", "at", "or", "be",
@@ -1338,6 +1368,15 @@ object SparkEntry {
           round(coalesce(col("nat"), lit(0)).cast(DoubleType)
             / col("tot").cast(DoubleType), 6).as("mkt_share"))
     }),
+
+    // greedy maximum-coverage selection (Nemhauser 1978, the (1-1/e)
+    // submodular greedy) — coverage-based diverse data selection:
+    // k rounds, each one broadcast anti-filter of the token index
+    // against the covered set (tiny, <= k·doc-vocab) + one count
+    // aggregate + TakeOrdered(1). Serial depth = k by definition of
+    // greedy; the oracle unrolls the same k rounds as CTEs
+    "p40_coverage_select" -> ((s, dir) =>
+      operators.Sampling.maxCoverageSelect(t(s, dir, "documents"), k = 5)),
 
     // local clustering coefficient (Watts-Strogatz): triangle density
     // of each vertex's neighborhood on the p36 user graph — the only
@@ -4763,6 +4802,8 @@ object SparkEntry {
         |FROM s WHERE sim >= 0.35 GROUP BY id""".stripMargin,
 
     "p21_pagerank" -> p21PagerankSql(iters = 3),
+
+    "p40_coverage_select" -> p40CoverageSql(k = 5),
 
     "p36_triangles" ->
       """WITH mm AS (SELECT MAX(user_id) + 1 AS m FROM events),

@@ -203,6 +203,53 @@ object Sampling {
     * by zero. Integer hash → the draw replays exactly in any engine;
     * only the final ln/division is floating point.
     */
+  /** Greedy maximum-coverage subset selection (the classic (1−1/e)
+    * submodular greedy; Nemhauser et al. 1978): pick `k` documents,
+    * each round taking the doc covering the most NOT-yet-covered
+    * vocabulary (tie → smallest doc_id) — the coverage-based diverse
+    * data-selection shape (select few docs spanning the corpus's
+    * token space).
+    *
+    * Scale shape: each round is one broadcast anti-join of the token
+    * index against the covered set (≤ k·max-doc-vocab tokens — tiny,
+    * independent of corpus size), one map-side-combinable count per
+    * doc, and one TakeOrdered(1). Driver coordination is k rounds of
+    * one 1-row collect — the same bounded-rounds discipline as BPE
+    * learning (serial depth = k by the algorithm's definition; the
+    * greedy choice is inherently sequential). Returns
+    * `(round, doc_id, gain)` — `gain` = newly covered tokens.
+    */
+  def maxCoverageSelect(docs: DataFrame, k: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var covered = Set.empty[String]
+    for (round <- 1 to k) {
+      val remaining =
+        if (covered.isEmpty) toks
+        else toks.filter(!col("tok").isin(covered.toSeq: _*))
+      val top = remaining.groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id")).limit(1).collect()
+      if (top.nonEmpty && top(0).getLong(1) > 0) {
+        val id = top(0).getLong(0)
+        picked += ((round, id, top(0).getLong(1)))
+        covered = covered ++ toks.filter(col("id") === id)
+          .select("tok").collect().map(_.getString(0))
+      }
+    }
+    toks.unpersist()
+    import spark.implicits._
+    picked.toSeq.toDF("round", "doc_id", "gain")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     val w = greatest(col(weightCol).cast("double"), lit(1.0))

@@ -82,6 +82,14 @@ class QueriesSpec extends SparkSpec {
     case _ => }
   }
 
+  test("p40_coverage_select gains are non-increasing (submodularity)") {
+    val gains = SparkEntry.queries("p40_coverage_select")(spark, sf)
+      .orderBy("round").collect().map(_.getLong(2))
+    assert(gains.nonEmpty)
+    assert(gains.sameElements(gains.sortBy(-(_: Long))),
+      s"greedy gains increased: ${gains.mkString(",")}")
+  }
+
   test("q68_cms_heavy estimates dominate exact counts") {
     SparkEntry.queries("q68_cms_heavy")(spark, sf).collect().foreach { r =>
       assert(r.getLong(1) >= r.getLong(2),
