@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Octo
-import graft.operators.{Clustering, Decontaminate, Dedup, Graph, Multimodal, Pii, Profile, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Decontaminate, Dedup, Evaluation, Graph, Multimodal, Pii, Profile, RangeJoin, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -1028,6 +1028,20 @@ object SparkEntry {
       TextAnalysis.rakePhrases(t(s, dir, "documents"), RakeStopwords,
         topK = 20)),
 
+    // exact ROC AUC of the t15 quality classifier against a held-out
+    // label (lang = 'en' stands in for the curated/not-curated truth):
+    // tie-corrected Mann-Whitney over DISTINCT integer margins with a
+    // distributed prefix sum — no global window, no per-row ranks;
+    // the one float op is the final division of two exact BIGINTs
+    "t22_auc" -> ((s, dir) => {
+      val w = Array.tabulate(64)(b =>
+        ((b.toLong * 2654435761L + 104729L) % 4294967296L) - 2147483648L)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), (col("lang") === "en").as("pos"))
+      Evaluation.aucExact(TextAnalysis.classifierMargin(d, w),
+        scoreCol = "margin", labelCol = "pos")
+    }),
+
     // PMI collocations (Church & Hanks 1990): bigrams whose parts
     // co-occur far above independence — the classic phrase-mining /
     // tokenizer-seeding signal. All counts are integer aggregates;
@@ -1292,6 +1306,21 @@ object SparkEntry {
         .orderBy(col("support").desc, col("pa"), col("pb")).limit(20)
     }),
 
+    // 2-D Pareto skyline (Börzsönyi 2001): parts no other part beats
+    // on BOTH price (min) and size (max) — the "best tradeoff" query.
+    // Sweep-invariant form: one groupBy to per-price max-size, one
+    // distributed prefix-max over the price order (Ranking machinery,
+    // no single-task window), keep rows beating every cheaper price.
+    // Prices compare as exact DECIMAL-derived integer cents; the
+    // oracle is the independent quadratic NOT-EXISTS dominance test
+    "q75_skyline" -> ((s, dir) =>
+      operators.Ranking.skyline2d(
+        t(s, dir, "part").select(
+          (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("price_cents"),
+          col("p_size")),
+        xCol = "price_cents", yCol = "p_size")),
+
     // TPC-H Q3 (shipping priority, adapted: o_orderpriority stands in
     // for o_shippriority): the canonical fact-fact join with pushed
     // date filters on BOTH scan sides, a broadcast customer dim, and a
@@ -1377,6 +1406,20 @@ object SparkEntry {
     // greedy; the oracle unrolls the same k rounds as CTEs
     "p40_coverage_select" -> ((s, dir) =>
       operators.Sampling.maxCoverageSelect(t(s, dir, "documents"), k = 5)),
+
+    // multi-source BFS reachability (the TrustRank seed-distance
+    // shape) on the p36 user graph: every vertex's minimum hop count
+    // from the seed set (vertices ≡ 0 mod 97), depth-capped at 3 —
+    // each level is one bounded-shuffle join + anti-join, state stays
+    // partitioned. Output is the distance histogram
+    "p41_bfs_hops" -> ((s, dir) => {
+      val e = userGraphEdges(s, dir)
+      val seeds = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v")))
+        .filter(col("v") % 97 === 0).distinct()
+      Graph.bfsDistances(e, seeds, maxDepth = 3)
+        .groupBy("dist").agg(count(lit(1)).as("n_vertices"))
+    }),
 
     // local clustering coefficient (Watts-Strogatz): triangle density
     // of each vertex's neighborhood on the p36 user graph — the only
@@ -3595,6 +3638,41 @@ object SparkEntry {
          |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
     },
 
+    "t22_auc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    COALESCE(list_sum(list_transform(ts, tok ->
+        |      (list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(tok) + 1),
+        |             i -> CAST(ascii(substr(tok, CAST(i AS INT), 1))
+        |                  AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) % 64
+        |       * 2654435761 + 104729) % 4294967296 - 2147483648)),
+        |      0) AS margin
+        |  FROM toks),
+        |g AS (
+        |  SELECT margin AS v,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+        |  FROM m GROUP BY 1),
+        |c AS (
+        |  SELECT v, np, nn,
+        |    COALESCE(SUM(nn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM g)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(np * (2 * below + nn)) AS DOUBLE)
+        |    / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE) AS auc
+        |FROM c""".stripMargin,
+
     "t20_pmi" ->
       """WITH t0 AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS ts
@@ -3951,6 +4029,22 @@ object SparkEntry {
         |SELECT pa, pb, CAST(support AS BIGINT) AS support
         |FROM sup WHERE support >= 2
         |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin,
+
+    // independent quadratic dominance test — NOT the sweep the engine
+    // runs, so the green gate proves the prefix-max form correct
+    "q75_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part)
+        |SELECT price_cents, p_size FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+        |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+        |""".stripMargin,
 
     "q71_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
@@ -4804,6 +4898,42 @@ object SparkEntry {
     "p21_pagerank" -> p21PagerankSql(iters = 3),
 
     "p40_coverage_select" -> p40CoverageSql(k = 5),
+
+    // level-by-level unrolled BFS (depth 3) over the same synthetic
+    // user graph; NOT IN is null-safe here (vertex ids are non-null)
+    "p41_bfs_hops" ->
+      """WITH mm AS (SELECT MAX(user_id) + 1 AS m FROM events),
+        |e0 AS (
+        |  SELECT user_id AS src,
+        |    (user_id * 31 + event_id * 7 + 1) % m AS dst
+        |  FROM events, mm),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |adj AS (
+        |  SELECT a AS s, b AS d FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |verts AS (SELECT src AS v FROM e0 UNION SELECT dst FROM e0),
+        |s0 AS (SELECT v FROM verts WHERE v % 97 = 0),
+        |f1 AS (
+        |  SELECT DISTINCT d AS v FROM adj JOIN s0 ON adj.s = s0.v
+        |  WHERE d NOT IN (SELECT v FROM s0)),
+        |f2 AS (
+        |  SELECT DISTINCT d AS v FROM adj JOIN f1 ON adj.s = f1.v
+        |  WHERE d NOT IN (SELECT v FROM s0)
+        |    AND d NOT IN (SELECT v FROM f1)),
+        |f3 AS (
+        |  SELECT DISTINCT d AS v FROM adj JOIN f2 ON adj.s = f2.v
+        |  WHERE d NOT IN (SELECT v FROM s0)
+        |    AND d NOT IN (SELECT v FROM f1)
+        |    AND d NOT IN (SELECT v FROM f2)),
+        |lv AS (
+        |  SELECT 0 AS dist, v FROM s0
+        |  UNION ALL SELECT 1, v FROM f1
+        |  UNION ALL SELECT 2, v FROM f2
+        |  UNION ALL SELECT 3, v FROM f3)
+        |SELECT CAST(dist AS INT) AS dist, COUNT(*) AS n_vertices
+        |FROM lv GROUP BY 1""".stripMargin,
 
     "p36_triangles" ->
       """WITH mm AS (SELECT MAX(user_id) + 1 AS m FROM events),

@@ -198,4 +198,44 @@ object Graph {
     }
     hub.join(auth, "host").select("host", "hub", "auth")
   }
+
+  /** Multi-source BFS distances with a depth cap — "how far is every
+    * page from a trusted seed set", the reachability half of
+    * TrustRank-style crawl curation. Level-synchronous frontier
+    * expansion on canonical undirected edges: each round is one
+    * neighbor join + one distinct + one anti-join against the visited
+    * set, so the whole run is `maxDepth` bounded-shuffle iterations
+    * (the visited set is partitioned state, never driver-side).
+    * Frontiers are `localCheckpoint`ed like the other iterative graph
+    * ops — constant-size plans; a real cluster sets a reliable
+    * checkpoint dir (see PLANS.md §scale-knobs on connected
+    * components, the same caveat).
+    *
+    * `seeds` is a 1-column DataFrame of vertex ids; seeds not present
+    * in the graph still report dist 0 (they are trivially reachable
+    * from themselves). Unreached vertices are absent — the caller
+    * left-joins the vertex set if "unreachable" rows are wanted.
+    * Returns `(v, dist)` with the MINIMUM hop distance ≤ maxDepth.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+                   srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    // symmetric adjacency: BFS walks both directions of each edge
+    val adj = und.select(col("a").as("s"), col("b").as("d"))
+      .union(und.select(col("b").as("s"), col("a").as("d")))
+      .localCheckpoint(true)
+    var frontier = seeds.toDF("v").distinct().localCheckpoint(true)
+    var visited = frontier
+    var out = frontier.select(col("v"), lit(0).as("dist"))
+    for (d <- 1 to maxDepth) {
+      frontier = adj.join(frontier, adj("s") === frontier("v"))
+        .select(col("d").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(true)
+      out = out.union(frontier.select(col("v"), lit(d).as("dist")))
+    }
+    out
+  }
 }

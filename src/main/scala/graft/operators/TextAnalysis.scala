@@ -804,6 +804,33 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** The INTEGER raw margin of the hashed-bag-of-words classifier —
+    * the same model-application fold as [[classifierScore]] but
+    * summing Long bucket weights with no mean/normalization, so the
+    * score is an exact BIGINT in every engine. This is the form
+    * downstream exact-arithmetic consumers want: ROC AUC
+    * ([[Evaluation.aucExact]]) needs only the ORDER of scores, and an
+    * integer margin makes ranks and tie-groups unambiguous where a
+    * float mean could round engines apart. Zero-shuffle projection,
+    * same as classifierScore. Appends `margin` to the input columns
+    * (so the label rides along — no re-join against the corpus).
+    */
+  def classifierMargin(docs: DataFrame, weights: Array[Long],
+                       textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "classifierMargin needs a non-empty model")
+    graft.plans.PolyHashExpr.register(docs.sparkSession)
+    val warr = array(weights.map(lit): _*)
+    val nb = weights.length.toLong
+    docs.withColumn("margin",
+      aggregate(
+        transform(
+          filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0),
+          t => element_at(warr,
+            (pmod(call_function("poly_hash", t, lit(31L), lit(1000000007L)),
+              lit(nb)) + 1).cast("int"))),
+        lit(0L), (acc, w) => acc + w))
+  }
+
   /** Linear quality-classifier scoring with the hashing trick
     * (Weinberger et al. 2009; the fastText shape, Joulin et al. 2016):
     * each token hashes into one of `weights.length` buckets through

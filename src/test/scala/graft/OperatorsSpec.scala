@@ -1856,4 +1856,84 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_._2 == 1L))
     assert(out(0)._3 == 1.0 && math.abs(out(1)._3 - 0.707107) < 1e-6)
   }
+
+  test("Ranking.globalRunningAgg equals the single-task running window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // duplicate keys across partition boundaries: the exclusive prefix
+    // must count ALL rows strictly before in the total order, ties
+    // broken by the unique id column
+    val rows = (1L to 400L).map(i => (i, rnd.nextInt(25).toLong))
+    val df = rows.toDF("id", "v")
+    val order = Seq(col("v"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("id"))
+      .rowsBetween(Long.MinValue, -1)
+    for ((op, wExpr) <- Seq(
+        "sum" -> coalesce(sum(col("v")).over(w), lit(0L)),
+        "max" -> coalesce(max(col("v")).over(w), lit(Long.MinValue)))) {
+      val got = graft.operators.Ranking
+        .globalRunningAgg(df, order, "v", op, "run", partitions = 7)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expected = df.withColumn("run", wExpr)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"op=$op diverged from the window form")
+    }
+    // empty input survives (no partitions, no offsets to misindex)
+    assert(graft.operators.Ranking.globalRunningAgg(
+      df.filter(lit(false)), order, "v", "sum").count() == 0L)
+  }
+
+  test("Ranking.skyline2d equals the quadratic dominance definition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val got = graft.operators.Ranking
+      .skyline2d(pts.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distinct = pts.toSet
+    val expected = distinct.filter { case (x, y) =>
+      !distinct.exists { case (qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y) }
+    }
+    assert(got == expected)
+  }
+
+  test("Graph.bfsDistances finds minimum hop counts level by level") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6, triangle shortcut 1-3, island 10-11 (no seed)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val got = graft.operators.Graph.bfsDistances(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3 is 1 hop via the shortcut, not 2 via the chain; 6 is 4 hops —
+    // beyond the cap; the island is unreachable and absent
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // a depth-0 run returns just the seed set
+    val d0 = graft.operators.Graph.bfsDistances(edges, seeds, maxDepth = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d0 == Map(1L -> 0))
+  }
+
+  test("Evaluation.aucExact equals brute-force pair counting with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // a weak signal with heavy ties: scores 0..9, positives skewed high
+    val rows = (1 to 300).map { _ =>
+      val pos = rnd.nextBoolean()
+      val s = (rnd.nextInt(10) + (if (pos) rnd.nextInt(3) else 0)).toLong
+      (s, pos)
+    }
+    val got = graft.operators.Evaluation
+      .aucExact(rows.toDF("s", "pos"), "s", "pos").collect()(0)
+    val posS = rows.filter(_._2).map(_._1)
+    val negS = rows.filterNot(_._2).map(_._1)
+    val pairs = for (p <- posS; n <- negS)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val expected = pairs.sum / (posS.size.toLong * negS.size)
+    assert(got.getLong(0) == posS.size && got.getLong(1) == negS.size)
+    assert(math.abs(got.getDouble(2) - expected) < 1e-12,
+      s"auc ${got.getDouble(2)} != brute $expected")
+  }
 }
