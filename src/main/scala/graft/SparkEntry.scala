@@ -1042,6 +1042,30 @@ object SparkEntry {
         scoreCol = "margin", labelCol = "pos")
     }),
 
+    // cross-source vocabulary overlap (corpus provenance analysis —
+    // which sources are near-copies of each other): pairwise Jaccard
+    // of distinct token sets. Per-token fan-out is C(#sources-with-
+    // token, 2) — sources are a bounded categorical, so the join is
+    // linear in the corpus at any scale; top-20 is a TakeOrdered
+    "t23_source_overlap" -> ((s, dir) => {
+      val v = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0).distinct()
+      val sizes = v.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = v.toDF("sa", "tok").join(v.toDF("sb", "tok"), "tok")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.toDF("sa", "na"), "sa")
+        .join(sizes.toDF("sb", "nb"), "sb")
+        .select(col("sa"), col("sb"), col("n_common"),
+          round(col("n_common").cast(DoubleType) /
+            (col("na") + col("nb") - col("n_common")).cast(DoubleType), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("sa"), col("sb")).limit(20)
+    }),
+
     // PMI collocations (Church & Hanks 1990): bigrams whose parts
     // co-occur far above independence — the classic phrase-mining /
     // tokenizer-seeding signal. All counts are integer aggregates;
@@ -1321,6 +1345,30 @@ object SparkEntry {
           col("p_size")),
         xCol = "price_cents", yCol = "p_size")),
 
+    // per-event-type trend: closed-form OLS of value over days since
+    // a FIXED epoch (small x keeps decimal products narrow) — four
+    // map-side-combinable sums per group, zero windows, zero
+    // driver-side math; the t19 float treaty (12-dp rounding into
+    // exact DECIMAL sums, one fixed double tree at the end)
+    "q76_trend_ols" -> ((s, dir) => {
+      def ds(c: Column) = sum(round(c, 12).cast(DecimalType(38, 12)))
+        .cast(DoubleType)
+      val e = t(s, dir, "events").select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast(DoubleType).as("x"),
+        col("value").as("y"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("n"), ds(col("x")).as("sx"),
+          ds(col("y")).as("sy"), ds(col("x") * col("y")).as("sxy"),
+          ds(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n").cast("long").as("n_events"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6)
+            .as("intercept"))
+    }),
+
     // TPC-H Q3 (shipping priority, adapted: o_orderpriority stands in
     // for o_shippriority): the canonical fact-fact join with pushed
     // date filters on BOTH scan sides, a broadcast customer dim, and a
@@ -1420,6 +1468,17 @@ object SparkEntry {
       Graph.bfsDistances(e, seeds, maxDepth = 3)
         .groupBy("dist").agg(count(lit(1)).as("n_vertices"))
     }),
+
+    // robust per-source length profile: exact median + MAD + 3-MAD
+    // outlier counts via value histograms (windows run over the
+    // DISTINCT value domain per group, never the row count — the
+    // scale-safe exact-median shape for integer columns). All-integer
+    // until the final dyadic ÷2/÷4, so bit-exact vs DuckDB's native
+    // median() — two independent implementations agreeing
+    "p42_robust_stats" -> ((s, dir) =>
+      operators.Stats.groupedMedianMad(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        groupCol = "source", valueCol = "n_chars")),
 
     // local clustering coefficient (Watts-Strogatz): triangle density
     // of each vertex's neighborhood on the p36 user graph — the only
@@ -4046,6 +4105,50 @@ object SparkEntry {
         |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
         |""".stripMargin,
 
+    "q76_trend_ols" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS DOUBLE) AS x,
+        |    value AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+        |    / n, 6) AS intercept
+        |FROM a""".stripMargin,
+
+    "t23_source_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |sizes AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_common
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, CAST(n_common AS BIGINT) AS n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / (na.nv + nb.nv - n_common), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.source = inter.sa
+        |JOIN sizes nb ON nb.source = inter.sb
+        |ORDER BY jaccard DESC, sa, sb LIMIT 20""".stripMargin,
+
     "q71_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -4934,6 +5037,33 @@ object SparkEntry {
         |  UNION ALL SELECT 3, v FROM f3)
         |SELECT CAST(dist AS INT) AS dist, COUNT(*) AS n_vertices
         |FROM lv GROUP BY 1""".stripMargin,
+
+    // DuckDB's NATIVE median() vs the engine's value-histogram form —
+    // two independent implementations; interpolated medians are exact
+    // dyadic doubles so equality is exact
+    "p42_robust_stats" ->
+      """WITH med AS (
+        |  SELECT source, COUNT(*) AS n, median(n_chars) AS med
+        |  FROM documents GROUP BY 1),
+        |mad AS (
+        |  SELECT d.source, median(abs(d.n_chars - med.med)) AS mad
+        |  FROM documents d JOIN med ON d.source = med.source
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT d.source,
+        |    COUNT(CASE WHEN abs(d.n_chars - med.med) > 3 * mad.mad
+        |      THEN 1 END) AS n_outliers
+        |  FROM documents d
+        |  JOIN med ON d.source = med.source
+        |  JOIN mad ON d.source = mad.source
+        |  GROUP BY 1)
+        |SELECT med.source, CAST(med.n AS BIGINT) AS n,
+        |  CAST(med.med AS DOUBLE) AS median,
+        |  CAST(mad.mad AS DOUBLE) AS mad,
+        |  CAST(o.n_outliers AS BIGINT) AS n_outliers
+        |FROM med
+        |JOIN mad ON mad.source = med.source
+        |JOIN o ON o.source = med.source""".stripMargin,
 
     "p36_triangles" ->
       """WITH mm AS (SELECT MAX(user_id) + 1 AS m FROM events),

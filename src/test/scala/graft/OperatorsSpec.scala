@@ -1916,6 +1916,33 @@ class OperatorsSpec extends SparkSpec {
     assert(d0 == Map(1L -> 0))
   }
 
+  test("Stats.groupedMedianMad equals brute-force median/MAD/outliers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // group a: even count; group b: odd; group c: single value + one
+    // far outlier; heavy duplicate values throughout
+    val rows = (1 to 200).map(_ => ("a", rnd.nextInt(30).toLong)) ++
+      (1 to 151).map(_ => ("b", (rnd.nextInt(20) + 100).toLong)) ++
+      Seq.fill(9)(("c", 7L)) :+ ("c", 1000L)
+    def bruteMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      (s((s.size - 1) / 2) + s(s.size / 2)) / 2.0
+    }
+    val got = graft.operators.Stats
+      .groupedMedianMad(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    for ((g, xs) <- rows.groupBy(_._1)) {
+      val vs = xs.map(_._2.toDouble)
+      val med = bruteMedian(vs)
+      val mad = bruteMedian(vs.map(x => math.abs(x - med)))
+      val out = vs.count(x => math.abs(x - med) > 3 * mad)
+      val (n, gm, gmad, gout) = got(g)
+      assert(n == vs.size && gm == med && gmad == mad && gout == out,
+        s"group $g: got ${got(g)}, brute ($med, $mad, $out)")
+    }
+  }
+
   test("Evaluation.aucExact equals brute-force pair counting with ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

@@ -82,6 +82,38 @@ class QueriesSpec extends SparkSpec {
     case _ => }
   }
 
+  test("q76_trend_ols equals brute-force OLS per group") {
+    val got = SparkEntry.queries("q76_trend_ols")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val pts = Engine.table(spark, sf, "events")
+      .select(datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast("double").as("x"),
+        col("value"), col("event_type"))
+      .collect().map(r => (r.getString(2), r.getDouble(0), r.getDouble(1)))
+    for ((g, xs) <- pts.groupBy(_._1)) {
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxy = xs.map(p => p._2 * p._3).sum
+      val sxx = xs.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val (gn, gs, gi) = got(g)
+      assert(gn == xs.size)
+      assert(math.abs(gs - slope) < 1e-6, s"$g slope $gs vs $slope")
+      assert(math.abs(gi - (sy - slope * sx) / n) < 1e-6)
+    }
+  }
+
+  test("t23_source_overlap pairs are canonical and jaccard bounded") {
+    val rows = SparkEntry.queries("t23_source_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonical")
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+    }
+  }
+
   test("p40_coverage_select gains are non-increasing (submodularity)") {
     val gains = SparkEntry.queries("p40_coverage_select")(spark, sf)
       .orderBy("round").collect().map(_.getLong(2))
