@@ -1330,6 +1330,38 @@ object SparkEntry {
         .orderBy(col("support").desc, col("pa"), col("pb")).limit(20)
     }),
 
+    // A/B experiment readout: per-metric Welch's t between variant
+    // cohorts (user_id parity stands in for the assignment hash) —
+    // counts and decimal-exact Σy/Σy² partials in ONE map-side-
+    // combinable aggregate, then means/variances/t as a fixed double
+    // tree replicated verbatim in the oracle. The experiment-analysis
+    // shape that stays a single pass at any scale
+    "q77_ab_test" -> ((s, dir) => {
+      def ds(c: Column) = sum(round(c, 12).cast(DecimalType(38, 12)))
+        .cast(DoubleType)
+      val e = t(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2 === 0).as("ctl"), col("value").as("y"))
+      val ma = col("sa") / col("na")
+      val mb = col("sb") / col("nb")
+      val va = (col("qa") - col("sa") * col("sa") / col("na")) /
+        (col("na") - 1)
+      val vb = (col("qb") - col("sb") * col("sb") / col("nb")) /
+        (col("nb") - 1)
+      e.groupBy("event_type").agg(
+          sum(when(col("ctl"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("ctl"), 1L).otherwise(0L)).as("nb"),
+          ds(when(col("ctl"), col("y")).otherwise(lit(0.0))).as("sa"),
+          ds(when(!col("ctl"), col("y")).otherwise(lit(0.0))).as("sb"),
+          ds(when(col("ctl"), col("y") * col("y")).otherwise(lit(0.0)))
+            .as("qa"),
+          ds(when(!col("ctl"), col("y") * col("y")).otherwise(lit(0.0)))
+            .as("qb"))
+        .select(col("event_type"), col("na"), col("nb"),
+          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+          round((ma - mb) / sqrt(va / col("na") + vb / col("nb")), 6)
+            .as("t_welch"))
+    }),
+
     // 2-D Pareto skyline (Börzsönyi 2001): parts no other part beats
     // on BOTH price (min) and size (max) — the "best tradeoff" query.
     // Sweep-invariant form: one groupBy to per-price max-size, one
@@ -1479,6 +1511,16 @@ object SparkEntry {
       operators.Stats.groupedMedianMad(
         t(s, dir, "documents").select(col("source"), col("n_chars")),
         groupCol = "source", valueCol = "n_chars")),
+
+    // exact per-source length quartiles on the same histogram shape —
+    // type-7 interpolation at dyadic fractions, so the engine's
+    // distributed form and DuckDB's native quantile_cont agree
+    // bit-for-bit (two independent implementations, like p42)
+    "q78_grouped_quantiles" -> ((s, dir) =>
+      operators.Stats.groupedQuantiles(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        groupCol = "source", valueCol = "n_chars",
+        qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))),
 
     // local clustering coefficient (Watts-Strogatz): triangle density
     // of each vertex's neighborhood on the p36 user graph — the only
@@ -4105,6 +4147,34 @@ object SparkEntry {
         |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
         |""".stripMargin,
 
+    "q77_ab_test" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 2 = 0 AS ctl, value AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN ctl THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN NOT ctl THEN 1 ELSE 0 END) AS nb,
+        |    CAST(SUM(CAST(round(CASE WHEN ctl THEN y ELSE 0 END, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+        |    CAST(SUM(CAST(round(CASE WHEN NOT ctl THEN y ELSE 0 END, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(round(CASE WHEN ctl THEN y * y ELSE 0 END, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS qa,
+        |    CAST(SUM(CAST(round(CASE WHEN NOT ctl THEN y * y ELSE 0 END,
+        |      12) AS DECIMAL(38,12))) AS DOUBLE) AS qb
+        |  FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, na, nb, sa / na AS ma, sb / nb AS mb,
+        |    (qa - sa * sa / na) / (na - 1) AS va,
+        |    (qb - sb * sb / nb) / (nb - 1) AS vb
+        |  FROM a)
+        |SELECT event_type, CAST(na AS BIGINT) AS na,
+        |  CAST(nb AS BIGINT) AS nb,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_welch
+        |FROM b""".stripMargin,
+
     "q76_trend_ols" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -5037,6 +5107,13 @@ object SparkEntry {
         |  UNION ALL SELECT 3, v FROM f3)
         |SELECT CAST(dist AS INT) AS dist, COUNT(*) AS n_vertices
         |FROM lv GROUP BY 1""".stripMargin,
+
+    "q78_grouped_quantiles" ->
+      """SELECT source, unnest([CAST(0.25 AS DOUBLE), 0.5, 0.75]) AS q,
+        |  unnest([quantile_cont(n_chars, 0.25),
+        |          quantile_cont(n_chars, 0.5),
+        |          quantile_cont(n_chars, 0.75)]) AS quantile
+        |FROM documents GROUP BY source""".stripMargin,
 
     // DuckDB's NATIVE median() vs the engine's value-histogram form —
     // two independent implementations; interpolated medians are exact

@@ -40,6 +40,55 @@ object Stats {
         .as("med2"))
   }
 
+  /** Exact per-group type-7 quantiles (the R default / NumPy
+    * `linear` / DuckDB `quantile_cont` convention: linear
+    * interpolation at 0-based position (n−1)·q) for an integer
+    * column, same value-histogram shape as [[groupedMedianMad]].
+    * Quantile fractions are `(num, den)` rationals and `den` must be
+    * a power of two: every interpolation weight is then an exact
+    * dyadic double, every product of it with an integer gap is
+    * exactly representable, and the result matches any engine's
+    * correctly-implemented type-7 quantile BIT-for-bit (with e.g.
+    * q = 19/20 the weight 0.95 has no finite binary form and two
+    * algebraically-equal interpolation trees can round apart).
+    * Returns long-form `(groupCol, q, quantile)` with q as double.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "groupedQuantiles needs at least one fraction")
+    qs.foreach { case (num, den) =>
+      require(den > 0 && (den & (den - 1)) == 0 && num >= 0 && num <= den,
+        s"quantile $num/$den: need 0 <= num <= den and den a power of two")
+    }
+    val spark = df.sparkSession
+    val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(cumW))
+    val totals = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    val qdf = qs.map { case (num, den) => (num.toLong, den.toLong) }
+      .toDF("_num", "_den")
+    // 0-based position (n−1)·num/den = i + rem/den; the two bracketing
+    // ranks are i+1 and (i+2 when rem>0 else i+1), 1-based
+    val pos = h.join(totals, groupCol).crossJoin(broadcast(qdf))
+      .withColumn("_i", expr("((n - 1) * _num) div _den"))
+      .withColumn("_rem", expr("((n - 1) * _num) % _den"))
+    val vlo = min(when(col("_cum") >= col("_i") + 1, col(valueCol)))
+    val vhi = min(when(col("_cum") >=
+      col("_i") + when(col("_rem") > 0, 2).otherwise(1), col(valueCol)))
+    // _rem is functionally determined by (group, _num, _den) — n is
+    // constant per group — so grouping on it adds no cardinality
+    pos.groupBy(col(groupCol), col("_num"), col("_den"), col("_rem"))
+      .agg(vlo.as("_lo"), vhi.as("_hi"))
+      .select(col(groupCol),
+        (col("_num").cast("double") / col("_den").cast("double")).as("q"),
+        (col("_lo").cast("double") +
+          (col("_rem").cast("double") / col("_den").cast("double")) *
+            (col("_hi") - col("_lo")).cast("double"))
+          .as("quantile"))
+  }
+
   /** Exact per-group median, MAD (median absolute deviation — the
     * robust spread measure outlier rules want; Hampel 1974), and the
     * count of `|x − median| > 3·MAD` outliers, for an integer-valued

@@ -1943,6 +1943,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Stats.groupedQuantiles equals brute-force type-7 interpolation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // even, odd, and single-row groups; duplicates everywhere
+    val rows = (1 to 100).map(_ => ("a", rnd.nextInt(15).toLong)) ++
+      (1 to 77).map(_ => ("b", rnd.nextInt(500).toLong)) :+ ("c", 42L)
+    val qs = Seq(1 -> 4, 2 -> 4, 3 -> 4, 0 -> 2, 2 -> 2, 5 -> 8)
+    val got = graft.operators.Stats
+      .groupedQuantiles(rows.toDF("g", "v"), "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    for ((g, xs) <- rows.groupBy(_._1); (num, den) <- qs) {
+      val s = xs.map(_._2).sorted
+      val hNum = (s.size - 1).toLong * num
+      val i = (hNum / den).toInt
+      val frac = (hNum % den).toDouble / den
+      val expected = s(i) + frac *
+        (s(math.min(i + 1, s.size - 1)) - s(i))
+      assert(got((g, num.toDouble / den)) == expected,
+        s"$g q=$num/$den: ${got((g, num.toDouble / den))} vs $expected")
+    }
+  }
+
   test("Evaluation.aucExact equals brute-force pair counting with ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

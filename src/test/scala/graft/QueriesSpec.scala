@@ -104,6 +104,27 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q77_ab_test equals brute-force Welch per metric") {
+    val got = SparkEntry.queries("q77_ab_test")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    val pts = Engine.table(spark, sf, "events")
+      .select(col("event_type"), col("user_id") % 2 === 0, col("value"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getDouble(2)))
+    for ((g, xs) <- pts.groupBy(_._1)) {
+      val a = xs.filter(_._2).map(_._3); val b = xs.filterNot(_._2).map(_._3)
+      def mv(v: Seq[Double]) = {
+        val m = v.sum / v.size
+        (m, v.map(x => (x - m) * (x - m)).sum / (v.size - 1))
+      }
+      val ((ma, va), (mb, vb)) = (mv(a), mv(b))
+      val tW = (ma - mb) / math.sqrt(va / a.size + vb / b.size)
+      val (na, nb, gt) = got(g)
+      assert(na == a.size && nb == b.size)
+      assert(math.abs(gt - tW) < 1e-6, s"$g t $gt vs brute $tW")
+    }
+  }
+
   test("t23_source_overlap pairs are canonical and jaccard bounded") {
     val rows = SparkEntry.queries("t23_source_overlap")(spark, sf).collect()
     assert(rows.nonEmpty)
