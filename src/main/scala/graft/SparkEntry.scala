@@ -1066,6 +1066,33 @@ object SparkEntry {
         .orderBy(col("jaccard").desc, col("sa"), col("sb")).limit(20)
     }),
 
+    // corpus readability per source (Flesch 1948 reading ease on the
+    // vowel-group syllable heuristic): words / vowel-groups /
+    // sentence-marks are integer regexp counts summed exactly, and
+    // the score is ONE double tree over those corpus sums — no
+    // per-document float ever aggregated, so order of summation
+    // cannot move the result
+    "t24_readability" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          regexp_count(col("text"), lit("[A-Za-z]+")).cast(LongType)
+            .as("w"),
+          regexp_count(col("text"), lit("[AEIOUYaeiouy]+")).cast(LongType)
+            .as("y"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast(LongType).as("sen"))
+        .filter(col("w") > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+          sum("y").as("vowel_groups"), sum("sen").as("sentences"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("vowel_groups"), col("sentences"),
+          round(lit(206.835)
+            - lit(1.015) * (col("words").cast(DoubleType)
+              / col("sentences").cast(DoubleType))
+            - lit(84.6) * (col("vowel_groups").cast(DoubleType)
+              / col("words").cast(DoubleType)), 6).as("flesch"))),
+
     // PMI collocations (Church & Hanks 1990): bigrams whose parts
     // co-occur far above independence — the classic phrase-mining /
     // tokenizer-seeding signal. All counts are integer aggregates;
@@ -1521,6 +1548,62 @@ object SparkEntry {
         t(s, dir, "documents").select(col("source"), col("n_chars")),
         groupCol = "source", valueCol = "n_chars",
         qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))),
+
+    // record linkage: a deterministically-corrupted part catalog
+    // (char at position partkey % len deleted) matched back to the
+    // clean one by dual-key blocking + levenshtein over the
+    // DISTINCT-NAME domain — candidate count is bounded by vocabulary,
+    // not corpus rows, at every scale factor
+    "p43_entity_resolution" -> ((s, dir) => {
+      val dirty = t(s, dir, "part").select(
+        concat(
+          expr("substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
+          expr("substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"))
+          .as("p_name"))
+      operators.EntityResolution.resolve(
+        dirty, t(s, dir, "part").select(col("p_name")), "p_name")
+    }),
+
+    // zone-map pruning audit: the same orders rows laid out by
+    // arrival (orderkey mod) vs by date, 64 zones each; per-zone
+    // min/max orderdate decides which zones a mid-range date
+    // predicate must scan. The measurement behind "sort your data":
+    // identical rows, identical predicate, ~64x fewer zones read.
+    // All arithmetic is integer days — exact in any engine.
+    "p44_zonemap" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"))
+      val bounds = o
+        .agg(min("o_orderdate").as("d0"), max("o_orderdate").as("d1"))
+        .withColumn("span", (datediff(col("d1"), col("d0")) + 1)
+          .cast(LongType))
+        .withColumn("lo", date_add(col("d0"),
+          expr("CAST(span * 45 div 100 AS INT)")))
+        .withColumn("hi", date_add(col("d0"),
+          expr("CAST(span * 55 div 100 AS INT)")))
+      val z = o.crossJoin(broadcast(bounds))
+        .withColumn("day",
+          datediff(col("o_orderdate"), col("d0")).cast(LongType))
+        .withColumn("m", when(col("o_orderdate").between(col("lo"),
+          col("hi")), 1L).otherwise(0L))
+      def layout(name: String, zone: Column) =
+        z.select(lit(name).as("layout"), zone.cast(LongType).as("zone"),
+          col("o_orderdate"), col("lo"), col("hi"), col("m"))
+      layout("arrival", pmod(col("o_orderkey"), lit(64)))
+        .union(layout("date_sorted", expr("day * 64 div span")))
+        .groupBy("layout", "zone")
+        .agg(min("o_orderdate").as("zmin"), max("o_orderdate").as("zmax"),
+          count(lit(1)).as("n"), sum("m").as("nm"),
+          max("lo").as("lo"), max("hi").as("hi"))
+        .withColumn("scanned",
+          col("zmax") >= col("lo") && col("zmin") <= col("hi"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(col("scanned"), 1L).otherwise(0L)).as("zones_scanned"),
+          sum(when(col("scanned"), col("n")).otherwise(0L))
+            .as("rows_scanned"),
+          sum("nm").as("rows_matching"))
+    }),
 
     // local clustering coefficient (Watts-Strogatz): triangle density
     // of each vertex's neighborhood on the p36 user graph — the only
@@ -2582,6 +2665,34 @@ object SparkEntry {
           "duration_ms")
     }),
 
+    // GIF/BMP header-only scans on a mixed binary column: sniff the
+    // format, read dims + depth from the fixed headers (13 / 54
+    // bytes), never touch pixel data — the dimension-audit pass over
+    // a heterogeneous image corpus
+    "m11_gif_bmp_header" -> ((s, dir) => {
+      import s.implicits._
+      val bpps = Array(1, 4, 8, 24)
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            if (id % 2 == 0) {
+              val g = (id % 8).toInt
+              val bytes = Multimodal.encodeGif(
+                (id % 200 + 10).toInt, (id % 150 + 10).toInt, g)
+              val (w, h, f) = Multimodal.gifHeader(bytes).get
+              (id, "gif", w.toLong, h.toLong, (f + 1).toLong,
+                (1L << (f + 1)))
+            } else {
+              val bytes = Multimodal.encodeBmp((id % 300 + 8).toInt,
+                (id % 100 + 8).toInt, bpps((id % 4).toInt))
+              val (w, h, bpp) = Multimodal.bmpHeader(bytes).get
+              (id, "bmp", w.toLong, h.toLong, bpp.toLong, 0L)
+            }
+          }
+        }
+        .toDF("doc_id", "fmt", "width", "height", "bits", "palette")
+    }),
+
     // audio feature extraction through the real codec: decode the PCM
     // samples back out of the WAV container and emit per-frame
     // absolute-energy rows (50-sample frames, integer-exact sums) —
@@ -3454,6 +3565,22 @@ object SparkEntry {
         |       AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
+    "m11_gif_bmp_header" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 200 + 10
+        |            ELSE doc_id % 300 + 8 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 150 + 10
+        |            ELSE doc_id % 100 + 8 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1
+        |            ELSE ([1,4,8,24])[CAST(doc_id % 4 AS INT) + 1]
+        |       END AS BIGINT) AS bits,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN ([2,4,8,16,32,64,128,256])
+        |                   [CAST(doc_id % 8 AS INT) + 1]
+        |            ELSE 0 END AS BIGINT) AS palette
+        |FROM documents""".stripMargin,
+
     // encoder fixture: TYPE_INT_RGB -> 8-bit truecolor (type 2)
     "m7_png_header" ->
       """SELECT doc_id,
@@ -4218,6 +4345,32 @@ object SparkEntry {
         |JOIN sizes na ON na.source = inter.sa
         |JOIN sizes nb ON nb.source = inter.sb
         |ORDER BY jaccard DESC, sa, sb LIMIT 20""".stripMargin,
+
+    // same regexes, same integer sums, same double tree — the only
+    // floats are two divisions of exact BIGINTs
+    "t24_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+        |      AS w,
+        |    CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))
+        |      AS BIGINT) AS y,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS sen
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_docs, SUM(w) AS words,
+        |    SUM(y) AS vowel_groups, SUM(sen) AS sentences
+        |  FROM d WHERE w > 0 GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(words AS BIGINT) AS words,
+        |  CAST(vowel_groups AS BIGINT) AS vowel_groups,
+        |  CAST(sentences AS BIGINT) AS sentences,
+        |  round(206.835
+        |    - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |    - 84.6 * (CAST(vowel_groups AS DOUBLE)
+        |              / CAST(words AS DOUBLE)), 6) AS flesch
+        |FROM a""".stripMargin,
 
     "q71_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
@@ -5141,6 +5294,69 @@ object SparkEntry {
         |FROM med
         |JOIN mad ON mad.source = med.source
         |JOIN o ON o.source = med.source""".stripMargin,
+
+    // dual-key blocking replayed: prefix-3 OR suffix-3 candidates
+    // over distinct names, levenshtein <= 2, best = (dist, canon) min
+    "p43_entity_resolution" ->
+      """WITH dirty AS (
+        |  SELECT DISTINCT
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |    || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)
+        |      AS dirty
+        |  FROM part),
+        |canon AS (SELECT DISTINCT p_name AS canon FROM part),
+        |cand AS (
+        |  SELECT d.dirty, c.canon FROM dirty d JOIN canon c
+        |    ON substr(d.dirty, 1, 3) = substr(c.canon, 1, 3)
+        |  UNION
+        |  SELECT d.dirty, c.canon FROM dirty d JOIN canon c
+        |    ON substr(d.dirty, length(d.dirty) - 2, 3)
+        |     = substr(c.canon, length(c.canon) - 2, 3)),
+        |scored AS (
+        |  SELECT dirty, canon, levenshtein(dirty, canon) AS dist
+        |  FROM cand WHERE levenshtein(dirty, canon) <= 2)
+        |SELECT dirty, canon AS match_name, CAST(dist AS INT) AS dist
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY dirty
+        |                           ORDER BY dist, canon) = 1""".stripMargin,
+
+    // integer-day zone arithmetic replayed; sums cast back to BIGINT
+    // (DuckDB widens SUM(int) to HUGEINT)
+    "p44_zonemap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+        |  FROM orders),
+        |b AS (
+        |  SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1,
+        |    CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) + 1
+        |         AS BIGINT) AS span
+        |  FROM o),
+        |b2 AS (SELECT d0, span,
+        |    d0 + CAST(span * 45 // 100 AS INT) AS lo,
+        |    d0 + CAST(span * 55 // 100 AS INT) AS hi FROM b),
+        |z AS (
+        |  SELECT o_orderkey, o_orderdate, lo, hi, span,
+        |    CAST(date_diff('day', d0, o_orderdate) AS BIGINT) AS day,
+        |    CASE WHEN o_orderdate BETWEEN lo AND hi THEN 1 ELSE 0 END AS m
+        |  FROM o, b2),
+        |l AS (
+        |  SELECT 'arrival' AS layout, o_orderkey % 64 AS zone,
+        |    o_orderdate, lo, hi, m FROM z
+        |  UNION ALL
+        |  SELECT 'date_sorted', day * 64 // span, o_orderdate, lo, hi, m
+        |  FROM z),
+        |zm AS (
+        |  SELECT layout, zone, min(o_orderdate) AS zmin,
+        |    max(o_orderdate) AS zmax, COUNT(*) AS n, SUM(m) AS nm,
+        |    max(lo) AS lo, max(hi) AS hi
+        |  FROM l GROUP BY 1, 2)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_zones,
+        |  CAST(SUM(CASE WHEN zmax >= lo AND zmin <= hi THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS zones_scanned,
+        |  CAST(SUM(CASE WHEN zmax >= lo AND zmin <= hi THEN n ELSE 0 END)
+        |       AS BIGINT) AS rows_scanned,
+        |  CAST(SUM(nm) AS BIGINT) AS rows_matching
+        |FROM zm GROUP BY 1""".stripMargin,
 
     "p36_triangles" ->
       """WITH mm AS (SELECT MAX(user_id) + 1 AS m FROM events),

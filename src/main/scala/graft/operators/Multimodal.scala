@@ -665,4 +665,69 @@ object Multimodal {
     (1 to nFrames).foreach(_ => out.write(frame))
     out.toByteArray
   }
+
+  /** GIF logical-screen metadata: width, height, global-color-table
+    * size field (palette = 2^(field+1) entries) from the 13-byte
+    * header — no LZW decode (GIF89a spec §17-18). `None` for non-GIF
+    * payloads or a truncated header.
+    */
+  def gifHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    Some((le16(6), le16(8), bytes(10) & 0x07))
+  }
+
+  /** Minimal GIF89a writer for fixtures: header + logical screen
+    * descriptor + global color table + trailer. `gctField` ∈ 0..7 →
+    * 2^(gctField+1) palette entries, as the spec packs it.
+    */
+  def encodeGif(w: Int, h: Int, gctField: Int): Array[Byte] = {
+    require(gctField >= 0 && gctField <= 7, s"GCT size field: $gctField")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xFF); out.write((w >> 8) & 0xFF)
+    out.write(h & 0xFF); out.write((h >> 8) & 0xFF)
+    out.write(0x80 | gctField) // GCT present, color res 0
+    out.write(0); out.write(0) // background index, aspect
+    out.write(new Array[Byte](3 * (1 << (gctField + 1))))
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** BMP BITMAPINFOHEADER metadata: width, height, bits-per-pixel
+    * from the 54-byte header — no pixel read. Height is reported as
+    * its absolute value (negative height encodes top-down row order).
+    * `None` for non-BMP payloads, truncated headers, or DIB variants
+    * other than the 40-byte BITMAPINFOHEADER.
+    */
+  def bmpHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    def le32(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+    if (le32(14) != 40) return None
+    val bpp = (bytes(28) & 0xFF) | ((bytes(29) & 0xFF) << 8)
+    Some((le32(18), math.abs(le32(22)), bpp))
+  }
+
+  /** Minimal BMP writer for fixtures: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, declared-but-absent pixel data (header scans
+    * must never need it).
+    */
+  def encodeBmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rowBytes = ((w * bpp + 31) / 32) * 4
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + rowBytes * h) // declared file size
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+      .putShort(1).putShort(bpp.toShort) // planes, bpp
+      .putInt(0).putInt(rowBytes * h) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm, palette
+    bb.array()
+  }
 }

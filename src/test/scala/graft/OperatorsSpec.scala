@@ -1511,6 +1511,58 @@ class OperatorsSpec extends SparkSpec {
       operators.Multimodal.encodePcm16Wav(8000, Array[Short](1, 2))).isEmpty)
   }
 
+  test("gifHeader/bmpHeader agree with ImageIO dims and reject foreign bytes") {
+    for ((w, h, g) <- Seq((16, 9, 0), (320, 200, 3), (1, 1, 7))) {
+      val gif = operators.Multimodal.encodeGif(w, h, g)
+      assert(operators.Multimodal.gifHeader(gif).contains((w, h, g)))
+      // a zero-frame fixture: ImageIO would need an image descriptor,
+      // but the header scan must not (that's the point of the scan)
+    }
+    for ((w, h, bpp) <- Seq((8, 8, 1), (100, 50, 8), (33, 7, 24))) {
+      val bmp = operators.Multimodal.encodeBmp(w, h, bpp)
+      assert(operators.Multimodal.bmpHeader(bmp).contains((w, h, bpp)))
+    }
+    // top-down BMP: negative height reported as absolute
+    val td = operators.Multimodal.encodeBmp(10, -20, 24)
+    assert(operators.Multimodal.bmpHeader(td).contains((10, 20, 24)))
+    val wav = operators.Multimodal.encodePcm16Wav(8000, Array[Short](1, 2))
+    assert(operators.Multimodal.gifHeader(wav).isEmpty)
+    assert(operators.Multimodal.bmpHeader(wav).isEmpty)
+    assert(operators.Multimodal.gifHeader(Array[Byte](1, 2, 3)).isEmpty)
+    assert(operators.Multimodal.bmpHeader(Array[Byte]('B', 'M', 3)).isEmpty)
+  }
+
+  test("EntityResolution.resolve equals brute-force best-match on blocked candidates") {
+    import spark.implicits._
+    val canon = Seq("red widget", "blue widget", "green bolt", "small ring",
+      "golden gear", "ivory gear").toDF("name")
+    // one deletion each, plus an exact name and an unresolvable junk row
+    val dirty = Seq("rd widget", "blue widgt", "green blt", "small rng",
+      "golden gear", "zzzzzzzzz").toDF("name")
+    val got = operators.EntityResolution
+      .resolve(dirty, canon, "name", block = 3, maxDist = 2)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    val canonNames = canon.collect().map(_.getString(0)).toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (dn <- dirty.collect().map(_.getString(0))) {
+      val best = canonNames
+        .filter(c => c.take(3) == dn.take(3) || c.takeRight(3) == dn.takeRight(3))
+        .map(c => (lev(dn, c), c)).filter(_._1 <= 2).sorted.headOption
+      assert(got.get(dn) == best.map { case (dist, c) => (c, dist) },
+        s"$dn: ${got.get(dn)} vs $best")
+    }
+    assert(!got.contains("zzzzzzzzz"))
+    assert(got("golden gear") == ("golden gear", 0))
+  }
+
   test("containmentPairs is directional: the quoted doc scores 1.0, the quoter lower") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // fully quoted inside 2

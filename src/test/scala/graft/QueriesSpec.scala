@@ -125,6 +125,44 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("p43_entity_resolution resolves the corrupted catalog") {
+    val rows = SparkEntry.queries("p43_entity_resolution")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, d) => d >= 0 && d <= 2 })
+    // single-char deletions are distance 1 from their source (or 0 if
+    // the corruption landed on another canonical name); most resolve
+    assert(rows.count(_._3 <= 1) > rows.length / 2)
+    val dirtyNames = rows.map(_._1)
+    assert(dirtyNames.distinct.length == dirtyNames.length,
+      "one best match per dirty name")
+  }
+
+  test("p44_zonemap: sorted layout prunes, answers agree") {
+    val m = SparkEntry.queries("p44_zonemap")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (azones, ascan, arows, amatch) = m("arrival")
+    val (szones, sscan, srows, smatch) = m("date_sorted")
+    assert(amatch == smatch, "layout must not change the answer")
+    assert(sscan < ascan, s"date-sorted must prune zones: $m")
+    assert(srows < arows && srows >= smatch)
+    assert(azones == 64 && szones <= 64)
+  }
+
+  test("t24_readability covers every source with a finite score") {
+    val rows = SparkEntry.queries("t24_readability")(spark, sf).collect()
+    val nSources = Engine.table(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select("source").distinct().count()
+    assert(rows.length >= nSources - 1 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(5) && !r.getDouble(5).isNaN)
+      assert(r.getLong(2) > 0 && r.getLong(4) >= r.getLong(1),
+        "at least one sentence per counted doc")
+    }
+  }
+
   test("t23_source_overlap pairs are canonical and jaccard bounded") {
     val rows = SparkEntry.queries("t23_source_overlap")(spark, sf).collect()
     assert(rows.nonEmpty)
