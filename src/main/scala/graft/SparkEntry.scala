@@ -1549,6 +1549,40 @@ object SparkEntry {
         groupCol = "source", valueCol = "n_chars",
         qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))),
 
+    // deterministic grouped mode: the most frequent user per event
+    // type, ties to the smallest user — one count aggregate plus one
+    // min(struct) winner pick, no window over the full group
+    "q79_grouped_mode" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(min(struct((-col("c")).as("nc"), col("user_id").as("u")))
+          .as("w"))
+        .select(col("event_type"), col("w.u").as("mode_user"),
+          (-col("w.nc")).as("n"))),
+
+    // exact per-group Pearson correlation: the five product sums are
+    // DECIMAL-exact (2-dp inputs cast to DECIMAL first, so products
+    // and sums never round), and the correlation is one fixed double
+    // tree over them — replicated operand-for-operand in the oracle.
+    // The one-pass shape of every feature-covariance scan
+    "q80_grouped_corr" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+      val n = col("n").cast(DoubleType)
+      def dbl(c: String) = col(c).cast(DoubleType)
+      d.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((n * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            sqrt((n * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              (n * dbl("syy") - dbl("sy") * dbl("sy"))), 6).as("corr"))
+    }),
+
     // record linkage: a deterministically-corrupted part catalog
     // (char at position partkey % len deleted) matched back to the
     // clean one by dual-key blocking + levenshtein over the
@@ -1610,6 +1644,15 @@ object SparkEntry {
     // float is one division of two integers, rounded to 6 dp
     "p37_clustering_coef" -> ((s, dir) =>
       Graph.clusteringCoefficient(userGraphEdges(s, dir))),
+
+    // community detection: 3 rounds of deterministic synchronous
+    // label propagation on the p36 user graph, reported as community
+    // sizes (bounded output). The oracle unrolls the same 3 rounds as
+    // chained CTEs — vote counts and the (count desc, label asc)
+    // winner rule are integer-exact in both engines
+    "p45_lpa_communities" -> ((s, dir) =>
+      Graph.labelPropagation(userGraphEdges(s, dir), iters = 3)
+        .groupBy("community").agg(count(lit(1)).as("n_nodes"))),
 
     // last-touch marketing attribution: each purchase credits the
     // user's most recent preceding non-purchase event within 3 days,
@@ -5295,6 +5338,39 @@ object SparkEntry {
         |JOIN mad ON mad.source = med.source
         |JOIN o ON o.source = med.source""".stripMargin,
 
+    "q79_grouped_mode" ->
+      """SELECT event_type, user_id AS mode_user,
+        |  CAST(c AS BIGINT) AS n
+        |FROM (
+        |  SELECT event_type, user_id, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY event_type ORDER BY c DESC, user_id) = 1
+        |""".stripMargin,
+
+    // identical decimal partials and double tree; DuckDB's native
+    // corr() is deliberately NOT used (incremental float accumulation
+    // is order-dependent there; the decimal partials are not)
+    "q80_grouped_corr" ->
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM d GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+        |FROM a""".stripMargin,
+
     // dual-key blocking replayed: prefix-3 OR suffix-3 candidates
     // over distinct names, levenshtein <= 2, best = (dist, canon) min
     "p43_entity_resolution" ->
@@ -5437,6 +5513,46 @@ object SparkEntry {
         |         / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
         |    ELSE 0.0 END, 6) AS coef
         |FROM deg LEFT JOIN tc ON tc.v = deg.v""".stripMargin,
+
+    // the 3 LPA rounds unrolled; each round: join labels to the
+    // symmetric adjacency on the neighbor, count votes, keep the
+    // (count desc, label asc) winner via QUALIFY
+    "p45_lpa_communities" ->
+      """WITH mm AS (SELECT MAX(user_id) + 1 AS m FROM events),
+        |e0 AS (
+        |  SELECT user_id AS src,
+        |    (user_id * 31 + event_id * 7 + 1) % m AS dst
+        |  FROM events, mm),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |adj AS (
+        |  SELECT a AS n, b AS nb FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |l0 AS (SELECT DISTINCT n AS node, n AS lab FROM adj),
+        |l1 AS (
+        |  SELECT n AS node, lab FROM (
+        |    SELECT adj.n, l.lab, COUNT(*) AS c
+        |    FROM adj JOIN l0 l ON l.node = adj.nb
+        |    GROUP BY 1, 2
+        |    QUALIFY row_number()
+        |      OVER (PARTITION BY adj.n ORDER BY c DESC, l.lab) = 1)),
+        |l2 AS (
+        |  SELECT n AS node, lab FROM (
+        |    SELECT adj.n, l.lab, COUNT(*) AS c
+        |    FROM adj JOIN l1 l ON l.node = adj.nb
+        |    GROUP BY 1, 2
+        |    QUALIFY row_number()
+        |      OVER (PARTITION BY adj.n ORDER BY c DESC, l.lab) = 1)),
+        |l3 AS (
+        |  SELECT n AS node, lab FROM (
+        |    SELECT adj.n, l.lab, COUNT(*) AS c
+        |    FROM adj JOIN l2 l ON l.node = adj.nb
+        |    GROUP BY 1, 2
+        |    QUALIFY row_number()
+        |      OVER (PARTITION BY adj.n ORDER BY c DESC, l.lab) = 1))
+        |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM l3 GROUP BY 1""".stripMargin,
 
     "p26_hits" -> p26HitsSql(iters = 2),
 

@@ -238,4 +238,42 @@ object Graph {
     }
     out
   }
+
+  /** Synchronous label propagation (Raghavan 2007) for community
+    * detection: every node starts as its own label; each round it
+    * adopts the most frequent label among its neighbors, ties broken
+    * to the SMALLEST label — fully deterministic, so a fixed-round
+    * unrolled SQL replay matches exactly (the usual LPA is randomized
+    * and unverifiable; determinism is the price of an oracle, and at
+    * scale the async/sync distinction changes communities anyway).
+    *
+    * Each round is one shuffle (adjacency ⋈ labels on the neighbor
+    * key, then a two-level hash aggregate: count votes, then
+    * `min(struct(-count, label))` picks the winner without a window).
+    * Rounds are `localCheckpoint`ed — constant-size plans, same
+    * discipline as [[pageRank]]. Returns `(node, community)` after
+    * `iters` rounds.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = und.select(col("a").as("n"), col("b").as("nb"))
+      .union(und.select(col("b").as("n"), col("a").as("nb")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("n").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      labels = adj
+        .join(labels.select(col("node").as("nb"), col("lab")), "nb")
+        .groupBy("n", "lab").agg(count(lit(1)).as("c"))
+        .groupBy("n")
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab")))
+          .as("w"))
+        .select(col("n").as("node"), col("w.lab").as("lab"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
 }

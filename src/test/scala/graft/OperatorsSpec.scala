@@ -1532,6 +1532,33 @@ class OperatorsSpec extends SparkSpec {
     assert(operators.Multimodal.bmpHeader(Array[Byte]('B', 'M', 3)).isEmpty)
   }
 
+  test("labelPropagation equals brute-force synchronous LPA") {
+    import spark.implicits._
+    // two triangles bridged by one edge, plus a pendant vertex
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (6L, 7L), (2L, 1L)).toDF("src", "dst")
+    val iters = 3
+    val got = operators.Graph.labelPropagation(edges, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: symmetric adjacency, same deterministic rule
+    val und = Seq((1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4),
+      (6, 7)).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(n => n -> n.toLong).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.map { case (n, nbs) =>
+        val votes = nbs.groupBy(lab).view.mapValues(_.size)
+        n -> votes.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    assert(got == lab.map { case (k, v) => k.toLong -> v },
+      s"$got vs $lab")
+    // the 1-2-3 triangle coalesces onto label 1 (the bridged triangle
+    // keeps oscillating under synchronous updates — expected LPA
+    // behavior, which is why the round count is a fixed parameter)
+    assert(Set(got(1L), got(2L), got(3L)) == Set(1L))
+  }
+
   test("EntityResolution.resolve equals brute-force best-match on blocked candidates") {
     import spark.implicits._
     val canon = Seq("red widget", "blue widget", "green bolt", "small ring",

@@ -163,6 +163,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("p45_lpa_communities partitions every vertex exactly once") {
+    val sizes = SparkEntry.queries("p45_lpa_communities")(spark, sf)
+      .collect().map(_.getLong(1))
+    val ev = Engine.table(spark, sf, "events")
+    val m = ev.agg(max(col("user_id")) + 1L).collect()(0).getLong(0)
+    val nVerts = ev.select(col("user_id").as("v"))
+      .union(ev.select(((col("user_id") * 31 + col("event_id") * 7 + 1)
+        % m).as("v")))
+      .distinct().count()
+    // self-loop-only vertices (if any) drop out of the graph; all
+    // others land in exactly one community
+    assert(sizes.sum <= nVerts && sizes.sum > 0)
+    assert(sizes.forall(_ > 0))
+  }
+
+  test("q80_grouped_corr stays within [-1, 1]") {
+    val rows = SparkEntry.queries("q80_grouped_corr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(!c.isNaN && c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr $c")
+    }
+  }
+
   test("t23_source_overlap pairs are canonical and jaccard bounded") {
     val rows = SparkEntry.queries("t23_source_overlap")(spark, sf).collect()
     assert(rows.nonEmpty)
