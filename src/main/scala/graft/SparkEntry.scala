@@ -1093,6 +1093,28 @@ object SparkEntry {
             - lit(84.6) * (col("vowel_groups").cast(DoubleType)
               / col("words").cast(DoubleType)), 6).as("flesch"))),
 
+    // lexical diversity per source: token count, type count (distinct
+    // tokens), type-token ratio, and hapax legomena (tokens occurring
+    // exactly once IN THAT SOURCE) — the vocabulary-richness profile
+    // that separates template spam from organic text. Hapaxes come
+    // from the same (source, token) count aggregate that feeds types;
+    // ratios are single divisions of exact counts
+    "t25_lexical_diversity" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          round(col("n_types").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6).as("ttr"),
+          round(col("n_hapax").cast(DoubleType) /
+            col("n_types").cast(DoubleType), 6).as("hapax_ratio"))),
+
     // PMI collocations (Church & Hanks 1990): bigrams whose parts
     // co-occur far above independence — the classic phrase-mining /
     // tokenizer-seeding signal. All counts are integer aggregates;
@@ -2079,6 +2101,41 @@ object SparkEntry {
         .groupBy("lang", "len_bucket").agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") < 5)),
 
+    // l-diversity audit (Machanavajjhala 2007) on p28's quasi-groups:
+    // k-anonymity alone leaks when a quasi-group's SENSITIVE value
+    // (here: source) is homogeneous — count distinct sensitives per
+    // group and flag the under-diverse ones. One aggregate, exact
+    "p47_l_diversity" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), expr("n_chars div 50").as("len_bucket"),
+          col("source"))
+        .groupBy("lang", "len_bucket")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(col("lang"), col("len_bucket"), col("n_members"),
+          col("n_sources"), (col("n_sources") >= 3).as("diverse"))),
+
+    // reliability diagram (calibration curve) for a pseudo-classifier:
+    // deterministic permille "predicted probability" per user vs the
+    // observed click rate, in 10 prediction buckets. avg_pred is exact
+    // (integer permille sums); the two rates are single divisions of
+    // exact BIGINTs, rounded — the model-audit pass before
+    // classifier-filtered data selection is trusted
+    "p46_calibration" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          expr("(user_id * 2654435761) % 1000").as("pm"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+        .withColumn("bucket", expr("pm div 100"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("pm").as("spm"),
+          sum("y").as("clicks"))
+        .select(col("bucket"), col("n"), col("clicks"),
+          round(col("spm").cast(DoubleType) /
+            (col("n") * 1000).cast(DoubleType), 6).as("avg_pred"),
+          round(col("clicks").cast(DoubleType) /
+            col("n").cast(DoubleType), 6).as("click_rate"))),
+
     // per-source grouped QA audit — the same single-pass metric battery
     // as p22, keyed by source (the per-shard dataset-card table)
     "p25_profile_by_source" -> ((s, dir) =>
@@ -2875,6 +2932,25 @@ object SparkEntry {
         "user_id", "c_custkey", Seq("c_mktsegment", "event_type"),
         Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
         queryName = "st6_stream_static")),
+
+    // streaming AS-OF enrichment: a 3-version SCD2 dimension (weekly
+    // boundaries) joined by validity interval, so each event lands on
+    // the version current at its event time — broadcast range join,
+    // zero stream state; drained total equals the batch interval join
+    "st13_stream_asof" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").select(col("c_custkey"))
+        .crossJoin(s.range(3).toDF("ver"))
+        .select(col("c_custkey"), col("ver"),
+          expr("timestamp'2024-01-01' + make_dt_interval(ver * 7)")
+            .as("valid_from"),
+          expr("CASE WHEN ver < 2 THEN timestamp'2024-01-01'" +
+            " + make_dt_interval((ver + 1) * 7) END").as("valid_to"))
+      Streams.runStreamAsOfEnrich(s, s"$dir/events.parquet", "ts", dim,
+        "user_id", "c_custkey", "valid_from", "valid_to",
+        Seq("ver", "event_type"),
+        Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+        queryName = "st13_stream_asof")
+    }),
 
     // streaming hopping-window counts — q35's overlap semantics on the
     // streaming path: each event lands in len/slide = 2 windows; the
@@ -4130,6 +4206,25 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
 
+    // the batch interval join the streaming as-of drain must equal
+    "st13_stream_asof" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, v.ver,
+        |    TIMESTAMP '2024-01-01' + v.ver * INTERVAL 7 DAY AS valid_from,
+        |    CASE WHEN v.ver < 2 THEN
+        |      TIMESTAMP '2024-01-01' + (v.ver + 1) * INTERVAL 7 DAY
+        |    END AS valid_to
+        |  FROM customer, (SELECT unnest([0, 1, 2]) AS ver) v)
+        |SELECT CAST(dim.ver AS BIGINT) AS ver, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim
+        |  ON e.user_id = dim.c_custkey
+        |  AND CAST(e.ts AS TIMESTAMP) >= dim.valid_from
+        |  AND (dim.valid_to IS NULL
+        |       OR CAST(e.ts AS TIMESTAMP) < dim.valid_to)
+        |GROUP BY 1, 2""".stripMargin,
+
     // q35's batch-hop oracle: each event replicated into the k ∈ {0,1}
     // overlapping 1h windows aligned to 30-minute slides
     "st7_stream_hop" ->
@@ -4388,6 +4483,52 @@ object SparkEntry {
         |JOIN sizes na ON na.source = inter.sa
         |JOIN sizes nb ON nb.source = inter.sb
         |ORDER BY jaccard DESC, sa, sb LIMIT 20""".stripMargin,
+
+    "t25_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) > 0),
+        |tc AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+        |  FROM tc GROUP BY 1)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(n_hapax AS BIGINT) AS n_hapax,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS ttr,
+        |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+        |    AS hapax_ratio
+        |FROM a""".stripMargin,
+
+    "p46_calibration" ->
+      """WITH e AS (
+        |  SELECT (user_id * 2654435761) % 1000 AS pm,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT pm // 100 AS bucket, COUNT(*) AS n, SUM(pm) AS spm,
+        |    SUM(y) AS clicks
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(clicks AS BIGINT) AS clicks,
+        |  round(CAST(spm AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6)
+        |    AS avg_pred,
+        |  round(CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS click_rate
+        |FROM a""".stripMargin,
+
+    "p47_l_diversity" ->
+      """SELECT lang, CAST(n_chars // 50 AS BIGINT) AS len_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  COUNT(DISTINCT source) >= 3 AS diverse
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // same regexes, same integer sums, same double tree — the only
     // floats are two divisions of exact BIGINTs

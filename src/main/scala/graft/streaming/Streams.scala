@@ -422,6 +422,43 @@ object Streams {
     * [[runTumblingAgg]]'s drain caveat); the drained aggregate equals
     * the batch join+aggregate, which is the oracle.
     */
+  /** Streaming AS-OF dimension enrichment: each event joins the
+    * dimension version that was current AT ITS EVENT TIME — the
+    * SCD2-aware form of [[runStreamStaticEnrich]] (price lists,
+    * configs, customer tiers that change over time).
+    *
+    * The dimension carries explicit `[fromCol, toCol)` validity
+    * intervals (open end = NULL), so the as-of lookup is a plain
+    * broadcast join with a range predicate: each event matches exactly
+    * one version, no per-event aggregation and NO stream state — the
+    * only scale-safe way to do as-of against a stream (a stream-side
+    * max-version aggregate would hold unbounded state; intervals are
+    * precomputed once on the static side, e.g. with a `lead` window
+    * over versions, and broadcast).
+    */
+  def runStreamAsOfEnrich(spark: SparkSession, path: String,
+                          timeCol: String, dim: DataFrame,
+                          streamKey: String, dimKey: String,
+                          fromCol: String, toCol: String,
+                          groupCols: Seq[String], aggs: Seq[Column],
+                          queryName: String = "graft_asof"): DataFrame = {
+    val raw = fileStream(spark, path)
+    val src = graft.Engine.normalizeEventTime(raw, timeCol)
+    val joined = src.join(broadcast(dim),
+      col(streamKey) === dim(dimKey) &&
+        col(timeCol) >= dim(fromCol) &&
+        (dim(toCol).isNull || col(timeCol) < dim(toCol)))
+    val grouped = joined.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val q = withStatePartitions(spark)(grouped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   def runStreamStaticEnrich(spark: SparkSession, path: String,
                             timeCol: String, dim: DataFrame,
                             streamKey: String, dimKey: String,

@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment picks the version current at event time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof")
+      .toFile.getAbsolutePath
+    Seq(
+      (1L, "a", "2024-01-01 00:00:00", 1.0), // v0 (boundary: inclusive from)
+      (1L, "a", "2024-01-07 23:59:59", 2.0), // v0 (exclusive to)
+      (1L, "a", "2024-01-08 00:00:00", 4.0), // v1 (boundary flips version)
+      (2L, "b", "2024-01-20 00:00:00", 8.0)) // v2 (open-ended interval)
+      .toDF("user_id", "event_type", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(dir)
+    val dim = Seq(1L, 2L).toDF("k")
+      .crossJoin(spark.range(3).toDF("ver"))
+      .select(col("k"), col("ver"),
+        expr("timestamp'2024-01-01' + make_dt_interval(ver * 7)")
+          .as("valid_from"),
+        expr("CASE WHEN ver < 2 THEN timestamp'2024-01-01'" +
+          " + make_dt_interval((ver + 1) * 7) END").as("valid_to"))
+    val out = Streams.runStreamAsOfEnrich(spark, dir, "ts", dim,
+      "user_id", "k", "valid_from", "valid_to",
+      Seq("ver"), Seq(count(lit(1)).as("n"), sum("value").as("sv")),
+      queryName = "spec_asof")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(0L -> (2L, 3.0), 1L -> (1L, 4.0), 2L -> (1L, 8.0)),
+      out.toString)
+  }
+
   test("stream-stream interval join pairs clicks with their impression") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
