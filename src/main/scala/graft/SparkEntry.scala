@@ -1571,6 +1571,57 @@ object SparkEntry {
         groupCol = "source", valueCol = "n_chars",
         qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))),
 
+    // the full SQL ranking-function family (rank / dense_rank /
+    // percent_rank / cume_dist / ntile) in one window — demonstrated
+    // over a BOUNDED relation (daily totals per type: cardinality =
+    // types × days, independent of row count), so the per-partition
+    // window never becomes the q44-style single-task scale hazard.
+    // percent_rank and cume_dist are single divisions of identical
+    // integers in both engines — bit-equal
+    "q81_rank_family" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(dsum(col("value")).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("total").desc, col("day"))
+      daily.select(col("event_type"), col("day"), col("total"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rnk") <= 10)
+    }),
+
+    // data-contract audit (Deequ-style expectations): one row per
+    // declared constraint with its violation count — referential
+    // integrity via a distinct-key anti-join (never a row-level join),
+    // ranges and null checks as single-pass conditional counts
+    "p48_data_contract" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val orphans = o.select(col("o_custkey")).distinct()
+        .join(t(s, dir, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orders.o_custkey -> customer").as("check"),
+          col("n").as("n_violations"))
+      val scalarChecks = o.agg(
+          sum(when(col("o_totalprice") <= 0 ||
+            col("o_totalprice").isNull, 1L).otherwise(0L)).as("price"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("status"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+            .as("nulldate"))
+      val unpivoted = scalarChecks.selectExpr(
+        "stack(3, 'orders.o_totalprice > 0', price," +
+          " 'orders.o_orderstatus in (O,F,P)', status," +
+          " 'orders.o_orderdate not null', nulldate)" +
+          " AS (`check`, n_violations)")
+      orphans.union(unpivoted)
+        .select(col("check"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    }),
+
     // deterministic grouped mode: the most frequent user per event
     // type, ties to the smallest user — one count aggregate plus one
     // min(struct) winner pick, no window over the full group
@@ -1759,7 +1810,8 @@ object SparkEntry {
     "q51_sketch_rollup" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val shards = e
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
       val merged = shards.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
@@ -5478,6 +5530,45 @@ object SparkEntry {
         |FROM med
         |JOIN mad ON mad.source = med.source
         |JOIN o ON o.source = med.source""".stripMargin,
+
+    "q81_rank_family" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, total,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, day)
+        |QUALIFY rnk <= 10""".stripMargin,
+
+    "p48_data_contract" ->
+      """WITH orphan AS (
+        |  SELECT COUNT(*) AS n FROM (
+        |    SELECT DISTINCT o_custkey FROM orders) o
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |s AS (
+        |  SELECT
+        |    SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+        |        THEN 1 ELSE 0 END) AS price,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |        THEN 1 ELSE 0 END) AS status,
+        |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS nulldate
+        |  FROM orders)
+        |SELECT 'orders.o_custkey -> customer' AS "check",
+        |  CAST(n AS BIGINT) AS n_violations, n = 0 AS pass FROM orphan
+        |UNION ALL SELECT 'orders.o_totalprice > 0',
+        |  CAST(price AS BIGINT), price = 0 FROM s
+        |UNION ALL SELECT 'orders.o_orderstatus in (O,F,P)',
+        |  CAST(status AS BIGINT), status = 0 FROM s
+        |UNION ALL SELECT 'orders.o_orderdate not null',
+        |  CAST(nulldate AS BIGINT), nulldate = 0 FROM s""".stripMargin,
 
     "q79_grouped_mode" ->
       """SELECT event_type, user_id AS mode_user,
