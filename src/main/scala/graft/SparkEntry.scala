@@ -491,6 +491,20 @@ object SparkEntry {
         Seq("p_value"), direction = "forward")
     }),
 
+    // merge_asof direction='nearest': closer of the backward and
+    // forward matches, ties to backward — both picks come from one
+    // sort (two frames over the same window ordering), so nearest
+    // costs the same single shuffle as either direction alone
+    "q82_asof_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+      operators.AsOf.asofJoin(views, purchases, "user_id", "ts",
+        Seq("p_value"), direction = "nearest")
+    }),
+
     // union/variant typing (§1.4): per-row runtime-typed JSON values,
     // union-narrowing cast (NULL on mismatch)
     "q32_variant" -> ((s, dir) =>
@@ -1064,6 +1078,31 @@ object SparkEntry {
             (col("na") + col("nb") - col("n_common")).cast(DoubleType), 6)
             .as("jaccard"))
         .orderBy(col("jaccard").desc, col("sa"), col("sb")).limit(20)
+    }),
+
+    // operating-point selection: sweep 10 min-length thresholds in
+    // ONE pass — bucket counts first (bounded 10-row domain), then a
+    // broadcast threshold × bucket cross (≤100 rows) instead of 10
+    // scans or a global window. Survivor counts and mean lengths per
+    // candidate cutoff, exact
+    "t26_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val by = docs
+        .select(least(expr("n_chars div 100"), lit(9)).as("bucket"),
+          col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sc"))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      by.crossJoin(broadcast(s.range(10).toDF("k")))
+        .filter(col("bucket") >= col("k"))
+        .groupBy("k")
+        .agg(sum("n").as("n_kept"), sum("sc").as("sum_chars"))
+        .crossJoin(broadcast(tot))
+        .select((col("k") * 100).as("min_chars"), col("n_kept"),
+          round(col("n_kept").cast(DoubleType) /
+            col("n_total").cast(DoubleType), 6).as("frac_kept"),
+          round(col("sum_chars").cast(DoubleType) /
+            col("n_kept").cast(DoubleType), 6).as("avg_len"))
     }),
 
     // corpus readability per source (Flesch 1948 reading ease on the
@@ -2817,6 +2856,47 @@ object SparkEntry {
           "duration_ms")
     }),
 
+    // image-text pair filtering (the LAION-style curation pass): real
+    // header scans give dims, the caption side gives token counts,
+    // and pairs survive only with sane aspect (1:2..2:1, checked by
+    // integer cross-multiplication — no float), min side >= 32 px and
+    // 3..80 caption tokens. One 1-1 join of the two per-doc passes
+    "m12_pair_filter" -> ((s, dir) => {
+      import s.implicits._
+      val bpps = Array(1, 4, 8, 24)
+      val dims = t(s, dir, "documents").select(col("doc_id")
+          .cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            if (id % 2 == 0) {
+              val bytes = Multimodal.encodeGif(
+                (id % 200 + 10).toInt, (id % 150 + 10).toInt, (id % 8).toInt)
+              val (w, h, _) = Multimodal.gifHeader(bytes).get
+              (id, w.toLong, h.toLong)
+            } else {
+              val bytes = Multimodal.encodeBmp((id % 300 + 8).toInt,
+                (id % 100 + 8).toInt, bpps((id % 4).toInt))
+              val (w, h, _) = Multimodal.bmpHeader(bytes).get
+              (id, w.toLong, h.toLong)
+            }
+          }
+        }.toDF("doc_id", "w", "h")
+      val caps = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          tk => length(tk) > 0)).cast(LongType).as("toks"))
+      caps.join(dims, "doc_id")
+        .withColumn("keep",
+          col("h") <= col("w") * 2 && col("w") <= col("h") * 2 &&
+            least(col("w"), col("h")) >= 32 &&
+            col("toks").between(3, 80))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("n_pairs"), col("n_kept"),
+          round(col("n_kept").cast(DoubleType) /
+            col("n_pairs").cast(DoubleType), 6).as("keep_rate"))
+    }),
+
     // GIF/BMP header-only scans on a mixed binary column: sniff the
     // format, read dims + depth from the fixed headers (13 / 54
     // bytes), never touch pixel data — the dimension-audit pass over
@@ -3329,6 +3409,33 @@ object SparkEntry {
         |     (SELECT user_id, ts, max(value) AS p_value FROM events
         |      WHERE event_type = 'purchase' GROUP BY 1, 2) p
         |ON v.user_id = p.user_id AND v.ts <= p.ts""".stripMargin,
+
+    // nearest = closer of DuckDB's backward (>=) and forward (<=)
+    // ASOF picks, µs gaps, ties to backward — same rule as the engine
+    "q82_asof_nearest" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT v.event_id, p.ts AS bt, p.p_value AS bv
+        |  FROM v ASOF LEFT JOIN p
+        |    ON v.user_id = p.user_id AND v.ts >= p.ts),
+        |f AS (
+        |  SELECT v.event_id, p.ts AS ft, p.p_value AS fv
+        |  FROM v ASOF LEFT JOIN p
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts)
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  CASE WHEN f.ft IS NULL OR (b.bt IS NOT NULL AND
+        |      epoch_us(v.ts) - epoch_us(b.bt)
+        |        <= epoch_us(f.ft) - epoch_us(v.ts))
+        |    THEN b.bv ELSE f.fv END AS asof_p_value
+        |FROM v
+        |JOIN b ON b.event_id = v.event_id
+        |JOIN f ON f.event_id = v.event_id""".stripMargin,
 
     "q32_variant" ->
       """SELECT event_id,
@@ -4535,6 +4642,47 @@ object SparkEntry {
         |JOIN sizes na ON na.source = inter.sa
         |JOIN sizes nb ON nb.source = inter.sb
         |ORDER BY jaccard DESC, sa, sb LIMIT 20""".stripMargin,
+
+    "t26_threshold_sweep" ->
+      """WITH b AS (
+        |  SELECT least(n_chars // 100, 9) AS bucket, COUNT(*) AS n,
+        |    SUM(n_chars) AS sc
+        |  FROM documents GROUP BY 1),
+        |a AS (
+        |  SELECT t.k, SUM(b.n) AS nk, SUM(b.sc) AS s
+        |  FROM b, range(10) t(k) WHERE b.bucket >= t.k GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+        |SELECT CAST(k * 100 AS BIGINT) AS min_chars,
+        |  CAST(nk AS BIGINT) AS n_kept,
+        |  round(CAST(nk AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS frac_kept,
+        |  round(CAST(s AS DOUBLE) / CAST(nk AS DOUBLE), 6) AS avg_len
+        |FROM a, tot""".stripMargin,
+
+    "m12_pair_filter" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 200 + 10
+        |         ELSE doc_id % 300 + 8 END AS w,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 150 + 10
+        |         ELSE doc_id % 100 + 8 END AS h
+        |  FROM documents),
+        |caps AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        tk -> length(tk) > 0)) AS toks
+        |  FROM documents),
+        |j AS (
+        |  SELECT c.source,
+        |    CASE WHEN d.h <= d.w * 2 AND d.w <= d.h * 2
+        |      AND least(d.w, d.h) >= 32
+        |      AND c.toks BETWEEN 3 AND 80 THEN 1 ELSE 0 END AS keep
+        |  FROM caps c JOIN dims d ON d.doc_id = c.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  round(CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS keep_rate
+        |FROM j GROUP BY 1""".stripMargin,
 
     "t25_lexical_diversity" ->
       """WITH toks AS (

@@ -20,8 +20,9 @@ object AsOf {
     * @param keyCol     equality key present on both sides
     * @param timeCol    event-time column present on both sides
     * @param rightCols  right-side payload columns to carry
-    * @param toleranceSeconds  if set, a match older than this many
-    *                   seconds before the left time is nulled out
+    * @param toleranceSeconds  if set, a match farther than this many
+    *                   seconds from the left time (in the direction's
+    *                   sense; absolute for `nearest`) is nulled out
     *                   (pandas `merge_asof(tolerance=...)` semantics) —
     *                   a stale quote is usually worse than no quote
     *
@@ -35,9 +36,10 @@ object AsOf {
                timeCol: String, rightCols: Seq[String],
                toleranceSeconds: Option[Long] = None,
                direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asofJoin: direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got $direction")
     val fwd = direction == "forward"
+    val nearest = direction == "nearest"
     val leftCols = left.columns.toSeq
     // The right payload travels as ONE struct so last(ignoreNulls) picks
     // the whole latest right row atomically — filling columns
@@ -62,21 +64,45 @@ object AsOf {
     val unioned = l.select(ordered: _*).unionByName(r.select(ordered: _*))
     val wBase = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("__side"))
-    val (w, pick) =
-      if (fwd) (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-        first(col("__r"), ignoreNulls = true))
-      else (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-        last(col("__r"), ignoreNulls = true))
-    val matched = unioned
-      .withColumn("__asof", pick.over(w))
-      .filter(col("__side") === (1 - rSide))
+    // nearest (pandas merge_asof direction='nearest'): BOTH window
+    // picks over the SAME sort (backward last + forward first — no
+    // second shuffle or sort), then the smaller µs gap wins, ties to
+    // backward. rSide=0 puts an equal-time right row in the backward
+    // frame, where its zero gap always wins — so the forward frame
+    // never needs to see it.
+    val matched = if (nearest) {
+      val wB = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val gapB = unix_micros(col(timeCol)) - unix_micros(col("__b.__t"))
+      val gapF = unix_micros(col("__f.__t")) - unix_micros(col(timeCol))
+      unioned
+        .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+        .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wF))
+        .filter(col("__side") === (1 - rSide))
+        .withColumn("__asof",
+          when(col("__f").isNull ||
+            (col("__b").isNotNull && gapB <= gapF), col("__b"))
+            .otherwise(col("__f")))
+    } else {
+      val (w, pick) =
+        if (fwd) (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__r"), ignoreNulls = true))
+        else (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__r"), ignoreNulls = true))
+      unioned
+        .withColumn("__asof", pick.over(w))
+        .filter(col("__side") === (1 - rSide))
+    }
     // µs-exact staleness check — whole-second truncation would disagree
     // with a sub-second oracle at the boundary
     val keep = toleranceSeconds match {
       case None => lit(true)
       case Some(tol) =>
         val gap =
-          if (fwd) unix_micros(col("__asof.__t")) - unix_micros(col(timeCol))
+          if (nearest)
+            abs(unix_micros(col(timeCol)) - unix_micros(col("__asof.__t")))
+          else if (fwd)
+            unix_micros(col("__asof.__t")) - unix_micros(col(timeCol))
           else unix_micros(col(timeCol)) - unix_micros(col("__asof.__t"))
         gap <= tol * 1000000L
     }

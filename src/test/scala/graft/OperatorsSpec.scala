@@ -234,6 +234,30 @@ class OperatorsSpec extends SparkSpec {
           (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
       assert(got == model(tol), s"tolerance=$tol")
     }
+    // nearest: smaller |gap| wins, ties to backward
+    def modelNearest(tol: Option[Long]): Map[Long, Option[Long]] =
+      probes.map { case (pid, k, lt) =>
+        val ks = quotes.filter(_._2 == k)
+        val back = ks.filter(_._3 <= lt).sortBy(_._3).lastOption
+        val fwd = ks.filter(_._3 >= lt).sortBy(_._3).headOption
+        val best = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            Some(if (lt - b._3 <= f._3 - lt) b else f)
+          case (b, f) => b.orElse(f)
+        }
+        pid -> best.collect {
+          case q if tol.forall(t => math.abs(lt - q._3) <= t) => q._4
+        }
+      }.toMap
+    for (tol <- Seq(None, Some(30L))) {
+      val got = graft.operators.AsOf
+        .asofJoin(left, right, "k", "ts", Seq("v"), tol,
+          direction = "nearest")
+        .select("pid", "asof_v").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == modelNearest(tol), s"nearest tolerance=$tol")
+    }
   }
 
   test("dedup kernels are SQL-reachable and agree with the Scala API") {
