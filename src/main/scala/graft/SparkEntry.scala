@@ -1661,6 +1661,27 @@ object SparkEntry {
           (col("n_violations") === 0).as("pass"))
     }),
 
+    // Poisson bootstrap (Chamandy 2012 — THE resampling that scales:
+    // classical bootstrap needs n draws per replicate, Poisson(1)
+    // weights need one hash per row×replicate and map-side combine to
+    // R output rows). 32 replicates of mean doc length; weights from
+    // a permille hash against the Poisson(1) CDF (368/736/920/981).
+    // Deterministic, so the oracle replays every draw
+    "p49_poisson_bootstrap" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(s.range(32).toDF("r")))
+        .withColumn("pm",
+          expr("(doc_id * 2654435761 + r * 97) % 4294967296 % 1000"))
+        .withColumn("wt", when(col("pm") < 368, 0L)
+          .when(col("pm") < 736, 1L).when(col("pm") < 920, 2L)
+          .when(col("pm") < 981, 3L).otherwise(4L))
+        .groupBy("r")
+        .agg(sum("wt").as("n_eff"),
+          sum(col("wt") * col("n_chars")).as("sc"))
+        .select(col("r"), col("n_eff"),
+          round(col("sc").cast(DoubleType) /
+            col("n_eff").cast(DoubleType), 6).as("mean_chars"))),
+
     // deterministic grouped mode: the most frequent user per event
     // type, ties to the smallest user — one count aggregate plus one
     // min(struct) winner pick, no window over the full group
@@ -5717,6 +5738,24 @@ object SparkEntry {
         |  CAST(status AS BIGINT), status = 0 FROM s
         |UNION ALL SELECT 'orders.o_orderdate not null',
         |  CAST(nulldate AS BIGINT), nulldate = 0 FROM s""".stripMargin,
+
+    "p49_poisson_bootstrap" ->
+      """WITH w AS (
+        |  SELECT t.r,
+        |    (doc_id * 2654435761 + t.r * 97) % 4294967296 % 1000 AS pm,
+        |    n_chars
+        |  FROM documents, range(32) t(r)),
+        |ww AS (
+        |  SELECT r,
+        |    CASE WHEN pm < 368 THEN 0 WHEN pm < 736 THEN 1
+        |         WHEN pm < 920 THEN 2 WHEN pm < 981 THEN 3
+        |         ELSE 4 END AS wt,
+        |    n_chars
+        |  FROM w)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(SUM(wt) AS BIGINT) AS n_eff,
+        |  round(CAST(SUM(wt * n_chars) AS DOUBLE)
+        |        / CAST(SUM(wt) AS DOUBLE), 6) AS mean_chars
+        |FROM ww GROUP BY 1""".stripMargin,
 
     "q79_grouped_mode" ->
       """SELECT event_type, user_id AS mode_user,

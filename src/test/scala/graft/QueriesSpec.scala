@@ -187,6 +187,19 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("p49_poisson_bootstrap replicate means cluster around the true mean") {
+    val rows = SparkEntry.queries("p49_poisson_bootstrap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 32)
+    val trueMean = Engine.table(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val means = rows.map(_._3)
+    // Poisson(1) resampling: every replicate mean is an unbiased
+    // estimate; at n≈1.6k docs the spread is a few percent
+    assert(means.forall(m => math.abs(m - trueMean) / trueMean < 0.25))
+    assert(means.distinct.length > 1, "replicates must differ")
+  }
+
   test("t23_source_overlap pairs are canonical and jaccard bounded") {
     val rows = SparkEntry.queries("t23_source_overlap")(spark, sf).collect()
     assert(rows.nonEmpty)
