@@ -1092,7 +1092,8 @@ object SparkEntry {
           col("n_chars"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sc"))
-      val tot = docs.agg(count(lit(1)).as("n_total"))
+      // total from the 10-row bucket table, not a second corpus scan
+      val tot = by.agg(sum("n").as("n_total"))
       by.crossJoin(broadcast(s.range(10).toDF("k")))
         .filter(col("bucket") >= col("k"))
         .groupBy("k")

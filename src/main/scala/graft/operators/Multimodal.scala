@@ -667,16 +667,19 @@ object Multimodal {
   }
 
   /** GIF logical-screen metadata: width, height, global-color-table
-    * size field (palette = 2^(field+1) entries) from the 13-byte
-    * header — no LZW decode (GIF89a spec §17-18). `None` for non-GIF
-    * payloads or a truncated header.
+    * size field (palette = 2^(field+1) entries; -1 when the GCT flag,
+    * packed bit 7, is unset — the size bits are meaningless then per
+    * GIF89a §18) from the 13-byte header — no LZW decode. `None` for
+    * non-GIF payloads or a truncated header.
     */
   def gifHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 13) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
     def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
-    Some((le16(6), le16(8), bytes(10) & 0x07))
+    val packed = bytes(10) & 0xFF
+    val gct = if ((packed & 0x80) != 0) packed & 0x07 else -1
+    Some((le16(6), le16(8), gct))
   }
 
   /** Minimal GIF89a writer for fixtures: header + logical screen
@@ -685,6 +688,8 @@ object Multimodal {
     */
   def encodeGif(w: Int, h: Int, gctField: Int): Array[Byte] = {
     require(gctField >= 0 && gctField <= 7, s"GCT size field: $gctField")
+    require(w >= 0 && w <= 0xFFFF && h >= 0 && h <= 0xFFFF,
+      s"GIF dims are u16: ${w}x$h")
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(w & 0xFF); out.write((w >> 8) & 0xFF)

@@ -63,9 +63,14 @@ object Stats {
     val spark = df.sparkSession
     val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val h = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("_w"))
+    // NULLs are excluded up front (the quantile_cont convention every
+    // engine follows) — counted-but-unpickable nulls would shift every
+    // rank. Totals come from the tiny histogram, not a second scan of
+    // the raw input.
+    val h = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("_w"))
       .withColumn("_cum", sum(col("_w")).over(cumW))
-    val totals = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val totals = h.groupBy(groupCol).agg(sum(col("_w")).as("n"))
     import spark.implicits._
     val qdf = qs.map { case (num, den) => (num.toLong, den.toLong) }
       .toDF("_num", "_den")

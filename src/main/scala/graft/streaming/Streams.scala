@@ -422,6 +422,25 @@ object Streams {
     * [[runTumblingAgg]]'s drain caveat); the drained aggregate equals
     * the batch join+aggregate, which is the oracle.
     */
+  def runStreamStaticEnrich(spark: SparkSession, path: String,
+                            timeCol: String, dim: DataFrame,
+                            streamKey: String, dimKey: String,
+                            groupCols: Seq[String], aggs: Seq[Column],
+                            queryName: String = "graft_enrich"): DataFrame = {
+    val raw = fileStream(spark, path)
+    val src = graft.Engine.normalizeEventTime(raw, timeCol)
+    val joined = src.join(broadcast(dim), col(streamKey) === dim(dimKey))
+    val grouped = joined.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val q = withStatePartitions(spark)(grouped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming AS-OF dimension enrichment: each event joins the
     * dimension version that was current AT ITS EVENT TIME — the
     * SCD2-aware form of [[runStreamStaticEnrich]] (price lists,
@@ -448,25 +467,6 @@ object Streams {
       col(streamKey) === dim(dimKey) &&
         col(timeCol) >= dim(fromCol) &&
         (dim(toCol).isNull || col(timeCol) < dim(toCol)))
-    val grouped = joined.groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-    val q = withStatePartitions(spark)(grouped.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start())
-    try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
-  }
-
-  def runStreamStaticEnrich(spark: SparkSession, path: String,
-                            timeCol: String, dim: DataFrame,
-                            streamKey: String, dimKey: String,
-                            groupCols: Seq[String], aggs: Seq[Column],
-                            queryName: String = "graft_enrich"): DataFrame = {
-    val raw = fileStream(spark, path)
-    val src = graft.Engine.normalizeEventTime(raw, timeCol)
-    val joined = src.join(broadcast(dim), col(streamKey) === dim(dimKey))
     val grouped = joined.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val q = withStatePartitions(spark)(grouped.writeStream

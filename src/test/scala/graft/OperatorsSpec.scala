@@ -1549,6 +1549,14 @@ class OperatorsSpec extends SparkSpec {
     // top-down BMP: negative height reported as absolute
     val td = operators.Multimodal.encodeBmp(10, -20, 24)
     assert(operators.Multimodal.bmpHeader(td).contains((10, 20, 24)))
+    // no global color table: GCT flag clear -> size field reported -1
+    // (the size bits are meaningless without the flag, GIF89a §18)
+    val noGct = operators.Multimodal.encodeGif(5, 6, 3)
+    noGct(10) = 0x03.toByte // clear bit 7, keep (now meaningless) bits
+    assert(operators.Multimodal.gifHeader(noGct).contains((5, 6, -1)))
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.encodeGif(70000, 10, 0)
+    }
     val wav = operators.Multimodal.encodePcm16Wav(8000, Array[Short](1, 2))
     assert(operators.Multimodal.gifHeader(wav).isEmpty)
     assert(operators.Multimodal.bmpHeader(wav).isEmpty)
@@ -2067,6 +2075,14 @@ class OperatorsSpec extends SparkSpec {
       assert(got((g, num.toDouble / den)) == expected,
         s"$g q=$num/$den: ${got((g, num.toDouble / den))} vs $expected")
     }
+    // NULLs are excluded (the quantile_cont convention): median of
+    // [NULL, 1, 3] is 2, not the null-shifted 1
+    val withNulls = Seq(("a", Some(1L)), ("a", None), ("a", Some(3L)))
+      .toDF("g", "v")
+    val med = graft.operators.Stats
+      .groupedQuantiles(withNulls, "g", "v", Seq(1 -> 2))
+      .collect().map(_.getDouble(2)).toSeq
+    assert(med == Seq(2.0), med.toString)
   }
 
   test("Evaluation.aucExact equals brute-force pair counting with ties") {
