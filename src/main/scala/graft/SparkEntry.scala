@@ -1155,6 +1155,35 @@ object SparkEntry {
           round(col("n_hapax").cast(DoubleType) /
             col("n_types").cast(DoubleType), 6).as("hapax_ratio"))),
 
+    // traffic burstiness profile: per-user inter-arrival
+    // coefficient-of-variation (CV ≈ 1 = Poisson, > 1 = bursty),
+    // binned into a bounded histogram. Gaps are exact µs integers
+    // from a per-USER window (partition count scales with users,
+    // never a few fat partitions); Σg² runs in DECIMAL(38,0) (a 30-day
+    // µs gap squared overflows BIGINT); CV is one fixed double tree
+    "t27_burstiness" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .filter(col("gap").isNotNull)
+      val per = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("gap").as("sg"),
+          sum(col("gap").cast(DecimalType(38, 0)) *
+            col("gap").cast(DecimalType(38, 0))).as("sg2"))
+        .filter(col("n") >= 2)
+      val mean = col("sg").cast(DoubleType) / col("n").cast(DoubleType)
+      val varP = (col("sg2").cast(DoubleType) -
+        col("sg").cast(DoubleType) * col("sg").cast(DoubleType) /
+          col("n").cast(DoubleType)) / col("n").cast(DoubleType)
+      per.withColumn("cv", round(sqrt(varP) / mean, 6))
+        .withColumn("bucket",
+          least(floor(col("cv") * 10).cast(LongType), lit(19L)))
+        .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+    }),
+
     // PMI collocations (Church & Hanks 1990): bigrams whose parts
     // co-occur far above independence — the classic phrase-mining /
     // tokenizer-seeding signal. All counts are integer aggregates;
@@ -1716,6 +1745,49 @@ object SparkEntry {
             sqrt((n * dbl("sxx") - dbl("sx") * dbl("sx")) *
               (n * dbl("syy") - dbl("sy") * dbl("sy"))), 6).as("corr"))
     }),
+
+    // population-stability-index drift detection (the ML-ops metric
+    // behind "did the feature distribution move"): events split into
+    // reference/current halves by id parity, value bucketed on exact
+    // integer cents, add-1 smoothing over the PRESENT buckets, and
+    // PSI = Σ (p−q)·ln(p/q) accumulated as rounded-decimal terms so
+    // the 20-term sum is order-independent. PSI > 0.2 = drifted
+    // (industry rule of thumb)
+    "p50_psi_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        (col("event_id") % 2 === 0).as("ref"),
+        expr("least(CAST(round(value * 100) AS BIGINT) div 1000, 19)")
+          .as("b"))
+      val counts = e.groupBy("event_type", "b")
+        .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("cr"),
+          sum(when(!col("ref"), 1L).otherwise(0L)).as("cc"))
+      val tot = counts.groupBy("event_type")
+        .agg(sum("cr").as("nr"), sum("cc").as("nc"),
+          count(lit(1)).as("nb"))
+      val p = (col("cr") + 1).cast(DoubleType) /
+        (col("nr") + col("nb")).cast(DoubleType)
+      val q = (col("cc") + 1).cast(DoubleType) /
+        (col("nc") + col("nb")).cast(DoubleType)
+      counts.join(tot, "event_type")
+        .withColumn("term", (p - q) * log(p / q))
+        .groupBy("event_type")
+        .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+          round(sum(round(col("term"), 12).cast(DecimalType(38, 12)))
+            .cast(DoubleType), 6).as("psi"))
+        .withColumn("drifted", col("psi") > 0.2)
+    }),
+
+    // discrete tail quantiles (p50/p90/p99 — the latency-style
+    // percentiles that must be ACTUAL data values): type-1 inverse
+    // ECDF on the histogram shape, integer rank arithmetic, so any
+    // rational fraction works — checked against DuckDB's native
+    // quantile_disc (a third quantile convention independently
+    // replicated, after type-7 in q78)
+    "q83_quantile_disc" -> ((s, dir) =>
+      operators.Stats.groupedQuantilesDisc(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        groupCol = "source", valueCol = "n_chars",
+        qs = Seq(1 -> 2, 9 -> 10, 99 -> 100))),
 
     // record linkage: a deterministically-corrupted part catalog
     // (char at position partkey % len deleted) matched back to the
@@ -5790,6 +5862,67 @@ object SparkEntry {
         |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
         |FROM a""".stripMargin,
+
+    "t27_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id, COUNT(*) AS n, SUM(gap) AS sg,
+        |    SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+        |      AS sg2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2),
+        |cv AS (
+        |  SELECT user_id,
+        |    round(sqrt((CAST(sg2 AS DOUBLE)
+        |        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
+        |  FROM per)
+        |SELECT CAST(least(floor(cv * 10), 19) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM cv GROUP BY 1""".stripMargin,
+
+    "p50_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id % 2 = 0 AS ref,
+        |    least(CAST(round(value * 100) AS BIGINT) // 1000, 19) AS b
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, b,
+        |    SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS cr,
+        |    SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS cc
+        |  FROM e GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, SUM(cr) AS nr, SUM(cc) AS nc,
+        |    COUNT(*) AS nb
+        |  FROM counts GROUP BY 1),
+        |terms AS (
+        |  SELECT c.event_type, t.nr, t.nc,
+        |    (CAST(c.cr + 1 AS DOUBLE) / CAST(t.nr + t.nb AS DOUBLE)
+        |     - CAST(c.cc + 1 AS DOUBLE) / CAST(t.nc + t.nb AS DOUBLE))
+        |    * ln((CAST(c.cr + 1 AS DOUBLE) / CAST(t.nr + t.nb AS DOUBLE))
+        |       / (CAST(c.cc + 1 AS DOUBLE) / CAST(t.nc + t.nb AS DOUBLE)))
+        |      AS term
+        |  FROM counts c JOIN tot t ON t.event_type = c.event_type)
+        |SELECT event_type, CAST(MAX(nr) AS BIGINT) AS n_ref,
+        |  CAST(MAX(nc) AS BIGINT) AS n_cur,
+        |  round(CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12)))
+        |             AS DOUBLE), 6) AS psi,
+        |  round(CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12)))
+        |             AS DOUBLE), 6) > 0.2 AS drifted
+        |FROM terms GROUP BY 1""".stripMargin,
+
+    "q83_quantile_disc" ->
+      """SELECT source,
+        |  unnest([CAST(0.5 AS DOUBLE), 0.9, 0.99]) AS q,
+        |  unnest([quantile_disc(n_chars, 0.5),
+        |          quantile_disc(n_chars, 0.9),
+        |          quantile_disc(n_chars, 0.99)]) AS quantile
+        |FROM documents GROUP BY source""".stripMargin,
 
     // dual-key blocking replayed: prefix-3 OR suffix-3 candidates
     // over distinct names, levenshtein <= 2, best = (dist, canon) min

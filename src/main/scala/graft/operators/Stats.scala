@@ -94,6 +94,43 @@ object Stats {
           .as("quantile"))
   }
 
+  /** Exact per-group DISCRETE quantiles (type 1 / inverse ECDF: the
+    * value at rank ceil(q·n), always an actual data value — what
+    * DuckDB's `quantile_disc` computes, verified across edge sizes):
+    * same histogram shape as [[groupedQuantiles]] but rank arithmetic
+    * is pure integers, so ANY rational fraction works (no dyadic
+    * restriction — there is no interpolation to round). Returns
+    * long-form `(groupCol, q, quantile)`; `quantile` keeps the value
+    * column's type.
+    */
+  def groupedQuantilesDisc(df: DataFrame, groupCol: String,
+                           valueCol: String,
+                           qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty, "groupedQuantilesDisc needs at least one fraction")
+    qs.foreach { case (num, den) =>
+      require(den > 0 && num >= 1 && num <= den,
+        s"quantile $num/$den: need 1 <= num <= den")
+    }
+    val spark = df.sparkSession
+    val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(cumW))
+    val totals = h.groupBy(groupCol).agg(sum(col("_w")).as("n"))
+    import spark.implicits._
+    val qdf = qs.map { case (num, den) => (num.toLong, den.toLong) }
+      .toDF("_num", "_den")
+    h.join(totals, groupCol).crossJoin(broadcast(qdf))
+      .withColumn("_rank", expr("(n * _num + _den - 1) div _den"))
+      .groupBy(col(groupCol), col("_num"), col("_den"))
+      .agg(min(when(col("_cum") >= col("_rank"), col(valueCol)))
+        .as("quantile"))
+      .select(col(groupCol),
+        (col("_num").cast("double") / col("_den").cast("double")).as("q"),
+        col("quantile"))
+  }
+
   /** Exact per-group median, MAD (median absolute deviation — the
     * robust spread measure outlier rules want; Hampel 1974), and the
     * count of `|x − median| > 3·MAD` outliers, for an integer-valued

@@ -2083,6 +2083,18 @@ class OperatorsSpec extends SparkSpec {
       .groupedQuantiles(withNulls, "g", "v", Seq(1 -> 2))
       .collect().map(_.getDouble(2)).toSeq
     assert(med == Seq(2.0), med.toString)
+    // discrete (type-1) variant: value at rank ceil(q*n), any fraction
+    val qsD = Seq(1 -> 2, 9 -> 10, 99 -> 100, 1 -> 3)
+    val gotD = graft.operators.Stats
+      .groupedQuantilesDisc(rows.toDF("g", "v"), "g", "v", qsD)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    for ((g, xs) <- rows.groupBy(_._1); (num, den) <- qsD) {
+      val s = xs.map(_._2).sorted
+      val rank = ((s.size.toLong * num + den - 1) / den).toInt
+      assert(gotD((g, num.toDouble / den)) == s(rank - 1),
+        s"$g disc q=$num/$den")
+    }
   }
 
   test("Evaluation.aucExact equals brute-force pair counting with ties") {

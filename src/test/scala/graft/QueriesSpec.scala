@@ -200,6 +200,33 @@ class QueriesSpec extends SparkSpec {
     assert(means.distinct.length > 1, "replicates must differ")
   }
 
+  test("p50_psi_drift: parity halves of one distribution show near-zero PSI") {
+    val rows = SparkEntry.queries("p50_psi_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getDouble(3)
+      assert(psi >= 0, s"${r.getString(0)}: psi $psi (PSI is nonneg)")
+      // the halves are samples of the SAME distribution, so PSI is
+      // sampling noise — but add-1 smoothing inflates tiny strata, so
+      // only well-sampled types must sit under the 0.2 drift line
+      if (math.min(r.getLong(1), r.getLong(2)) >= 500) {
+        assert(psi < 0.2, s"${r.getString(0)}: psi $psi")
+        assert(!r.getBoolean(4))
+      }
+    }
+  }
+
+  test("t27_burstiness buckets cover all multi-event users") {
+    val rows = SparkEntry.queries("t27_burstiness")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (b, n) => b >= 0 && b <= 19 && n > 0 })
+    val ev = Engine.table(spark, sf, "events")
+    val multiUsers = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3).count() // >= 2 gaps
+    assert(rows.map(_._2).sum == multiUsers)
+  }
+
   test("t23_source_overlap pairs are canonical and jaccard bounded") {
     val rows = SparkEntry.queries("t23_source_overlap")(spark, sf).collect()
     assert(rows.nonEmpty)
