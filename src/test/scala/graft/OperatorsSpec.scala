@@ -2083,6 +2083,18 @@ class OperatorsSpec extends SparkSpec {
       .groupedQuantiles(withNulls, "g", "v", Seq(1 -> 2))
       .collect().map(_.getDouble(2)).toSeq
     assert(med == Seq(2.0), med.toString)
+    // an all-NULL group is NOT dropped: it surfaces with quantile NULL
+    // (what GROUP BY g, quantile_cont(v) returns), for both variants
+    val allNull = Seq(("a", Some(1L)), ("a", Some(3L)), ("b", None))
+      .toDF("g", "v")
+    for (res <- Seq(
+        graft.operators.Stats.groupedQuantiles(allNull, "g", "v",
+          Seq(1 -> 2)),
+        graft.operators.Stats.groupedQuantilesDisc(allNull, "g", "v",
+          Seq(1 -> 2)))) {
+      val byG = res.collect().map(r => r.getString(0) -> r.isNullAt(2)).toMap
+      assert(byG == Map("a" -> false, "b" -> true), byG.toString)
+    }
     // discrete (type-1) variant: value at rank ceil(q*n), any fraction
     val qsD = Seq(1 -> 2, 9 -> 10, 99 -> 100, 1 -> 3)
     val gotD = graft.operators.Stats
