@@ -445,6 +445,29 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(to_json(sort_array(collect_list(col("o_orderkey")))).as("keys"))),
 
+    // deterministic string_agg: value-sorted before joining, so the
+    // concatenation is partitioning-independent (an unordered
+    // string_agg is the classic nondeterminism trap)
+    "q84_string_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 480000)
+        .groupBy("o_orderpriority")
+        .agg(array_join(sort_array(collect_list(
+          col("o_orderkey").cast(StringType))), ",").as("keys"))),
+
+    // SQL:2003 FILTER clause through the engine's SQL surface —
+    // conditional aggregation without CASE scaffolding
+    "q85_filter_clause" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_q85")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) AS n,
+          |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          |    FILTER (WHERE l_tax = 0) AS DOUBLE) AS qty_no_tax
+          |FROM li_q85 GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // §2.4 *_distinct aggregates (aggregates/distinct.go)
     "q31_distinct_aggs" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -3478,6 +3501,20 @@ object SparkEntry {
         |  to_json(list_sort(list(o_orderkey))) AS keys
         |FROM orders WHERE o_totalprice > 480000
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q84_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |             ORDER BY CAST(o_orderkey AS VARCHAR)) AS keys
+        |FROM orders WHERE o_totalprice > 480000
+        |GROUP BY 1""".stripMargin,
+
+    "q85_filter_clause" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_tax = 0) AS DOUBLE) AS qty_no_tax
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q31_distinct_aggs" ->
       """SELECT l_linestatus,
