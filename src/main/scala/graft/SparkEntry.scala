@@ -1117,7 +1117,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sc"))
       // total from the 10-row bucket table, not a second corpus scan
       val tot = by.agg(sum("n").as("n_total"))
-      by.crossJoin(broadcast(s.range(10).toDF("k")))
+      by.withColumn("k", explode(sequence(lit(0L), lit(9L))))
         .filter(col("bucket") >= col("k"))
         .groupBy("k")
         .agg(sum("n").as("n_kept"), sum("sc").as("sum_chars"))
@@ -1732,7 +1732,7 @@ object SparkEntry {
     // so the oracle replays every draw
     "p49_poisson_bootstrap" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-        .crossJoin(broadcast(s.range(32).toDF("r")))
+        .withColumn("r", explode(sequence(lit(0L), lit(31L))))
         .withColumn("x",
           expr("(doc_id * 2654435761 + r * 1500450271) % 4294967296"))
         .withColumn("x", expr("x ^ (x div 65536)"))

@@ -123,17 +123,24 @@ object Stats {
   private def histogramWithTotals(df: DataFrame, groupCol: String,
                                   valueCol: String,
                                   qs: Seq[(Int, Int)]): DataFrame = {
-    val spark = df.sparkSession
     val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val h = df.filter(col(valueCol).isNotNull)
       .groupBy(groupCol, valueCol).agg(count(lit(1)).as("_w"))
       .withColumn("_cum", sum(col("_w")).over(cumW))
     val totals = df.groupBy(groupCol).agg(count(col(valueCol)).as("n"))
-    import spark.implicits._
-    val qdf = qs.map { case (num, den) => (num.toLong, den.toLong) }
-      .toDF("_num", "_den")
-    totals.join(h, Seq(groupCol), "left").crossJoin(broadcast(qdf))
+    // fraction fan-out via explode of a literal array — a generator in
+    // the same codegen stage, not a BroadcastNestedLoopJoin (a
+    // crossJoin with a tiny literal table is linear too, but drags in
+    // broadcast machinery and trips the all-pairs plan audit)
+    val qArr = array(qs.map { case (num, den) =>
+      struct(lit(num.toLong).as("_num"), lit(den.toLong).as("_den"))
+    }: _*)
+    totals.join(h, Seq(groupCol), "left")
+      .withColumn("_q", explode(qArr))
+      .withColumn("_num", col("_q._num"))
+      .withColumn("_den", col("_q._den"))
+      .drop("_q")
   }
 
   /** Exact per-group median, MAD (median absolute deviation — the
