@@ -15,6 +15,12 @@ class QueriesSpec extends SparkSpec {
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs") {
       val df = fn(spark, sf)
+      // suite-wide plan-hygiene gate (the AuditPlans main, in CI): an
+      // all-pairs join shape appearing in ANY query fails the suite
+      // unless it is an allow-listed in-query ground truth
+      val allPairs = AuditPlans.hazards(df.queryExecution.sparkPlan)
+      assert(allPairs.isEmpty || AuditPlans.allowed.contains(name),
+        s"$name: unexpected all-pairs plan: ${allPairs.mkString(",")}")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty)
