@@ -1666,6 +1666,32 @@ object SparkEntry {
         groupCol = "source", valueCol = "n_chars",
         qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))),
 
+    // per-key EWMA (α = 1/2, 10-lag truncation) — the time-series
+    // smoothing every monitoring pipeline runs, made ORDER-INDEPENDENT
+    // exact: values as integer cents, weights as powers of two (a
+    // left fold `acc/2 + x` — acc/2 is an exponent shift, never a
+    // rounding), and every partial sum fits 53 bits (17-bit cents ×
+    // ≤10 lags), so the double result is bit-identical in any engine
+    // and under any partitioning. Frame windows are per-user (bounded,
+    // scales with users); the denominator folds the same weights over
+    // ones
+    "q86_ewma" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("arr", collect_list("cents").over(w))
+        .select(col("user_id"), col("event_id"),
+          round(
+            expr("aggregate(arr, CAST(0.0 AS DOUBLE)," +
+              " (acc, x) -> acc / 2.0D + CAST(x AS DOUBLE))") /
+            expr("aggregate(arr, CAST(0.0 AS DOUBLE)," +
+              " (acc, x) -> acc / 2.0D + 1.0D)") / 100.0, 6)
+            .as("ewma"))
+    }),
+
     // the full SQL ranking-function family (rank / dense_rank /
     // percent_rank / cume_dist / ntile) in one window — demonstrated
     // over a BOUNDED relation (daily totals per type: cardinality =
@@ -5822,6 +5848,30 @@ object SparkEntry {
         |FROM med
         |JOIN mad ON mad.source = med.source
         |JOIN o ON o.source = med.source""".stripMargin,
+
+    // list() preserves frame order; list_prepend(0.0) seeds the fold
+    // like Spark's explicit zero (DuckDB's list_reduce otherwise
+    // seeds with the first element) — p27 established the pattern
+    "q86_ewma" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id,
+        |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |      AS arr
+        |  FROM c)
+        |SELECT user_id, event_id,
+        |  round(
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(arr, x -> CAST(x AS DOUBLE))),
+        |      (acc, x) -> acc / 2.0 + x)
+        |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(arr, x -> 1.0)),
+        |      (acc, x) -> acc / 2.0 + x) / 100.0, 6) AS ewma
+        |FROM f""".stripMargin,
 
     "q81_rank_family" ->
       """WITH daily AS (

@@ -233,6 +233,29 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_._2).sum == multiUsers)
   }
 
+  test("q86_ewma equals the brute-force truncated EWMA per user") {
+    val got = SparkEntry.queries("q86_ewma")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val ev = Engine.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+    for ((u, rows) <- ev.groupBy(_._1)) {
+      val ordered = rows.sortBy(r => (r._3.getTime, r._2))
+      for (i <- ordered.indices) {
+        val frame = ordered.slice(math.max(0, i - 9), i + 1).map(_._4)
+        val num = frame.foldLeft(0.0)((acc, x) => acc / 2.0 + x)
+        val den = frame.foldLeft(0.0)((acc, _) => acc / 2.0 + 1.0)
+        val expected = BigDecimal(num / den / 100.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got((u, ordered(i)._2)) == expected,
+          s"user $u event ${ordered(i)._2}")
+      }
+    }
+  }
+
   test("t23_source_overlap pairs are canonical and jaccard bounded") {
     val rows = SparkEntry.queries("t23_source_overlap")(spark, sf).collect()
     assert(rows.nonEmpty)
