@@ -2589,6 +2589,19 @@ object SparkEntry {
     // GROUPING SETS: the explicit-combination form of q22/q41's
     // rollup/cube — per-(flag,status), per-flag, and grand total in one
     // Expand pass
+    // GROUPING() disambiguation: a NULL group key from the data vs a
+    // NULL minted by the rollup lattice are different facts; the
+    // grouping flags are the standard SQL way to tell them apart
+    "q87_grouping_flags" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gf87")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  grouping(l_returnflag) AS g_flag,
+              |  grouping(l_linestatus) AS g_status,
+              |  COUNT(*) AS n
+              |FROM li_gf87
+              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+    }),
+
     "q45_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("li_gs45")
       // two-level lattice (see q22/q41): the GROUPING SETS Expand runs
@@ -3051,6 +3064,24 @@ object SparkEntry {
         .select(col("source"), col("n_pairs"), col("n_kept"),
           round(col("n_kept").cast(DoubleType) /
             col("n_pairs").cast(DoubleType), 6).as("keep_rate"))
+    }),
+
+    // TIFF header-only scan in BOTH byte orders (II little / MM big —
+    // the endianness trap the format is famous for): dims + bits from
+    // the first IFD's tag walk, strip data never read
+    "m13_tiff_header" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val le = id % 2 == 0
+            val bytes = Multimodal.encodeTiff((id % 400 + 12).toInt,
+              (id % 260 + 12).toInt, (1 << (id % 4).toInt).toInt, le)
+            val (w, h, bps) = Multimodal.tiffHeader(bytes).get
+            (id, if (le) "II" else "MM", w.toLong, h.toLong, bps.toLong)
+          }
+        }
+        .toDF("doc_id", "byte_order", "width", "height", "bits_per_sample")
     }),
 
     // GIF/BMP header-only scans on a mixed binary column: sniff the
@@ -3527,6 +3558,14 @@ object SparkEntry {
         |  to_json(list_sort(list(o_orderkey))) AS keys
         |FROM orders WHERE o_totalprice > 480000
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q87_grouping_flags" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q84_string_agg" ->
       """SELECT o_orderpriority,
@@ -4011,6 +4050,15 @@ object SparkEntry {
         |  CAST((doc_id % 30 + 5) * 1152 * 1000
         |       // ([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1]
         |       AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "m13_tiff_header" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(doc_id % 400 + 12 AS BIGINT) AS width,
+        |  CAST(doc_id % 260 + 12 AS BIGINT) AS height,
+        |  CAST(([1,2,4,8])[CAST(doc_id % 4 AS INT) + 1] AS BIGINT)
+        |    AS bits_per_sample
         |FROM documents""".stripMargin,
 
     "m11_gif_bmp_header" ->

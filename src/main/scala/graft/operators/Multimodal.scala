@@ -718,6 +718,70 @@ object Multimodal {
     Some((le32(18), math.abs(le32(22)), bpp))
   }
 
+  /** TIFF baseline metadata: width, height, bits-per-sample from the
+    * first IFD's tags (256/257/258), honoring the header's byte-order
+    * mark (`II` little / `MM` big endian) — entry walk only, strip
+    * data never read (TIFF 6.0 §2). `None` for non-TIFF payloads,
+    * truncated structures, or a missing dimension tag.
+    */
+  def tiffHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 8) return None
+    val le =
+      if (bytes(0) == 'I' && bytes(1) == 'I') true
+      else if (bytes(0) == 'M' && bytes(1) == 'M') false
+      else return None
+    def u16(o: Int): Int =
+      if (o + 2 > bytes.length) -1
+      else if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def u32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else if (le) (u16(o) & 0xFFFFL) | ((u16(o + 2) & 0xFFFFL) << 16)
+      else ((u16(o) & 0xFFFFL) << 16) | (u16(o + 2) & 0xFFFFL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + n * 12 > bytes.length) return None
+    var (w, h, bps) = (-1L, -1L, 1L) // BitsPerSample defaults to 1
+    for (i <- 0 until n) {
+      val e = ifd.toInt + 2 + i * 12
+      val (tag, typ) = (u16(e), u16(e + 2))
+      // SHORT (3) payloads sit in the first 2 bytes of the value
+      // field; LONG (4) fills it — both inline for count 1
+      val v = if (typ == 3) u16(e + 8).toLong else u32(e + 8)
+      tag match {
+        case 256 => w = v
+        case 257 => h = v
+        case 258 => bps = v
+        case _ =>
+      }
+    }
+    if (w < 0 || h < 0) None else Some((w.toInt, h.toInt, bps.toInt))
+  }
+
+  /** Minimal single-IFD TIFF writer for fixtures, in either byte
+    * order — dimension tags only, no strip data (header scans must
+    * never need it).
+    */
+  def encodeTiff(w: Int, h: Int, bps: Int,
+                 littleEndian: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + 3 * 12 + 4)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+      .putShort(42).putInt(8) // magic, first-IFD offset
+      .putShort(3) // entry count
+    def entry(tag: Int, typ: Int, v: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+      if (typ == 3) bb.putShort(v.toShort).putShort(0)
+      else bb.putInt(v)
+    }
+    entry(256, 4, w); entry(257, 4, h); entry(258, 3, bps)
+    bb.putInt(0) // next-IFD terminator
+    bb.array()
+  }
+
   /** Minimal BMP writer for fixtures: BITMAPFILEHEADER +
     * BITMAPINFOHEADER, declared-but-absent pixel data (header scans
     * must never need it).

@@ -1557,9 +1557,16 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       operators.Multimodal.encodeGif(70000, 10, 0)
     }
+    // TIFF: both byte orders round-trip; SHORT + LONG value layouts
+    for (le <- Seq(true, false); (w, h, bps) <- Seq((12, 9, 1), (70000, 3, 8)))
+      assert(operators.Multimodal.tiffHeader(
+        operators.Multimodal.encodeTiff(w, h, bps, le)).contains((w, h, bps)),
+        s"tiff $le ${w}x$h@$bps")
     val wav = operators.Multimodal.encodePcm16Wav(8000, Array[Short](1, 2))
     assert(operators.Multimodal.gifHeader(wav).isEmpty)
     assert(operators.Multimodal.bmpHeader(wav).isEmpty)
+    assert(operators.Multimodal.tiffHeader(wav).isEmpty)
+    assert(operators.Multimodal.tiffHeader("II!!".getBytes).isEmpty)
     assert(operators.Multimodal.gifHeader(Array[Byte](1, 2, 3)).isEmpty)
     assert(operators.Multimodal.bmpHeader(Array[Byte]('B', 'M', 3)).isEmpty)
   }
