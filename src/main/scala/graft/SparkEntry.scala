@@ -1210,6 +1210,13 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n_users"))
     }),
 
+    // interpolated Kneser-Ney bigram probabilities (the LM behind
+    // CCNet-style perplexity filtering): five exact integer counts
+    // per bigram, one fixed per-row double tree, no float sums
+    "t28_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.knBigram(t(s, dir, "documents"),
+        minCount = 3L, discount = 0.75)),
+
     // PMI collocations (Church & Hanks 1990): bigrams whose parts
     // co-occur far above independence — the classic phrase-mining /
     // tokenizer-seeding signal. All counts are integer aggregates;
@@ -2602,6 +2609,17 @@ object SparkEntry {
               |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
     }),
 
+    // exact two-sample Kolmogorov-Smirnov distance between the value
+    // distributions of two event types — the non-parametric drift
+    // test next to p50's binned PSI. ECDF numerators are exact BIGINT
+    // prefix sums over distinct values (no global window); max over
+    // per-row IEEE terms is order-independent, so the statistic is
+    // bit-exact across engines
+    "q88_ks_test" -> ((s, dir) =>
+      Evaluation.ksTwoSample(t(s, dir, "events"),
+        valueCol = "value", groupCol = "event_type",
+        groupA = "click", groupB = "purchase")),
+
     "q45_grouping_sets" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("li_gs45")
       // two-level lattice (see q22/q41): the GROUPING SETS Expand runs
@@ -3084,6 +3102,46 @@ object SparkEntry {
         .toDF("doc_id", "byte_order", "width", "height", "bits_per_sample")
     }),
 
+    // WebP canvas dims from the container header only — VP8X extended
+    // header (even ids) and VP8L lossless packed header (odd ids);
+    // round-trip through the fixture writers, arithmetic oracle
+    "m14_webp_header" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val (w0, h0) = ((id % 300 + 1).toInt, (id % 200 + 1).toInt)
+            val bytes =
+              if (id % 2 == 0) Multimodal.encodeWebpVp8x(w0, h0)
+              else Multimodal.encodeWebpVp8l(w0, h0)
+            val (variant, w, h) = Multimodal.webpHeader(bytes).get
+            (id, variant, w.toLong, h.toLong)
+          }
+        }
+        .toDF("doc_id", "variant", "width", "height")
+    }),
+
+    // FLAC STREAMINFO scan: rate/channels/bits/total-samples from the
+    // mandatory first metadata block, duration as exact integer
+    // division — no frame read, mirrors m10's MP3 frame-math oracle
+    "m15_flac_header" -> ((s, dir) => {
+      import s.implicits._
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bytes = Multimodal.encodeFlac(
+              rates((id % 5).toInt), (id % 2).toInt + 1,
+              if (id % 3 == 0) 24 else 16, id * 1000 + 1)
+            val (rate, ch, bps, total) = Multimodal.flacHeader(bytes).get
+            (id, rate.toLong, ch.toLong, bps.toLong, total,
+              total * 1000L / rate)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "channels", "bits_per_sample",
+          "total_samples", "duration_ms")
+    }),
+
     // GIF/BMP header-only scans on a mixed binary column: sniff the
     // format, read dims + depth from the fixed headers (13 / 54
     // bytes), never touch pixel data — the dimension-audit pass over
@@ -3205,6 +3263,48 @@ object SparkEntry {
           "user_id", depth = 4, width = 256,
           queryName = "st12_stream_cms")
         .select(col("window_start"), col("j"), col("c"), col("n"))),
+
+    // streaming distribution-drift monitor: per-window value-bucket
+    // histograms accumulate as windowed stream state, then PSI vs the
+    // corpus-wide reference histogram is a stateless batch readout —
+    // p50's exact math (add-1 smoothing, decimal term sum) over a
+    // FIXED 20-bucket grid, keyed by window instead of event_type
+    "st14_stream_psi" -> ((s, dir) => {
+      val nb = 20
+      // re-root the drained memory table as a LogicalRDD: the readout
+      // below self-joins it (grid/nct/cur), and Spark's self-join
+      // attribute dedup does not cover MemoryPlan views
+      val drained = Streams.runStreamBucketCounts(s, s"$dir/events.parquet",
+        "ts", "1 day", buckets = nb, queryName = "st14_stream_psi")
+      val cur = s.createDataFrame(drained.rdd, drained.schema)
+      val ref = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(expr("least(CAST(round(value * 100) AS BIGINT)" +
+          s" div 1000, ${nb - 1})").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cr"))
+      val nrt = ref.agg(sum("cr").as("nr"))
+      val nct = cur.groupBy("window_start").agg(sum("cc").as("nc"))
+      val grid = cur.select("window_start").distinct()
+        .select(col("window_start"),
+          explode(sequence(lit(0L), lit(nb - 1L))).as("b"))
+      val cells = grid
+        .join(ref, Seq("b"), "left")
+        .join(cur, Seq("window_start", "b"), "left")
+        .join(nct, "window_start")
+        .crossJoin(broadcast(nrt))
+        .select(col("window_start"), col("nc"),
+          coalesce(col("cr"), lit(0L)).as("cr0"),
+          coalesce(col("cc"), lit(0L)).as("cc0"), col("nr"))
+      val p = (col("cr0") + 1).cast(DoubleType) /
+        (col("nr") + nb).cast(DoubleType)
+      val q = (col("cc0") + 1).cast(DoubleType) /
+        (col("nc") + nb).cast(DoubleType)
+      cells.withColumn("term", (p - q) * log(p / q))
+        .groupBy("window_start")
+        .agg(max("nc").as("n_cur"),
+          round(sum(round(col("term"), 12).cast(DecimalType(38, 12)))
+            .cast(DoubleType), 6).as("psi"))
+        .withColumn("drifted", col("psi") > lit(0.2))
+    }),
 
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
@@ -3566,6 +3666,26 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q88_ks_test" ->
+      """WITH pts AS (
+        |  SELECT value AS v,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY value),
+        |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM pts),
+        |cum AS (
+        |  SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+        |         SUM(cb) OVER (ORDER BY v) AS cumb
+        |  FROM pts)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(MAX(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) -
+        |                  CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+        |  END AS ks
+        |FROM cum, tot GROUP BY na, nb""".stripMargin,
 
     "q84_string_agg" ->
       """SELECT o_orderpriority,
@@ -4061,6 +4181,26 @@ object SparkEntry {
         |    AS bits_per_sample
         |FROM documents""".stripMargin,
 
+    "m14_webp_header" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'VP8X' ELSE 'VP8L' END AS variant,
+        |  CAST(doc_id % 300 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 200 + 1 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+    "m15_flac_header" ->
+      """SELECT doc_id,
+        |  CAST(([8000,16000,22050,44100,48000])[CAST(doc_id % 5 AS INT) + 1]
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT)
+        |    AS bits_per_sample,
+        |  CAST(doc_id * 1000 + 1 AS BIGINT) AS total_samples,
+        |  (doc_id * 1000 + 1) * 1000 //
+        |    ([8000,16000,22050,44100,48000])[CAST(doc_id % 5 AS INT) + 1]
+        |    AS duration_ms
+        |FROM documents""".stripMargin,
+
     "m11_gif_bmp_header" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS fmt,
@@ -4396,6 +4536,27 @@ object SparkEntry {
         |  CAST(SUM(np * (2 * below + nn)) AS DOUBLE)
         |    / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE) AS auc
         |FROM c""".stripMargin,
+
+    "t28_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS r(i)
+        |  WHERE len(ts) >= 2),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |cl AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS nfollow
+        |       FROM cb GROUP BY 1),
+        |np AS (SELECT w2, COUNT(*) AS nprec FROM cb GROUP BY 1),
+        |bt AS (SELECT COUNT(*) AS btypes FROM cb)
+        |SELECT w1, w2, c2,
+        |  round((CAST(c2 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+        |    + 0.75 * CAST(nfollow AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |      * (CAST(nprec AS DOUBLE) / CAST(btypes AS DOUBLE)), 6)
+        |    AS pkn
+        |FROM cb JOIN cl USING (w1) JOIN np USING (w2) CROSS JOIN bt
+        |WHERE c2 >= 3""".stripMargin,
 
     "t20_pmi" ->
       """WITH t0 AS (
@@ -6574,7 +6735,39 @@ object SparkEntry {
         |  (user_id * (2654435761 + t.j * 81006)) % 4294967296 % 256 AS c,
         |  COUNT(*) AS n
         |FROM events CROSS JOIN range(0, 4) t(j)
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "st14_stream_psi" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+        |      AS window_start,
+        |    least(CAST(round(value * 100) AS BIGINT) // 1000, 19) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |ref AS (SELECT b, COUNT(*) AS cr FROM e GROUP BY 1),
+        |nrt AS (SELECT SUM(cr) AS nr FROM ref),
+        |cur AS (SELECT window_start, b, COUNT(*) AS cc FROM e GROUP BY 1, 2),
+        |nct AS (SELECT window_start, SUM(cc) AS nc FROM cur GROUP BY 1),
+        |grid AS (
+        |  SELECT w.window_start, t.b
+        |  FROM (SELECT DISTINCT window_start FROM cur) w, range(0, 20) t(b)),
+        |terms AS (
+        |  SELECT g.window_start, n.nc,
+        |    (CAST(coalesce(r.cr, 0) + 1 AS DOUBLE) / CAST(nr.nr + 20 AS DOUBLE)
+        |     - CAST(coalesce(c.cc, 0) + 1 AS DOUBLE) / CAST(n.nc + 20 AS DOUBLE))
+        |    * ln((CAST(coalesce(r.cr, 0) + 1 AS DOUBLE) / CAST(nr.nr + 20 AS DOUBLE))
+        |       / (CAST(coalesce(c.cc, 0) + 1 AS DOUBLE) / CAST(n.nc + 20 AS DOUBLE)))
+        |      AS term
+        |  FROM grid g
+        |  LEFT JOIN ref r ON r.b = g.b
+        |  LEFT JOIN cur c ON c.window_start = g.window_start AND c.b = g.b
+        |  JOIN nct n ON n.window_start = g.window_start
+        |  CROSS JOIN nrt nr)
+        |SELECT window_start, CAST(MAX(nc) AS BIGINT) AS n_cur,
+        |  round(CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12)))
+        |             AS DOUBLE), 6) AS psi,
+        |  round(CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12)))
+        |             AS DOUBLE), 6) > 0.2 AS drifted
+        |FROM terms GROUP BY 1""".stripMargin
   )
 
   /** Unrolled DuckDB replica of Lloyd's k-means (s4), iteration by

@@ -37,6 +37,49 @@ object Evaluation {
     * BooleanType. Returns one row `(n_pos, n_neg, auc)`; auc is NULL
     * when either class is empty (AUC is undefined).
     */
+  /** Exact two-sample Kolmogorov-Smirnov statistic between the value
+    * distributions of two groups:
+    *
+    *   KS = max over observed v of |F_A(v) - F_B(v)|
+    *
+    * the standard drift test between a reference and a candidate batch
+    * (PSI's non-parametric sibling — no binning choice to defend).
+    * Both ECDF numerators are exact BIGINT prefix sums over DISTINCT
+    * values ([[Ranking.globalRunningAgg]] — no global window); the
+    * per-value float work is two IEEE divisions and one subtraction on
+    * exact integers, and `max` is order-independent, so the result is
+    * bit-identical across engines and partitionings.
+    *
+    * Scale shape: one map-side-combinable groupBy on value, two
+    * distributed prefix sums over the distinct-value order, one scalar
+    * aggregate with a broadcast 1-row totals join. Returns one row
+    * `(n_a, n_b, ks)`; ks is NULL when either group is empty.
+    */
+  def ksTwoSample(df: DataFrame, valueCol: String, groupCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val byValue = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    // exclusive prefixes from the running agg; inclusive cum = below + c
+    val withA = Ranking.globalRunningAgg(byValue, Seq(col("v")),
+      valueCol = "ca", op = "sum", runCol = "a_below")
+    val withB = Ranking.globalRunningAgg(withA, Seq(col("v")),
+      valueCol = "cb", op = "sum", runCol = "b_below")
+    val totals = byValue.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    withB.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        abs((col("a_below") + col("ca")).cast("double") / col("na").cast("double") -
+          (col("b_below") + col("cb")).cast("double") / col("nb").cast("double"))
+          .as("d"))
+      .groupBy("na", "nb")
+      .agg(max("d").as("ksRaw"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") > 0 && col("nb") > 0, round(col("ksRaw"), 6))
+          .as("ks"))
+  }
+
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val byValue = df
       .groupBy(col(scoreCol).as("v"))

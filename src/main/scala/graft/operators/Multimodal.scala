@@ -799,4 +799,129 @@ object Multimodal {
       .putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm, palette
     bb.array()
   }
+
+  /** WebP canvas dimensions from the container header only — the
+    * VP8X (extended) 24-bit canvas fields or the VP8L (lossless)
+    * 14-bit packed stream header; the VP8/VP8L bitstream is never
+    * decoded. Returns (variant, width, height); `None` for non-WebP
+    * payloads, truncated headers, or chunk types whose dimensions
+    * would need a frame parse.
+    */
+  def webpHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes.length < 21) return None
+    def fourcc(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return None
+    def u24(o: Int): Int =
+      (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16)
+    fourcc(12) match {
+      case "VP8X" =>
+        if (bytes.length < 30) None
+        else Some(("VP8X", 1 + u24(24), 1 + u24(27)))
+      case "VP8L" =>
+        // one-byte signature 0x2F, then width-1/height-1 as the low
+        // 14+14 bits of a little-endian u32
+        if (bytes.length < 25 || bytes(20) != 0x2F) None
+        else {
+          val b = (bytes(21) & 0xFF) | ((bytes(22) & 0xFF) << 8) |
+            ((bytes(23) & 0xFF) << 16) | ((bytes(24) & 0xFF) << 24)
+          Some(("VP8L", 1 + (b & 0x3FFF), 1 + ((b >>> 14) & 0x3FFF)))
+        }
+      case _ => None
+    }
+  }
+
+  /** Minimal WebP VP8X writer for fixtures: RIFF container + the
+    * 10-byte extended-format chunk (canvas dims only, no image
+    * chunks — header scans must never need them).
+    */
+  def encodeWebpVp8x(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && w <= (1 << 24) && h >= 1 && h <= (1 << 24),
+      s"VP8X canvas is u24+1: ${w}x$h")
+    val bb = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(22)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8X".getBytes("US-ASCII")).putInt(10)
+      .put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    def p24(v: Int): Unit = {
+      bb.put((v & 0xFF).toByte).put(((v >> 8) & 0xFF).toByte)
+        .put(((v >> 16) & 0xFF).toByte)
+    }
+    p24(w - 1); p24(h - 1)
+    bb.array()
+  }
+
+  /** Minimal WebP VP8L writer for fixtures: RIFF container + the
+    * lossless stream header (signature + packed dims), no image data.
+    * The odd 5-byte chunk gets its RIFF pad byte.
+    */
+  def encodeWebpVp8l(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && w <= (1 << 14) && h >= 1 && h <= (1 << 14),
+      s"VP8L dims are 14-bit+1: ${w}x$h")
+    val packed = (w - 1) | ((h - 1) << 14) // alpha/version bits 0
+    val bb = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(18)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8L".getBytes("US-ASCII")).putInt(5)
+      .put(0x2F.toByte).putInt(packed).put(0.toByte) // pad to even
+    bb.array()
+  }
+
+  /** FLAC STREAMINFO metadata: sample rate, channels, bits-per-sample,
+    * total samples from the mandatory first metadata block — frames
+    * are never read. Duration is exactly derivable as
+    * totalSamples*1000/sampleRate. `None` for non-FLAC payloads, a
+    * first block that is not STREAMINFO, or truncated structures.
+    */
+  def flacHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length < 42) return None
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' &&
+          bytes(2) == 'a' && bytes(3) == 'C')) return None
+    if ((bytes(4) & 0x7F) != 0) return None // block type 0 = STREAMINFO
+    val len = ((bytes(5) & 0xFF) << 16) | ((bytes(6) & 0xFF) << 8) |
+      (bytes(7) & 0xFF)
+    if (len < 34) return None
+    // block sizes (4B) + frame sizes (6B) precede the packed fields
+    val o = 18
+    val rate = ((bytes(o) & 0xFF) << 12) | ((bytes(o + 1) & 0xFF) << 4) |
+      ((bytes(o + 2) & 0xF0) >>> 4)
+    val ch = ((bytes(o + 2) & 0x0E) >> 1) + 1
+    val bps = (((bytes(o + 2) & 0x01) << 4) |
+      ((bytes(o + 3) & 0xF0) >>> 4)) + 1
+    val total = ((bytes(o + 3) & 0x0FL) << 32) |
+      ((bytes(o + 4) & 0xFFL) << 24) | ((bytes(o + 5) & 0xFFL) << 16) |
+      ((bytes(o + 6) & 0xFFL) << 8) | (bytes(o + 7) & 0xFFL)
+    if (rate == 0) None else Some((rate, ch, bps, total))
+  }
+
+  /** Minimal FLAC writer for fixtures: magic + a last-flagged
+    * STREAMINFO block (34 bytes incl. zeroed frame-size and MD5
+    * fields) and no audio frames.
+    */
+  def encodeFlac(rate: Int, channels: Int, bps: Int,
+                 totalSamples: Long): Array[Byte] = {
+    require(rate >= 1 && rate < (1 << 20), s"rate is 20-bit: $rate")
+    require(channels >= 1 && channels <= 8, s"channels: $channels")
+    require(bps >= 4 && bps <= 32, s"bits per sample: $bps")
+    require(totalSamples >= 0 && totalSamples < (1L << 36),
+      s"total samples is 36-bit: $totalSamples")
+    val out = new Array[Byte](42)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block, type 0
+    out(7) = 34 // block length (24-bit BE)
+    out(8) = 0x10; out(9) = 0; out(10) = 0x10; out(11) = 0 // blocksizes 4096
+    out(18) = ((rate >> 12) & 0xFF).toByte
+    out(19) = ((rate >> 4) & 0xFF).toByte
+    out(20) = (((rate & 0xF) << 4) | ((channels - 1) << 1) |
+      ((bps - 1) >> 4)).toByte
+    out(21) = ((((bps - 1) & 0xF) << 4) |
+      ((totalSamples >> 32) & 0xF).toInt).toByte
+    out(22) = ((totalSamples >> 24) & 0xFF).toByte
+    out(23) = ((totalSamples >> 16) & 0xFF).toByte
+    out(24) = ((totalSamples >> 8) & 0xFF).toByte
+    out(25) = (totalSamples & 0xFF).toByte
+    out
+  }
 }

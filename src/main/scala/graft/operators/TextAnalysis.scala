@@ -343,6 +343,57 @@ object TextAnalysis {
         round(-sum(col("logp")) / count(lit(1)), 6).as("avg_neg_logp"))
   }
 
+  /** Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
+    * Ney 1995; Chen & Goodman 1999 eq. 4.17) — the LM behind
+    * CCNet-style perplexity filtering, where a 5-gram KN model scores
+    * web text for fluency before training-data selection:
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) - D) / c(w1·)
+    *               + D · N1+(w1·) / c(w1·) · N1+(·w2) / B
+    *
+    * with discount D, N1+(w1·) = distinct continuations of w1,
+    * N1+(·w2) = distinct left-contexts of w2 (the "how many contexts
+    * has this word been seen in" novelty count that makes KN beat
+    * raw MLE on unseen combinations), B = distinct bigram types.
+    * Emitted for bigrams with count >= `minCount` (>= D, so the
+    * max(c-D, 0) clamp is vacuous and elided).
+    *
+    * All five inputs are exact integer counts from map-side-combinable
+    * aggregates; the probability is one fixed per-row double tree over
+    * them (no float accumulation), so results are bit-identical across
+    * engines and partitionings. Scale shape: three groupBys + two
+    * vocab-keyed joins + one broadcast scalar — no windows, no
+    * collects.
+    */
+  def knBigram(docs: DataFrame, minCount: Long = 3L,
+               discount: Double = 0.75,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(split(trim(col(textCol)), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("nfollow"))
+    val nprec = c2.groupBy("w2").agg(count(lit(1)).as("nprec"))
+    val btypes = c2.agg(count(lit(1)).as("btypes"))
+    c2.filter(col("c2") >= minCount)
+      .join(c1, "w1").join(nprec, "w2")
+      .crossJoin(broadcast(btypes))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(
+          (col("c2").cast("double") - lit(discount)) /
+            col("c1").cast("double") +
+          lit(discount) * col("nfollow").cast("double") /
+            col("c1").cast("double") *
+            (col("nprec").cast("double") / col("btypes").cast("double")),
+          6).as("pkn"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

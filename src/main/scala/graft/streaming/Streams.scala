@@ -146,6 +146,38 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming per-window value-bucket counts — the stateful half of
+    * a production drift monitor (st14): each tumbling window's bucket
+    * histogram accumulates as windowed state (one row per (window,
+    * bucket) — ≤ `buckets` cells per window, constant per unit time),
+    * and the PSI readout against a fixed reference histogram is a
+    * stateless batch join over the drained counts. Bucketing is the
+    * p50 rule (`least(round(value·100) div 1000, buckets-1)`), so the
+    * streamed histogram is bit-identical to the batch one.
+    * Complete-mode memory drain as in [[runStreamCms]] (harness-only).
+    */
+  def runStreamBucketCounts(spark: SparkSession, path: String,
+                            timeCol: String, len: String, buckets: Int,
+                            queryName: String = "graft_stream_psi"): DataFrame = {
+    val raw = fileStream(spark, path)
+    val cur = graft.Engine.normalizeEventTime(raw, timeCol)
+      .filter(col("value").isNotNull)
+      .select(col(timeCol),
+        expr(s"least(CAST(round(value * 100) AS BIGINT) div 1000, " +
+          s"${buckets - 1})").as("b"))
+      .groupBy(window(col(timeCol), len), col("b"))
+      .agg(count(lit(1)).as("cc"))
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+    val q = withStatePartitions(spark)(cur.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming per-window DISTINCT counts (the windowed-DAU shape):
     * `dropDuplicates` on (window, key) collapses repeats inside each
     * window, then a windowed count — two stateful operators in one

@@ -2136,4 +2136,108 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(2) - expected) < 1e-12,
       s"auc ${got.getDouble(2)} != brute $expected")
   }
+
+  test("Evaluation.ksTwoSample equals the brute-force ECDF scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // shifted distributions with deliberate value collisions (ties
+    // across groups exercise the shared-distinct-value ECDF points)
+    val rows = (1 to 400).map { _ =>
+      val a = rnd.nextBoolean()
+      val v = (rnd.nextInt(40) + (if (a) 0 else 7)).toDouble
+      (v, if (a) "A" else "B")
+    }
+    val got = graft.operators.Evaluation
+      .ksTwoSample(rows.toDF("v", "g"), "v", "g", "A", "B").collect()(0)
+    val as = rows.filter(_._2 == "A").map(_._1)
+    val bs = rows.filter(_._2 == "B").map(_._1)
+    val pts = rows.map(_._1).distinct
+    val brute = pts.map { v =>
+      math.abs(as.count(_ <= v).toDouble / as.size -
+        bs.count(_ <= v).toDouble / bs.size)
+    }.max
+    assert(got.getLong(0) == as.size && got.getLong(1) == bs.size)
+    assert(math.abs(got.getDouble(2) - brute) < 1e-6,
+      s"ks ${got.getDouble(2)} != brute $brute")
+    // identical samples -> KS = 0 exactly
+    val same = (1 to 50).flatMap(i => Seq((i.toDouble, "A"), (i.toDouble, "B")))
+    val z = graft.operators.Evaluation
+      .ksTwoSample(same.toDF("v", "g"), "v", "g", "A", "B").collect()(0)
+    assert(z.getDouble(2) == 0.0)
+    // one empty group -> NULL (statistic undefined), not a NaN/crash
+    val lone = graft.operators.Evaluation
+      .ksTwoSample(same.toDF("v", "g"), "v", "g", "A", "MISSING").collect()(0)
+    assert(lone.isNullAt(2))
+  }
+
+  test("TextAnalysis.knBigram equals brute-force Kneser-Ney") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "a dog sat on a log"),
+      (4L, "the cat sat on the log")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigram(docs, minCount = 2L, discount = 0.75)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // brute force on the same corpus
+    val bgs = Seq("the cat sat on the mat", "the cat ate the fish",
+      "a dog sat on a log", "the cat sat on the log")
+      .flatMap(s => { val t = s.split("\\s+"); t.init.zip(t.tail) })
+    val c2 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bgs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nfollow = c2.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nprec = c2.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val btypes = c2.size.toLong
+    val expected = c2.filter(_._2 >= 2).map { case ((w1, w2), c) =>
+      (w1, w2) -> ((c, BigDecimal((c - 0.75) / c1(w1) +
+        0.75 * nfollow(w1) / c1(w1) * (nprec(w2).toDouble / btypes))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got.keySet == expected.keySet, s"bigram sets differ: $got")
+    expected.foreach { case (k, (c, p)) =>
+      assert(got(k)._1 == c, s"$k count")
+      assert(math.abs(got(k)._2 - p) < 1e-9, s"$k pkn ${got(k)._2} != $p")
+    }
+    // probability sanity: every smoothed probability in (0, 1]
+    got.values.foreach { case (_, p) => assert(p > 0 && p <= 1) }
+  }
+
+  test("webpHeader round-trips both fixture variants and rejects junk") {
+    import org.scalacheck.Gen
+    val dims = Gen.zip(Gen.choose(1, 16383), Gen.choose(1, 16383))
+    (1 to 40).foreach { i =>
+      val (w, h) = dims(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).getOrElse((7, 9))
+      assert(operators.Multimodal.webpHeader(
+        operators.Multimodal.encodeWebpVp8x(w, h)) == Some(("VP8X", w, h)))
+      assert(operators.Multimodal.webpHeader(
+        operators.Multimodal.encodeWebpVp8l(w, h)) == Some(("VP8L", w, h)))
+    }
+    // VP8X 24-bit canvas beyond VP8L's 14-bit range
+    assert(operators.Multimodal.webpHeader(
+      operators.Multimodal.encodeWebpVp8x(1 << 20, 3)) ==
+      Some(("VP8X", 1 << 20, 3)))
+    assert(operators.Multimodal.webpHeader("RIFFxxxxWAVE".getBytes)
+      .isEmpty) // RIFF but not WebP
+    assert(operators.Multimodal.webpHeader(
+      operators.Multimodal.encodeWebpVp8x(5, 5).take(20)).isEmpty)
+    assert(operators.Multimodal.webpHeader(Array[Byte]()).isEmpty)
+  }
+
+  test("flacHeader round-trips STREAMINFO and rejects junk") {
+    for (rate <- Seq(8000, 44100, 96000, 655349); ch <- Seq(1, 2, 8);
+         bps <- Seq(8, 16, 24, 32);
+         total <- Seq(0L, 1L, 44100L, (1L << 36) - 1)) {
+      assert(operators.Multimodal.flacHeader(
+        operators.Multimodal.encodeFlac(rate, ch, bps, total)) ==
+        Some((rate, ch, bps, total)), s"flac $rate/$ch/$bps/$total")
+    }
+    val good = operators.Multimodal.encodeFlac(44100, 2, 16, 1000L)
+    assert(operators.Multimodal.flacHeader(good.take(30)).isEmpty)
+    val notStreaminfo = good.clone(); notStreaminfo(4) = 0x84.toByte
+    assert(operators.Multimodal.flacHeader(notStreaminfo).isEmpty)
+    assert(operators.Multimodal.flacHeader("fLaX".getBytes ++
+      new Array[Byte](40)).isEmpty)
+  }
 }
