@@ -29,6 +29,8 @@ object AuditPlans {
     "s3_ann_ivf" -> "in-query brute-force ground truth for the recall oracle",
     "s7_ann_ivf_kmeans" -> "in-query brute-force ground truth for the recall oracle",
     "s10_ivfpq" -> "in-query brute-force ground truth for the recall oracle",
+    "s12_ann_index_probe" ->
+      "in-query brute-force ground truth for the recall oracle",
     "s11_rrf" ->
       ("single-query brute-force cosine: one broadcast query row x one " +
         "corpus scan is linear, the BNLJ is the 1-row build side"),

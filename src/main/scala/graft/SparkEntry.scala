@@ -226,6 +226,43 @@ object SparkEntry {
           sum(col("val").cast(DecimalType(18, 3))).cast(DoubleType)
             .as("sum_val"))),
 
+    // ANSI MERGE INTO end-to-end through the DSv2 connector's
+    // group-based row-level operations (the lakehouse upsert surface
+    // next to p23's DataFrame-API SCD2 merge): seed the connector
+    // table from customer, merge per-customer order totals plus three
+    // unmatched synthetic keys, read the table back. All balance math
+    // in integer cents, one final /100.0 — the oracle replays the
+    // merge as a FULL OUTER join
+    "q89_merge_into" -> ((s, dir) => {
+      graft.sources.v2.MemStore.clear("mem_q89")
+      s.sql("DROP TABLE IF EXISTS mem_q89")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+        .write.format("graft-mem").option("table", "mem_q89")
+        .mode("append").save()
+      s.sql("CREATE TABLE mem_q89 USING `graft-mem` OPTIONS (`table` 'mem_q89')")
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))" +
+          " AS BIGINT)").as("tot_cents"))
+        .unionAll(s.sql("SELECT * FROM VALUES (CAST(-1 AS BIGINT), " +
+          "CAST(101 AS BIGINT)), (CAST(-2 AS BIGINT), CAST(202 AS BIGINT))," +
+          " (CAST(-3 AS BIGINT), CAST(303 AS BIGINT)) AS v(k, tot_cents)"))
+        .createOrReplaceTempView("q89_updates")
+      s.sql("""MERGE INTO mem_q89 m
+              |USING q89_updates u ON m.c_custkey = u.k
+              |WHEN MATCHED THEN
+              |  UPDATE SET bal_cents = m.bal_cents + u.tot_cents
+              |WHEN NOT MATCHED THEN
+              |  INSERT (c_custkey, c_name, bal_cents)
+              |  VALUES (u.k, concat('new-', CAST(u.k AS STRING)),
+              |          u.tot_cents)""".stripMargin)
+      s.table("mem_q89")
+        .select(col("c_custkey"), col("c_name"),
+          (col("bal_cents").cast(DoubleType) / 100.0).as("bal"))
+    }),
+
     // §2.10 string function battery (0-based substr/position preserved)
     "q11_strings" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -951,6 +988,58 @@ object SparkEntry {
     // IVF with TRAINED cells (the production build: k-means the corpus,
     // route by learned centroids) — recall vs brute force in-query,
     // same deterministic-oracle pattern as s2/s3
+    // persisted IVF index + incremental probe — the at-scale ANN
+    // ingest shape (d19's stored-index pattern for vectors): centroids
+    // trained once, the corpus assigned and written bucketed by cell,
+    // so every later probe batch joins the index with ZERO Exchange on
+    // the index side (PlanShapeSpec asserts it). The probe batch is
+    // the full 10% arrival; recall is checked on a bounded query
+    // subset against in-query brute force
+    "s12_ann_index_probe" -> ((s, dir) => {
+      import graft.plans.VecExpressions
+      val emb = t(s, dir, "embeddings")
+      VecExpressions.register(s)
+      val isProbe = col("vec_id") % 10 === 0
+      val corpus = emb.filter(!isProbe)
+      val cents0 = Clustering.kmeansCentroids(corpus, k = 16, iters = 2)
+      val cents = cents0.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+      def topCells(vec: Column, m: Int): Column =
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.plans.VecTopCells(
+            org.apache.spark.sql.GraftSqlBridge.expression(vec), cents, m))
+      graft.sources.Sink.writeBucketed(
+        corpus.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("cv"))
+          .withColumn("cell", element_at(topCells(col("cv"), 1), 1))
+          .withColumn("cn", Similarity.norm(col("cv"))),
+        "graft_s12_ivf_index", Seq("cell"), numBuckets = 8,
+        sortCols = Seq("cell"))
+      val index = s.table("graft_s12_ivf_index")
+      val probes = emb.filter(isProbe)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("cell", explode(topCells(col("qv"), 8)))
+        .withColumn("qn", Similarity.norm(col("qv")))
+      val scored = index.join(probes, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", Similarity.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")))
+      val ivf = Similarity.rankTopKPerQuery(scored, 5)
+        .select("query_id", "neighbor_id")
+      // recall oracle on a bounded query subset (brute force is the
+      // ground truth, not the production path)
+      val checked = emb.filter(isProbe && col("vec_id") < 100)
+      val brute = Similarity.bruteForceTopK(corpus, checked, k = 5)
+        .select("query_id", "neighbor_id")
+      val found = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select((col("n_found").cast("double") / col("n_exact").cast("double")
+          >= 0.5).as("recall_ok"))
+    }),
+
     "s7_ann_ivf_kmeans" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
@@ -3686,6 +3775,26 @@ object SparkEntry {
         |                  CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
         |  END AS ks
         |FROM cum, tot GROUP BY na, nb""".stripMargin,
+
+    "q89_merge_into" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |upd AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS tot_cents
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), CAST(101 AS BIGINT)),
+        |    (CAST(-2 AS BIGINT), CAST(202 AS BIGINT)),
+        |    (CAST(-3 AS BIGINT), CAST(303 AS BIGINT))) v(k, tot_cents))
+        |SELECT coalesce(b.k, u.k) AS c_custkey,
+        |  coalesce(b.c_name, 'new-' || CAST(u.k AS VARCHAR)) AS c_name,
+        |  CAST(coalesce(b.bal_cents, 0) + coalesce(u.tot_cents, 0)
+        |       AS DOUBLE) / 100.0 AS bal
+        |FROM base b FULL JOIN upd u ON b.k = u.k""".stripMargin,
 
     "q84_string_agg" ->
       """SELECT o_orderpriority,
@@ -6607,6 +6716,9 @@ object SparkEntry {
       "SELECT true AS recall_ok",
 
     "s7_ann_ivf_kmeans" ->
+      "SELECT true AS recall_ok",
+
+    "s12_ann_index_probe" ->
       "SELECT true AS recall_ok",
 
     "s8_embed_outliers" ->

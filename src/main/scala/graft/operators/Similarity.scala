@@ -56,6 +56,12 @@ object Similarity {
     * |queries|×|candidates| score table). Identical output — same
     * ordering, same tie-break.
     */
+  /** Public entry to the bounded per-query ranking for callers that
+    * assemble their own scored candidate set (e.g. the s12 persisted-
+    * index probe). */
+  def rankTopKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    rankTopK(scored, k)
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val bounded = graft.plans.TopKPerKey(scored, Seq("query_id"),
       Seq(("cosine", false), ("neighbor_id", true)), k)

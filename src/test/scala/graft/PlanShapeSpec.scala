@@ -110,6 +110,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("s12: bucketed IVF index joins the probe batch with no Exchange on the index side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // building the query once writes the bucketed index table
+    SparkEntry.queries("s12_ann_index_probe")(spark, sf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val index = spark.table("graft_s12_ivf_index")
+      val probe = spark.range(50).selectExpr("id as query_id",
+        "cast(id % 16 as int) as cell")
+      val joined = probe.join(index, Seq("cell"))
+      val smj = joined.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, joined.queryExecution.executedPlan)
+      def hasIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case f: FileSourceScanExec
+          if f.toString.contains("graft_s12_ivf_index") => f }.nonEmpty
+      val (indexSide, probeSide) =
+        if (hasIndexScan(smj.head.right)) (smj.head.right, smj.head.left)
+        else (smj.head.left, smj.head.right)
+      assert(hasIndexScan(indexSide))
+      assert(indexSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        indexSide)
+      assert(probeSide.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        probeSide)
+      val scans = indexSide.collect { case f: FileSourceScanExec => f }
+      assert(scans.forall(_.bucketedScan), scans.map(_.toString).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q5_join5: every dimension join broadcasts; the fact side never shuffles for a join") {
     val p = planOf("q5_join5")
     assert(p.contains("BroadcastHashJoin"), p)
