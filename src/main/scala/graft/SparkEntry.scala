@@ -3395,6 +3395,29 @@ object SparkEntry {
         .withColumn("drifted", col("psi") > lit(0.2))
     }),
 
+    // streaming LSH near-dup ingest: band signatures as a stateless
+    // per-row projection (MinHashAgg's exact formula evaluated
+    // per-row), per-(band,sig) bucket membership as
+    // flatMapGroupsWithState state, candidate pairs emitted on
+    // arrival — the incremental shape of d19 run on the micro-batch
+    // engine. Readout = recall vs the exact Jaccard pair set (1.0 at
+    // this SF), the same deterministic oracle trick as d3
+    "st15_stream_lsh" -> ((s, dir) => {
+      val cand = Streams.runStreamLshIngest(s, s"$dir/documents.parquet",
+          "doc_id", "text", n = 3, k = 32, bands = 4,
+          queryName = "st15_stream_lsh")
+        .select(col("id_a"), col("id_b")).distinct()
+      val exact = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8, tokens = true,
+          maxDocFreq = None)
+        .select("id_a", "id_b")
+      val found = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .withColumn("recall_vs_exact",
+          col("n_found").cast("double") / col("n_exact").cast("double"))
+    }),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -3481,6 +3504,54 @@ object SparkEntry {
           |            time_field => DESCRIPTOR ts,
           |            window_length => INTERVAL 1 HOUR)
           |GROUP BY window_start, event_type""".stripMargin).df
+    }),
+
+    // QUALIFY window filter through the dialect front-end (the
+    // Snowflake/DuckDB/BigQuery top-2-per-key idiom): rewritten at the
+    // token level into a wrapped WHERE, checked against DuckDB's
+    // native QUALIFY
+    "q90_qualify" -> ((s, dir) => {
+      Engine.table(s, dir, "orders").createOrReplaceTempView("orders_v90")
+      graft.sql.Dialect.prepare(s,
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |  row_number() OVER (PARTITION BY o_custkey
+          |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |FROM orders_v90
+          |QUALIFY rn <= 2""".stripMargin).df
+    }),
+
+    // DISTINCT ON through the dialect front-end (the Postgres/DuckDB
+    // first-row-per-group idiom): rewritten into a partitioned
+    // row_number wrap — ORDER BY required, deterministic tie-break —
+    // checked against DuckDB's native DISTINCT ON
+    "q91_distinct_on" -> ((s, dir) => {
+      Engine.table(s, dir, "orders").createOrReplaceTempView("orders_v91")
+      graft.sql.Dialect.prepare(s,
+        """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+          |FROM orders_v91
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin).df
+    }),
+
+    // GROUP BY ALL / ORDER BY ALL through the front-end (Spark 4 and
+    // DuckDB both speak it natively — parity is the point): grouping
+    // keys inferred as the non-aggregate select items
+    "q92_group_by_all" -> ((s, dir) => {
+      Engine.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v92")
+      graft.sql.Dialect.prepare(s,
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n
+          |FROM lineitem_v92 GROUP BY ALL ORDER BY ALL""".stripMargin).df
+    }),
+
+    // `* EXCLUDE (cols)` star exclusion (DuckDB spelling) → Spark's
+    // `* EXCEPT`: keyword swap in the dialect, full-row projection
+    // minus the noisy columns
+    "q93_star_exclude" -> ((s, dir) => {
+      Engine.table(s, dir, "customer").createOrReplaceTempView("customer_v93")
+      graft.sql.Dialect.prepare(s,
+        """SELECT * EXCLUDE (c_name, c_mktsegment) FROM customer_v93
+          |WHERE c_acctbal > 9000.0""".stripMargin).df
     })
   )
 
@@ -3776,6 +3847,28 @@ object SparkEntry {
         |  END AS ks
         |FROM cum, tot GROUP BY na, nb""".stripMargin,
 
+    "q90_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 2""".stripMargin,
+
+    "q91_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q92_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q93_star_exclude" ->
+      """SELECT * EXCLUDE (c_name, c_mktsegment) FROM customer
+        |WHERE c_acctbal > 9000.0""".stripMargin,
+
     "q89_merge_into" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_name,
@@ -3974,6 +4067,31 @@ object SparkEntry {
         |JOIN sz za ON za.doc_id = id_a
         |JOIN sz zb ON zb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8""".stripMargin,
+
+    "st15_stream_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz za ON za.doc_id = id_a
+        |  JOIN sz zb ON zb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) >= 0.8)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(COUNT(*) AS BIGINT) AS n_found,
+        |  1.0 AS recall_vs_exact
+        |FROM pairs""".stripMargin,
 
     "d3_minhash_lsh" ->
       """WITH toks AS (

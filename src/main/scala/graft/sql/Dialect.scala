@@ -81,7 +81,7 @@ object Dialect {
 
   def prepare(spark: SparkSession, sql: String, ctx: Ctx = Ctx()): Prepared = {
     registerFunctions(spark)
-    var tokens = OctoSql.tokenize(sql)
+    var tokens = OctoSql.portableRewrites(OctoSql.tokenize(sql))
     checkOuterJoins(tokens)
     val rels = scala.collection.mutable.HashMap[String, RelInfo]()
     val validations = Seq.newBuilder[() => Unit]

@@ -163,6 +163,187 @@ object OctoSql {
       view
     }
 
+  /** QUALIFY clause (the Snowflake/DuckDB/BigQuery window filter —
+    * beyond the reference's grammar, like the window functions it
+    * filters): a predicate over the SELECT list's window-function
+    * aliases, evaluated after windowing. Token-level rewrite, applied
+    * at EVERY paren depth (Spark's parser has no QUALIFY, so a nested
+    * one must be rewritten here too), innermost-next until none remain:
+    *
+    *   <query> QUALIFY <pred> [ORDER BY ...] [LIMIT ...]
+    *   → SELECT * FROM ( <query> ) graft_qualify WHERE <pred> [tail]
+    *
+    * The predicate references output aliases — the portable subset
+    * (the wrap sees exactly the query's output columns); ORDER
+    * BY/LIMIT stay outside the wrap, preserving their filter-then-sort
+    * semantics. For a QUALIFY inside parens, the rewrite scope is the
+    * enclosing paren group, so `(... QUALIFY p) s` keeps its alias.
+    */
+  private[sql] def rewriteQualify(tokens0: Vector[String]): Vector[String] = {
+    var tokens = tokens0
+    while (true) {
+      // token depths: "(" carries the depth it opens, ")" the depth
+      // it returns to — so matching parens of scope depth d are the
+      // "(" with depths==d and the ")" with depths==d-1
+      val depths = new Array[Int](tokens.length)
+      var d = 0
+      var qIdx = -1
+      var i = 0
+      while (i < tokens.length) {
+        if (tokens(i) == "(") d += 1
+        else if (tokens(i) == ")") d -= 1
+        depths(i) = d
+        if (qIdx < 0 && tokens(i).equalsIgnoreCase("QUALIFY")) qIdx = i
+        i += 1
+      }
+      if (qIdx < 0) return tokens
+      val qd = depths(qIdx)
+      var start = 0
+      if (qd > 0) {
+        var j = qIdx
+        while (!(tokens(j) == "(" && depths(j) == qd)) j -= 1
+        start = j + 1
+      }
+      var end = tokens.length
+      if (qd > 0) {
+        var j = qIdx
+        while (j < tokens.length && !(tokens(j) == ")" && depths(j) == qd - 1)) j += 1
+        end = j
+      }
+      val inner = tokens.slice(start, qIdx)
+      val after = tokens.slice(qIdx + 1, end)
+      var d2 = 0
+      var cut = after.length
+      after.zipWithIndex.foreach { case (t, k) =>
+        if (t == "(") d2 += 1
+        else if (t == ")") d2 -= 1
+        else if (d2 == 0 && cut == after.length &&
+          (t.equalsIgnoreCase("ORDER") || t.equalsIgnoreCase("LIMIT"))) cut = k
+      }
+      val (pred, tail) = after.splitAt(cut)
+      val wrapped = Vector("SELECT", " ", "*", " ", "FROM", " ", "(") ++ inner ++
+        Vector(")", " ", "graft_qualify", " ", "WHERE", " ") ++ pred ++
+        (if (tail.isEmpty) Vector.empty[String] else Vector(" ") ++ tail)
+      tokens = tokens.slice(0, start) ++ wrapped ++ tokens.slice(end, tokens.length)
+    }
+    tokens
+  }
+
+  /** `* EXCLUDE (cols)` (the DuckDB spelling) → Spark's native
+    * `* EXCEPT (cols)`: a pure keyword swap, taken only when the
+    * preceding non-ws token is a star form and the next is `(` so a
+    * column or alias literally named `exclude` survives.
+    */
+  private[sql] def rewriteExclude(tokens: Vector[String]): Vector[String] =
+    tokens.zipWithIndex.map { case (t, i) =>
+      if (t.equalsIgnoreCase("EXCLUDE")) {
+        val prev = tokens.lastIndexWhere(x => !isWs(x), i - 1)
+        val next = tokens.indexWhere(x => !isWs(x), i + 1)
+        val starBefore = prev >= 0 &&
+          (tokens(prev) == "*" || tokens(prev).endsWith(".*"))
+        if (starBefore && next >= 0 && tokens(next) == "(") "EXCEPT" else t
+      } else t
+    }
+
+  /** `SELECT DISTINCT ON (exprs) list FROM ... ORDER BY o [LIMIT n]`
+    * (the Postgres/DuckDB first-row-per-group idiom) → a partitioned
+    * `row_number` wrap over the UNPROJECTED input:
+    *
+    *   SELECT list FROM (
+    *     SELECT *, row_number() OVER (PARTITION BY exprs ORDER BY o)
+    *       AS graft_don_rn
+    *     FROM ...) graft_don
+    *   WHERE graft_don_rn = 1 ORDER BY o [LIMIT n]
+    *
+    * The window sees every base column (the wrap is `SELECT *`), so the
+    * ORDER BY may reference non-selected columns, exactly like the
+    * outer ORDER BY of a plain SELECT. An ORDER BY is REQUIRED — with
+    * no deterministic order the "first" row is engine noise, which this
+    * engine refuses to ship (Postgres/DuckDB silently pick one).
+    * Applied at every paren depth, like [[rewriteQualify]]. Select-list
+    * aliases can't be referenced in the ORDER BY (it runs inside the
+    * wrap, before the projection); use the base expression instead.
+    */
+  private[sql] def rewriteDistinctOn(tokens0: Vector[String]): Vector[String] = {
+    var tokens = tokens0
+    while (true) {
+      val depths = new Array[Int](tokens.length)
+      var d = 0
+      var onIdx = -1
+      var i = 0
+      while (i < tokens.length) {
+        if (tokens(i) == "(") d += 1
+        else if (tokens(i) == ")") d -= 1
+        depths(i) = d
+        if (onIdx < 0 && tokens(i).equalsIgnoreCase("DISTINCT")) {
+          val nxt = tokens.indexWhere(x => !isWs(x), i + 1)
+          if (nxt >= 0 && tokens(nxt).equalsIgnoreCase("ON")) onIdx = i
+        }
+        i += 1
+      }
+      if (onIdx < 0) return tokens
+      val qd = depths(onIdx)
+      val selIdx = tokens.lastIndexWhere(x => !isWs(x), onIdx - 1)
+      require(selIdx >= 0 && tokens(selIdx).equalsIgnoreCase("SELECT"),
+        "DISTINCT ON must directly follow SELECT")
+      val open = tokens.indexWhere(_ == "(", onIdx)
+      val close = matching(tokens, open)
+      val exprs = tokens.slice(open + 1, close)
+      // statement scope: to the next set-op keyword at this depth, the
+      // paren closing this depth, or end-of-tokens
+      var end = tokens.length
+      var j = close + 1
+      while (j < end) {
+        val t = tokens(j)
+        if (t == ")" && depths(j) == qd - 1) end = j
+        else if (depths(j) == qd &&
+          (t.equalsIgnoreCase("UNION") || t.equalsIgnoreCase("INTERSECT") ||
+            (t.equalsIgnoreCase("EXCEPT") && {
+              // `* EXCEPT (cols)` star-exclusion is not the set op
+              val p = tokens.lastIndexWhere(x => !isWs(x), j - 1)
+              p < 0 || (tokens(p) != "*" && !tokens(p).endsWith(".*"))
+            }))) end = j
+        j += 1
+      }
+      def at(kw: String, from: Int): Int =
+        (from until end).find(k => depths(k) == qd &&
+          tokens(k).equalsIgnoreCase(kw)).getOrElse(-1)
+      val fromIdx = at("FROM", close + 1)
+      require(fromIdx >= 0, "DISTINCT ON requires a FROM clause")
+      val orderIdx = at("ORDER", fromIdx)
+      require(orderIdx >= 0,
+        "DISTINCT ON requires an ORDER BY (the first row per group is " +
+          "undefined without one)")
+      val limitIdx = at("LIMIT", orderIdx)
+      val selList = tokens.slice(close + 1, fromIdx)
+      val fromPart = tokens.slice(fromIdx, orderIdx)
+      val byIdx = at("BY", orderIdx)
+      val ordExprs = tokens.slice(byIdx + 1, if (limitIdx >= 0) limitIdx else end)
+      val limPart = if (limitIdx >= 0) tokens.slice(limitIdx, end)
+      else Vector.empty[String]
+      val wrapped =
+        Vector("SELECT", " ") ++ selList ++
+          Vector(" ", "FROM", " ", "(", "SELECT", " ", "*", ",", " ",
+            "row_number()", " ", "OVER", " ", "(", "PARTITION", " ", "BY",
+            " ") ++ exprs ++
+          Vector(" ", "ORDER", " ", "BY", " ") ++ ordExprs ++
+          Vector(")", " ", "AS", " ", "graft_don_rn", " ") ++ fromPart ++
+          Vector(")", " ", "graft_don", " ", "WHERE", " ", "graft_don_rn",
+            " ", "=", " ", "1", " ", "ORDER", " ", "BY", " ") ++ ordExprs ++
+          (if (limPart.isEmpty) Vector.empty[String]
+          else Vector(" ") ++ limPart)
+      tokens = tokens.slice(0, selIdx) ++ wrapped ++
+        tokens.slice(end, tokens.length)
+    }
+    tokens
+  }
+
+  /** The portable-SQL front-door rewrites (clauses Spark's parser
+    * lacks), applied together by [[Dialect.prepare]].
+    */
+  private[sql] def portableRewrites(tokens: Vector[String]): Vector[String] =
+    rewriteDistinctOn(rewriteQualify(rewriteExclude(tokens)))
+
   /** All token-level dialect rewrites. */
   private[sql] def rewrite(tokens0: Vector[String]): String = {
     var tokens = tokens0

@@ -560,6 +560,94 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Per-band-bucket LSH state: the doc ids registered in this bucket
+    * so far (capped at `maxBucket` — the streaming analog of the batch
+    * skew guard: a degenerate bucket stops REGISTERING, bounding both
+    * state size and per-arrival fanout at maxBucket pairs).
+    */
+  case class LshBucketState(ids: List[Long])
+
+  /** One near-dup candidate pair from the streaming LSH ingest. */
+  case class LshPair(id_a: Long, id_b: Long)
+
+  /** Per-row MinHash band signatures — the STATELESS half of streaming
+    * LSH: each document's k-permutation signature needs only its own
+    * shingles, so on a stream it is a projection (the codegen'd
+    * [[graft.plans.TokenShingles]] kernel + HOF min), no shuffle, no
+    * state. Bit-identical to the batch [[graft.operators.Dedup]]
+    * construction (same xxhash64/xxhash64(1,·) Carter-Wegman pair
+    * h1 + i·h2 with wrapping 64-bit arithmetic and signed min — the
+    * [[graft.plans.MinHashAgg]] formula evaluated per-row; same
+    * band-slice xxhash64), so stream and batch agree on bucket ids.
+    */
+  def lshBandStructs(text: Column, n: Int, k: Int, bands: Int): Column = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sh = graft.operators.Dedup.tokenShingles(text, n)
+    val hp = transform(sh, s =>
+      struct(xxhash64(s).as("h1"), xxhash64(lit(1), s).as("h2")))
+    val sig = transform(sequence(lit(0L), lit(k - 1L)), i =>
+      array_min(transform(hp, p =>
+        p.getField("h1") + i * p.getField("h2"))))
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.cast("int").as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("sig")))
+  }
+
+  /** Streaming LSH near-dup ingest — the at-scale INCREMENTAL dedup
+    * shape, end-to-end on the micro-batch engine: band signatures are
+    * a stateless per-row projection ([[lshBandStructs]]), then each
+    * (band, sig) bucket holds its registered doc ids as
+    * `flatMapGroupsWithState` state (partitioned by bucket across
+    * executors, like the batch band index d19 persists), and every
+    * arriving doc emits a candidate pair against each doc already
+    * registered in any of its buckets. Emitted pairs are
+    * batch-deterministic: docs are processed in id order within a
+    * micro-batch, and as long as the `maxBucket` cap never binds, the
+    * union over batches is ALL unordered pairs per bucket regardless
+    * of how the input is split into micro-batches. Append-mode memory
+    * drain (harness-only — production writes pairs to a real sink and
+    * keeps the bucket state across triggers).
+    */
+  def runStreamLshIngest(spark: SparkSession, path: String,
+                         idCol: String, textCol: String,
+                         n: Int = 3, k: Int = 32, bands: Int = 4,
+                         maxBucket: Int = 200,
+                         queryName: String = "graft_stream_lsh"): DataFrame = {
+    import spark.implicits._
+    val banded = fileStream(spark, path)
+      .select(col(idCol).cast("long").as("id"),
+        lshBandStructs(col(textCol), n, k, bands).as("bs"))
+      .select(col("id"), explode(col("bs")).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val pairs = banded.as[(Long, Int, Long)]
+      .groupByKey { case (_, band, sig) => (band, sig) }
+      .flatMapGroupsWithState[LshBucketState, LshPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[LshBucketState]) =>
+          var ids = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[LshPair]
+          rows.map(_._1).toArray.sorted.foreach { d =>
+            if (!ids.contains(d)) {
+              ids.foreach { r =>
+                out += LshPair(math.min(r, d), math.max(r, d))
+              }
+              if (ids.length < maxBucket) ids = d :: ids
+            }
+          }
+          state.update(LshBucketState(ids))
+          out.iterator
+      }
+    val q = withStatePartitions(spark)(pairs.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** One emitted record of a retraction stream: `retraction = true`
     * withdraws the previously emitted value for the key — the
     * reference's Record.Retraction bit (execution/execution.go:58-62).

@@ -280,4 +280,59 @@ class DialectSpec extends SparkSpec {
     assert(code == 1 &&
       err.contains("Error: typecheck error: unknown function: +(Int, Float)"), err)
   }
+
+  test("QUALIFY filters window aliases; ORDER BY/LIMIT stay outside the wrap") {
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("a", 3), ("b", 5), ("b", 6)).toDF("k", "v")
+      .createOrReplaceTempView("qualify_t")
+    val rows = Dialect.prepare(spark,
+      """SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |FROM qualify_t QUALIFY rn <= 2 ORDER BY k, v LIMIT 3""".stripMargin).df
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    // filter-then-sort: top-2 per key -> (a,2)(a,3)(b,5)(b,6), limited to 3
+    assert(rows == Seq(("a", 2), ("a", 3), ("b", 5)))
+  }
+
+  test("DISTINCT ON keeps the first row per group by the ORDER BY") {
+    import spark.implicits._
+    Seq(("a", 1, 10), ("a", 2, 30), ("b", 3, 20), ("b", 4, 20))
+      .toDF("k", "id", "score").createOrReplaceTempView("don_t")
+    val rows = Dialect.prepare(spark,
+      "SELECT DISTINCT ON (k) k, id FROM don_t ORDER BY k, score DESC, id").df
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows == Seq(("a", 2), ("b", 3)))
+    // ORDER BY is required: an undefined "first" row is refused
+    intercept[IllegalArgumentException] {
+      Dialect.prepare(spark, "SELECT DISTINCT ON (k) k, id FROM don_t")
+    }
+    // plain DISTINCT is untouched
+    val d = Dialect.prepare(spark, "SELECT DISTINCT k FROM don_t").df
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(d == Seq("a", "b"))
+  }
+
+  test("star EXCLUDE drops columns; a column named exclude survives") {
+    import spark.implicits._
+    Seq((1, "x", true)).toDF("a", "b", "exclude")
+      .createOrReplaceTempView("excl_t")
+    val cols = Dialect.prepare(spark,
+      "SELECT * EXCLUDE (b) FROM excl_t").df.columns.toSeq
+    assert(cols == Seq("a", "exclude"))
+    val keep = Dialect.prepare(spark,
+      "SELECT exclude FROM excl_t").df.columns.toSeq
+    assert(keep == Seq("exclude"))
+  }
+
+  test("QUALIFY inside a parenthesized subquery is rewritten in place") {
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+      .createOrReplaceTempView("qualify_sub_t")
+    val rows = Dialect.prepare(spark,
+      """SELECT s.k, s.v FROM (
+        |  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |  FROM qualify_sub_t QUALIFY rn = 1
+        |) s ORDER BY s.k""".stripMargin).df
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows == Seq(("a", 2), ("b", 9)))
+  }
 }

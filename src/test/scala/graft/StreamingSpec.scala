@@ -60,6 +60,23 @@ class StreamingSpec extends SparkSpec {
       batch.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("streaming LSH ingest emits exactly the batch banding candidates") {
+    import graft.operators.Dedup
+    val streamed = Streams.runStreamLshIngest(spark, s"$sf/documents.parquet",
+        "doc_id", "text", n = 3, k = 32, bands = 4,
+        queryName = "spec_stream_lsh")
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashLshCandidatesFromIndex(
+        Dedup.shingleIndex(spark.read.parquet(s"$sf/documents.parquet"),
+          "doc_id", "text", n = 3, tokens = true),
+        k = 32, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    // the per-row signature construction is bit-identical to the
+    // MinHashAgg path, so stream and batch agree on every bucket
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming session windows emit watermark-closed sessions (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
