@@ -1935,6 +1935,24 @@ object SparkEntry {
         .withColumn("drifted", col("psi") > 0.2)
     }),
 
+    // Jaro-Winkler record linkage: p43's corrupted catalog matched by
+    // the codegen'd JaroWinklerSim kernel (rapidfuzz semantics,
+    // differential-locked to DuckDB by 12k fixtures) — the linkage
+    // metric that forgives transpositions; same blocked candidate
+    // generation over the distinct-name domain, similarity rounded to
+    // 9 decimals before threshold/ordering so selection is
+    // float-noise-proof in any engine
+    "p51_jaro_linkage" -> ((s, dir) => {
+      val dirty = t(s, dir, "part").select(
+        concat(
+          expr("substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
+          expr("substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"))
+          .as("p_name"))
+      operators.EntityResolution.resolveJaro(
+        dirty, t(s, dir, "part").select(col("p_name")), "p_name",
+        minSim = 0.9)
+    }),
+
     // discrete tail quantiles (p50/p90/p99 — the latency-style
     // percentiles that must be ACTUAL data values): type-1 inverse
     // ECDF on the histogram shape, integer rank arithmetic, so any
@@ -6489,6 +6507,31 @@ object SparkEntry {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY dirty
         |                           ORDER BY dist, canon) = 1""".stripMargin,
+
+    "p51_jaro_linkage" ->
+      """WITH dirty AS (
+        |  SELECT DISTINCT
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |    || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)
+        |      AS dirty
+        |  FROM part),
+        |canon AS (SELECT DISTINCT p_name AS canon FROM part),
+        |cand AS (
+        |  SELECT d.dirty, c.canon FROM dirty d JOIN canon c
+        |    ON substr(d.dirty, 1, 3) = substr(c.canon, 1, 3)
+        |  UNION
+        |  SELECT d.dirty, c.canon FROM dirty d JOIN canon c
+        |    ON substr(d.dirty, length(d.dirty) - 2, 3)
+        |     = substr(c.canon, length(c.canon) - 2, 3)),
+        |scored AS (
+        |  SELECT dirty, canon,
+        |    round(jaro_winkler_similarity(dirty, canon), 9) AS sim9
+        |  FROM cand
+        |  WHERE round(jaro_winkler_similarity(dirty, canon), 9) >= 0.9)
+        |SELECT dirty, canon AS match_name, round(sim9, 6) AS sim
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY dirty
+        |                           ORDER BY sim9 DESC, canon) = 1""".stripMargin,
 
     // integer-day zone arithmetic replayed; sums cast back to BIGINT
     // (DuckDB widens SUM(int) to HUGEINT)
