@@ -3570,6 +3570,26 @@ object SparkEntry {
       graft.sql.Dialect.prepare(s,
         """SELECT * EXCLUDE (c_name, c_mktsegment) FROM customer_v93
           |WHERE c_acctbal > 9000.0""".stripMargin).df
+    }),
+
+    // ASOF JOIN on the SQL surface (DuckDB/Snowflake temporal-join
+    // spelling): the dialect lowers it onto AsOf.asofJoin's
+    // union+window merge (|L|+|R| rows, one shuffle) — NOT a
+    // correlated LATERAL, which Spark decorrelates into an all-pairs
+    // BroadcastNestedLoopJoin over the left-time domain. Inner form:
+    // unmatched views drop, like the native DuckDB oracle
+    "q94_asof_sql" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+        .createOrReplaceTempView("views_v94")
+      e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+        .createOrReplaceTempView("purch_v94")
+      graft.sql.Dialect.prepare(s,
+        """SELECT v.event_id, v.user_id, v.ts, p.p_value AS p_value
+          |FROM views_v94 v ASOF JOIN purch_v94 p
+          |ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin).df
     })
   )
 
@@ -3886,6 +3906,15 @@ object SparkEntry {
     "q93_star_exclude" ->
       """SELECT * EXCLUDE (c_name, c_mktsegment) FROM customer
         |WHERE c_acctbal > 9000.0""".stripMargin,
+
+    "q94_asof_sql" ->
+      """SELECT v.event_id, v.user_id, v.ts, p.p_value AS p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'view') v
+        |ASOF JOIN
+        |     (SELECT user_id, ts, max(value) AS p_value FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        |ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
 
     "q89_merge_into" ->
       """WITH base AS (

@@ -86,6 +86,7 @@ object Dialect {
     val rels = scala.collection.mutable.HashMap[String, RelInfo]()
     val validations = Seq.newBuilder[() => Unit]
     tokens = bind(spark, tokens, ctx, rels, validations)
+    tokens = rewriteAsofJoins(spark, tokens)
     tokens = rewriteTvfs(spark, tokens, rels)
     val named = nameSelect(spark, tokens, rels.toMap)
     def build(ts: Vector[String]): (Vector[String], DataFrame) = {
@@ -122,6 +123,156 @@ object Dialect {
     }
     val tf = named.timeField.map(names.indexOf(_)).getOrElse(-1)
     Prepared(df, names, otypes, ordered, tf, validations.result())
+  }
+
+  // ---- ASOF JOIN (DuckDB/Snowflake temporal-join syntax) -------------
+
+  private val asofCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `FROM l [AS] la ASOF [LEFT] JOIN r [AS] ra ON la.k = ra.k AND
+    * la.t >= ra.t [WHERE ...]` — the DuckDB/Snowflake temporal-join
+    * spelling, executed on [[graft.operators.AsOf.asofJoin]]'s
+    * union+window merge plan (|L|+|R| rows, one shuffle on the key).
+    *
+    * This rewrite deliberately does NOT lower to a correlated LATERAL
+    * (`ORDER BY t DESC LIMIT 1`): Spark decorrelates that into a
+    * domain join whose non-equi correlate plans as a
+    * BroadcastNestedLoopJoin over the distinct left-time domain — an
+    * all-pairs shape AuditPlans rejects. The operator call keeps the
+    * scale-correct plan and the SQL stays sugar.
+    *
+    * Supported subset: both sides simple relations (temp views, bound
+    * path tables, catalog tables); exactly ONE equality and ONE
+    * inclusive inequality (`>=` backward, `<=` forward) between
+    * alias-qualified columns; `ASOF JOIN` is inner (unmatched probe
+    * rows drop, DuckDB's default), `ASOF LEFT JOIN` keeps them
+    * null-padded. Right-side columns are referenced as `ra.col`
+    * (rewritten to the operator's `asof_col` output); the right time
+    * column surfaces as `ra.<t>` too.
+    */
+  private def rewriteAsofJoins(spark: SparkSession, tokens0: Vector[String]): Vector[String] = {
+    var tokens = tokens0
+    var asofIdx = tokens.indexWhere(t => t.equalsIgnoreCase("ASOF"))
+    while (asofIdx >= 0) {
+      tokens = rewriteOneAsof(spark, tokens, asofIdx)
+      asofIdx = tokens.indexWhere(t => t.equalsIgnoreCase("ASOF"))
+    }
+    tokens
+  }
+
+  private def rewriteOneAsof(spark: SparkSession, tokens: Vector[String],
+                             asofIdx: Int): Vector[String] = {
+    def fail(msg: String): Nothing =
+      throw new TypecheckException(s"ASOF JOIN: $msg")
+    val j0 = nextNonWs(tokens, asofIdx + 1)
+    val isLeft = j0 >= 0 && tokens(j0).equalsIgnoreCase("LEFT")
+    val joinIdx = if (isLeft) nextNonWs(tokens, j0 + 1) else j0
+    if (joinIdx < 0 || !tokens(joinIdx).equalsIgnoreCase("JOIN"))
+      fail("expected ASOF [LEFT] JOIN")
+    var fromIdx = asofIdx
+    while (fromIdx >= 0 && !tokens(fromIdx).equalsIgnoreCase("FROM")) fromIdx -= 1
+    if (fromIdx < 0) fail("requires a FROM clause")
+    val onIdx = tokens.indexWhere(_.equalsIgnoreCase("ON"), joinIdx)
+    if (onIdx < 0) fail("requires an ON clause")
+    def relSpec(ts: Vector[String], what: String): (String, String) = {
+      val parts = ts.filterNot(isWs).filterNot(_.equalsIgnoreCase("AS"))
+      if (parts.isEmpty || parts.length > 2 ||
+          parts.exists(p => p == "(" || p == ")" || p == ","))
+        fail(s"$what side must be a simple relation [AS alias]")
+      (parts(0), parts.last)
+    }
+    val (lRel, lAl) = relSpec(tokens.slice(fromIdx + 1, asofIdx), "probe")
+    val (rRel, rAl) = relSpec(tokens.slice(joinIdx + 1, onIdx), "build")
+    // conditions end at the next clause keyword / further join / the
+    // paren closing this scope / end-of-tokens
+    val stop = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+      "INTERSECT", "EXCEPT", "WINDOW", "JOIN", "LEFT", "RIGHT", "FULL",
+      "INNER", "CROSS", "TRIGGER")
+    var end = tokens.length
+    var d = 0
+    var j = onIdx + 1
+    while (j < tokens.length && end == tokens.length) {
+      val t = tokens(j)
+      if (t == "(") d += 1
+      else if (t == ")") { if (d == 0) end = j else d -= 1 }
+      else if (d == 0 && stop.contains(t.toUpperCase)) end = j
+      j += 1
+    }
+    // split conjunction
+    val condToks = tokens.slice(onIdx + 1, end).filterNot(isWs)
+    val conds = {
+      val out = Vector.newBuilder[Vector[String]]
+      var cur = Vector.newBuilder[String]
+      condToks.foreach { t =>
+        if (t.equalsIgnoreCase("AND")) { out += cur.result(); cur = Vector.newBuilder }
+        else cur += t
+      }
+      out += cur.result()
+      out.result()
+    }
+    def sideCol(x: String): (Char, String) =
+      if (x.startsWith(lAl + ".")) ('l', x.stripPrefix(lAl + "."))
+      else if (x.startsWith(rAl + ".")) ('r', x.stripPrefix(rAl + "."))
+      else fail(s"condition operand $x must be alias-qualified ($lAl. or $rAl.)")
+    var eqPair: Option[(String, String)] = None       // (leftCol, rightCol)
+    var ineq: Option[(String, String, String)] = None // (leftT, rightT, dir)
+    conds.foreach { c =>
+      if (c.length != 3) fail(s"unsupported condition: ${c.mkString(" ")}")
+      val (a, op, b) = (c(0), c(1), c(2))
+      val (sa, ca) = sideCol(a)
+      val (sb, cb) = sideCol(b)
+      if (sa == sb) fail(s"condition ${c.mkString(" ")} compares one side with itself")
+      op match {
+        case "=" =>
+          if (eqPair.nonEmpty) fail("exactly one equality key is supported")
+          eqPair = Some(if (sa == 'l') (ca, cb) else (cb, ca))
+        case ">=" | "<=" =>
+          if (ineq.nonEmpty) fail("exactly one inequality is supported")
+          // normalize to the probe side on the left of the operator
+          val (lt, rt, o) =
+            if (sa == 'l') (ca, cb, op)
+            else (cb, ca, if (op == ">=") "<=" else ">=")
+          ineq = Some((lt, rt, if (o == ">=") "backward" else "forward"))
+        case other => fail(s"unsupported operator $other (use =, >=, <=)")
+      }
+    }
+    val (k1, k2) = eqPair.getOrElse(fail("requires one equality key"))
+    val (t1, t2, dir) = ineq.getOrElse(fail("requires one >=/<= time condition"))
+    val lDf = spark.table(lRel)
+    val rDf = spark.table(rRel)
+    if (!lDf.columns.contains(k1) || !lDf.columns.contains(t1))
+      fail(s"probe side $lRel lacks $k1/$t1")
+    if (!rDf.columns.contains(k2) || !rDf.columns.contains(t2))
+      fail(s"build side $rRel lacks $k2/$t2")
+    val payload = rDf.columns.toSeq.filterNot(c => c == k2 || c == t2)
+    if (payload.contains(k1) || payload.contains(t1))
+      fail(s"build-side payload column clashes with probe key/time name")
+    val rSel = rDf.select(
+      (col(k2).as(k1) +: col(t2).as(t1) +: payload.map(col)) :+
+        col(t2).as("__rt"): _*)
+    var res = graft.operators.AsOf.asofJoin(lDf, rSel, k1, t1,
+      payload :+ "__rt", direction = dir)
+    if (!isLeft) res = res.filter(col("asof___rt").isNotNull)
+    val view = "graft_asof_" + asofCounter.incrementAndGet()
+    res.createOrReplaceTempView(view)
+    val spliced = tokens.take(fromIdx + 1) ++ Vector(" ", view, " ") ++
+      tokens.drop(end)
+    val leftCols = lDf.columns.toSet
+    spliced.zipWithIndex.map { case (t, i) =>
+      // an output alias (token after AS) is the user's name, never a
+      // column reference — leave it alone
+      val prev = spliced.lastIndexWhere(x => !isWs(x), i - 1)
+      val isAlias = prev >= 0 && spliced(prev).equalsIgnoreCase("AS")
+      if (isAlias) t
+      else if (t.startsWith(lAl + ".")) t.stripPrefix(lAl + ".")
+      else if (t == rAl + "." + k2) k1
+      else if (t == rAl + "." + t2) "asof___rt"
+      else if (t.startsWith(rAl + ".")) {
+        val c = t.stripPrefix(rAl + ".")
+        if (payload.contains(c)) "asof_" + c else t
+      } else if (payload.contains(t) && !leftCols.contains(t)) "asof_" + t
+      else t
+    }
   }
 
   /** Append the named output columns as trailing ascending keys of a
@@ -174,7 +325,11 @@ object Dialect {
       val t = tokens(i).toUpperCase
       if (t == "LEFT" || t == "RIGHT" || t == "OUTER" || t == "FULL") {
         val j = nextNonWs(tokens, i + 1)
-        if (j >= 0 && (tokens(j).equalsIgnoreCase("JOIN") ||
+        // ASOF LEFT JOIN is the temporal join, not the reference's
+        // streaming outer join — its inequality is the semantics
+        val prev = tokens.lastIndexWhere(x => !isWs(x), i - 1)
+        val isAsof = prev >= 0 && tokens(prev).equalsIgnoreCase("ASOF")
+        if (!isAsof && j >= 0 && (tokens(j).equalsIgnoreCase("JOIN") ||
             tokens(j).equalsIgnoreCase("OUTER"))) {
           // find THIS join's ON: scan at depth 0 relative to the join
           // keyword (an inner join's ON inside a parenthesized subquery

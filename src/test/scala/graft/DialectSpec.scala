@@ -323,6 +323,38 @@ class DialectSpec extends SparkSpec {
     assert(keep == Seq("exclude"))
   }
 
+  test("ASOF JOIN: inner drops unmatched, LEFT pads, <= goes forward") {
+    import spark.implicits._
+    Seq((1L, 10L, "e1"), (1L, 3L, "e2"), (2L, 7L, "e3"))
+      .toDF("k", "t", "id").createOrReplaceTempView("asof_l")
+    Seq((1L, 5L, 100.0), (1L, 9L, 200.0), (2L, 8L, 300.0))
+      .toDF("k", "t", "v").createOrReplaceTempView("asof_r")
+    def run(sql: String): Seq[(String, Any)] =
+      Dialect.prepare(spark, sql).df.collect()
+        .map(r => (r.getString(0), r.get(1))).sortBy(_._1).toSeq
+    // backward inner: e1 -> 200 (latest <= 10), e2 -> none (dropped),
+    // e3 -> none (8 > 7)
+    val inner = run(
+      """SELECT l.id, r.v AS v FROM asof_l l ASOF JOIN asof_r r
+        |ON l.k = r.k AND l.t >= r.t""".stripMargin)
+    assert(inner == Seq(("e1", 200.0)))
+    // backward LEFT: unmatched rows survive null-padded
+    val left = run(
+      """SELECT l.id, r.v AS v FROM asof_l l ASOF LEFT JOIN asof_r r
+        |ON l.k = r.k AND l.t >= r.t""".stripMargin)
+    assert(left == Seq(("e1", 200.0), ("e2", null), ("e3", null)))
+    // forward inner (<=): e2 -> 100 (earliest >= 3), e3 -> 300
+    val fwd = run(
+      """SELECT l.id, r.v AS v FROM asof_l l ASOF JOIN asof_r r
+        |ON l.k = r.k AND l.t <= r.t""".stripMargin)
+    assert(fwd == Seq(("e2", 100.0), ("e3", 300.0)))
+    // unsupported shapes are refused, not silently misplanned
+    intercept[Dialect.TypecheckException] {
+      Dialect.prepare(spark,
+        "SELECT l.id FROM asof_l l ASOF JOIN asof_r r ON l.t >= r.t")
+    }
+  }
+
   test("QUALIFY inside a parenthesized subquery is rewritten in place") {
     import spark.implicits._
     Seq(("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
