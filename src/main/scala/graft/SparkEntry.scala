@@ -2815,6 +2815,20 @@ object SparkEntry {
         count(lit(1)).over(w).as("n_frame"))
     }),
 
+    // windowed DISTINCT cardinality (rolling variety: distinct event
+    // types over the current + 4 preceding events per user) —
+    // count(DISTINCT) OVER is not in Spark's grammar; the semantics
+    // compose as size(collect_set() OVER). Frame is bounded (5 rows),
+    // so per-row state is constant; window is key-partitioned
+    "q95_window_distinct" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w))
+          .cast(LongType).as("n_types"))
+    }),
+
     // ranking functions: spend quartiles + percent_rank over per-user
     // totals. User cardinality grows with the corpus, so even this
     // pre-aggregated input must NOT go through a global (empty
@@ -3915,6 +3929,13 @@ object SparkEntry {
         |     (SELECT user_id, ts, max(value) AS p_value FROM events
         |      WHERE event_type = 'purchase' GROUP BY 1, 2) p
         |ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin,
+
+    "q95_window_distinct" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(DISTINCT event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types
+        |FROM events""".stripMargin,
 
     "q89_merge_into" ->
       """WITH base AS (

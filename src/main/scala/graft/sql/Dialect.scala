@@ -214,8 +214,8 @@ object Dialect {
       if (x.startsWith(lAl + ".")) ('l', x.stripPrefix(lAl + "."))
       else if (x.startsWith(rAl + ".")) ('r', x.stripPrefix(rAl + "."))
       else fail(s"condition operand $x must be alias-qualified ($lAl. or $rAl.)")
-    var eqPair: Option[(String, String)] = None       // (leftCol, rightCol)
-    var ineq: Option[(String, String, String)] = None // (leftT, rightT, dir)
+    val eqPairs = Vector.newBuilder[(String, String)]   // (leftCol, rightCol)
+    var ineq: Option[(String, String, String)] = None   // (leftT, rightT, dir)
     conds.foreach { c =>
       if (c.length != 3) fail(s"unsupported condition: ${c.mkString(" ")}")
       val (a, op, b) = (c(0), c(1), c(2))
@@ -224,8 +224,7 @@ object Dialect {
       if (sa == sb) fail(s"condition ${c.mkString(" ")} compares one side with itself")
       op match {
         case "=" =>
-          if (eqPair.nonEmpty) fail("exactly one equality key is supported")
-          eqPair = Some(if (sa == 'l') (ca, cb) else (cb, ca))
+          eqPairs += (if (sa == 'l') (ca, cb) else (cb, ca))
         case ">=" | "<=" =>
           if (ineq.nonEmpty) fail("exactly one inequality is supported")
           // normalize to the probe side on the left of the operator
@@ -236,28 +235,54 @@ object Dialect {
         case other => fail(s"unsupported operator $other (use =, >=, <=)")
       }
     }
-    val (k1, k2) = eqPair.getOrElse(fail("requires one equality key"))
+    val eqs = eqPairs.result()
+    if (eqs.isEmpty) fail("requires at least one equality key")
     val (t1, t2, dir) = ineq.getOrElse(fail("requires one >=/<= time condition"))
-    val lDf = spark.table(lRel)
+    val lDf0 = spark.table(lRel)
     val rDf = spark.table(rRel)
-    if (!lDf.columns.contains(k1) || !lDf.columns.contains(t1))
-      fail(s"probe side $lRel lacks $k1/$t1")
-    if (!rDf.columns.contains(k2) || !rDf.columns.contains(t2))
-      fail(s"build side $rRel lacks $k2/$t2")
-    val payload = rDf.columns.toSeq.filterNot(c => c == k2 || c == t2)
-    if (payload.contains(k1) || payload.contains(t1))
+    eqs.foreach { case (kl, kr) =>
+      if (!lDf0.columns.contains(kl)) fail(s"probe side $lRel lacks $kl")
+      if (!rDf.columns.contains(kr)) fail(s"build side $rRel lacks $kr")
+    }
+    if (!lDf0.columns.contains(t1)) fail(s"probe side $lRel lacks $t1")
+    if (!rDf.columns.contains(t2)) fail(s"build side $rRel lacks $t2")
+    // composite keys ride as ONE synthesized struct column — asofJoin
+    // partitions its union on a single key column
+    val (k1, lDf, rKeyed) =
+      if (eqs.length == 1 && eqs.head._1 == eqs.head._2) {
+        (eqs.head._1, lDf0, rDf)
+      } else if (eqs.length == 1) {
+        if (rDf.columns.contains(eqs.head._1))
+          fail(s"build side already has a column named ${eqs.head._1}")
+        (eqs.head._1, lDf0, rDf.withColumnRenamed(eqs.head._2, eqs.head._1))
+      } else {
+        // canonical field names: the union inside asofJoin matches
+        // struct fields BY NAME across the two sides
+        ("__asof_k",
+          lDf0.withColumn("__asof_k", struct(
+            eqs.zipWithIndex.map { case (e, n) => col(e._1).as(s"k$n") }: _*)),
+          rDf.withColumn("__asof_k", struct(
+            eqs.zipWithIndex.map { case (e, n) => col(e._2).as(s"k$n") }: _*)))
+      }
+    val composite = eqs.length > 1
+    val rightEqCols = if (composite) eqs.map(_._2).toSet else Set(eqs.head._2)
+    val payload = rKeyed.columns.toSeq
+      .filterNot(c => c == k1 || c == t2 || rightEqCols.contains(c))
+    if (payload.contains(t1) || (!composite && payload.contains(k1)))
       fail(s"build-side payload column clashes with probe key/time name")
-    val rSel = rDf.select(
-      (col(k2).as(k1) +: col(t2).as(t1) +: payload.map(col)) :+
+    val rSel = rKeyed.select(
+      (col(k1) +: col(t2).as(t1) +: payload.map(col)) :+
         col(t2).as("__rt"): _*)
     var res = graft.operators.AsOf.asofJoin(lDf, rSel, k1, t1,
       payload :+ "__rt", direction = dir)
     if (!isLeft) res = res.filter(col("asof___rt").isNotNull)
+    if (composite) res = res.drop("__asof_k")
     val view = "graft_asof_" + asofCounter.incrementAndGet()
     res.createOrReplaceTempView(view)
     val spliced = tokens.take(fromIdx + 1) ++ Vector(" ", view, " ") ++
       tokens.drop(end)
-    val leftCols = lDf.columns.toSet
+    val leftCols = lDf0.columns.toSet
+    val eqMap = eqs.map { case (kl, kr) => (rAl + "." + kr) -> kl }.toMap
     spliced.zipWithIndex.map { case (t, i) =>
       // an output alias (token after AS) is the user's name, never a
       // column reference — leave it alone
@@ -265,7 +290,7 @@ object Dialect {
       val isAlias = prev >= 0 && spliced(prev).equalsIgnoreCase("AS")
       if (isAlias) t
       else if (t.startsWith(lAl + ".")) t.stripPrefix(lAl + ".")
-      else if (t == rAl + "." + k2) k1
+      else if (eqMap.contains(t)) eqMap(t)
       else if (t == rAl + "." + t2) "asof___rt"
       else if (t.startsWith(rAl + ".")) {
         val c = t.stripPrefix(rAl + ".")

@@ -355,6 +355,19 @@ class DialectSpec extends SparkSpec {
     }
   }
 
+  test("ASOF JOIN with a composite equality key") {
+    import spark.implicits._
+    Seq((1L, "x", 10L, "e1"), (1L, "y", 10L, "e2"))
+      .toDF("k", "g", "t", "id").createOrReplaceTempView("asof_cl")
+    Seq((1L, "x", 5L, 100.0), (1L, "y", 7L, 200.0), (1L, "x", 20L, 300.0))
+      .toDF("k2", "g2", "t", "v").createOrReplaceTempView("asof_cr")
+    val rows = Dialect.prepare(spark,
+      """SELECT l.id, r.v AS v FROM asof_cl l ASOF JOIN asof_cr r
+        |ON l.k = r.k2 AND l.g = r.g2 AND l.t >= r.t""".stripMargin).df
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(("e1", 100.0), ("e2", 200.0)))
+  }
+
   test("QUALIFY inside a parenthesized subquery is rewritten in place") {
     import spark.implicits._
     Seq(("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
