@@ -570,15 +570,16 @@ object Streams {
   /** One near-dup candidate pair from the streaming LSH ingest. */
   case class LshPair(id_a: Long, id_b: Long)
 
-  /** Per-row MinHash band signatures — the STATELESS half of streaming
-    * LSH: each document's k-permutation signature needs only its own
-    * shingles, so on a stream it is a projection (the codegen'd
-    * [[graft.plans.TokenShingles]] kernel + HOF min), no shuffle, no
-    * state. Bit-identical to the batch [[graft.operators.Dedup]]
-    * construction (same xxhash64/xxhash64(1,·) Carter-Wegman pair
-    * h1 + i·h2 with wrapping 64-bit arithmetic and signed min — the
-    * [[graft.plans.MinHashAgg]] formula evaluated per-row; same
-    * band-slice xxhash64), so stream and batch agree on bucket ids.
+  /** Per-row MinHash band signatures, HOF formulation — the
+    * interpreted differential REFERENCE for the codegen'd
+    * [[graft.plans.MinHashBands]] kernel the stream actually runs
+    * (the tokenShinglesHof discipline: keep the slow portable form to
+    * test the fast kernel against). Bit-identical to the batch
+    * [[graft.operators.Dedup]] construction (same xxhash64/
+    * xxhash64(1,·) Carter-Wegman pair h1 + i·h2 with wrapping 64-bit
+    * arithmetic and signed min — the [[graft.plans.MinHashAgg]]
+    * formula evaluated per-row; same band-slice xxhash64), so stream
+    * and batch agree on bucket ids.
     */
   def lshBandStructs(text: Column, n: Int, k: Int, bands: Int): Column = {
     require(k % bands == 0, "bands must divide k")
@@ -615,11 +616,17 @@ object Streams {
                          maxBucket: Int = 200,
                          queryName: String = "graft_stream_lsh"): DataFrame = {
     import spark.implicits._
+    // codegen'd kernel (one static call per row); posexplode index IS
+    // the band number. lshBandStructs is the interpreted reference —
+    // StreamingSpec asserts kernel == HOF == batch bucket ids
+    val sigs = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.MinHashBands(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+        n, k, bands))
     val banded = fileStream(spark, path)
-      .select(col(idCol).cast("long").as("id"),
-        lshBandStructs(col(textCol), n, k, bands).as("bs"))
-      .select(col("id"), explode(col("bs")).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .select(col(idCol).cast("long").as("id"), posexplode(sigs))
+      .select(col("id"), col("pos").cast("int").as("band"),
+        col("col").as("sig"))
     val pairs = banded.as[(Long, Int, Long)]
       .groupByKey { case (_, band, sig) => (band, sig) }
       .flatMapGroupsWithState[LshBucketState, LshPair](

@@ -60,6 +60,22 @@ class StreamingSpec extends SparkSpec {
       batch.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("MinHashBands kernel equals the HOF reference on real documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kernel = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.MinHashBands(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        3, 32, 4))
+    val got = docs.select(col("doc_id"), posexplode(kernel))
+      .select(col("doc_id"), col("pos"), col("col"))
+      .as[(Long, Int, Long)].collect().toSet
+    val ref = docs.select(col("doc_id"),
+        explode(Streams.lshBandStructs(col("text"), 3, 32, 4)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.sig"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
   test("streaming LSH ingest emits exactly the batch banding candidates") {
     import graft.operators.Dedup
     val streamed = Streams.runStreamLshIngest(spark, s"$sf/documents.parquet",
