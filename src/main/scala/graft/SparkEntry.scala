@@ -2815,6 +2815,19 @@ object SparkEntry {
         count(lit(1)).over(w).as("n_frame"))
     }),
 
+    // correlated NOT EXISTS on the SQL surface: Catalyst decorrelates
+    // to a broadcast/shuffled ANTI join (the q7 API shape) — never a
+    // per-row subquery
+    "q96_not_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v96")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v96")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name FROM customer_v96 c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders_v96 o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_totalprice > 400000.0)""".stripMargin)
+    }),
+
     // windowed DISTINCT cardinality (rolling variety: distinct event
     // types over the current + 4 preceding events per user) —
     // count(DISTINCT) OVER is not in Spark's grammar; the semantics
@@ -3450,6 +3463,18 @@ object SparkEntry {
           col("n_found").cast("double") / col("n_exact").cast("double"))
     }),
 
+    // streaming decontamination: corpus stream anti-joined per
+    // micro-batch against the broadcast src0 eval set (exact text
+    // match) — stateless, the d8 asymmetry on the micro-batch engine
+    "st16_stream_decontam" -> ((s, dir) => {
+      val evalSet = t(s, dir, "documents")
+        .filter(col("source") === "src0").select("text").distinct()
+      Streams.runStreamStaticAnti(s, s"$dir/documents.parquet", evalSet,
+          Seq("text"), preFilter = Some(col("source") =!= "src0"),
+          queryName = "st16_stream_decontam")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -3936,6 +3961,18 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types
         |FROM events""".stripMargin,
+
+    "st16_stream_decontam" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.source = 'src0' AND e.text = d.text)""".stripMargin,
+
+    "q96_not_exists" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)""".stripMargin,
 
     "q89_merge_into" ->
       """WITH base AS (

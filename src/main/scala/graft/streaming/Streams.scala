@@ -473,6 +473,31 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming decontamination: stream-static LEFT ANTI join against a
+    * broadcast eval set — each micro-batch drops arriving rows whose
+    * join key appears in the static benchmark table. STATELESS: the
+    * anti join re-evaluates per batch against the broadcast side, no
+    * state store at all, so throughput is the projection rate. At 100×
+    * the eval set stays benchmark-sized (tiny) while the stream is the
+    * corpus — exactly the d8 asymmetry, on the micro-batch engine.
+    * Append-mode memory drain (harness-only).
+    */
+  def runStreamStaticAnti(spark: SparkSession, path: String,
+                          static: DataFrame, joinCols: Seq[String],
+                          preFilter: Option[Column] = None,
+                          queryName: String = "graft_anti"): DataFrame = {
+    val raw = fileStream(spark, path)
+    val src = preFilter.map(raw.filter).getOrElse(raw)
+    val out = src.join(broadcast(static), joinCols, "left_anti")
+    val q = withStatePartitions(spark)(out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming AS-OF dimension enrichment: each event joins the
     * dimension version that was current AT ITS EVENT TIME — the
     * SCD2-aware form of [[runStreamStaticEnrich]] (price lists,
