@@ -1935,6 +1935,42 @@ object SparkEntry {
         .withColumn("drifted", col("psi") > 0.2)
     }),
 
+    // t-closeness audit (Li 2007) on p28's quasi-groups — completes
+    // the privacy trio (k-anonymity p28, l-diversity p47): a group
+    // can be k-anonymous AND l-diverse yet still leak when its
+    // sensitive distribution diverges from the corpus-wide one.
+    // Categorical sensitive (source) → equal-distance EMD = half the
+    // L1 distance. Exact integer arithmetic end-to-end: the per-cell
+    // term is |gc·tn − tc·gn| (all BIGINT counts, < 2^53 so the final
+    // single division is the same double in any engine). The source
+    // grid reaches each group via a 1-row collect_list broadcast +
+    // explode — never a group×source cartesian
+    "p52_t_closeness" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        expr("n_chars div 50").as("len_bucket"), col("source"))
+      val cells = d.groupBy("lang", "len_bucket", "source")
+        .agg(count(lit(1)).as("gc"))
+      val groups = cells.groupBy("lang", "len_bucket").agg(sum("gc").as("gn"))
+      val glob = d.groupBy("source").agg(count(lit(1)).as("tc"))
+      val tot = d.agg(count(lit(1)).as("tn"))
+      val srcList = glob.agg(sort_array(collect_list("source")).as("srcs"))
+      val grid = groups.crossJoin(broadcast(srcList))
+        .select(col("lang"), col("len_bucket"), col("gn"),
+          explode(col("srcs")).as("source"))
+      grid
+        .join(cells, Seq("lang", "len_bucket", "source"), "left")
+        .join(broadcast(glob), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          abs(coalesce(col("gc"), lit(0L)) * col("tn") - col("tc") * col("gn")))
+        .groupBy("lang", "len_bucket", "gn", "tn")
+        .agg(sum("term").as("num"))
+        .select(col("lang"), col("len_bucket"), col("gn").as("n_members"),
+          round(col("num").cast(DoubleType) /
+            (lit(2.0) * col("gn") * col("tn")), 9).as("t_dist"))
+        .withColumn("close", col("t_dist") <= 0.2)
+    }),
+
     // Jaro-Winkler record linkage: p43's corrupted catalog matched by
     // the codegen'd JaroWinklerSim kernel (rapidfuzz semantics,
     // differential-locked to DuckDB by 12k fixtures) — the linkage
@@ -3452,9 +3488,15 @@ object SparkEntry {
           "doc_id", "text", n = 3, k = 32, bands = 4,
           queryName = "st15_stream_lsh")
         .select(col("id_a"), col("id_b")).distinct()
+      // exact side carries the d2/d3 doc-frequency cap: the UNCAPPED
+      // self-join is quadratic in clone-family size (measured: the
+      // one super-linear entry of the 240-query scaling record,
+      // exponent 1.32, was THIS verify side at clone-amplified sf1,
+      // not the streaming drain). At the test SFs no shingle exceeds
+      // df=25, so the capped result is byte-identical
       val exact = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
           "doc_id", "text", n = 3, threshold = 0.8, tokens = true,
-          maxDocFreq = None)
+          maxDocFreq = Some(50))
         .select("id_a", "id_b")
       val found = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
@@ -4177,12 +4219,14 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
         |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
         |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
         |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -6594,6 +6638,32 @@ object SparkEntry {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY dirty
         |                           ORDER BY dist, canon) = 1""".stripMargin,
+
+    "p52_t_closeness" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars // 50 AS len_bucket, source FROM documents),
+        |cells AS (
+        |  SELECT lang, len_bucket, source, COUNT(*) AS gc
+        |  FROM d GROUP BY 1, 2, 3),
+        |groups AS (
+        |  SELECT lang, len_bucket, CAST(SUM(gc) AS BIGINT) AS gn
+        |  FROM cells GROUP BY 1, 2),
+        |gsrc AS (SELECT source, COUNT(*) AS tc FROM d GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS tn FROM d),
+        |grid AS (
+        |  SELECT g.lang, g.len_bucket, g.gn, s.source, s.tc
+        |  FROM groups g CROSS JOIN gsrc s),
+        |terms AS (
+        |  SELECT grid.lang, grid.len_bucket, grid.gn, tot.tn,
+        |    abs(COALESCE(c.gc, 0) * tot.tn - grid.tc * grid.gn) AS term
+        |  FROM grid
+        |  LEFT JOIN cells c ON c.lang = grid.lang
+        |    AND c.len_bucket = grid.len_bucket AND c.source = grid.source
+        |  CROSS JOIN tot)
+        |SELECT lang, len_bucket, gn AS n_members,
+        |  round(CAST(SUM(term) AS DOUBLE) / (2.0 * gn * tn), 9) AS t_dist,
+        |  round(CAST(SUM(term) AS DOUBLE) / (2.0 * gn * tn), 9) <= 0.2 AS close
+        |FROM terms GROUP BY lang, len_bucket, gn, tn""".stripMargin,
 
     "p51_jaro_linkage" ->
       """WITH dirty AS (
