@@ -31,6 +31,10 @@ object AuditPlans {
     "s10_ivfpq" -> "in-query brute-force ground truth for the recall oracle",
     "s12_ann_index_probe" ->
       "in-query brute-force ground truth for the recall oracle",
+    "s13_matryoshka" ->
+      ("prefix-dim coarse scan (pdim/dim of brute cost) is the demo " +
+        "path — compose with IVF cells for the bucketed form; plus the " +
+        "in-query brute-force ground truth for the recall oracle"),
     "s11_rrf" ->
       ("single-query brute-force cosine: one broadcast query row x one " +
         "corpus scan is linear, the BNLJ is the 1-row build side"),

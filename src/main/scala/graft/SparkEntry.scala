@@ -883,6 +883,24 @@ object SparkEntry {
           >= 0.5).as("recall_ok"))
     }),
 
+    // Matryoshka two-stage ANN: coarse score on the first 32 of 64
+    // dims, exact full-dim rerank of the per-query top-25 pool —
+    // recall vs brute in-query, the s2 oracle pattern
+    "s13_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val mat = Similarity.matryoshkaTopK(emb, qs, k = 5, pdim = 32,
+          cand = 25)
+        .select("query_id", "neighbor_id")
+      val brute = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select("query_id", "neighbor_id")
+      val found = brute.join(mat, Seq("query_id", "neighbor_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select((col("n_found").cast("double") / col("n_exact").cast("double")
+          >= 0.5).as("recall_ok"))
+    }),
+
     // IVF ANN (the other scale path): recall vs brute force in-query,
     // same deterministic-oracle pattern as s2
     "s3_ann_ivf" -> ((s, dir) => {
@@ -7028,6 +7046,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "s2_ann_lsh" ->
+      "SELECT true AS recall_ok",
+
+    "s13_matryoshka" ->
       "SELECT true AS recall_ok",
 
     "s3_ann_ivf" ->

@@ -92,6 +92,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Matryoshka-style two-stage ANN (MRL embeddings): candidates are
+    * scored on the FIRST `pdim` dimensions only (nested-prefix
+    * embeddings make the truncated cosine a meaningful coarse score),
+    * the per-query top `cand` survive, and only those get the
+    * full-dimension exact rerank — the full-width dot product runs on
+    * cand×|queries| rows instead of |corpus|×|queries|. The coarse
+    * pass here is the broadcast scan (per-pair cost pdim/dim of
+    * brute); at production scale compose the same prefix trick with
+    * IVF cells ([[ivfTopK]]) so the coarse pass is bucketed too.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     pdim: Int, cand: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(cand >= k, s"rerank pool cand=$cand must be >= k=$k")
+    VecExpressions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qp", slice(col("qv"), 1, pdim))
+      .withColumn("qpn", norm(col("qp")))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cp", slice(col("cv"), 1, pdim))
+      .withColumn("cpn", norm(col("cp")))
+      .withColumn("cn", norm(col("cv")))
+    val coarse = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
+    val pool = graft.plans.TopKPerKey(coarse, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), cand)
+    val reranked = pool.drop("cosine")
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(reranked, k)
+  }
+
   /** Deterministic random hyperplanes: `bits` planes of dimension `dim`,
     * components from a seeded PRNG (driver-side constant, shipped as a
     * literal — tiny).
