@@ -1395,6 +1395,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // XML roundtrip (Spark 4 native XML datasource): write nation as
+    // row-tagged XML, read it back with schema inference, aggregate —
+    // the interchange format legacy feeds still arrive in. Values
+    // re-infer as BIGINT/STRING; the oracle casts to match
+    "q97_xml_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_xml_${math.abs(dir.hashCode)}"
+      t(s, dir, "nation").write.mode("overwrite")
+        .option("rowTag", "nation").format("xml").save(out)
+      s.read.option("rowTag", "nation").format("xml").load(out)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sort_array(collect_list("n_name")).as("names"))
+        .select(col("n_regionkey").cast(LongType).as("n_regionkey"),
+          col("n_nations"), col("names"))
+    }),
+
     // schema evolution across ingest epochs: epoch 2 adds a column;
     // mergeSchema unions the footers (epoch-1 rows read NULL for it)
     // and the epoch= path layout becomes a prunable partition column —
@@ -5038,6 +5054,12 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q97_xml_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  COUNT(*) AS n_nations,
+        |  list_sort(list(n_name)) AS names
+        |FROM nation GROUP BY 1""".stripMargin,
 
     "p5_boilerplate" ->
       """WITH toks AS (
