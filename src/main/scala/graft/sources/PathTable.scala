@@ -63,7 +63,17 @@ object PathTable {
       case PrefixForm(fmt, rest) if !rest.contains('.') =>
         read(spark, rest, fmt, opts)
       case _ =>
-        val ext = path.split('.').last.toLowerCase
+        // `data.json.gz` → json: Spark's text-based readers decompress
+        // by extension via the Hadoop codec registry, so the FORMAT is
+        // the extension before the compression suffix. A gzip member
+        // is one split — fine for the sizes a compressed drop-file
+        // has; columnar formats carry their own codecs instead
+        val parts = path.split('.')
+        val last = parts.last.toLowerCase
+        val ext =
+          if ((last == "gz" || last == "bz2") && parts.length >= 3)
+            parts(parts.length - 2).toLowerCase
+          else last
         read(spark, path, ext, opts)
     }
   }

@@ -309,6 +309,28 @@ class OctoSqlSpec extends SparkSpec {
     assert(withAs.toSeq == noAs.toSeq && noAs.nonEmpty)
   }
 
+  test("gzip-compressed path tables: data.json.gz and notes.lines.gz") {
+    def gz(name: String, content: String): String = {
+      val f = new java.io.File(dir, name)
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(f))
+      out.write(content.getBytes("UTF-8")); out.close()
+      f.getAbsolutePath
+    }
+    val j = gz("gzdata.json.gz",
+      """{"k": "a", "v": 1}
+        |{"k": "b", "v": 2}
+        |""".stripMargin)
+    val rows = OctoSql.run(spark, s"SELECT k, v FROM $j ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("a", 1.0), ("b", 2.0)))
+    val l = gz("gznotes.lines.gz", "alpha\nbeta\n")
+    val lines = OctoSql.run(spark,
+        s"SELECT number, text FROM $l ORDER BY number")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(lines == Seq((0L, "alpha"), (1L, "beta")))
+  }
+
   test("panic() raises, unix time round-trips (functions/panic.in)") {
     intercept[Exception] {
       OctoSql.run(spark, "SELECT panic('boom')").collect()
