@@ -90,6 +90,26 @@ object SparkEntry {
     evoBase.toString
   }
 
+  /** Per-purpose JVM-wide scratch dirs for the roundtrip queries
+    * (q49 orc, q97 xml): same discipline as [[evoBase]] — one unique
+    * temp dir + one shutdown hook per purpose, wiped on each call.
+    * Unique-per-JVM paths also mean two harness processes on the same
+    * machine can never overwrite each other mid-read, which the old
+    * fixed `/tmp/graft_*_<dir.hashCode>` paths could.
+    */
+  private val scratchBases =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def scratchDir(tag: String): String = {
+    val p = scratchBases.computeIfAbsent(tag, t => {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_${t}_")
+      java.lang.Runtime.getRuntime.addShutdownHook(
+        new Thread(() => rmTree(d.toFile)))
+      d
+    })
+    p.toFile.listFiles().foreach(rmTree)
+    p.toString
+  }
+
   /** Exact, order-independent sum of a double column, returned as double. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
@@ -1388,7 +1408,7 @@ object SparkEntry {
     // aggregate — the format path proved end-to-end vs the parquet
     // oracle
     "q49_orc_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_orc_${math.abs(dir.hashCode)}"
+      val out = scratchDir("orc")
       t(s, dir, "documents").write.mode("overwrite").orc(out)
       sources.PathTable.read(s, out, "orc")
         .groupBy("lang")
@@ -1400,7 +1420,7 @@ object SparkEntry {
     // the interchange format legacy feeds still arrive in. Values
     // re-infer as BIGINT/STRING; the oracle casts to match
     "q97_xml_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_xml_${math.abs(dir.hashCode)}"
+      val out = scratchDir("xml")
       t(s, dir, "nation").write.mode("overwrite")
         .option("rowTag", "nation").format("xml").save(out)
       s.read.option("rowTag", "nation").format("xml").load(out)

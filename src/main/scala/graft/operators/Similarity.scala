@@ -118,6 +118,11 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val coarse = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
+      // a ZERO PREFIX of a nonzero vector gives 0/0 = NaN, and NaN
+      // sorts ABOVE every real cosine in descending order — one such
+      // vector per query would displace a genuine candidate; filter
+      // the degenerate prefixes out of the pool instead
+      .filter(col("qpn") * col("cpn") > 0)
       .withColumn("cosine",
         dot(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
     val pool = graft.plans.TopKPerKey(coarse, Seq("query_id"),

@@ -63,15 +63,20 @@ object PathTable {
       case PrefixForm(fmt, rest) if !rest.contains('.') =>
         read(spark, rest, fmt, opts)
       case _ =>
-        // `data.json.gz` → json: Spark's text-based readers decompress
+        // `data.json.gz` → json: Spark's TEXT-based readers decompress
         // by extension via the Hadoop codec registry, so the FORMAT is
         // the extension before the compression suffix. A gzip member
         // is one split — fine for the sizes a compressed drop-file
-        // has; columnar formats carry their own codecs instead
+        // has. Columnar formats carry their own codecs: `parquet.gz`
+        // is NOT stripped (the parquet reader on a gzip stream fails
+        // with a magic-bytes error, so the suffix stays and resolves
+        // to a clear unsupported-format message instead)
+        val textFmts = Set("csv", "tsv", "json", "lines", "txt", "log")
         val parts = path.split('.')
         val last = parts.last.toLowerCase
         val ext =
-          if ((last == "gz" || last == "bz2") && parts.length >= 3)
+          if ((last == "gz" || last == "bz2") && parts.length >= 3 &&
+              textFmts.contains(parts(parts.length - 2).toLowerCase))
             parts(parts.length - 2).toLowerCase
           else last
         read(spark, path, ext, opts)

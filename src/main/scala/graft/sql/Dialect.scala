@@ -142,7 +142,8 @@ object Dialect {
     * scale-correct plan and the SQL stays sugar.
     *
     * Supported subset: both sides simple relations (temp views, bound
-    * path tables, catalog tables); exactly ONE equality and ONE
+    * path tables, catalog tables); one-or-more equalities (composite
+    * keys ride as one synthesized struct) and exactly ONE
     * inclusive inequality (`>=` backward, `<=` forward) between
     * alias-qualified columns; `ASOF JOIN` is inner (unmatched probe
     * rows drop, DuckDB's default), `ASOF LEFT JOIN` keeps them
@@ -152,10 +153,24 @@ object Dialect {
     */
   private def rewriteAsofJoins(spark: SparkSession, tokens0: Vector[String]): Vector[String] = {
     var tokens = tokens0
-    var asofIdx = tokens.indexWhere(t => t.equalsIgnoreCase("ASOF"))
+    // only an ASOF directly followed by [LEFT] JOIN is the join — a
+    // column or alias literally named asof stays a column
+    def nextJoin(ts: Vector[String], from: Int): Int =
+      (from until ts.length).find { i =>
+        if (!ts(i).equalsIgnoreCase("ASOF")) false
+        else {
+          val j0 = nextNonWs(ts, i + 1)
+          j0 >= 0 && (ts(j0).equalsIgnoreCase("JOIN") ||
+            (ts(j0).equalsIgnoreCase("LEFT") && {
+              val j1 = nextNonWs(ts, j0 + 1)
+              j1 >= 0 && ts(j1).equalsIgnoreCase("JOIN")
+            }))
+        }
+      }.getOrElse(-1)
+    var asofIdx = nextJoin(tokens, 0)
     while (asofIdx >= 0) {
       tokens = rewriteOneAsof(spark, tokens, asofIdx)
-      asofIdx = tokens.indexWhere(t => t.equalsIgnoreCase("ASOF"))
+      asofIdx = nextJoin(tokens, 0)
     }
     tokens
   }
@@ -187,7 +202,7 @@ object Dialect {
     // paren closing this scope / end-of-tokens
     val stop = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
       "INTERSECT", "EXCEPT", "WINDOW", "JOIN", "LEFT", "RIGHT", "FULL",
-      "INNER", "CROSS", "TRIGGER")
+      "INNER", "CROSS", "TRIGGER", "ASOF")
     var end = tokens.length
     var d = 0
     var j = onIdx + 1
@@ -279,24 +294,59 @@ object Dialect {
     if (composite) res = res.drop("__asof_k")
     val view = "graft_asof_" + asofCounter.incrementAndGet()
     res.createOrReplaceTempView(view)
+    // statement bounds: mapping alias-qualified references outside
+    // this SELECT's scope would corrupt unrelated subqueries that
+    // happen to reuse the alias letters
+    var stmtStart = 0
+    locally {
+      var j = fromIdx
+      var bal = 0
+      var done = false
+      while (j >= 0 && !done) {
+        val t = tokens(j)
+        if (t == ")") bal += 1
+        else if (t == "(") {
+          if (bal == 0) { stmtStart = j + 1; done = true } else bal -= 1
+        } else if (bal == 0 && t.equalsIgnoreCase("SELECT")) {
+          stmtStart = j; done = true
+        }
+        j -= 1
+      }
+    }
+    var stmtEnd = tokens.length
+    locally {
+      var j = end
+      var d2 = 0
+      while (j < tokens.length && stmtEnd == tokens.length) {
+        val t = tokens(j)
+        if (t == "(") d2 += 1
+        else if (t == ")") { if (d2 == 0) stmtEnd = j else d2 -= 1 }
+        else if (d2 == 0 && (t.equalsIgnoreCase("UNION") ||
+          t.equalsIgnoreCase("INTERSECT") || t.equalsIgnoreCase("EXCEPT")))
+          stmtEnd = j
+        j += 1
+      }
+    }
     val spliced = tokens.take(fromIdx + 1) ++ Vector(" ", view, " ") ++
       tokens.drop(end)
-    val leftCols = lDf0.columns.toSet
+    val shift = 3 - (end - fromIdx - 1) // splice length delta
+    val mapEnd = stmtEnd + (if (stmtEnd >= end) shift else 0)
     val eqMap = eqs.map { case (kl, kr) => (rAl + "." + kr) -> kl }.toMap
     spliced.zipWithIndex.map { case (t, i) =>
-      // an output alias (token after AS) is the user's name, never a
-      // column reference — leave it alone
+      // only alias-QUALIFIED references are rewritten (a bare payload
+      // name may belong to a subquery's own relation), and only inside
+      // this statement's token range; an output alias (token after AS)
+      // is the user's name, never a column reference
       val prev = spliced.lastIndexWhere(x => !isWs(x), i - 1)
       val isAlias = prev >= 0 && spliced(prev).equalsIgnoreCase("AS")
-      if (isAlias) t
+      if (i < stmtStart || i >= mapEnd || isAlias) t
       else if (t.startsWith(lAl + ".")) t.stripPrefix(lAl + ".")
       else if (eqMap.contains(t)) eqMap(t)
       else if (t == rAl + "." + t2) "asof___rt"
       else if (t.startsWith(rAl + ".")) {
         val c = t.stripPrefix(rAl + ".")
         if (payload.contains(c)) "asof_" + c else t
-      } else if (payload.contains(t) && !leftCols.contains(t)) "asof_" + t
-      else t
+      } else t
     }
   }
 

@@ -33,7 +33,7 @@ import graft.sources.PathTable
 object OctoSql {
 
   private[sql] val PathTableRe =
-    """(?i)([A-Za-z0-9_\-./]+\.(?:csv|tsv|json|parquet|lines|txt|log)(?:\.(?:gz|bz2))?(?:\?[A-Za-z0-9_=&.\-]*)?)"""
+    """(?i)([A-Za-z0-9_\-./]+(?:\.(?:csv|tsv|json|lines|txt|log)(?:\.(?:gz|bz2))?|\.parquet)(?:\?[A-Za-z0-9_=&.\-]*)?)"""
 
   /** Tokenize preserving single-quoted string literals (with '' escape)
     * so rewrites never touch literal contents.
@@ -81,6 +81,24 @@ object OctoSql {
 
   private def isStringLit(t: String): Boolean = t.startsWith("'")
   private def isWs(t: String): Boolean = t.length == 1 && t(0).isWhitespace
+
+  /** Per-token paren depth: "(" carries the depth it OPENS, ")" the
+    * depth it returns to — so the matching parens of a scope at depth d
+    * are the "(" with depths==d and the ")" with depths==d-1. One
+    * definition for every depth-aware rewrite.
+    */
+  private[sql] def tokenDepths(tokens: Vector[String]): Array[Int] = {
+    val depths = new Array[Int](tokens.length)
+    var d = 0
+    var i = 0
+    while (i < tokens.length) {
+      if (tokens(i) == "(") d += 1
+      else if (tokens(i) == ")") d -= 1
+      depths(i) = d
+      i += 1
+    }
+    depths
+  }
 
   /** Find the index of the matching ")" for the "(" at `open`. */
   private[sql] def matching(tokens: Vector[String], open: Int): Int = {
@@ -182,18 +200,28 @@ object OctoSql {
   private[sql] def rewriteQualify(tokens0: Vector[String]): Vector[String] = {
     var tokens = tokens0
     while (true) {
-      // token depths: "(" carries the depth it opens, ")" the depth
-      // it returns to — so matching parens of scope depth d are the
-      // "(" with depths==d and the ")" with depths==d-1
-      val depths = new Array[Int](tokens.length)
-      var d = 0
+      val depths = tokenDepths(tokens)
+      // a QUALIFY token is the clause only when an expression precedes
+      // it (identifier/literal/")"/"*") AND a FROM exists earlier at
+      // the same depth — `SELECT qualify FROM t` and `WHERE qualify =
+      // 1` keep their column named qualify
+      def isClause(i: Int): Boolean = {
+        val p = tokens.lastIndexWhere(x => !isWs(x), i - 1)
+        if (p < 0) return false
+        val prev = tokens(p)
+        val exprEnd = prev == ")" || prev == "*" || isStringLit(prev) ||
+          prev.matches("""[A-Za-z_][A-Za-z0-9_.]*""") ||
+          prev.matches("""[0-9][A-Za-z0-9_.]*""")
+        val kw = Set("SELECT", "WHERE", "AND", "OR", "NOT", "BY", "ON",
+          "WHEN", "THEN", "ELSE", "CASE", "FROM", "JOIN", "AS")
+        exprEnd && !kw.contains(prev.toUpperCase) &&
+          (0 until i).exists(j => depths(j) == depths(i) &&
+            tokens(j).equalsIgnoreCase("FROM"))
+      }
       var qIdx = -1
       var i = 0
-      while (i < tokens.length) {
-        if (tokens(i) == "(") d += 1
-        else if (tokens(i) == ")") d -= 1
-        depths(i) = d
-        if (qIdx < 0 && tokens(i).equalsIgnoreCase("QUALIFY")) qIdx = i
+      while (i < tokens.length && qIdx < 0) {
+        if (tokens(i).equalsIgnoreCase("QUALIFY") && isClause(i)) qIdx = i
         i += 1
       }
       if (qIdx < 0) return tokens
@@ -267,25 +295,25 @@ object OctoSql {
   private[sql] def rewriteDistinctOn(tokens0: Vector[String]): Vector[String] = {
     var tokens = tokens0
     while (true) {
-      val depths = new Array[Int](tokens.length)
-      var d = 0
+      val depths = tokenDepths(tokens)
+      // the clause form is exactly `SELECT DISTINCT ON (` — a column
+      // named `on` after a plain DISTINCT does not trigger
       var onIdx = -1
       var i = 0
-      while (i < tokens.length) {
-        if (tokens(i) == "(") d += 1
-        else if (tokens(i) == ")") d -= 1
-        depths(i) = d
-        if (onIdx < 0 && tokens(i).equalsIgnoreCase("DISTINCT")) {
+      while (i < tokens.length && onIdx < 0) {
+        if (tokens(i).equalsIgnoreCase("DISTINCT")) {
           val nxt = tokens.indexWhere(x => !isWs(x), i + 1)
-          if (nxt >= 0 && tokens(nxt).equalsIgnoreCase("ON")) onIdx = i
+          val paren = if (nxt < 0) -1 else tokens.indexWhere(x => !isWs(x), nxt + 1)
+          val sel = tokens.lastIndexWhere(x => !isWs(x), i - 1)
+          if (nxt >= 0 && tokens(nxt).equalsIgnoreCase("ON") &&
+              paren >= 0 && tokens(paren) == "(" &&
+              sel >= 0 && tokens(sel).equalsIgnoreCase("SELECT")) onIdx = i
         }
         i += 1
       }
       if (onIdx < 0) return tokens
       val qd = depths(onIdx)
       val selIdx = tokens.lastIndexWhere(x => !isWs(x), onIdx - 1)
-      require(selIdx >= 0 && tokens(selIdx).equalsIgnoreCase("SELECT"),
-        "DISTINCT ON must directly follow SELECT")
       val open = tokens.indexWhere(_ == "(", onIdx)
       val close = matching(tokens, open)
       val exprs = tokens.slice(open + 1, close)
@@ -315,6 +343,12 @@ object OctoSql {
         "DISTINCT ON requires an ORDER BY (the first row per group is " +
           "undefined without one)")
       val limitIdx = at("LIMIT", orderIdx)
+      // the inner wrap is `SELECT *, row_number() ... <fromPart>` — an
+      // aggregate in fromPart would put GROUP BY under a star select;
+      // refuse with a real message instead of Spark's confusing one
+      require(at("GROUP", fromIdx) < 0 && at("HAVING", fromIdx) < 0,
+        "DISTINCT ON over an aggregate (GROUP BY/HAVING) is not " +
+          "supported — aggregate in a subquery, then DISTINCT ON over it")
       val selList = tokens.slice(close + 1, fromIdx)
       val fromPart = tokens.slice(fromIdx, orderIdx)
       val byIdx = at("BY", orderIdx)

@@ -355,6 +355,39 @@ class DialectSpec extends SparkSpec {
     }
   }
 
+  test("keyword guards: columns named asof/qualify survive; ASOF maps stay scoped") {
+    import spark.implicits._
+    Seq((1, 2)).toDF("asof", "qualify").createOrReplaceTempView("kw_t")
+    val r = Dialect.prepare(spark,
+      "SELECT asof, qualify FROM kw_t WHERE qualify = 2").df.collect()
+    assert(r.length == 1 && r(0).getInt(0) == 1 && r(0).getInt(1) == 2)
+    // an unrelated subquery's bare column matching a right-payload name
+    // is NOT rewritten (alias-qualified references only, statement-scoped)
+    Seq((1L, 10L, "e1")).toDF("k", "t", "id")
+      .createOrReplaceTempView("asof_sl")
+    Seq((1L, 5L, 100.0)).toDF("k", "t", "v")
+      .createOrReplaceTempView("asof_sr")
+    Seq((100.0, "e1"), (999.0, "zz")).toDF("v", "tag")
+      .createOrReplaceTempView("asof_promos")
+    val rows = Dialect.prepare(spark,
+      """SELECT l.id, r.v AS rv FROM asof_sl l ASOF JOIN asof_sr r
+        |ON l.k = r.k AND l.t >= r.t
+        |WHERE l.id IN (SELECT tag FROM asof_promos WHERE v > 2.0)""".stripMargin)
+      .df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("e1", 100.0)))
+  }
+
+  test("DISTINCT ON over an aggregate is refused with a clear message") {
+    import spark.implicits._
+    Seq(("a", 1)).toDF("k", "v").createOrReplaceTempView("don_agg_t")
+    val e = intercept[IllegalArgumentException] {
+      Dialect.prepare(spark,
+        """SELECT DISTINCT ON (k) k, sum(v) AS s FROM don_agg_t
+          |GROUP BY k ORDER BY k, s""".stripMargin)
+    }
+    assert(e.getMessage.contains("aggregate"))
+  }
+
   test("ASOF JOIN with a composite equality key") {
     import spark.implicits._
     Seq((1L, "x", 10L, "e1"), (1L, "y", 10L, "e2"))
