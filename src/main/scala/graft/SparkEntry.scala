@@ -2456,6 +2456,40 @@ object SparkEntry {
         .agg(sum(col("term")).cast(DoubleType).as("kl"))
     }),
 
+    // pairwise Jensen-Shannon divergence between source unigram
+    // distributions (the symmetric, bounded companion to t17's KL —
+    // the corpus-mixture drift readout). Only the vocabulary
+    // INTERSECTION needs log terms: a word in one source only
+    // contributes p·ln2 exactly, folded in closed form from the
+    // common-mass totals (2 − ca/ta − cb/tb), so no full-outer join
+    // over the union vocabulary. Per-word terms rounded to 9 then
+    // decimal-summed (t17's determinism discipline)
+    "t29_js_divergence" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val bySrc = toks.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+      val srcTot = bySrc.groupBy("source").agg(sum("n_sw").as("n_s"))
+      val a = bySrc.toDF("sa", "w", "na").join(srcTot.toDF("sa", "ta"), "sa")
+      val b = bySrc.toDF("sb", "w", "nb").join(srcTot.toDF("sb", "tb"), "sb")
+      val p = col("na").cast(DoubleType) / col("ta").cast(DoubleType)
+      val q = col("nb").cast(DoubleType) / col("tb").cast(DoubleType)
+      a.join(b, Seq("w")).filter(col("sa") < col("sb"))
+        .withColumn("term",
+          round(p * log(lit(2.0) * p / (p + q)) +
+            q * log(lit(2.0) * q / (p + q)), 9).cast(DecimalType(28, 9)))
+        .groupBy("sa", "sb", "ta", "tb")
+        .agg(sum("term").as("t_common"),
+          sum("na").as("ca"), sum("nb").as("cb"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          round((col("t_common").cast(DoubleType) +
+            log(lit(2.0)) * (lit(2.0)
+              - col("ca").cast(DoubleType) / col("ta").cast(DoubleType)
+              - col("cb").cast(DoubleType) / col("tb").cast(DoubleType)))
+            * 0.5, 6).as("js"))
+    }),
+
     // SCD2 dimension merge: one full-outer join + a generator
     // projection versions the whole dimension in a single pass —
     // updates = changed segments (%10==0), a no-op echo (%10==5, must
@@ -5945,6 +5979,43 @@ object SparkEntry {
         |JOIN gw g ON b.w = g.w
         |CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+
+    "t29_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT source, w FROM toks WHERE length(w) > 0),
+        |by_src AS (
+        |  SELECT source, w, COUNT(*) AS n_sw FROM tk GROUP BY 1, 2),
+        |src_tot AS (
+        |  SELECT source, SUM(n_sw) AS n_s FROM by_src GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb, ta.n_s AS ta, tb.n_s AS tb,
+        |    a.n_sw AS na, b.n_sw AS nb
+        |  FROM by_src a
+        |  JOIN by_src b ON a.w = b.w AND a.source < b.source
+        |  JOIN src_tot ta ON ta.source = a.source
+        |  JOIN src_tot tb ON tb.source = b.source),
+        |agg AS (
+        |  SELECT sa, sb, ta, tb,
+        |    SUM(CAST(round(
+        |      (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |        * ln(2.0 * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |             / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |                + (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))))
+        |      + (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |        * ln(2.0 * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |             / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |                + (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))), 9)
+        |      AS DECIMAL(28,9))) AS t_common,
+        |    SUM(na) AS ca, SUM(nb) AS cb
+        |  FROM pairs GROUP BY 1, 2, 3, 4)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  round((CAST(t_common AS DOUBLE)
+        |    + ln(2.0) * (2.0 - CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+        |                     - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))
+        |    * 0.5, 6) AS js
+        |FROM agg""".stripMargin,
 
     "p19_zorder" ->
       """SELECT event_id,
