@@ -1426,7 +1426,7 @@ object SparkEntry {
       s.read.option("rowTag", "nation").format("xml").load(out)
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("n_nations"),
-          sort_array(collect_list("n_name")).as("names"))
+          concat_ws("|", sort_array(collect_list("n_name"))).as("names"))
         .select(col("n_regionkey").cast(LongType).as("n_regionkey"),
           col("n_nations"), col("names"))
     }),
@@ -5112,7 +5112,7 @@ object SparkEntry {
     "q97_xml_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |  COUNT(*) AS n_nations,
-        |  list_sort(list(n_name)) AS names
+        |  array_to_string(list_sort(list(n_name)), '|') AS names
         |FROM nation GROUP BY 1""".stripMargin,
 
     "p5_boilerplate" ->

@@ -31,6 +31,36 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // The driver's oracle harness canonicalizes result rows with a pandas
+  // lexsort before hashing; a raw ARRAY/MAP/STRUCT column makes that sort
+  // throw (unhashable numpy.ndarray) whenever it participates in the key.
+  // Guard the whole suite: every query must emit scalar-only columns,
+  // except the documented allowlist below.
+  private val nonScalarAllowed = Map(
+    // array_agg IS the operator under test; its array column sorts last
+    // by name ("vals") behind a unique (l_orderkey) lexsort prefix, so
+    // the pandas sort never reaches it
+    "q30_array_agg" -> "array_agg output; unique sort prefix shields it",
+    // rows-only queries (no DuckDB oracle): the harness never sorts them
+    "m2_media_features" -> "rows-only check; struct metadata is the point"
+  )
+  test("every query output schema is scalar-only (oracle-sortable)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def nonScalar(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
+        dt.isInstanceOf[StructType]
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !nonScalarAllowed.contains(name) =>
+        val bad = fn(spark, sf).schema.fields
+          .filter(f => nonScalar(f.dataType)).map(_.name)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar output columns (add concat_ws or allowlist): " +
+        offenders.mkString("; "))
+  }
+
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set("d3_minhash_lsh", "d4_simhash", "s2_ann_lsh",
       "m2_media_features")
