@@ -736,6 +736,11 @@ object SparkEntry {
 
     "d22_edit_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // NOT the len-bounded candidate variant: measured at sf1-soak
+      // (clone-heavy, near-identical lengths) the in-join length window
+      // prunes nothing while its len payload rides the quadratic-fanout
+      // shingle join — 20.8 s vs 11.2 s for this path. On varied-length
+      // corpora use Dedup.ngramJaccardPairsLenBounded instead.
       val cand = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.7, tokens = true, maxDocFreq = Some(50))
         .select("id_a", "id_b")

@@ -235,15 +235,30 @@ object Dedup {
       // ⌈tNum·n/tDen⌉ = (tNum·n + tDen − 1) div tDen, all integer
       .filter(col("rn") <=
         col("n") - expr(s"(${tNum}L * n + ${tDen - 1}L) div ${tDen}L") + 1)
-      .select(col("id"), col("tok"), col("n"))
+      .select(col("id"), col("tok"), col("n"), col("rn"))
     // length filter rides the candidate join: J ≥ t ⇒ t·|B| ≤ |A| (and
-    // symmetrically) — prunes cross-size candidates before the verify
-    val cands = prefix.toDF("doc_a", "tok", "na")
-      .join(prefix.toDF("doc_b", "tok", "nb"), "tok")
+    // symmetrically) — prunes cross-size candidates before the verify.
+    // Then the PPJoin POSITIONAL filter (Xiao et al., WWW 2008): both
+    // sides are ranked under the same global order, so positions of
+    // shared tokens are monotone — min(pa) and min(pb) over a pair's
+    // matches identify the FIRST common prefix token, at which
+    // |A∩B| ≤ 1 + min(na−pa, nb−pb). Require that bound to reach the
+    // minimal overlap α, where (tNum+tDen)·α ≥ tNum·(na+nb) — still
+    // all-integer, still lossless, and it cuts the verify-join input
+    // on clone-heavy data where the length filter alone passes
+    // everything.
+    val cands = prefix.toDF("doc_a", "tok", "na", "pa")
+      .join(prefix.toDF("doc_b", "tok", "nb", "pb"), "tok")
       .filter(col("doc_a") < col("doc_b") &&
         lit(tDen) * col("na") >= lit(tNum) * col("nb") &&
         lit(tDen) * col("nb") >= lit(tNum) * col("na"))
-      .select("doc_a", "doc_b").distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(min("pa").as("pa"), min("pb").as("pb"),
+        first("na").as("na"), first("nb").as("nb"))
+      .filter(lit(tNum + tDen) *
+        (lit(1L) + least(col("na") - col("pa"), col("nb") - col("pb"))) >=
+        lit(tNum) * (col("na") + col("nb")))
+      .select("doc_a", "doc_b")
     // exact verify on candidates only: intersection by re-joining the
     // full token sets of each side
     val inter = cands
@@ -298,6 +313,50 @@ object Dedup {
     * hashed to 64-bit before the self-join: same equality classes
     * w.h.p. (collision odds ~n²/2⁶⁴), a fraction of the shuffle bytes.
     */
+  /** d22's candidate generator: [[ngramJaccardPairs]] with a length
+    * window pushed INTO the inverted-index self-join. Edit distance ≤ k
+    * implies |len_a − len_b| ≤ k, so any candidate violating the window
+    * is dead on arrival at the verify — drop it per shingle match,
+    * BEFORE the per-pair intersection aggregate, instead of after pair
+    * formation. The index carries one extra long per row (the doc
+    * length); the payoff is that cross-length shingle collisions never
+    * reach the groupBy. Lossless for any verify bound k ≤ maxLenDiff.
+    *
+    * TRADEOFF (measured): the len payload rides every joined row, so on
+    * corpora where lengths barely vary the filter prunes nothing and
+    * the extra bytes on the quadratic-fanout join are pure cost — at
+    * sf1-soak (10-member clone families, ±3-char lengths) this path is
+    * 20.8 s vs 11.2 s for plain [[ngramJaccardPairs]]+post-filter, while
+    * at sf0.1 real data it wins 1.8 s vs 2.2 s. Use it when the corpus
+    * length distribution is wide relative to maxLenDiff.
+    */
+  def ngramJaccardPairsLenBounded(df: DataFrame, idCol: String,
+                                  textCol: String, n: Int,
+                                  threshold: Double, maxLenDiff: Int,
+                                  maxDocFreq: Option[Int] = None,
+                                  tokens: Boolean = false): DataFrame = {
+    val idx = df.select(col(idCol).as("id"),
+        length(col(textCol)).cast(LongType).as("len"),
+        explode(shinglesOf(col(textCol), n, tokens)).as("shingle"))
+      .select(col("id"), col("len"), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = capDocFreq(idx, maxDocFreq)
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = capped.toDF("id_a", "len_a", "shingle")
+      .join(capped.toDF("id_b", "len_b", "shingle"), "shingle")
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxLenDiff)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def ngramJaccardPairsFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = idx.toDF("id_a", "shingle")

@@ -1853,6 +1853,31 @@ class OperatorsSpec extends SparkSpec {
       s"shingles: missed=${shBrute -- shGot} extra=${shGot -- shBrute}")
   }
 
+  test("ngramJaccardPairsLenBounded: lossless when wide, prunes cross-length") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy dog " +
+        Seq.fill(40)("pad").mkString(" "))).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val plain = rows(graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", 3, 0.1, tokens = true))
+    val wide = rows(graft.operators.Dedup.ngramJaccardPairsLenBounded(
+      docs, "doc_id", "text", 3, 0.1, maxLenDiff = 1000, tokens = true))
+    // a window wider than any length delta changes nothing
+    assert(wide == plain, s"wide window diverged: $wide vs $plain")
+    assert(plain.exists { case (a, b, _) => a == 1L && b == 3L },
+      "test premise: (1,3) should pass the unfiltered threshold")
+    val narrow = rows(graft.operators.Dedup.ngramJaccardPairsLenBounded(
+      docs, "doc_id", "text", 3, 0.1, maxLenDiff = 10, tokens = true))
+    // the padded doc 3 is >10 chars longer than 1 and 2: pruned in-join
+    assert(narrow == plain.filter { case (a, b, _) => b != 3L },
+      s"narrow window kept a cross-length pair: $narrow")
+  }
+
   test("triangles counts K4 and ignores pendant paths") {
     import spark.implicits._
     // K4 on {1,2,3,4}: each vertex is in C(3,2)=3 triangles; the
