@@ -38,6 +38,11 @@ object AuditPlans {
     "s11_rrf" ->
       ("single-query brute-force cosine: one broadcast query row x one " +
         "corpus scan is linear, the BNLJ is the 1-row build side"),
+    "t29_js_divergence" ->
+      ("pair universe = cross of the per-source TOTALS aggregate " +
+        "(|sources|² rows, corpus-size-independent) so disjoint-" +
+        "vocabulary pairs surface with JS = ln 2; the vocabulary-sized " +
+        "work stays on the equi-join"),
     "d20_semantic_decontam" ->
       ("eval side is MB-scale by definition (the d8 asymmetry in embedding " +
         "space): broadcast eval matrix over one corpus scan IS the scale path"))

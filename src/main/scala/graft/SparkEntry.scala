@@ -2468,7 +2468,11 @@ object SparkEntry {
     // contributes p·ln2 exactly, folded in closed form from the
     // common-mass totals (2 − ca/ta − cb/tb), so no full-outer join
     // over the union vocabulary. Per-word terms rounded to 9 then
-    // decimal-summed (t17's determinism discipline)
+    // decimal-summed (t17's determinism discipline). The pair universe
+    // comes from a cross of the |sources|-row totals aggregate — NOT
+    // from the intersection join — so a pair sharing zero vocabulary
+    // still surfaces, with the correction term alone yielding the
+    // correct JS = ln 2 (ADVICE r6)
     "t29_js_divergence" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("source"),
@@ -2480,18 +2484,25 @@ object SparkEntry {
       val b = bySrc.toDF("sb", "w", "nb").join(srcTot.toDF("sb", "tb"), "sb")
       val p = col("na").cast(DoubleType) / col("ta").cast(DoubleType)
       val q = col("nb").cast(DoubleType) / col("tb").cast(DoubleType)
-      a.join(b, Seq("w")).filter(col("sa") < col("sb"))
+      val common = a.join(b, Seq("w")).filter(col("sa") < col("sb"))
         .withColumn("term",
           round(p * log(lit(2.0) * p / (p + q)) +
             q * log(lit(2.0) * q / (p + q)), 9).cast(DecimalType(28, 9)))
-        .groupBy("sa", "sb", "ta", "tb")
+        .groupBy("sa", "sb")
         .agg(sum("term").as("t_common"),
           sum("na").as("ca"), sum("nb").as("cb"))
+      val pairs = srcTot.toDF("sa", "ta")
+        .crossJoin(srcTot.toDF("sb", "tb"))
+        .filter(col("sa") < col("sb"))
+      pairs.join(common, Seq("sa", "sb"), "left")
         .select(col("sa").as("source_a"), col("sb").as("source_b"),
-          round((col("t_common").cast(DoubleType) +
+          round((coalesce(col("t_common"), lit(0).cast(DecimalType(28, 9)))
+            .cast(DoubleType) +
             log(lit(2.0)) * (lit(2.0)
-              - col("ca").cast(DoubleType) / col("ta").cast(DoubleType)
-              - col("cb").cast(DoubleType) / col("tb").cast(DoubleType)))
+              - coalesce(col("ca"), lit(0L)).cast(DoubleType)
+                / col("ta").cast(DoubleType)
+              - coalesce(col("cb"), lit(0L)).cast(DoubleType)
+                / col("tb").cast(DoubleType)))
             * 0.5, 6).as("js"))
     }),
 
@@ -5994,7 +6005,7 @@ object SparkEntry {
         |  SELECT source, w, COUNT(*) AS n_sw FROM tk GROUP BY 1, 2),
         |src_tot AS (
         |  SELECT source, SUM(n_sw) AS n_s FROM by_src GROUP BY 1),
-        |pairs AS (
+        |shared AS (
         |  SELECT a.source AS sa, b.source AS sb, ta.n_s AS ta, tb.n_s AS tb,
         |    a.n_sw AS na, b.n_sw AS nb
         |  FROM by_src a
@@ -6002,7 +6013,7 @@ object SparkEntry {
         |  JOIN src_tot ta ON ta.source = a.source
         |  JOIN src_tot tb ON tb.source = b.source),
         |agg AS (
-        |  SELECT sa, sb, ta, tb,
+        |  SELECT sa, sb,
         |    SUM(CAST(round(
         |      (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
         |        * ln(2.0 * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
@@ -6014,13 +6025,17 @@ object SparkEntry {
         |                + (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))), 9)
         |      AS DECIMAL(28,9))) AS t_common,
         |    SUM(na) AS ca, SUM(nb) AS cb
-        |  FROM pairs GROUP BY 1, 2, 3, 4)
-        |SELECT sa AS source_a, sb AS source_b,
-        |  round((CAST(t_common AS DOUBLE)
-        |    + ln(2.0) * (2.0 - CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
-        |                     - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))
+        |  FROM shared GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.source AS sa, a.n_s AS ta, b.source AS sb, b.n_s AS tb
+        |  FROM src_tot a JOIN src_tot b ON a.source < b.source)
+        |SELECT p.sa AS source_a, p.sb AS source_b,
+        |  round((CAST(COALESCE(g.t_common, 0) AS DOUBLE)
+        |    + ln(2.0) * (2.0
+        |        - CAST(COALESCE(g.ca, 0) AS DOUBLE) / CAST(p.ta AS DOUBLE)
+        |        - CAST(COALESCE(g.cb, 0) AS DOUBLE) / CAST(p.tb AS DOUBLE)))
         |    * 0.5, 6) AS js
-        |FROM agg""".stripMargin,
+        |FROM pairs p LEFT JOIN agg g ON g.sa = p.sa AND g.sb = p.sb""".stripMargin,
 
     "p19_zorder" ->
       """SELECT event_id,

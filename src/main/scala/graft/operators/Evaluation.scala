@@ -93,7 +93,11 @@ object Evaluation {
       sum(col("n_pos_v") * (lit(2L) * col("neg_below") + col("n_neg_v")))
         .as("num"))
       .select(col("n_pos"), col("n_neg"),
-        (col("num").cast("double") /
-          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+        // NULL (not 0/0 = NaN) when either class is empty — same
+        // guard shape as ksTwoSample's
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("num").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
   }
 }

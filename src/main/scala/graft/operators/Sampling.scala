@@ -233,9 +233,17 @@ object Sampling {
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var covered = Set.empty[String]
     for (round <- 1 to k) {
+      // covered set travels as a broadcast relation, not an isin(...)
+      // literal list: k·max-doc-vocab literals would bloat the Catalyst
+      // plan (analysis cost is per-round) where a broadcast hash anti-
+      // join ships the same bytes once and keeps the plan constant-size
       val remaining =
         if (covered.isEmpty) toks
-        else toks.filter(!col("tok").isin(covered.toSeq: _*))
+        else {
+          import spark.implicits._
+          toks.join(broadcast(covered.toSeq.toDF("tok")),
+            Seq("tok"), "left_anti")
+        }
       val top = remaining.groupBy("id").agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("id")).limit(1).collect()
       if (top.nonEmpty && top(0).getLong(1) > 0) {

@@ -292,6 +292,18 @@ object Dialect {
       payload :+ "__rt", direction = dir)
     if (!isLeft) res = res.filter(col("asof___rt").isNotNull)
     if (composite) res = res.drop("__asof_k")
+    // keep SELECT * honest (ADVICE r6): internal columns must not leak
+    // into star expansion. The right-time column survives only if the
+    // statement actually references ra.<t2>; a payload column keeps
+    // its bare name when that doesn't collide with a probe column —
+    // the asof_ prefix is a collision escape, not an output format.
+    // only tokens SURVIVING the splice can reference it — the ON
+    // clause always contains ra.<t2> but is replaced by the view
+    val refsRt = (tokens.take(fromIdx + 1) ++ tokens.drop(end))
+      .contains(rAl + "." + t2)
+    if (!refsRt) res = res.drop("asof___rt")
+    val bareable = payload.filter(c => !lDf.columns.contains(c)).toSet
+    bareable.foreach { c => res = res.withColumnRenamed("asof_" + c, c) }
     val view = "graft_asof_" + asofCounter.incrementAndGet()
     res.createOrReplaceTempView(view)
     // statement bounds: mapping alias-qualified references outside
@@ -345,7 +357,9 @@ object Dialect {
       else if (t == rAl + "." + t2) "asof___rt"
       else if (t.startsWith(rAl + ".")) {
         val c = t.stripPrefix(rAl + ".")
-        if (payload.contains(c)) "asof_" + c else t
+        if (payload.contains(c)) {
+          if (bareable.contains(c)) c else "asof_" + c
+        } else t
       } else t
     }
   }

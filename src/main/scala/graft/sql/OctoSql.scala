@@ -214,9 +214,27 @@ object OctoSql {
           prev.matches("""[0-9][A-Za-z0-9_.]*""")
         val kw = Set("SELECT", "WHERE", "AND", "OR", "NOT", "BY", "ON",
           "WHEN", "THEN", "ELSE", "CASE", "FROM", "JOIN", "AS")
-        exprEnd && !kw.contains(prev.toUpperCase) &&
-          (0 until i).exists(j => depths(j) == depths(i) &&
-            tokens(j).equalsIgnoreCase("FROM"))
+        // the FROM must belong to THIS statement: scan back only to the
+        // nearest same-depth statement boundary (SELECT / set-op) or
+        // out of the enclosing paren group — a FROM in a sibling set-op
+        // branch or an earlier closed scope must not make a column
+        // named qualify in a FROM-less SELECT read as the clause
+        // (ADVICE r6; mirrors rewriteOneAsof's stmtStart walk)
+        def fromInStatement: Boolean = {
+          var j = i - 1
+          while (j >= 0) {
+            if (depths(j) < depths(i)) return false
+            if (depths(j) == depths(i)) {
+              val u = tokens(j).toUpperCase
+              if (u == "FROM") return true
+              if (u == "SELECT" || u == "UNION" || u == "INTERSECT" ||
+                u == "EXCEPT") return false
+            }
+            j -= 1
+          }
+          false
+        }
+        exprEnd && !kw.contains(prev.toUpperCase) && fromInStatement
       }
       var qIdx = -1
       var i = 0

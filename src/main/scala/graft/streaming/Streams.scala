@@ -408,10 +408,16 @@ object Streams {
       spark.createDataFrame(rows, schema)
         .write.mode("append").parquet(stage)
     }
-    // the first sentinel pair rides along with the data in micro-batch
-    // ONE (the file source snapshots all staged files at the first
-    // trigger), so its watermark advance is in force by batch two —
-    // two stateful batches total, not three
+    // ONE sentinel pair, riding along with the data in micro-batch 0
+    // (the file source snapshots all staged files at the first
+    // trigger). After batch 0 the watermark is sentinel_ts − within =
+    // max + 2·within, strictly past every data row's close condition
+    // (wm > lts + within), so the AUTOMATIC no-data micro-batch that
+    // follows a watermark advance evicts and emits every unmatched row
+    // — 2 micro-batches total. A second sentinel (and its 2 further
+    // batches) measured as pure per-batch fixed cost: dropping it took
+    // the st8/st11 drain from 4 batches to 2 with byte-identical
+    // filtered output.
     sentinel(0L)
     val q = withStatePartitions(spark)(joined.writeStream
       .outputMode("append")
@@ -419,8 +425,6 @@ object Streams {
       .queryName(queryName)
       .start())
     try {
-      q.processAllAvailable()
-      sentinel(1000L)  // triggers the batch that evicts + emits unmatched rows
       q.processAllAvailable()
     } finally {
       q.stop()

@@ -293,6 +293,24 @@ class DialectSpec extends SparkSpec {
     assert(rows == Seq(("a", 2), ("a", 3), ("b", 5)))
   }
 
+  test("QUALIFY scope: a sibling branch's FROM doesn't capture an alias") {
+    import spark.implicits._
+    Seq(("a", 1)).toDF("k", "v").createOrReplaceTempView("qualify_sib_t")
+    // the second set-op branch has NO FROM: its `1 qualify` is a column
+    // alias, and the first branch's FROM (same depth, earlier) must not
+    // promote it to the clause (ADVICE r6)
+    val rows = Dialect.prepare(spark,
+      """SELECT k AS c FROM qualify_sib_t
+        |UNION ALL SELECT 'z' qualify""".stripMargin).df
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(rows == Seq("a", "z"))
+    // and the clause itself still triggers after a genuine FROM
+    val q = Dialect.prepare(spark,
+      """SELECT k, row_number() OVER (ORDER BY v) AS rn
+        |FROM qualify_sib_t QUALIFY rn = 1""".stripMargin).df
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("DISTINCT ON keeps the first row per group by the ORDER BY") {
     import spark.implicits._
     Seq(("a", 1, 10), ("a", 2, 30), ("b", 3, 20), ("b", 4, 20))
@@ -353,6 +371,39 @@ class DialectSpec extends SparkSpec {
       Dialect.prepare(spark,
         "SELECT l.id FROM asof_l l ASOF JOIN asof_r r ON l.t >= r.t")
     }
+  }
+
+  test("ASOF JOIN: SELECT * exposes no synthetic columns (ADVICE r6)") {
+    import spark.implicits._
+    Seq((1L, 10L, "e1"), (2L, 7L, "e3"))
+      .toDF("k", "t", "id").createOrReplaceTempView("asof_star_l")
+    Seq((1L, 5L, 100.0), (2L, 8L, 300.0))
+      .toDF("k", "t", "v").createOrReplaceTempView("asof_star_r")
+    val star = Dialect.prepare(spark,
+      """SELECT * FROM asof_star_l l ASOF LEFT JOIN asof_star_r r
+        |ON l.k = r.k AND l.t >= r.t""".stripMargin).df
+    // no asof___rt (r.t is unreferenced), and the payload keeps its
+    // bare name (v doesn't collide with a probe column)
+    assert(star.columns.toSeq == Seq("k", "t", "id", "v"),
+      star.columns.mkString(","))
+    // referencing ra.<t> still works, through the internal column
+    val rt = Dialect.prepare(spark,
+      """SELECT l.id, r.t AS rt FROM asof_star_l l
+        |ASOF JOIN asof_star_r r
+        |ON l.k = r.k AND l.t >= r.t""".stripMargin).df
+    assert(rt.columns.toSeq == Seq("id", "rt"))
+    assert(rt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1) == Seq(("e1", 5L)))
+    // a payload name colliding with a probe column keeps the asof_
+    // escape prefix under star, and qualified references still resolve
+    Seq((1L, 5L, "build")).toDF("k", "t", "id")
+      .createOrReplaceTempView("asof_star_rc")
+    val clash = Dialect.prepare(spark,
+      """SELECT l.id, r.id AS rid FROM asof_star_l l
+        |ASOF JOIN asof_star_rc r
+        |ON l.k = r.k AND l.t >= r.t""".stripMargin).df
+    assert(clash.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("e1", "build")))
   }
 
   test("keyword guards: columns named asof/qualify survive; ASOF maps stay scoped") {

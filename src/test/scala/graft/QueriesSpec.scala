@@ -69,6 +69,20 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("t29 surfaces disjoint-vocabulary source pairs with js = ln 2") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t29_disjoint")
+      .toFile.getAbsolutePath
+    Seq((1L, "alpha beta gamma", "src_a", 15L),
+        (2L, "delta epsilon zeta", "src_b", 17L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("t29_js_divergence")(spark, tmp).collect()
+    assert(rows.length == 1, s"pair vanished: ${rows.mkString(",")}")
+    assert(math.abs(rows(0).getDouble(2) - math.log(2.0)) < 1e-6,
+      s"disjoint pair js=${rows(0).getDouble(2)} != ln 2")
+  }
+
   test("q1_agg groups are complete") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     val flags = df.select("l_returnflag").distinct().collect().map(_.getString(0))
