@@ -121,9 +121,37 @@ object Bench {
     // reproducible capability number. SPARK_GRAFT_SAMPLES overrides
     // (1 = old single-shot behavior).
     val passes = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(2)
-    val results = names.map { name =>
-      name -> (1 to passes).map(_ => force(name)).min / 1e9
+    val resultSamples = names.map { name =>
+      name -> (1 to passes).map(_ => force(name) / 1e9)
     }
+    val results = resultSamples.map { case (n, ss) => n -> ss.min }
+
+    // Round-over-round min drift (VERDICT r6 task 8): before this run
+    // overwrites BENCH_LOCAL.json, read the previous same-sf record and
+    // flag any query whose min-of-passes worsened >1.5x (plus a 0.25 s
+    // absolute floor so sub-second queries' jitter doesn't fire it).
+    // A flag, not a failure: per-query heavy-tail host jitter is real
+    // (PLANS.md §flagship-drift); the flag tells the round record which
+    // regressions need a manual re-run or a plan diff.
+    val prevPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    val prevMins: Map[String, Double] =
+      if (only.isEmpty && java.nio.file.Files.exists(prevPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(prevPath),
+          "UTF-8")
+        if (txt.contains("\"sf\":\"" + sfDir + "\"")) {
+          val dict = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          val pair = """"([A-Za-z0-9_]+)":([-0-9.Ee]+)""".r
+          dict.map(d => pair.findAllMatchIn(d.group(1))
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap)
+            .getOrElse(Map.empty)
+        } else Map.empty
+      } else Map.empty
+    val minRegressions = results.flatMap { case (n, v) =>
+      prevMins.get(n).filter(p => p > 0 && v > p * 1.5 && v - p > 0.25)
+        .map(p => (n, p, v))
+    }
+    minRegressions.foreach { case (n, p, v) => System.err.println(
+      f"[bench] MIN-REGRESSION $n: $p%.2f s -> $v%.2f s (>1.5x prior min)") }
     // Driver contract: ONE JSON line on stdout, and the driver's tail
     // capture keeps only the LAST 2000 bytes of all output — including
     // sbt's ~76-char "[success]" epilogue that prints after us. Round
@@ -170,7 +198,17 @@ object Bench {
       s""""flagship_csv_rows_per_sec":${csvRps.toLong},""" +
       s""""flagship_best_rows_per_sec":${bestRps.toLong},""" +
       s""""sf":$sfNum,"full":"BENCH_LOCAL.json"}"""
+    // per-query spread [min,max] across passes + any round-over-round
+    // min regressions — full-precision record only (byte-budget-free)
+    val spreadFull = resultSamples.map { case (k, ss) =>
+      "\"" + k + "\":[" + ss.min + "," + ss.max + "]"
+    }.mkString("{", ",", "}")
+    val regressionsFull = minRegressions.map { case (n, p, v) =>
+      "\"" + n + "\":[" + p + "," + v + "]"
+    }.mkString("{", ",", "}")
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s""""queries_spread":$spreadFull,""" +
+      s""""min_regressions":$regressionsFull,""" +
       s""""flagship_csv_groupby_sec":$csvSec,"flagship_csv_rows_per_sec":$csvRps,""" +
       s""""flagship_samples_sec":${samples.mkString("[", ",", "]")},""" +
       s""""flagship_best_rows_per_sec":$bestRps,""" +

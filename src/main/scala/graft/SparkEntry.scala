@@ -3395,6 +3395,28 @@ object SparkEntry {
         .toDF("doc_id", "variant", "width", "height")
     }),
 
+    // JPEG/EXIF header scan: SOF0/SOF2 dims + component count +
+    // progressive flag from the marker walk, EXIF orientation (tag
+    // 274) from the APP1 TIFF block — both TIFF byte orders exercised,
+    // a COM segment skipped, entropy data never touched. Completes the
+    // header-scan family (m9-m15) with the one ubiquitous format it
+    // lacked
+    "m16_jpeg_exif" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bytes = Multimodal.encodeJpegExif(
+              (id % 480 + 1).toInt, (id % 360 + 1).toInt,
+              (id % 8 + 1).toInt, id % 3 == 0, id % 2 == 0)
+            val (w, h, nc, prog, orient) = Multimodal.jpegHeader(bytes).get
+            (id, w.toLong, h.toLong, nc.toLong, prog, orient.toLong)
+          }
+        }
+        .toDF("doc_id", "width", "height", "components", "progressive",
+          "orientation")
+    }),
+
     // FLAC STREAMINFO scan: rate/channels/bits/total-samples from the
     // mandatory first metadata block, duration as exact integer
     // division — no frame read, mirrors m10's MP3 frame-math oracle
@@ -4666,6 +4688,15 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN 'VP8X' ELSE 'VP8L' END AS variant,
         |  CAST(doc_id % 300 + 1 AS BIGINT) AS width,
         |  CAST(doc_id % 200 + 1 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+    "m16_jpeg_exif" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 480 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 360 + 1 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS components,
+        |  doc_id % 3 = 0 AS progressive,
+        |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation
         |FROM documents""".stripMargin,
 
     "m15_flac_header" ->

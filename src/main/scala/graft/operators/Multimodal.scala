@@ -869,6 +869,128 @@ object Multimodal {
     bb.array()
   }
 
+  /** JPEG metadata from the marker stream only: frame width, height,
+    * component count and progressive flag from the first SOFn segment
+    * (SOF0 baseline / SOF2 progressive), plus the EXIF orientation
+    * (tag 274) from an APP1 "Exif" TIFF block when present — default 1
+    * (top-left) when absent, honoring the TIFF byte-order mark.
+    * Entropy-coded data is never reached: the walk skips marker
+    * segments by their declared lengths and stops at the SOF, so cost
+    * is header-bounded regardless of payload size (ITU-T T.81 §B;
+    * EXIF 2.3 §4.6.4). `None` for non-JPEG payloads, truncated
+    * segments, or a stream hitting SOS/EOI before any SOF.
+    */
+  def jpegHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Boolean, Int)] = {
+    if (bytes.length < 4) return None
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return None
+    def u16(o: Int): Int =
+      if (o + 2 > bytes.length) -1
+      else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    var orientation = 1
+    var i = 2
+    while (i + 2 <= bytes.length) {
+      // fill bytes: any run of 0xFF before the marker code is legal
+      var k = i
+      while (k < bytes.length && (bytes(k) & 0xFF) == 0xFF) k += 1
+      if (k == i || k >= bytes.length) return None
+      val m = bytes(k) & 0xFF
+      if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before any SOF
+      val len = u16(k + 1)
+      if (len < 2 || k + 1 + len > bytes.length) return None
+      if (m == 0xC0 || m == 0xC2) {
+        val o = k + 3
+        if (len < 8) return None
+        val h = u16(o + 1)
+        val w = u16(o + 3)
+        val nc = bytes(o + 5) & 0xFF
+        return Some((w, h, nc, m == 0xC2, orientation))
+      }
+      if (m == 0xE1 && len >= 22 && bytes(k + 3) == 'E' &&
+          bytes(k + 4) == 'x' && bytes(k + 5) == 'i' &&
+          bytes(k + 6) == 'f' && bytes(k + 7) == 0 && bytes(k + 8) == 0) {
+        // TIFF block; offsets are relative to its own start. Malformed
+        // EXIF degrades to the default orientation, never to a reject
+        val s = k + 9
+        val leOpt =
+          if (s + 8 <= bytes.length && bytes(s) == 'I' && bytes(s + 1) == 'I')
+            Some(true)
+          else if (s + 8 <= bytes.length && bytes(s) == 'M' &&
+            bytes(s + 1) == 'M') Some(false)
+          else None
+        leOpt.foreach { le =>
+          def tu16(o: Int): Int =
+            if (o + 2 > bytes.length) -1
+            else if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+            else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+          def tu32(o: Int): Long =
+            if (o + 4 > bytes.length) -1L
+            else if (le) (tu16(o) & 0xFFFFL) | ((tu16(o + 2) & 0xFFFFL) << 16)
+            else ((tu16(o) & 0xFFFFL) << 16) | (tu16(o + 2) & 0xFFFFL)
+          if (tu16(s + 2) == 42) {
+            val ifd = tu32(s + 4)
+            if (ifd >= 8 && s + ifd + 2 <= bytes.length) {
+              val base = (s + ifd).toInt
+              val n = tu16(base)
+              if (n > 0 && base + 2 + n * 12 <= bytes.length) {
+                var e = base + 2
+                var idx = 0
+                while (idx < n) {
+                  if (tu16(e) == 274 && tu16(e + 2) == 3) {
+                    val v = tu16(e + 8)
+                    if (v >= 1 && v <= 8) orientation = v
+                  }
+                  e += 12; idx += 1
+                }
+              }
+            }
+          }
+        }
+      }
+      i = k + 1 + len
+    }
+    None
+  }
+
+  /** Minimal JPEG writer for fixtures: SOI, an APP1 EXIF block with a
+    * single-entry IFD carrying the orientation tag (byte order
+    * selectable — both TIFF endiannesses must parse), a COM segment
+    * (exercises unknown-segment skipping), one SOF0/SOF2 frame header
+    * with 3 components, EOI. No tables, no scan: header-only, like the
+    * scanner that reads it.
+    */
+  def encodeJpegExif(w: Int, h: Int, orientation: Int,
+                     progressive: Boolean, exifLe: Boolean): Array[Byte] = {
+    require(w >= 1 && w <= 0xFFFF && h >= 1 && h <= 0xFFFF,
+      s"SOF dims are u16: ${w}x$h")
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation is 1..8: $orientation")
+    val out = new java.io.ByteArrayOutputStream(96)
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    // APP1: "Exif\0\0" + 26-byte TIFF (header, 1-entry IFD, terminator)
+    val tiff = java.nio.ByteBuffer.allocate(26).order(
+      if (exifLe) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put((if (exifLe) "II" else "MM").getBytes("US-ASCII"))
+      .putShort(42).putInt(8)         // magic, IFD at offset 8
+      .putShort(1)                    // one entry
+      .putShort(274).putShort(3).putInt(1) // Orientation, SHORT, count 1
+      .putShort(orientation.toShort).putShort(0) // value + pad
+      .putInt(0)                      // no next IFD
+    b(0xFF); b(0xE1); be16(2 + 6 + 26)
+    out.write("Exif".getBytes("US-ASCII")); b(0); b(0)
+    out.write(tiff.array())
+    val com = "graft fixture".getBytes("US-ASCII")
+    b(0xFF); b(0xFE); be16(2 + com.length); out.write(com)
+    b(0xFF); b(if (progressive) 0xC2 else 0xC0)
+    be16(2 + 6 + 3 * 3); b(8) // len, precision
+    be16(h); be16(w); b(3)
+    for (c <- 1 to 3) { b(c); b(0x11); b(if (c == 1) 0 else 1) }
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** FLAC STREAMINFO metadata: sample rate, channels, bits-per-sample,
     * total samples from the mandatory first metadata block — frames
     * are never read. Duration is exactly derivable as

@@ -721,6 +721,45 @@ object Streams {
       }
   }
 
+  /** The reference's `TRIGGER DELAY d` — debounce: a key's aggregate
+    * (re-)fires once the key has been QUIET for `d` of processing
+    * time, retracting the previous emission first. The reference
+    * PARSES this trigger but typecheck-panics on it
+    * (logical/group_by.go:40-42); implementing it makes this engine's
+    * trigger surface a strict superset. Processing-time timers via
+    * `flatMapGroupsWithState`: every data batch folds the key's rows
+    * into the count and re-arms the key's timeout (so a busy key never
+    * fires), the timeout callback emits — state and timers live in the
+    * per-key state store, partitioned by key, no driver involvement.
+    * After firing, the key goes dormant (no timer) until new data.
+    */
+  def delayTriggerCounts(keyed: Dataset[String],
+                         delayMs: Long): Dataset[Emit] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(identity)
+      .flatMapGroupsWithState[CountState, Emit](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[CountState]) =>
+          if (state.hasTimedOut) {
+            val st = state.getOption.getOrElse(CountState(0L, -1L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Emit]
+            if (st.count != st.lastEmitted) {
+              if (st.lastEmitted >= 0)
+                out += Emit(key, st.lastEmitted, retraction = true)
+              out += Emit(key, st.count, retraction = false)
+              state.update(st.copy(lastEmitted = st.count))
+            }
+            out.iterator
+          } else {
+            var st = state.getOption.getOrElse(CountState(0L, -1L))
+            rows.foreach(_ => st = st.copy(count = st.count + 1))
+            state.update(st)
+            state.setTimeoutDuration(delayMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One emitted row of a retraction-capable streaming outer join. */
   case class JoinEmit(key: String, left: Option[Long], right: Option[Long],
                       retraction: Boolean)

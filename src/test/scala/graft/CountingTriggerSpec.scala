@@ -30,6 +30,40 @@ class CountingTriggerSpec extends SparkSpec {
     assert(rows.filter(_._1 == "b").toSeq == Seq(("b", 2L, false)))
   }
 
+  test("delay trigger fires on key quiescence with retractions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Streams.delayTriggerCounts(mem.toDS(), delayMs = 300L)
+    // paced trigger: timer expiry is detected by the next scheduled
+    // batch — an unpaced (ASAP) trigger would busy-loop no-data
+    // batches while waiting on the processing-time timers
+    val q = out.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .format("memory").queryName("dt_test").start()
+    def rows() = spark.table("dt_test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    def await(pred: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 20000
+      while (!pred && System.currentTimeMillis < deadline) Thread.sleep(50)
+    }
+    mem.addData("a", "a", "b")
+    // nothing until the keys go quiet for the delay; then both fire
+    await(rows().length >= 2)
+    assert(rows().toSet == Set(("a", 2L, false), ("b", 1L, false)),
+      rows().mkString(","))
+    // more data on a fired key re-arms it; the next quiescence
+    // retracts the old value and emits the new one
+    mem.addData("a")
+    await(rows().count(_._1 == "a") >= 3)
+    q.stop()
+    val as = rows().filter(_._1 == "a").toSet
+    assert(as == Set(("a", 2L, false), ("a", 2L, true), ("a", 3L, false)),
+      as.mkString(","))
+    // a quiet-but-unchanged key ("b") never re-fires
+    assert(rows().count(_._1 == "b") == 1, rows().mkString(","))
+  }
+
   test("stream_native formatting renders +/- records") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

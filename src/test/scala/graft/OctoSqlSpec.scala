@@ -200,6 +200,13 @@ class OctoSqlSpec extends SparkSpec {
       s"SELECT k, COUNT(*) AS c FROM $join1 GROUP BY k TRIGGER COUNTING 1 ORDER BY k")
       .count()
     assert(n == 2)
+    // TRIGGER DELAY parses too — the reference accepts the syntax but
+    // typecheck-panics (logical/group_by.go:40-42); here the batch form
+    // runs (the streaming semantics live in Streams.delayTriggerCounts)
+    val d = OctoSql.run(spark,
+      s"SELECT k, COUNT(*) AS c FROM $join1 GROUP BY k TRIGGER DELAY 2 ORDER BY k")
+      .count()
+    assert(d == 2)
   }
 
   test("unnest() explodes lists") {

@@ -2265,4 +2265,27 @@ class OperatorsSpec extends SparkSpec {
     assert(operators.Multimodal.flacHeader("fLaX".getBytes ++
       new Array[Byte](40)).isEmpty)
   }
+
+  test("jpegHeader round-trips SOF+EXIF and rejects junk") {
+    val M = operators.Multimodal
+    for (w <- Seq(1, 480, 65535); h <- Seq(1, 360, 65535);
+         o <- 1 to 8; prog <- Seq(false, true); le <- Seq(false, true)) {
+      assert(M.jpegHeader(M.encodeJpegExif(w, h, o, prog, le)) ==
+        Some((w, h, 3, prog, o)), s"jpeg $w x $h o=$o prog=$prog le=$le")
+    }
+    val good = M.encodeJpegExif(640, 480, 6, progressive = false,
+      exifLe = true)
+    // no EXIF: splice the APP1 out -> default orientation 1
+    val app1Len = 2 + 6 + 26
+    val noExif = good.take(2) ++ good.drop(2 + 2 + app1Len)
+    assert(M.jpegHeader(noExif) == Some((640, 480, 3, false, 1)))
+    // truncated mid-segment, non-JPEG magic, EOI-before-SOF
+    assert(M.jpegHeader(good.take(20)).isEmpty)
+    assert(M.jpegHeader("notajpeg".getBytes).isEmpty)
+    assert(M.jpegHeader(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte))
+      .isEmpty)
+    // corrupt EXIF magic degrades to default orientation, not a reject
+    val badTiff = good.clone(); badTiff(13) = 'X'
+    assert(M.jpegHeader(badTiff) == Some((640, 480, 3, false, 1)))
+  }
 }
