@@ -1436,6 +1436,79 @@ object SparkEntry {
           col("n_nations"), col("names"))
     }),
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // the available columns (lateness = shipped >60 days after the
+    // order date; no receipt/commit dates in this schema). The Spark
+    // plan is the DE-CORRELATED form — EXISTS(another supplier) ⟺
+    // per-order distinct-supplier count > 1, NOT EXISTS(another LATE
+    // supplier) ⟺ per-order late-supplier count = 1 — two aggregates
+    // and key joins instead of two correlated subqueries per row; the
+    // DuckDB oracle runs the textbook EXISTS/NOT-EXISTS formulation,
+    // proving the rewrite exact on real data
+    "q98_tpch_q21" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val nsup = l.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct("l_suppkey").as("nsup"))
+      val nlate = late.groupBy("ok").agg(count(lit(1)).as("nlate"))
+      late.join(nsup, "ok").join(nlate, "ok")
+        .filter(col("nsup") > 1 && col("nlate") === 1)
+        .groupBy("sk").agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("sk") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue CTE + a max-equality
+    // scalar subquery — the aggregate feeding the comparison is
+    // |suppliers|-sized, so the max broadcasts as a 1-row build side
+    // and revenue stays DECIMAL through the equality (double compare
+    // of independently-rounded sums would be engine-dependent)
+    "q99_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("2000-04-01").cast(TimestampType))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+            * (lit(1).cast(DecimalType(3, 2))
+              - col("l_discount").cast(DecimalType(4, 2))))
+          .as("rev"))
+      val mx = rev.agg(max("rev").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev").cast(DoubleType).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q18 (large-volume customers): the IN-over-HAVING subquery
+    // expressed as an aggregate join — per-order quantity totals are
+    // |orders|-sized, filtered to the >250 tail before touching
+    // customer; quantities sum as DECIMAL (doubles reorder)
+    "q100_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val o = t(s, dir, "orders")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast(DoubleType).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    }),
+
     // schema evolution across ingest epochs: epoch 2 adds a column;
     // mergeSchema unions the footers (epoch-1 rows read NULL for it)
     // and the epoch= path layout becomes a prunable partition column —
@@ -5155,6 +5228,51 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q98_tpch_q21" ->
+      """WITH w AS (
+        |  SELECT DISTINCT l1.l_orderkey AS ok, l1.l_suppkey AS sk
+        |  FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |  WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1
+        |      FROM lineitem l3 JOIN orders o3
+        |        ON o3.o_orderkey = l3.l_orderkey
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey
+        |        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY))
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM w JOIN supplier ON s_suppkey = sk
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q99_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |      AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q100_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q97_xml_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
