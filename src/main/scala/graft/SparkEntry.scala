@@ -1509,6 +1509,51 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }),
 
+    // TPC-H Q14 (promotion effect): one month of lineitem × broadcast
+    // part, the CASE'd revenue share as a ratio of two DECIMAL sums —
+    // the only float step is the final division, rounded to 6
+    "q101_tpch_q14" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2))
+          - col("l_discount").cast(DecimalType(4, 2)))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("2000-02-01").cast(TimestampType))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).as("promo"),
+          sum(rev).as("total"))
+        .select(round(lit(100.0) * col("promo").cast(DoubleType)
+          / col("total").cast(DoubleType), 6).as("promo_revenue_pct"))
+    }),
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs over (brand, size, quantity) triplets rides the
+    // broadcast-join filter — one lineitem scan, part broadcasts,
+    // no union-of-three-scans rewrite needed
+    "q102_tpch_q19" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2))
+          - col("l_discount").cast(DecimalType(4, 2)))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#13"
+            && col("l_quantity").between(1, 11)
+            && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#19"
+            && col("l_quantity").between(10, 20)
+            && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#2"
+            && col("l_quantity").between(20, 30)
+            && col("p_size").between(1, 15)))
+        .agg(sum(rev).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // schema evolution across ingest epochs: epoch 2 adds a column;
     // mergeSchema unions the footers (epoch-1 rows read NULL for it)
     // and the epoch= path layout becomes a prunable partition column —
@@ -5228,6 +5273,31 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q101_tpch_q14" ->
+      """SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2000-02-01 00:00:00'""".stripMargin,
+
+    "q102_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
 
     "q98_tpch_q21" ->
       """WITH w AS (
