@@ -1448,11 +1448,15 @@ object SparkEntry {
     "q98_tpch_q21" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
+      // persisted: both the wait-filter and the per-order late-count
+      // derive from it — without the persist Spark re-executes the
+      // lineitem⋈orders late join once per consumer
       val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
         .filter(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+        .persist()
       val nsup = l.groupBy(col("l_orderkey").as("ok"))
         .agg(countDistinct("l_suppkey").as("nsup"))
       val nlate = late.groupBy("ok").agg(count(lit(1)).as("nlate"))
@@ -1479,6 +1483,9 @@ object SparkEntry {
             * (lit(1).cast(DecimalType(3, 2))
               - col("l_discount").cast(DecimalType(4, 2))))
           .as("rev"))
+        // |suppliers|-sized; persisted so the max doesn't re-run the
+        // quarter's lineitem scan+aggregate
+        .persist()
       val mx = rev.agg(max("rev").as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("rev") === col("mx"))
