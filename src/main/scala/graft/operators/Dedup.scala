@@ -313,6 +313,26 @@ object Dedup {
     * hashed to 64-bit before the self-join: same equality classes
     * w.h.p. (collision odds ~n²/2⁶⁴), a fraction of the shuffle bytes.
     */
+  def ngramJaccardPairsFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = idx.toDF("id_a", "shingle")
+    val b = idx.toDF("id_b", "shingle")
+    val common = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // sizes has one row per document: never force a broadcast (O(corpus)
+    // driver memory at scale) — AQE broadcasts when it actually fits,
+    // shuffle-joins otherwise (round-1 ADVICE)
+    common
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** d22's candidate generator: [[ngramJaccardPairs]] with a length
     * window pushed INTO the inverted-index self-join. Edit distance ≤ k
     * implies |len_a − len_b| ≤ k, so any candidate violating the window
@@ -347,26 +367,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxLenDiff)
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.toDF("id_a", "sz_a"), "id_a")
-      .join(sizes.toDF("id_b", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double")
-          / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
-
-  def ngramJaccardPairsFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
-    val sizes = idx.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = idx.toDF("id_a", "shingle")
-    val b = idx.toDF("id_b", "shingle")
-    val common = a.join(b, "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    // sizes has one row per document: never force a broadcast (O(corpus)
-    // driver memory at scale) — AQE broadcasts when it actually fits,
-    // shuffle-joins otherwise (round-1 ADVICE)
     common
       .join(sizes.toDF("id_a", "sz_a"), "id_a")
       .join(sizes.toDF("id_b", "sz_b"), "id_b")
