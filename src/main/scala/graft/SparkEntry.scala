@@ -775,6 +775,33 @@ object SparkEntry {
       ranked.select(col("doc_id"), col("q"), col("curriculum_pos"))
     }),
 
+    // incremental recompute driver: per-partition content fingerprints
+    // (order-independent portable-hash sums, mergeable) reduce a
+    // snapshot diff to |partitions| rows — epoch 2 here deletes the
+    // %89 stripe and edits the %97 stripe, and only the partitions
+    // those stripes touch flag as changed. At 100 TB this is THE
+    // mechanism that lets a nightly pipeline recompute 3 partitions
+    // instead of 2000
+    "p53_partition_fingerprint" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+      val epoch2 = base.filter(col("doc_id") % 89 =!= 5)
+        .withColumn("text", when(col("doc_id") % 97 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val fb = operators.Layout
+        .partitionFingerprints(base, "source", col("text"))
+        .toDF("source", "n_base", "fp_base")
+      val fn = operators.Layout
+        .partitionFingerprints(epoch2, "source", col("text"))
+        .toDF("source", "n_new", "fp_new")
+      fb.join(fn, Seq("source"), "full_outer") // partitions may (dis)appear
+        .select(col("source"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          (!(col("fp_base") <=> col("fp_new")) ||
+            !(col("n_base") <=> col("n_new"))).as("changed"))
+    }),
+
     // lakehouse maintenance: small-file compaction planning (OPTIMIZE
     // bin-packing) over a simulated file listing — per-partition
     // cumsum cut at the target size; plans 100 TB of files by
@@ -4612,6 +4639,33 @@ object SparkEntry {
          |SELECT doc_id, q,
          |  row_number() OVER (ORDER BY q DESC, doc_id) AS curriculum_pos
          |FROM q""".stripMargin,
+
+    "p53_partition_fingerprint" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, text FROM documents),
+        |newe AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN doc_id % 97 = 3 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 89 <> 5),
+        |fb AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0))) AS f
+        |  FROM base GROUP BY 1),
+        |fn AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0))) AS f
+        |  FROM newe GROUP BY 1)
+        |SELECT COALESCE(b.source, n.source) AS source,
+        |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_base,
+        |  CAST(COALESCE(n.n, 0) AS BIGINT) AS n_new,
+        |  (b.f IS DISTINCT FROM n.f OR b.n IS DISTINCT FROM n.n) AS changed
+        |FROM fb b FULL OUTER JOIN fn n ON b.source = n.source""".stripMargin,
 
     "p31_compaction_plan" ->
       """WITH listing AS (

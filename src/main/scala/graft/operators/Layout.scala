@@ -71,4 +71,26 @@ object Layout {
       .withColumn("group_id", expr(s"__cum div ${targetBytes}L"))
       .drop("__cum")
   }
+
+  /** Per-partition content fingerprints for incremental recompute: a
+    * partition reduces to `(n_rows, fingerprint)`, where the
+    * fingerprint is the SUM of a portable per-row content hash
+    * ([[graft.operators.TextAnalysis.polyHash]], base-31 mod 1e9+7) —
+    * order-independent (sum commutes, so any scan order or
+    * partitioning yields the same value) and mergeable (the
+    * fingerprint of a union is the sum of fingerprints). Two snapshots
+    * of a 100 TB table diff by comparing |partitions| fingerprint rows
+    * instead of re-reading the data; only flagged partitions recompute
+    * downstream. The sum accumulates as DECIMAL(38,0): a 64-bit sum
+    * would wrap at ~9e9 rows/partition in Spark while DuckDB widens to
+    * 128-bit — the decimal form is identical in both engines at any
+    * cardinality.
+    */
+  def partitionFingerprints(df: DataFrame, partCol: String,
+                            contentCol: Column): DataFrame =
+    df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(TextAnalysis.polyHash(contentCol, 31L, 1000000007L)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("fingerprint"))
 }
