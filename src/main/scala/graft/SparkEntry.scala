@@ -3795,6 +3795,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // streaming fingerprint maintenance: p53's mergeable partition
+    // fingerprints as a stateful streaming aggregation — the ingest
+    // path keeps the snapshot-diff table current without rescans; the
+    // drained result is bit-identical to the batch fingerprint
+    "st17_stream_fingerprint" -> ((s, dir) =>
+      Streams.runStreamFingerprints(s, s"$dir/documents.parquet",
+          "source", "text", queryName = "st17_stream_fingerprint")
+        // BIGINT for the oracle compare (exact; the operator's DECIMAL
+        // sorts as a string in the harness while DuckDB's floats)
+        .select(col("source"), col("n_rows"),
+          col("fingerprint").cast(LongType).as("fingerprint"))),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -4287,6 +4299,15 @@ object SparkEntry {
         |WHERE d.source <> 'src0'
         |  AND NOT EXISTS (SELECT 1 FROM documents e
         |                  WHERE e.source = 'src0' AND e.text = d.text)""".stripMargin,
+
+    "st17_stream_fingerprint" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0)))
+        |    AS BIGINT) AS fingerprint
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q96_not_exists" ->
       """SELECT c.c_custkey, c.c_name FROM customer c

@@ -760,6 +760,29 @@ object Streams {
       }
   }
 
+  /** Streaming partition-fingerprint maintenance: the batch operator
+    * ([[graft.operators.Layout.partitionFingerprints]]) is a SUM of
+    * per-row portable hashes, and sums merge — so the fingerprint
+    * table maintains incrementally under streaming ingest as a plain
+    * stateful aggregation (complete mode here; update mode + a sink
+    * MERGE at scale). The drained result is bit-identical to the
+    * batch fingerprint of the same data: the incremental-ingest form
+    * of p53's snapshot-diff mechanism.
+    */
+  def runStreamFingerprints(spark: SparkSession, path: String,
+                            partCol: String, contentCol: String,
+                            queryName: String = "graft_fp"): DataFrame = {
+    val agg = graft.operators.Layout.partitionFingerprints(
+      fileStream(spark, path), partCol, col(contentCol))
+    val q = withStatePartitions(spark)(agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** One emitted row of a retraction-capable streaming outer join. */
   case class JoinEmit(key: String, left: Option[Long], right: Option[Long],
                       retraction: Boolean)

@@ -491,4 +491,20 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
     assert(rows == Set(("a", 1, 10.0), ("b", 2, 20.0)))
   }
+
+  test("streaming partition fingerprints equal the batch operator") {
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.Layout.partitionFingerprints(
+        Engine.table(spark, sf, "documents"), "source", col("text"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val streamed = graft.streaming.Streams.runStreamFingerprints(spark,
+        s"$sf/documents.parquet", "source", "text", "fp_spec")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    // the sum is mergeable, so incremental (streamed) maintenance must
+    // reproduce the batch fingerprint bit-for-bit
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.nonEmpty && batch.forall(_._2 > 0))
+  }
 }
