@@ -92,6 +92,20 @@ object AuditPlans {
         !boundedByLimit(w.child) => "UnpartitionedWindow"
   }
 
+  /** THE gate (VERDICT r7 task 8): one query's pass/fail decision,
+    * shared verbatim by the `main` below and by QueriesSpec's
+    * per-query test — so a future query cannot pass the spec while
+    * failing the main (or vice versa). Returns Some(failure message)
+    * on an unexpected hazard, None when the plan is clean or the query
+    * is allow-listed.
+    */
+  def gate(name: String,
+           df: org.apache.spark.sql.DataFrame): Option[String] = {
+    val found = hazards(df.queryExecution.sparkPlan)
+    if (found.isEmpty || allowed.contains(name)) None
+    else Some(s"$name: unexpected scale hazard: ${found.mkString(",")}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = Engine.session("local[8]", 8)
@@ -100,15 +114,15 @@ object AuditPlans {
     names.foreach { name =>
       val res =
         try {
-          val plan = SparkEntry.queries(name)(spark, sfDir)
-            .queryExecution.sparkPlan
-          val allPairs = hazards(plan)
-          if (allPairs.isEmpty) "ok"
-          else allowed.get(name) match {
-            case Some(why) => s"ALLOWED ${allPairs.mkString(",")} ($why)"
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          gate(name, df) match {
+            case Some(msg) =>
+              unexpected ::= msg
+              "UNEXPECTED " + msg
             case None =>
-              unexpected ::= s"$name: ${allPairs.mkString(",")}"
-              s"UNEXPECTED ${allPairs.mkString(",")}"
+              val allPairs = hazards(df.queryExecution.sparkPlan)
+              if (allPairs.isEmpty) "ok"
+              else s"ALLOWED ${allPairs.mkString(",")} (${allowed(name)})"
           }
         } catch { case e: Throwable =>
           unexpected ::= s"$name: plan build failed: ${e.getMessage}"

@@ -133,18 +133,42 @@ object Bench {
     // A flag, not a failure: per-query heavy-tail host jitter is real
     // (PLANS.md §flagship-drift); the flag tells the round record which
     // regressions need a manual re-run or a plan diff.
-    val prevPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    // ADVICE r7: resolve against the repo root (walk up to build.sbt)
+    // so the drift check works from any CWD, and parse with jackson
+    // (bundled with Spark) so format drift fails loudly instead of
+    // silently no-opping the regex.
+    val repoRoot: java.nio.file.Path = {
+      var d = java.nio.file.Paths.get("").toAbsolutePath
+      while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+        d = d.getParent
+      if (d == null) java.nio.file.Paths.get("").toAbsolutePath else d
+    }
+    val prevPath = repoRoot.resolve("BENCH_LOCAL.json")
     val prevMins: Map[String, Double] =
       if (only.isEmpty && java.nio.file.Files.exists(prevPath)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(prevPath),
-          "UTF-8")
-        if (txt.contains("\"sf\":\"" + sfDir + "\"")) {
-          val dict = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-          val pair = """"([A-Za-z0-9_]+)":([-0-9.Ee]+)""".r
-          dict.map(d => pair.findAllMatchIn(d.group(1))
-            .map(x => x.group(1) -> x.group(2).toDouble).toMap)
-            .getOrElse(Map.empty)
-        } else Map.empty
+        try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(prevPath.toFile)
+          if (root.path("sf").asText("") == sfDir) {
+            val q = root.path("queries")
+            if (!q.isObject) sys.error("BENCH_LOCAL.json queries is not an object")
+            val it = q.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val e = it.next()
+              if (!e.getValue.isNumber) sys.error(
+                s"BENCH_LOCAL.json queries.${e.getKey} is not a number")
+              b += e.getKey -> e.getValue.asDouble()
+            }
+            b.result()
+          } else Map.empty
+        } catch { case e: Exception =>
+          // diagnostic-only feature: loud, but never fails the bench
+          System.err.println(
+            s"[bench] WARNING: cannot parse $prevPath for min-drift " +
+            s"check: ${e.getMessage}")
+          Map.empty
+        }
       } else Map.empty
     val minRegressions = results.flatMap { case (n, v) =>
       prevMins.get(n).filter(p => p > 0 && v > p * 1.5 && v - p > 0.25)
@@ -218,7 +242,7 @@ object Bench {
     // Subset runs (SPARK_GRAFT_ONLY) must not clobber the committed
     // full-suite record with a 3-query file
     if (only.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Files.write(prevPath,
         (jsonFull + "\n").getBytes("UTF-8"))
     spark.stop() // before the JSON line: shutdown logging must not follow it
     println(json)

@@ -1477,7 +1477,11 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       // persisted: both the wait-filter and the per-order late-count
       // derive from it — without the persist Spark re-executes the
-      // lineitem⋈orders late join once per consumer
+      // lineitem⋈orders late join once per consumer. Lifecycle
+      // (ADVICE r7): released by Engine.releaseCaches, which every
+      // harness main (Bench/Verify/ScalingBench) calls after each
+      // query — queries() builders stay side-effect-free and never
+      // self-unpersist (the consumer decides when the result is done).
       val late = l.join(o, l("l_orderkey") === o("o_orderkey"))
         .filter(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS"))
@@ -1511,7 +1515,8 @@ object SparkEntry {
               - col("l_discount").cast(DecimalType(4, 2))))
           .as("rev"))
         // |suppliers|-sized; persisted so the max doesn't re-run the
-        // quarter's lineitem scan+aggregate
+        // quarter's lineitem scan+aggregate (released by
+        // Engine.releaseCaches after each harness query — see q98)
         .persist()
       val mx = rev.agg(max("rev").as("mx"))
       rev.crossJoin(broadcast(mx))

@@ -292,23 +292,10 @@ object Dialect {
       payload :+ "__rt", direction = dir)
     if (!isLeft) res = res.filter(col("asof___rt").isNotNull)
     if (composite) res = res.drop("__asof_k")
-    // keep SELECT * honest (ADVICE r6): internal columns must not leak
-    // into star expansion. The right-time column survives only if the
-    // statement actually references ra.<t2>; a payload column keeps
-    // its bare name when that doesn't collide with a probe column —
-    // the asof_ prefix is a collision escape, not an output format.
-    // only tokens SURVIVING the splice can reference it — the ON
-    // clause always contains ra.<t2> but is replaced by the view
-    val refsRt = (tokens.take(fromIdx + 1) ++ tokens.drop(end))
-      .contains(rAl + "." + t2)
-    if (!refsRt) res = res.drop("asof___rt")
-    val bareable = payload.filter(c => !lDf.columns.contains(c)).toSet
-    bareable.foreach { c => res = res.withColumnRenamed("asof_" + c, c) }
-    val view = "graft_asof_" + asofCounter.incrementAndGet()
-    res.createOrReplaceTempView(view)
     // statement bounds: mapping alias-qualified references outside
     // this SELECT's scope would corrupt unrelated subqueries that
-    // happen to reuse the alias letters
+    // happen to reuse the alias letters. Computed BEFORE the refsRt
+    // drop decision so that scan is bounded by the same range.
     var stmtStart = 0
     locally {
       var j = fromIdx
@@ -339,6 +326,23 @@ object Dialect {
         j += 1
       }
     }
+    // keep SELECT * honest (ADVICE r6): internal columns must not leak
+    // into star expansion. The right-time column survives only if THIS
+    // STATEMENT actually references ra.<t2> (ADVICE r7: bounded to
+    // stmtStart..stmtEnd — an unrelated subquery/set-op branch reusing
+    // the same alias must not keep asof___rt alive here); a payload
+    // column keeps its bare name when that doesn't collide with a
+    // probe column — the asof_ prefix is a collision escape, not an
+    // output format. Only tokens SURVIVING the splice can reference
+    // it — the ON clause always contains ra.<t2> but is replaced by
+    // the view.
+    val refsRt = (tokens.slice(stmtStart, fromIdx + 1) ++
+      tokens.slice(end, stmtEnd)).contains(rAl + "." + t2)
+    if (!refsRt) res = res.drop("asof___rt")
+    val bareable = payload.filter(c => !lDf.columns.contains(c)).toSet
+    bareable.foreach { c => res = res.withColumnRenamed("asof_" + c, c) }
+    val view = "graft_asof_" + asofCounter.incrementAndGet()
+    res.createOrReplaceTempView(view)
     val spliced = tokens.take(fromIdx + 1) ++ Vector(" ", view, " ") ++
       tokens.drop(end)
     val shift = 3 - (end - fromIdx - 1) // splice length delta

@@ -590,11 +590,14 @@ object Streams {
   }
 
   /** Per-band-bucket LSH state: the doc ids registered in this bucket
-    * so far (capped at `maxBucket` — the streaming analog of the batch
-    * skew guard: a degenerate bucket stops REGISTERING, bounding both
-    * state size and per-arrival fanout at maxBucket pairs).
+    * so far, kept SORTED so membership is a binary search (capped at
+    * `maxBucket` — the streaming analog of the batch skew guard: a
+    * degenerate bucket stops REGISTERING, bounding both state size and
+    * per-arrival fanout at maxBucket pairs). Sorted-array membership
+    * makes the cap cheap to raise: per-arrival cost is O(log n) search
+    * + O(existing) pair emission, never O(n) scans per probe.
     */
-  case class LshBucketState(ids: List[Long])
+  case class LshBucketState(ids: Array[Long])
 
   /** One near-dup candidate pair from the streaming LSH ingest. */
   case class LshPair(id_a: Long, id_b: Long)
@@ -662,17 +665,26 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
          state: GroupState[LshBucketState]) =>
-          var ids = state.getOption.map(_.ids).getOrElse(Nil)
+          // sorted registry: membership = binarySearch, insert = shift
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          state.getOption.foreach(s => ids ++= s.ids)
           val out = scala.collection.mutable.ArrayBuffer.empty[LshPair]
           rows.map(_._1).toArray.sorted.foreach { d =>
-            if (!ids.contains(d)) {
+            // ArrayBuffer has no primitive binarySearch; inline one to
+            // avoid boxing every element of a hot 1000-entry bucket
+            var lo = 0; var hi = ids.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ids(mid) < d) lo = mid + 1 else hi = mid
+            }
+            if (lo >= ids.length || ids(lo) != d) {
               ids.foreach { r =>
                 out += LshPair(math.min(r, d), math.max(r, d))
               }
-              if (ids.length < maxBucket) ids = d :: ids
+              if (ids.length < maxBucket) ids.insert(lo, d)
             }
           }
-          state.update(LshBucketState(ids))
+          state.update(LshBucketState(ids.toArray))
           out.iterator
       }
     val q = withStatePartitions(spark)(pairs.toDF().writeStream
@@ -732,9 +744,21 @@ object Streams {
     * fires), the timeout callback emits — state and timers live in the
     * per-key state store, partitioned by key, no driver involvement.
     * After firing, the key goes dormant (no timer) until new data.
+    *
+    * State lifecycle (ADVICE r7): the running count per key is the
+    * SEMANTICS — like any un-watermarked streaming aggregate, state is
+    * inherently O(distinct keys) and a dormant key's row lives
+    * forever by default. `stateTtlMs` bounds that: after firing, a
+    * second processing-time timer evicts the key's state once it has
+    * been dormant for the TTL. The tradeoff is explicit — an evicted
+    * key that later receives data restarts its count from 0 WITHOUT
+    * retracting the old emission (the standard state-TTL semantics
+    * change), so the default (0 = no TTL) keeps exact reference
+    * semantics and unbounded state.
     */
   def delayTriggerCounts(keyed: Dataset[String],
-                         delayMs: Long): Dataset[Emit] = {
+                         delayMs: Long,
+                         stateTtlMs: Long = 0L): Dataset[Emit] = {
     import keyed.sparkSession.implicits._
     keyed.groupByKey(identity)
       .flatMapGroupsWithState[CountState, Emit](
@@ -744,10 +768,18 @@ object Streams {
             val st = state.getOption.getOrElse(CountState(0L, -1L))
             val out = scala.collection.mutable.ArrayBuffer.empty[Emit]
             if (st.count != st.lastEmitted) {
+              // delay timer: fire, then (optionally) arm the TTL
+              // eviction timer. A data batch always re-arms the delay
+              // timer and makes count != lastEmitted, so a timeout
+              // with nothing pending can only be the TTL timer.
               if (st.lastEmitted >= 0)
                 out += Emit(key, st.lastEmitted, retraction = true)
               out += Emit(key, st.count, retraction = false)
               state.update(st.copy(lastEmitted = st.count))
+              if (stateTtlMs > 0L) state.setTimeoutDuration(stateTtlMs)
+            } else {
+              // TTL timer on a dormant key: evict
+              state.remove()
             }
             out.iterator
           } else {

@@ -64,6 +64,35 @@ class CountingTriggerSpec extends SparkSpec {
     assert(rows().count(_._1 == "b") == 1, rows().mkString(","))
   }
 
+  test("delay trigger with state TTL evicts dormant keys (count restarts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Streams.delayTriggerCounts(mem.toDS(), delayMs = 200L,
+      stateTtlMs = 400L)
+    val q = out.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .format("memory").queryName("dt_ttl_test").start()
+    def rows() = spark.table("dt_ttl_test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    def await(pred: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 20000
+      while (!pred && System.currentTimeMillis < deadline) Thread.sleep(50)
+    }
+    mem.addData("a", "a")
+    await(rows().nonEmpty)
+    assert(rows().toSet == Set(("a", 2L, false)), rows().mkString(","))
+    // let the TTL evict the dormant key, then send fresh data: the
+    // count restarts from 0 and nothing is retracted — the documented
+    // TTL semantics tradeoff
+    Thread.sleep(900)
+    mem.addData("a")
+    await(rows().length >= 2)
+    q.stop()
+    assert(rows().toSet == Set(("a", 2L, false), ("a", 1L, false)),
+      rows().mkString(","))
+  }
+
   test("stream_native formatting renders +/- records") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

@@ -406,6 +406,25 @@ class DialectSpec extends SparkSpec {
       .toSeq == Seq(("e1", "build")))
   }
 
+  test("ASOF SELECT *: ra.<t> in a set-op branch reusing the alias does not leak asof___rt (ADVICE r7)") {
+    import spark.implicits._
+    Seq((1L, 10L, "e1")).toDF("k", "t", "id")
+      .createOrReplaceTempView("asof_uni_l")
+    Seq((1L, 5L, 100.0)).toDF("k", "t", "v")
+      .createOrReplaceTempView("asof_uni_r")
+    // the UNION ALL branch references r.t through its OWN alias r over
+    // a plain join; the first statement's star expansion must not keep
+    // the internal asof___rt column alive because of it
+    val df = Dialect.prepare(spark,
+      """SELECT * FROM asof_uni_l l ASOF JOIN asof_uni_r r
+        |ON l.k = r.k AND l.t >= r.t
+        |UNION ALL
+        |SELECT l.k, r.t, l.id, r.v FROM asof_uni_l l
+        |JOIN asof_uni_r r ON l.k = r.k""".stripMargin).df
+    assert(!df.columns.contains("asof___rt"), df.columns.mkString(","))
+    assert(df.columns.length == 4 && df.count() == 2)
+  }
+
   test("keyword guards: columns named asof/qualify survive; ASOF maps stay scoped") {
     import spark.implicits._
     Seq((1, 2)).toDF("asof", "qualify").createOrReplaceTempView("kw_t")

@@ -12,25 +12,6 @@ class QueriesSpec extends SparkSpec {
   private val mayBeEmpty = Set("q2_filter", "d2_ngram_jaccard",
     "d3_minhash_lsh", "d5_embed_pairs")
 
-  SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"$name runs") {
-      val df = fn(spark, sf)
-      // suite-wide plan-hygiene gate (the AuditPlans main, in CI): an
-      // all-pairs join shape appearing in ANY query fails the suite
-      // unless it is an allow-listed in-query ground truth
-      val allPairs = AuditPlans.hazards(df.queryExecution.sparkPlan)
-      assert(allPairs.isEmpty || AuditPlans.allowed.contains(name),
-        s"$name: unexpected all-pairs plan: ${allPairs.mkString(",")}")
-      val n = df.count()
-      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
-      assert(df.columns.nonEmpty)
-    }
-  }
-
-  test("entry returns rows") {
-    assert(SparkEntry.entry(spark).count() > 0)
-  }
-
   // The driver's oracle harness canonicalizes result rows with a pandas
   // lexsort before hashing; a raw ARRAY/MAP/STRUCT column makes that sort
   // throw (unhashable numpy.ndarray) whenever it participates in the key.
@@ -44,21 +25,43 @@ class QueriesSpec extends SparkSpec {
     // rows-only queries (no DuckDB oracle): the harness never sorts them
     "m2_media_features" -> "rows-only check; struct metadata is the point"
   )
-  test("every query output schema is scalar-only (oracle-sortable)") {
+  private def nonScalar(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    def nonScalar(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
-        dt.isInstanceOf[StructType]
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !nonScalarAllowed.contains(name) =>
-        val bad = fn(spark, sf).schema.fields
-          .filter(f => nonScalar(f.dataType)).map(_.name)
-        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
-      case _ => None
+    dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
+      dt.isInstanceOf[StructType]
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs") {
+      val df = fn(spark, sf)
+      // suite-wide plan-hygiene gate (shared with the AuditPlans main,
+      // so a query cannot pass the spec while failing the main): an
+      // all-pairs join shape appearing in ANY query fails the suite
+      // unless it is an allow-listed in-query ground truth
+      AuditPlans.gate(name, df).foreach(msg => fail(msg))
+      // scalar-output-schema gate (ADVICE r7: checked here, on the ONE
+      // build each query already gets — the former standalone test
+      // re-executed every streaming drain and build-time write just to
+      // read its schema)
+      if (!nonScalarAllowed.contains(name)) {
+        val bad = df.schema.fields.filter(f => nonScalar(f.dataType))
+          .map(_.name)
+        assert(bad.isEmpty, s"$name: non-scalar output columns " +
+          s"(add concat_ws or allowlist): ${bad.mkString(",")}")
+      }
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty)
     }
-    assert(offenders.isEmpty,
-      s"non-scalar output columns (add concat_ws or allowlist): " +
-        offenders.mkString("; "))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("non-scalar allowlist names only real queries") {
+    val stale = nonScalarAllowed.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist entries without a query: $stale")
   }
 
   test("every query has an oracle or is explicitly rows-only") {

@@ -93,6 +93,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming LSH ingest: raised maxBucket=1000 emits the identical pair set") {
+    import graft.operators.Dedup
+    // the sorted-array bucket registry makes a 5x cap raise cheap
+    // (binary-search membership); the cap never binds at this SF, so
+    // the pair set must be bit-identical to the default-cap run and
+    // to the batch banding oracle
+    val streamed = Streams.runStreamLshIngest(spark, s"$sf/documents.parquet",
+        "doc_id", "text", n = 3, k = 32, bands = 4, maxBucket = 1000,
+        queryName = "spec_stream_lsh_1000")
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashLshCandidatesFromIndex(
+        Dedup.shingleIndex(spark.read.parquet(s"$sf/documents.parquet"),
+          "doc_id", "text", n = 3, tokens = true),
+        k = 32, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming session windows emit watermark-closed sessions (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
