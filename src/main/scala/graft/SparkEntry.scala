@@ -595,6 +595,39 @@ object SparkEntry {
         graft.types.UnionJson.unionToJson(
           variant_get(parse_json(col("props")), "$.k", "variant")).as("k_json"))),
 
+    // union-typed GROUP BY + ORDER BY end-to-end (VERDICT r7 task 5):
+    // a heterogeneous VARIANT column (Int | Float | String | NULL by
+    // row) grouped and sorted DISTRIBUTEDLY via the reference's
+    // TypeID-rank total order (values.go:97-106) — the engine derives
+    // each row's rank from the RUNTIME variant type
+    // (UnionJson.typeRank over schema_of_variant), while the oracle
+    // reconstructs the same values with their construction-time types;
+    // matching hashes prove the runtime-type dispatch exact. Group
+    // keys are (rank, within-type key): VARIANT itself is not
+    // comparable, the rank triple is — so the shuffle is a plain
+    // hash partition on scalars at any scale.
+    "q107_union_sort" -> ((s, dir) => {
+      import graft.types.UnionJson
+      val e = t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      val ks = col("k").cast(StringType)
+      val v = when(col("event_id") % 4 === 0, parse_json(ks))
+        .when(col("event_id") % 4 === 1,
+          parse_json(concat(ks, lit(".5"))))
+        .when(col("event_id") % 4 === 2,
+          parse_json(concat(lit("\""), ks, lit("\""))))
+        .otherwise(parse_json(lit("null")))
+      val d = e.select(v.as("v"))
+      d.groupBy(
+          UnionJson.typeRank(col("v")).as("type_rank"),
+          coalesce(try_variant_get(col("v"), "$", "string"), lit("NULL"))
+            .as("val_str"),
+          UnionJson.numKey(col("v")).as("nk"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("type_rank"), col("nk"), col("val_str"))
+        .select(col("type_rank"), col("val_str"), col("n"))
+    }),
+
     // -----------------------------------------------------------------
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
@@ -1591,6 +1624,92 @@ object SparkEntry {
             && col("p_size").between(1, 15)))
         .agg(sum(rev).cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q4 (order priority checking): EXISTS(late lineitem) per
+    // order — the correlated EXISTS carries a NON-equi conjunct
+    // (l_shipdate > o_orderdate + 45d, our schema's analog of
+    // l_commitdate < l_receiptdate), so the decorrelation is a LEFT
+    // SEMI join keyed on the equi column with the inequality folded
+    // into the join condition: one pass over each table, shuffle on
+    // l_orderkey, no per-row subquery. Oracle runs the textbook
+    // correlated EXISTS.
+    "q103_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("2000-04-01").cast(TimestampType))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, o("o_orderkey") === l("l_orderkey")
+          && l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 45 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): the correlated
+    // scalar COUNT per customer decorrelates to ONE outer join + two
+    // aggregations — count(o_orderkey) over the left join counts 0
+    // for order-less customers exactly like the scalar subquery's
+    // COUNT(*) over an empty set (the priority filter stands in for
+    // the reference benchmark's o_comment NOT LIKE, which our schema
+    // lacks). Distribution group-by is |distinct counts|-sized.
+    "q104_tpch_q13" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    // AVG(l_quantity) per part decorrelates to a |parts|-sized
+    // aggregate broadcast back onto the scan — quantities are
+    // integer-valued doubles, so sum/count is bit-exact in any order
+    // and the 0.2·avg threshold is engine-independent; revenue sums
+    // as DECIMAL (double sums reorder).
+    "q105_tpch_q17" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgq = l.groupBy(col("l_partkey").as("pk"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      l.join(broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13")),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgq, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 (global-customer-sales): acctbal above the global
+    // positive mean AND NOT EXISTS recent orders. The scalar mean is a
+    // 1-row aggregate (broadcast at any corpus size); NOT EXISTS is a
+    // LEFT ANTI join on custkey. The mean is computed as exact
+    // DECIMAL sum → double ÷ exact count so the boundary comparison
+    // can't flip between engines (a reordered double sum could).
+    // c_nationkey stands in for the benchmark's phone-prefix country
+    // code, which our schema lacks.
+    "q106_tpch_q22" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast(TimestampType))
+        .select("o_custkey")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(12, 2)))
+          .cast(DoubleType) / count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("totacctbal"))
+        .orderBy("cntrycode")
     }),
 
     // schema evolution across ingest epochs: epoch 2 adds a column;
@@ -4425,6 +4544,26 @@ object SparkEntry {
         |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_json
         |FROM events""".stripMargin,
 
+    "q107_union_sort" ->
+      """WITH src AS (
+        |  SELECT event_id % 4 AS m,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |u AS (
+        |  SELECT
+        |    CASE WHEN m = 0 THEN 1 WHEN m = 1 THEN 2
+        |         WHEN m = 2 THEN 4 ELSE 0 END AS type_rank,
+        |    CASE WHEN m = 0 THEN CAST(k AS VARCHAR)
+        |         WHEN m = 1 THEN CAST(k + 0.5 AS VARCHAR)
+        |         WHEN m = 2 THEN CAST(k AS VARCHAR)
+        |         ELSE 'NULL' END AS val_str,
+        |    CASE WHEN m = 0 THEN CAST(k AS DOUBLE)
+        |         WHEN m = 1 THEN k + 0.5 ELSE NULL END AS nk
+        |  FROM src)
+        |SELECT type_rank, val_str, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM u GROUP BY type_rank, val_str, nk
+        |ORDER BY type_rank, nk, val_str""".stripMargin,
+
     "p4_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -5430,6 +5569,44 @@ object SparkEntry {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q103_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q104_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, (SELECT COUNT(*) FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority <> '1-URGENT') AS c_count
+        |  FROM customer c) cc
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q105_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < 0.2 * (SELECT AVG(l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q106_tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |      / COUNT(*) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q97_xml_roundtrip" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,

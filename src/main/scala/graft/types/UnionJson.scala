@@ -71,4 +71,46 @@ object UnionJson {
 
   /** JSON display that round-trips each alternative exactly. */
   def unionToJson(c: Column): Column = to_json(c)
+
+  // ---- distributed cross-type total order (values.go:97-106) --------
+
+  /** Runtime-TypeID rank of a union (VARIANT) value — the FIRST key of
+    * the reference's Value.Compare total order (values.go:97-106 via
+    * types.go:10-24 TypeIDs): NULL=0 < Int=1 < Float=2 < Boolean=3 <
+    * String=4 < Time=5 < List=7 < Object=8. With [[numKey]]/[[strKey]]
+    * as within-type tie-breakers, `ORDER BY rank, num, str` (or a
+    * GROUP BY over the triple) is a plain distributed sort/shuffle —
+    * no driver-side comparator, unlike the CLI live-table path that
+    * uses [[graft.octo.OValue.compare]] on collected rows.
+    */
+  def typeRank(c: Column): Column = {
+    val sch = schema_of_variant(c)
+    when(c.isNull || sch === "VOID", 0)
+      .when(sch.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), 1)
+      .when(sch.isin("DOUBLE", "FLOAT") || sch.startsWith("DECIMAL"), 2)
+      .when(sch === "BOOLEAN", 3)
+      .when(sch === "STRING", 4)
+      .when(sch.startsWith("TIMESTAMP"), 5)
+      .when(sch.startsWith("ARRAY"), 7)
+      .otherwise(8)
+  }
+
+  /** Within-type numeric sort key: value for Int/Float ranks, false<true
+    * for Boolean, epoch seconds for Time, NULL for non-numeric ranks
+    * (the rank itself already separates them).
+    */
+  def numKey(c: Column): Column = {
+    val r = typeRank(c)
+    when(r.isin(1, 2), try_variant_get(c, "$", "double"))
+      .when(r === 3,
+        try_variant_get(c, "$", "boolean").cast("int").cast("double"))
+      .when(r === 5,
+        try_variant_get(c, "$", "timestamp").cast("double"))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** Within-type lexical sort key: the value for String rank only. */
+  def strKey(c: Column): Column =
+    when(typeRank(c) === 4, try_variant_get(c, "$", "string"))
+      .otherwise(lit(null).cast("string"))
 }

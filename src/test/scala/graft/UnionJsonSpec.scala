@@ -56,4 +56,27 @@ class UnionJsonSpec extends SparkSpec {
     assert(df.schema.fields.forall(_.dataType.typeName == "variant"))
     assert(df.count() == 3)
   }
+
+  test("distributed sort keys reproduce OValue.compare's cross-type order") {
+    import spark.implicits._
+    // one value per TypeID class plus within-type ties to break:
+    // NULL < Ints (3 < 17) < Floats (2.5 < 9.75) < Booleans
+    // (false < true) < Strings ("apple" < "pear")
+    val raw = Seq("null", "17", "3", "9.75", "2.5", "true", "false",
+      "\"pear\"", "\"apple\"")
+    val df = raw.toDF("j").select(parse_json(col("j")).as("v"),
+      col("j"))
+    val sorted = df.orderBy(UnionJson.typeRank(col("v")),
+        UnionJson.numKey(col("v")), UnionJson.strKey(col("v")))
+      .select("j").collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("null", "3", "17", "2.5", "9.75", "false",
+      "true", "\"apple\"", "\"pear\""), sorted.mkString(","))
+    // the driver-side comparator (values.go Compare, used by the CLI
+    // live-table render) agrees on every adjacent pair
+    val vals: Seq[Any] = Seq(null, 3L, 17L, 2.5, 9.75, false, true,
+      "apple", "pear")
+    vals.sliding(2).foreach { case Seq(a, b) =>
+      assert(graft.octo.OValue.compare(a, b) < 0, s"$a !< $b")
+    }
+  }
 }
