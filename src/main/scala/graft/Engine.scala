@@ -46,6 +46,7 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerCapListener(spark)
     graft.plans.VecExpressions.register(spark)
     graft.plans.PolyHashExpr.register(spark)
     graft.plans.CharEntropyExpr.register(spark)
@@ -69,6 +70,53 @@ object Engine {
     }
     spark
   }
+
+  /** No-silent-caps surveillance (VERDICT r7 task 6): the dedup cap
+    * sites ([[graft.operators.Dedup.capDocFreq]] doc-frequency cap,
+    * `minhashLshCandidatesFromIndex` bucket cap) observe their
+    * dropped-entry counts in the pass they already run; this listener
+    * turns the observations into a stderr line WHEN A CAP BINDS, so a
+    * 100×-scale user sees the dedup went lossy instead of silently
+    * getting fewer pairs. Quiet when nothing is dropped.
+    */
+  private def registerCapListener(spark: SparkSession): Unit =
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val m = qe.observedMetrics
+          // doc-frequency cap: paired in/out entry counts per tag
+          m.keys.filter(_.startsWith("graft_cap_in_")).foreach { k =>
+            val suffix = k.stripPrefix("graft_cap_in_")
+            m.get("graft_cap_out_" + suffix).foreach { outRow =>
+              val in = m(k).getLong(0)
+              val out = outRow.getLong(0)
+              if (in > out) System.err.println(
+                s"[graft] capDocFreq(cap=${suffix.split('_').last}): " +
+                s"dropped ${in - out} of $in index entries — the " +
+                "doc-frequency cap binds; dedup is candidate-lossy " +
+                "(raise maxDocFreq or accept)")
+            }
+          }
+          // LSH bucket cap: paired in/out banded-row counts per tag
+          m.keys.filter(_.startsWith("graft_bucketcap_in_")).foreach { k =>
+            val suffix = k.stripPrefix("graft_bucketcap_in_")
+            m.get("graft_bucketcap_out_" + suffix).foreach { outRow =>
+              val in = m(k).getLong(0)
+              val out = outRow.getLong(0)
+              if (in > out) System.err.println(
+                s"[graft] lsh bucket cap (max=${suffix.split('_').last}): " +
+                s"dropped ${in - out} of $in doc slots in degenerate " +
+                "buckets — candidates lossy there (raise maxBucket or " +
+                "accept)")
+            }
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
 
   /** Release every cached/persisted block in the session: clears the
     * SQL cache and eagerly unpersists surviving RDDs (localCheckpoint

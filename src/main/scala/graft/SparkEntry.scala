@@ -3693,6 +3693,37 @@ object SparkEntry {
           "orientation")
     }),
 
+    // ID3v2 text frames + MP4 sample-table descent (VERDICT r7 task 7):
+    // per row, an ID3v2.3-or-.4-tagged MP3 (v3 = Latin-1 text + BE32
+    // frame sizes, v4 = UTF-8 + syncsafe — both decoder paths hit every
+    // run) and an MP4 whose codec fourcc lives four boxes deep
+    // (moov→trak→mdia→minf→stbl→stsd). Encode-then-decode with an
+    // arithmetic oracle, the m16 discipline: both scans are pure byte
+    // walks that never touch audio frames or sample data.
+    "m17_id3_mp4_tree" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val major = if (id % 2 == 0) 3 else 4
+            val mp3 = Multimodal.encodeId3v2(major,
+              Seq("TIT2" -> s"title $id", "TPE1" -> s"artist ${id % 7}",
+                "TALB" -> s"album ${id % 5}"),
+              Multimodal.encodeMp3(128, 44100, 1))
+            val (ver, frames) = Multimodal.id3v2TextFrames(mp3).get
+            val fm = frames.toMap
+            val codec = (id % 3) match {
+              case 0 => "avc1"; case 1 => "hvc1"; case _ => "mp4v"
+            }
+            val mp4 = Multimodal.encodeMp4Tree(1000, id % 90000 + 1000,
+              640, 360, codec)
+            (id, ver.toLong, fm("TIT2"), fm("TPE1"), fm("TALB"),
+              Multimodal.mp4CodecFourcc(mp4).get)
+          }
+        }
+        .toDF("doc_id", "id3_version", "title", "artist", "album", "codec")
+    }),
+
     // FLAC STREAMINFO scan: rate/channels/bits/total-samples from the
     // mandatory first metadata block, duration as exact integer
     // division — no frame read, mirrors m10's MP3 frame-math oracle
@@ -5041,6 +5072,18 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS components,
         |  doc_id % 3 = 0 AS progressive,
         |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation
+        |FROM documents""".stripMargin,
+
+    "m17_id3_mp4_tree" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT)
+        |    AS id3_version,
+        |  'title ' || CAST(doc_id AS VARCHAR) AS title,
+        |  'artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+        |  'album ' || CAST(doc_id % 5 AS VARCHAR) AS album,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'avc1'
+        |       WHEN doc_id % 3 = 1 THEN 'hvc1'
+        |       ELSE 'mp4v' END AS codec
         |FROM documents""".stripMargin,
 
     "m15_flac_header" ->

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming scale-soak (VERDICT r7 task 4): BENCH_SCALING's st*
+  * exponents mostly measure micro-batch drain overhead, because
+  * SoakGen grows VOLUME but keeps key cardinality (user_id, source)
+  * fixed — state-store size stays flat by construction. This record
+  * grows volume AND key cardinality together (the real at-scale
+  * ingestion shape) at 1×/10×/30× event volume, and measures what the
+  * wall clock can't show:
+  *
+  *  - per-batch time (triggerExecution from query progress), whose max
+  *    must grow sub-linearly in volume (batches amortize);
+  *  - state-store rows (stateOperators.numRowsTotal), whose max must
+  *    grow at most linearly in keys — super-linear state is the
+  *    streaming scale-killer no batch bench can see.
+  *
+  * Captured via a session StreamingQueryListener — zero changes to the
+  * runners; every runner already names its query after the st* entry.
+  * Results merge into BENCH_SCALING.json under "st_scaling".
+  *
+  * Usage: runMain graft.StreamScaling [srcDir]  (amplified dirs are
+  * (re)generated under /tmp/graft_stx10 and /tmp/graft_stx30).
+  */
+object StreamScaling {
+
+  /** One batch's observations for a (scale, query) run. */
+  private case class Obs(batchMs: Long, stateRows: Long, inputRows: Long)
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(s"local[$cpus]", cpus.toInt)
+    val M = 10000000L
+
+    // ---- key-growing amplifier (unlike SoakGen, which key-shifts
+    // only the join keys): user_id and source shift per copy, so
+    // distinct-key counts scale with volume ----
+    def gen(dst: String, copies: Int): Unit = {
+      if (new java.io.File(dst, "_GRAFT_ST_OK").exists()) return
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      (0 until copies).map { k =>
+        ev.withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until copies).map { k =>
+        val d = docs.withColumn("doc_id", col("doc_id") + lit(k * M))
+          .withColumn("source", concat(col("source"), lit(s"_r$k")))
+        if (k == 0) d else d.withColumn("text", concat(col("text"), lit(s" r$k")))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      // remaining tables unchanged (some runners probe their schemas)
+      Engine.TableNames.filterNot(Set("events", "documents")).foreach { n =>
+        spark.read.parquet(s"$src/$n.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      }
+      new java.io.File(dst, "_GRAFT_ST_OK").createNewFile()
+      println(s"[stsoak] generated $dst (x$copies, keys shifted)")
+    }
+    gen("/tmp/graft_stx10", 10)
+    gen("/tmp/graft_stx30", 30)
+    val dirs = Seq(1.0 -> src, 10.0 -> "/tmp/graft_stx10",
+      30.0 -> "/tmp/graft_stx30")
+
+    // ---- progress capture: keyed by (scale, query name) ----
+    val obs = scala.collection.concurrent.TrieMap
+      .empty[(Double, String), Vector[Obs]]
+    @volatile var scaleNow = 1.0
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.name != null && p.name.startsWith("st")) {
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)
+          val state = p.stateOperators.map(_.numRowsTotal).sum
+          val key = (scaleNow, p.name)
+          obs.updateWith(key)(v => Some(v.getOrElse(Vector.empty) :+
+            Obs(ms, state, p.numInputRows)))
+        }
+      }
+    })
+
+    val names = SparkEntry.queries.keys.filter(_.startsWith("st")).toSeq.sorted
+    val wall = scala.collection.mutable.Map.empty[(Double, String), Double]
+    dirs.foreach { case (scale, dir) =>
+      scaleNow = scale
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[stsoak] $n@x$scale failed: ${e.getMessage}")
+        }
+        wall((scale, n)) = (System.nanoTime() - t0) / 1e9
+        Engine.releaseCaches(spark)
+        println(f"[stsoak] x$scale%-5s $n%-26s ${wall((scale, n))}%7.2f s " +
+          s"batches=${obs.get((scale, n)).map(_.size).getOrElse(0)} " +
+          s"maxState=${obs.get((scale, n)).map(_.map(_.stateRows).max).getOrElse(0L)}")
+      }
+    }
+
+    def exp(pts: Seq[(Double, Double)]): Double =
+      ScalingBench.fitExponent(pts)
+    def j(v: Double): String = if (v.isNaN) "null" else f"$v%.4f"
+    val flagged = scala.collection.mutable.ListBuffer.empty[String]
+    val body = names.map { n =>
+      val walls = dirs.map { case (s, _) => s -> wall((s, n)) }
+      val states = dirs.map { case (s, _) =>
+        s -> obs.get((s, n)).map(_.map(_.stateRows).max).getOrElse(0L) }
+      val maxBatch = dirs.map { case (s, _) =>
+        s -> obs.get((s, n)).map(_.map(_.batchMs).max).getOrElse(0L) }
+      val batches = dirs.map { case (s, _) =>
+        s -> obs.get((s, n)).map(_.size).getOrElse(0) }
+      val we = exp(walls)
+      // state exponent only meaningful when the operator HAS state
+      val se = if (states.exists(_._2 > 0))
+        exp(states.map { case (s, v) => s -> v.toDouble }) else Double.NaN
+      val be = exp(maxBatch.map { case (s, v) => s -> v.toDouble })
+      // state must grow at most ~linearly in keys (keys scale with
+      // volume here by construction); per-batch time sub-linearly
+      if (!se.isNaN && se > 1.1) flagged += f"$n:state=$se%.2f"
+      if (we > 1.2) flagged += f"$n:wall=$we%.2f"
+      s""""$n":{"wall":[${walls.map(w => j(w._2)).mkString(",")}],""" +
+        s""""max_state_rows":[${states.map(_._2).mkString(",")}],""" +
+        s""""max_batch_ms":[${maxBatch.map(_._2).mkString(",")}],""" +
+        s""""batches":[${batches.map(_._2).mkString(",")}],""" +
+        s""""wall_exponent":${j(we)},"state_exponent":${j(se)},""" +
+        s""""batch_ms_exponent":${j(be)}}"""
+    }.mkString(",")
+    val section =
+      s"""{"scales":[${dirs.map(_._1).mkString(",")}],""" +
+        s""""keys_scale_with_volume":true,""" +
+        s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""queries":{$body}}"""
+
+    // merge into BENCH_SCALING.json (jackson: format drift fails loudly)
+    val path = java.nio.file.Paths.get("BENCH_SCALING.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(path.toFile)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.set("st_scaling", mapper.readTree(section))
+    java.nio.file.Files.write(path,
+      (mapper.writeValueAsString(root) + "\n").getBytes("UTF-8"))
+    println(s"[stsoak] merged st_scaling into BENCH_SCALING.json; " +
+      s"${flagged.size} flagged" +
+      (if (flagged.isEmpty) "" else ": " + flagged.mkString(", ")))
+    spark.stop()
+  }
+}

@@ -116,12 +116,27 @@ object Dedup {
     case Some(c) =>
       val hot = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > c).select("shingle")
+      // no-silent-caps (VERDICT r7 task 6): the cap is byte-identical
+      // at test SFs but silently lossy beyond — observe input and
+      // output entry counts in the SAME pass (no extra job) so every
+      // run reports when the cap binds. Engine's session listener
+      // turns the pair into a `[graft] capDocFreq ...` log line; specs
+      // read queryExecution.observedMetrics directly.
+      val tag = capObsCounter.incrementAndGet()
       // re-select in the input's column order: a USING join moves the
       // key to the front, which would silently break downstream
       // positional renames (toDF)
-      idx.join(broadcast(hot), Seq("shingle"), "left_anti")
+      idx.observe(s"graft_cap_in_${tag}_$c", count(lit(1)).as("n"))
+        .join(broadcast(hot), Seq("shingle"), "left_anti")
         .select(idx.columns.map(col).toIndexedSeq: _*)
+        .observe(s"graft_cap_out_${tag}_$c", count(lit(1)).as("n"))
   }
+
+  /** Unique tag per cap site so several caps in one plan keep their
+    * observation names distinct (Spark requires unique observe names
+    * within a query).
+    */
+  private val capObsCounter = new java.util.concurrent.atomic.AtomicLong
 
   // ---- n-gram Jaccard -----------------------------------------------
 
@@ -470,10 +485,20 @@ object Dedup {
     val banded = bandSignatures(rawIdx, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: a bucket of m docs yields m² candidate pairs — drop
-    // degenerate buckets (non-discriminative signatures) outright
+    // degenerate buckets (non-discriminative signatures) outright.
+    // no-silent-caps: dropped doc-slot count observed as in/out counts
+    // AROUND the semi-join (the capDocFreq pattern) in the pass that
+    // already runs; Engine's listener logs when it binds. An observe on
+    // the sizes aggregate itself doesn't work: Catalyst pushes the
+    // m <= cap filter below the CollectMetrics node, so the metric
+    // would see the already-filtered rows.
+    val tag = capObsCounter.incrementAndGet()
     val sizes = banded.groupBy("band", "sig").agg(count(lit(1)).as("m"))
       .filter(col("m") <= maxBucket).select("band", "sig")
-    val bounded = banded.join(sizes, Seq("band", "sig"))
+    val bounded = banded
+      .observe(s"graft_bucketcap_in_${tag}_$maxBucket", count(lit(1)).as("n"))
+      .join(sizes, Seq("band", "sig"))
+      .observe(s"graft_bucketcap_out_${tag}_$maxBucket", count(lit(1)).as("n"))
     bounded.toDF("band", "sig", "id_a")
       .join(bounded.toDF("band", "sig", "id_b"), Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))

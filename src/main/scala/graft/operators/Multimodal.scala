@@ -574,6 +574,73 @@ object Multimodal {
     ftyp ++ free ++ moov
   }
 
+  /** Codec fourcc from the full box-tree descent (VERDICT r7 task 7):
+    * moov → trak → mdia → minf → stbl → stsd → first sample entry's
+    * box type IS the codec identifier (avc1/hvc1/mp4v/mp4a/…, ISO
+    * 14496-12 §8.5.2). This is the four-level nesting real MP4s carry
+    * that [[mp4Header]]'s two-level scan (mvhd/tkhd) doesn't touch.
+    * None when any link of the chain is absent or malformed — a bad
+    * file costs one null row, never an exception.
+    */
+  def mp4CodecFourcc(bytes: Array[Byte]): Option[String] = {
+    val top = walkBoxes(bytes, 0, bytes.length)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    def child(b: (String, Int, Int), typ: String): Option[(String, Int, Int)] =
+      walkBoxes(bytes, b._2, b._3).find(_._1 == typ)
+    for {
+      moov <- top.find(_._1 == "moov")
+      trak <- child(moov, "trak")
+      mdia <- child(trak, "mdia")
+      minf <- child(mdia, "minf")
+      stbl <- child(minf, "stbl")
+      stsd <- child(stbl, "stsd")
+      // stsd payload: version+flags (4) + entry_count (4), then the
+      // first sample entry is itself a box whose TYPE is the codec
+      if stsd._3 - stsd._2 >= 16 && be32(bytes, stsd._2 + 4) >= 1
+    } yield fourcc(bytes, stsd._2 + 12)
+  }
+
+  /** Fixture writer with the full sample-table chain: [[encodeMp4]]'s
+    * layout plus trak(mdia(minf(stbl(stsd(<codec> entry))))) so
+    * [[mp4CodecFourcc]]'s four-level descent and unknown-sibling
+    * skipping are exercised on realistic nesting.
+    */
+  def encodeMp4Tree(timescale: Long, duration: Long,
+                    width: Int, height: Int, codec: String): Array[Byte] = {
+    require(codec.length == 4, s"codec fourcc must be 4 chars: $codec")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val base = encodeMp4(timescale, duration, width, height)
+    // sample entry: 6 reserved bytes + 2-byte data_reference_index —
+    // enough of ISO 14496-12 §8.5.2 for a type-only scan
+    val entry = box(codec, Array[Byte](0, 0, 0, 0, 0, 0, 0, 1))
+    val stsd = box("stsd", {
+      val bb = java.nio.ByteBuffer.allocate(8 + entry.length)
+      bb.putInt(0).putInt(1).put(entry) // version+flags, entry_count
+      bb.array()
+    })
+    // a free sibling before each real child exercises skipping at
+    // every nesting level
+    val skip = box("free", new Array[Byte](4))
+    val mdia = box("mdia", skip ++ box("minf", skip ++ box("stbl", skip ++ stsd)))
+    // splice mdia into the existing moov/trak: rebuild the tree rather
+    // than patch sizes — the writer is fixture-only, clarity wins
+    val top = walkBoxes(base, 0, base.length)
+    val moov = top.find(_._1 == "moov").get
+    val inMoov = walkBoxes(base, moov._2, moov._3)
+    val mvhd = inMoov.find(_._1 == "mvhd").get
+    val trak = inMoov.find(_._1 == "trak").get
+    val mvhdBytes = java.util.Arrays.copyOfRange(base, mvhd._2 - 8, mvhd._3)
+    val trakInner = java.util.Arrays.copyOfRange(base, trak._2, trak._3)
+    val ftyp = top.find(_._1 == "ftyp").get
+    val ftypBytes = java.util.Arrays.copyOfRange(base, ftyp._2 - 8, ftyp._3)
+    ftypBytes ++ box("moov",
+      mvhdBytes ++ box("trak", trakInner ++ skip ++ mdia))
+  }
+
   // ---- MP3 frame-header scan ---------------------------------------
 
   /** MP3 stream metadata from frame headers only (MPEG-1 Layer III):
@@ -663,6 +730,101 @@ object Multimodal {
     frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
     frame(3) = 0xC0.toByte // mono
     (1 to nFrames).foreach(_ => out.write(frame))
+    out.toByteArray
+  }
+
+  /** ID3v2 text-frame scan (VERDICT r7 task 7) — the metadata real MP3
+    * corpora actually carry: parses an ID3v2.3 or ID3v2.4 tag header
+    * ("ID3", version, flags, syncsafe 28-bit size) and walks its
+    * frames, decoding the text frames (ids starting with 'T'): frame
+    * size is big-endian 32-bit in v2.3 and syncsafe in v2.4; the text
+    * payload leads with an encoding byte (0 = Latin-1, 1 = UTF-16 with
+    * BOM, 2 = UTF-16BE, 3 = UTF-8). Returns (major version, frames in
+    * file order); None when no ID3v2 tag leads the payload. Pure byte
+    * walk over the tag only — the audio frames after it are never
+    * touched, same discipline as [[mp4Header]]/[[jpegHeader]].
+    */
+  def id3v2TextFrames(bytes: Array[Byte])
+      : Option[(Int, Seq[(String, String)])] = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+        bytes(2) != '3') return None
+    val major = bytes(3) & 0xFF
+    if (major != 3 && major != 4) return None
+    def syncsafe(o: Int): Int =
+      ((bytes(o) & 0x7F) << 21) | ((bytes(o + 1) & 0x7F) << 14) |
+        ((bytes(o + 2) & 0x7F) << 7) | (bytes(o + 3) & 0x7F)
+    val tagEnd = math.min(10 + syncsafe(6), bytes.length)
+    val out = Seq.newBuilder[(String, String)]
+    var o = 10
+    var done = false
+    while (!done && o + 10 <= tagEnd) {
+      val id = new String(bytes, o, 4, "US-ASCII")
+      // padding (zero bytes) ends the frame list
+      if (bytes(o) == 0) done = true
+      else {
+        val szL: Long =
+          if (major == 4) syncsafe(o + 4).toLong else be32(bytes, o + 4)
+        val payload = o + 10
+        if (szL <= 0 || payload + szL > tagEnd) done = true
+        else {
+          val sz = szL.toInt // bounded by tagEnd (an Int) above
+          if (id.startsWith("T") && sz >= 1) {
+            val enc = bytes(payload) & 0xFF
+            val raw = java.util.Arrays.copyOfRange(bytes, payload + 1,
+              payload + sz)
+            val cs = enc match {
+              case 0 => "ISO-8859-1"
+              case 1 => "UTF-16"   // BOM-led per spec
+              case 2 => "UTF-16BE"
+              case _ => "UTF-8"
+            }
+            // v2.4 allows a trailing NUL terminator on text frames
+            val s = new String(raw, cs).stripSuffix("\u0000")
+            out += ((id, s))
+          }
+          o = payload + sz
+        }
+      }
+    }
+    Some((major, out.result()))
+  }
+
+  /** Fixture writer for [[id3v2TextFrames]]: an ID3v2.3 or v2.4 tag
+    * carrying the given text frames (v3 frames use Latin-1 + BE32
+    * sizes, v4 uses UTF-8 + syncsafe sizes — each version's idiomatic
+    * encoding, so the decoder's both size and both charset paths get
+    * exercised), followed by `audio` (e.g. [[encodeMp3]] frames).
+    */
+  def encodeId3v2(major: Int, frames: Seq[(String, String)],
+                  audio: Array[Byte]): Array[Byte] = {
+    require(major == 3 || major == 4, s"ID3v2.$major not supported")
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (id, text) =>
+      require(id.length == 4, s"frame id must be 4 chars: $id")
+      val (enc, txt) =
+        if (major == 4) (3.toByte, text.getBytes("UTF-8"))
+        else (0.toByte, text.getBytes("ISO-8859-1"))
+      val sz = 1 + txt.length
+      body.write(id.getBytes("US-ASCII"))
+      if (major == 4)
+        body.write(Array[Byte](((sz >> 21) & 0x7F).toByte,
+          ((sz >> 14) & 0x7F).toByte, ((sz >> 7) & 0x7F).toByte,
+          (sz & 0x7F).toByte))
+      else
+        body.write(Array[Byte]((sz >>> 24).toByte, (sz >>> 16).toByte,
+          (sz >>> 8).toByte, sz.toByte))
+      body.write(Array[Byte](0, 0)) // frame flags
+      body.write(enc)
+      body.write(txt)
+    }
+    val b = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('I', 'D', '3', major.toByte, 0, 0))
+    out.write(Array[Byte](((b.length >> 21) & 0x7F).toByte,
+      ((b.length >> 14) & 0x7F).toByte, ((b.length >> 7) & 0x7F).toByte,
+      (b.length & 0x7F).toByte))
+    out.write(b)
+    out.write(audio)
     out.toByteArray
   }
 

@@ -377,6 +377,54 @@ class OperatorsSpec extends SparkSpec {
     assert(viaIndex.count() == capped.count())
   }
 
+  test("capDocFreq observes dropped-entry counts in the same pass (no silent caps)") {
+    import spark.implicits._
+    val docs = (1 to 5).map(i => (i.toLong, s"x y z tail$i more$i words$i"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3, None, tokens = true)
+    val capped = Dedup.capDocFreq(idx, Some(3))
+    capped.collect()
+    val m = capped.queryExecution.observedMetrics
+    val in = m.collectFirst { case (k, r) if k.startsWith("graft_cap_in_") =>
+      r.getLong(0) }.get
+    val out = m.collectFirst { case (k, r) if k.startsWith("graft_cap_out_") =>
+      r.getLong(0) }.get
+    // "x y z" is in all 5 docs over cap=3 → exactly those 5 entries drop
+    assert(in - out == 5, s"in=$in out=$out")
+    // the counters must not break the self-join consumer (the same
+    // CollectMetrics subtree appears on both sides of the pair join)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1,
+      maxDocFreq = Some(3), tokens = true)
+    assert(pairs.count() == 0)
+  }
+
+  test("lsh bucket cap observes dropped doc slots (no silent caps)") {
+    // 30 identical docs (every band bucket holds all 30 > maxBucket=10)
+    // + 5 fully distinct docs whose singleton buckets survive. The
+    // partial-drop shape is the realistic at-scale case — when EVERY
+    // bucket is dropped, AQE's empty-relation propagation can skip the
+    // probe side (and its observe) entirely, but a fully-empty
+    // candidate output is loud on its own.
+    val docs = ((1 to 30).map(i => (i.toLong, "a b c d e f g h")) ++
+      (31 to 35).map(i => (i.toLong,
+        s"p$i q$i r$i s$i t$i u$i v$i w$i")))
+      .toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3, None, tokens = true)
+    val cand = Dedup.minhashLshCandidatesFromIndex(idx, k = 32, bands = 4,
+      maxBucket = 10)
+    // collect() (not count()) so the metrics land on THIS DataFrame's
+    // QueryExecution — count() spawns its own
+    assert(cand.collect().isEmpty) // identical docs dropped; distinct alone
+    val m = cand.queryExecution.observedMetrics
+    val in = m.collectFirst { case (k, r)
+      if k.startsWith("graft_bucketcap_in_") => r.getLong(0) }.get
+    val out = m.collectFirst { case (k, r)
+      if k.startsWith("graft_bucketcap_out_") => r.getLong(0) }.get
+    // 35 docs × 4 bands = 140 banded rows; the 5 distinct docs' 20
+    // singleton-bucket rows survive, the 120 degenerate ones drop
+    assert(in == 140L && out == 20L, s"in=$in out=$out")
+  }
+
   test("minhashLshPairs agrees with exact jaccard on near-dups") {
     val docs = (0 until 20).map(i => (i.toLong, s"unique$i " * 10 + s"tail$i"))
       .toDF("doc_id", "text")
@@ -831,6 +879,44 @@ class OperatorsSpec extends SparkSpec {
       k = 3, w = 4, minCommon = 3, maxDocFreq = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("id3v2TextFrames: v2.3 BE32/Latin-1 and v2.4 syncsafe/UTF-8, audio untouched") {
+    import graft.operators.Multimodal
+    val frames = Seq("TIT2" -> "Café Müller", "TPE1" -> "artist",
+      "TALB" -> "album")
+    Seq(3, 4).foreach { major =>
+      val bytes = Multimodal.encodeId3v2(major, frames,
+        Multimodal.encodeMp3(128, 44100, 2))
+      val (ver, got) = Multimodal.id3v2TextFrames(bytes).get
+      assert(ver == major && got == frames, s"v$major: $got")
+      // the mp3 frame scan behind the tag still sees both frames
+      assert(Multimodal.mp3Scan(bytes).get.nFrames == 2)
+    }
+    // non-tagged payloads and truncated tags refuse cleanly
+    assert(Multimodal.id3v2TextFrames("no tag here".getBytes).isEmpty)
+    val t = Multimodal.encodeId3v2(4, frames, Array.emptyByteArray)
+    assert(Multimodal.id3v2TextFrames(t.take(9)).isEmpty)
+    // a tag whose declared size exceeds the file stops at the bytes
+    // that exist instead of throwing
+    val (_, partial) = Multimodal.id3v2TextFrames(t.dropRight(6)).get
+    assert(partial.length == 2, partial.mkString(","))
+  }
+
+  test("mp4CodecFourcc: four-level stsd descent with free siblings at every level") {
+    import graft.operators.Multimodal
+    Seq("avc1", "hvc1", "mp4v", "mp4a").foreach { codec =>
+      val bytes = Multimodal.encodeMp4Tree(1000, 5000, 640, 360, codec)
+      assert(Multimodal.mp4CodecFourcc(bytes).contains(codec))
+      // the flat header scan still reads the same tree
+      val m = Multimodal.mp4Header(bytes).get
+      assert(m.timescale == 1000L && m.duration == 5000L &&
+        m.width == 640 && m.height == 360)
+    }
+    // a tree without the sample-table chain has no codec
+    val flat = Multimodal.encodeMp4(1000, 5000, 640, 360)
+    assert(Multimodal.mp4CodecFourcc(flat).isEmpty)
+    assert(Multimodal.mp4CodecFourcc("junk".getBytes).isEmpty)
   }
 
   test("mp4Header: box walk finds brand/timescale/duration/dims, skips free, rejects non-BMFF") {
