@@ -628,6 +628,32 @@ object SparkEntry {
         .select(col("type_rank"), col("val_str"), col("n"))
     }),
 
+    // ORDER BY a union column DIRECTLY: Spark's VariantType is not
+    // orderable, but the VariantSortRule resolution rule rewrites the
+    // SortOrder into the reference's (TypeID rank, within-type key)
+    // triple — so `.orderBy(variant)` is legal and plans as a
+    // TakeOrderedAndProject here, not a driver comparator. The oracle
+    // replays the same total order on construction-time types.
+    "q108_union_orderby" -> ((s, dir) => {
+      import graft.types.UnionJson
+      val e = t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      val ks = col("k").cast(StringType)
+      val v = when(col("event_id") % 4 === 0, parse_json(ks))
+        .when(col("event_id") % 4 === 1,
+          parse_json(concat(ks, lit(".5"))))
+        .when(col("event_id") % 4 === 2,
+          parse_json(concat(lit("\""), ks, lit("\""))))
+        .otherwise(parse_json(lit("null")))
+      e.select(col("event_id"), v.as("v"))
+        .orderBy(col("v").desc, col("event_id"))
+        .limit(20)
+        .select(col("event_id"),
+          UnionJson.typeRank(col("v")).as("type_rank"),
+          coalesce(try_variant_get(col("v"), "$", "string"), lit("NULL"))
+            .as("val_str"))
+    }),
+
     // -----------------------------------------------------------------
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
@@ -4594,6 +4620,27 @@ object SparkEntry {
         |SELECT type_rank, val_str, CAST(COUNT(*) AS BIGINT) AS n
         |FROM u GROUP BY type_rank, val_str, nk
         |ORDER BY type_rank, nk, val_str""".stripMargin,
+
+    "q108_union_orderby" ->
+      """WITH src AS (
+        |  SELECT event_id, event_id % 4 AS m,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |u AS (
+        |  SELECT event_id,
+        |    CASE WHEN m = 0 THEN 1 WHEN m = 1 THEN 2
+        |         WHEN m = 2 THEN 4 ELSE 0 END AS type_rank,
+        |    CASE WHEN m = 0 THEN CAST(k AS VARCHAR)
+        |         WHEN m = 1 THEN CAST(k + 0.5 AS VARCHAR)
+        |         WHEN m = 2 THEN CAST(k AS VARCHAR)
+        |         ELSE 'NULL' END AS val_str,
+        |    CASE WHEN m = 0 THEN CAST(k AS DOUBLE)
+        |         WHEN m = 1 THEN k + 0.5 ELSE NULL END AS nk
+        |  FROM src)
+        |SELECT event_id, type_rank, val_str FROM u
+        |ORDER BY type_rank DESC, nk DESC NULLS LAST,
+        |  val_str DESC NULLS LAST, event_id
+        |LIMIT 20""".stripMargin,
 
     "p4_repetition" ->
       """WITH t AS (

@@ -701,6 +701,9 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var seq = 0L
+    // previous round's segmentation, unpersisted only AFTER the next
+    // collect materializes its successor (see the checkpoint note below)
+    var pending: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       // bind the symbol array before indexing (element_at on the raw
       // split() re-runs the split per pair element — O(symbols²)/word)
@@ -715,6 +718,11 @@ object TextAnalysis {
         .orderBy(col("c").desc, col("pair")).limit(window)
         .collect()
         .map(r => (r.getString(0), r.getLong(1)))
+      // this collect just materialized the current segs (its lazy
+      // checkpoint below saved its blocks as a side effect of the
+      // job), so the PREVIOUS round's blocks are now safe to release
+      pending.foreach(_.unpersist())
+      pending = None
       // keep a candidate iff its symbols are disjoint from EVERY
       // better-ranked candidate in the window (not just the kept ones:
       // that makes the rule a per-row NOT EXISTS — expressible in the
@@ -731,23 +739,25 @@ object TextAnalysis {
         kept.foreach { case (pair, c) =>
           seq += 1; out += ((seq, pair.replace("  ", ""), c))
         }
-        // eager localCheckpoint, not persist: materializes the new
-        // segmentation NOW (while the previous round's data is still
-        // available) and truncates lineage, so no round ever replays
-        // earlier rounds' replaces. The old persist-then-unpersist order
-        // dropped the previous cache before the lazy successor was ever
-        // materialized — every round recomputed the whole chain from
-        // the word table (O(rounds²) replace work). The whole batch is
-        // ONE chained-replace projection in rank order (the order is
-        // normative — see the bpeTrain scaladoc).
+        // LAZY localCheckpoint: lineage still truncates (no round ever
+        // replays earlier rounds' replaces — the O(rounds²) trap of
+        // the original persist-then-unpersist order), but the blocks
+        // materialize as a side effect of the NEXT round's top-pair
+        // collect instead of a dedicated eager job — halving the
+        // scheduled jobs per round, which ARE the cost at this scale
+        // (the seg table is vocabulary-sized; scheduling floor beats
+        // compute). The previous round's blocks stay alive until that
+        // collect lands (`pending`), so nothing recomputes. The whole
+        // batch is ONE chained-replace projection in rank order (the
+        // order is normative — see the bpeTrain scaladoc).
         val applied = kept.foldLeft(
           concat(lit(" "), col("seg"), lit(" "))) { case (acc, (pair, _)) =>
             call_function("replace", acc,
               lit(s" $pair "), lit(s" ${pair.replace("  ", "")} "))
         }
         val next = segs.select(col("w"), col("f"), trim(applied).as("seg"))
-          .localCheckpoint(true)
-        segs.unpersist()
+          .localCheckpoint(false)
+        pending = Some(segs)
         segs = next
       }
     }

@@ -121,5 +121,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // union-typed ORDER BY → distributed 3-key sort (values.go order)
+    ext.injectResolutionRule(_ => VariantSortRule)
   }
 }

@@ -79,4 +79,28 @@ class UnionJsonSpec extends SparkSpec {
       assert(graft.octo.OValue.compare(a, b) < 0, s"$a !< $b")
     }
   }
+
+  test("ORDER BY a VARIANT column works via VariantSortRule (distributed SortExec)") {
+    import spark.implicits._
+    val raw = Seq("\"pear\"", "2.5", "null", "17", "9.75", "true", "3",
+      "false", "\"apple\"")
+    val df = raw.toDF("j").select(parse_json(col("j")).as("v"), col("j"))
+    // without the rule Spark rejects the sort (variant is unorderable);
+    // with it the plan is a plain distributed sort over 3 scalar keys
+    val asc = df.orderBy(col("v")).select("j").collect().map(_.getString(0))
+    assert(asc.toSeq == Seq("null", "3", "17", "2.5", "9.75", "false",
+      "true", "\"apple\"", "\"pear\""), asc.mkString(","))
+    val desc = df.orderBy(col("v").desc).select("j")
+      .collect().map(_.getString(0))
+    assert(desc.toSeq == asc.toSeq.reverse, desc.mkString(","))
+    // the physical plan sorts — no collect-and-compare fallback exists
+    val plan = df.orderBy(col("v")).queryExecution.executedPlan.toString
+    assert(plan.contains("Sort"), plan)
+    // SQL surface too
+    df.createOrReplaceTempView("variant_sort_t")
+    val viaSql = spark.sql(
+      "SELECT j FROM variant_sort_t ORDER BY v").collect()
+      .map(_.getString(0))
+    assert(viaSql.toSeq == asc.toSeq)
+  }
 }
