@@ -654,6 +654,27 @@ object SparkEntry {
             .as("val_str"))
     }),
 
+    // GROUP BY a union column DIRECTLY: VariantGroupRule rewrites the
+    // variant grouping key into its exact-round-trip json string (the
+    // reference's union equality: type id + value — Int 5 and Float
+    // 5.0 are DIFFERENT groups, which the json forms `5` vs `5.0`
+    // preserve) and output references into first(v). The shuffle
+    // hash-partitions on a plain string; the oracle groups the same
+    // values by their construction-time types.
+    "q109_union_groupby" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      val ks = col("k").cast(StringType)
+      // %2 FOLDS collisions in: the same k appears both as Int and as
+      // String across rows, so the type-distinction actually bites
+      val v = when(col("event_id") % 2 === 0, parse_json(ks))
+        .otherwise(parse_json(concat(lit("\""), ks, lit("\""))))
+      e.select(v.as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"))
+        .select(to_json(col("v")).as("val_json"), col("n"))
+    }),
+
     // -----------------------------------------------------------------
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
@@ -4641,6 +4662,17 @@ object SparkEntry {
         |ORDER BY type_rank DESC, nk DESC NULLS LAST,
         |  val_str DESC NULLS LAST, event_id
         |LIMIT 20""".stripMargin,
+
+    "q109_union_groupby" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN event_id % 2 = 0
+        |      THEN CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+        |           AS VARCHAR)
+        |      ELSE '"' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+        |           AS VARCHAR) || '"' END AS val_json
+        |  FROM events)
+        |SELECT val_json, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1""".stripMargin,
 
     "p4_repetition" ->
       """WITH t AS (

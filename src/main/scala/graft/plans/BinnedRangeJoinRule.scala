@@ -123,5 +123,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     // union-typed ORDER BY → distributed 3-key sort (values.go order)
     ext.injectResolutionRule(_ => VariantSortRule)
+    // union-typed GROUP BY / DISTINCT → json-key grouping
+    ext.injectResolutionRule(_ => VariantGroupRule)
   }
 }

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.VariantType
+
+/** Makes `GROUP BY <union column>` and `DISTINCT` over union columns
+  * WORK: Spark rejects grouping on VariantType (not an orderable/
+  * groupable type), but the reference's union values have exact
+  * equality — type id + value (values.go Compare == 0). Two rewrites,
+  * fired at resolution time (before CheckAnalysis sees the type):
+  *
+  *  - a variant GROUPING expression becomes `concat(typeRank, ':',
+  *    to_json(v))`: union equality is (type id, value) — values.go
+  *    Compare == 0 — and to_json ALONE is not injective across
+  *    alternatives (Spark renders a DECIMAL-stored 5.0 as `5`, the
+  *    same as Int 5 — measured, not hypothetical), so the TypeID rank
+  *    prefix (shared with [[VariantSortRule]]) restores the Int≠Float
+  *    distinction; within a rank the exact json rendering is the
+  *    value identity. SQL NULL and variant-null both key as `0:null`
+  *    (the reference's NULL is a VALUE with type id 0);
+  *  - each OUTPUT occurrence of the grouped variant becomes
+  *    `first(v)` (all rows in a group share the exact value, so
+  *    `first` is the value), aliased back under the original exprId so
+  *    downstream operators resolve unchanged. Occurrences inside
+  *    aggregate functions (`count(v)`) are left alone — there they are
+  *    data references, not grouping references.
+  *
+  * `Distinct` is rewritten here as well (to the equivalent Aggregate)
+  * because Spark only lowers Distinct→Aggregate in the OPTIMIZER,
+  * after CheckAnalysis would have rejected the variant column.
+  * The group-key json string never reaches the output — it exists
+  * only in the shuffle, which hash-partitions on a plain string.
+  */
+object VariantGroupRule extends Rule[LogicalPlan] {
+
+  private def isVariant(e: Expression): Boolean =
+    e.resolved && e.dataType == VariantType
+
+  private def toJsonKey(e: Expression): Expression = {
+    import org.apache.spark.sql.types.StringType
+    val json = StructsToJson(Map.empty, e, Some(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    Concat(Seq(Cast(VariantSortRule.keys(e).head, StringType),
+      Literal(":"), Coalesce(Seq(json, Literal("null")))))
+  }
+
+  private def firstOf(e: Expression): Expression =
+    First(e, ignoreNulls = false).toAggregateExpression()
+
+  /** Replace grouped-variant references in an output expression with
+    * first(v), skipping aggregate-function subtrees.
+    */
+  private def fix(e: Expression, grouped: Seq[Expression]): Expression =
+    e match {
+      case ae: AggregateExpression => ae
+      case v if isVariant(v) && grouped.exists(_.semanticEquals(v)) =>
+        firstOf(v)
+      case other => other.mapChildren(fix(_, grouped))
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case a: Aggregate if a.groupingExpressions.exists(isVariant) &&
+        a.aggregateExpressions.forall(_.resolved) =>
+      val grouped = a.groupingExpressions.filter(isVariant)
+      val newGrouping = a.groupingExpressions.map(g =>
+        if (isVariant(g)) toJsonKey(g) else g)
+      val newAggs = a.aggregateExpressions.map {
+        case attr: AttributeReference
+            if isVariant(attr) && grouped.exists(_.semanticEquals(attr)) =>
+          Alias(firstOf(attr), attr.name)(exprId = attr.exprId)
+        case al: Alias =>
+          al.copy(child = fix(al.child, grouped))(al.exprId, al.qualifier,
+            al.explicitMetadata, al.nonInheritableMetadataKeys)
+        case ne => ne
+      }
+      a.copy(groupingExpressions = newGrouping,
+        aggregateExpressions = newAggs)
+
+    case Distinct(child) if child.resolved &&
+        child.output.exists(_.dataType == VariantType) =>
+      // the equivalent Aggregate, with the variant rewrites applied in
+      // one step; output attrs keep their exprIds via the Alias trick
+      val grouping = child.output.map { a =>
+        if (a.dataType == VariantType) toJsonKey(a) else (a: Expression) }
+      val aggs: Seq[NamedExpression] = child.output.map { a =>
+        if (a.dataType == VariantType)
+          Alias(firstOf(a), a.name)(exprId = a.exprId)
+        else a
+      }
+      Aggregate(grouping, aggs, child)
+
+    // the Dataset API's distinct()/dropDuplicates() lower to
+    // Deduplicate, which Spark only converts to Aggregate in the
+    // optimizer — too late for the variant check. Same rewrite as
+    // Spark's ReplaceDeduplicateWithAggregate, json-keyed: non-key
+    // columns become first(col) (dropDuplicates keeps an arbitrary
+    // row per key; first is that, deterministically per partition
+    // order).
+    case Deduplicate(keys, child) if child.resolved &&
+        keys.exists(_.dataType == VariantType) =>
+      val grouping = keys.map(a =>
+        if (a.dataType == VariantType) toJsonKey(a) else (a: Expression))
+      val aggs: Seq[NamedExpression] = child.output.map { a =>
+        if (keys.exists(_.semanticEquals(a))) {
+          if (a.dataType == VariantType)
+            Alias(firstOf(a), a.name)(exprId = a.exprId)
+          else a
+        } else Alias(firstOf(a), a.name)(exprId = a.exprId)
+      }
+      Aggregate(grouping, aggs, child)
+  }
+}

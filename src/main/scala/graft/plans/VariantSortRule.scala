@@ -32,7 +32,7 @@ object VariantSortRule extends Rule[LogicalPlan] {
     * UnionJson.typeRank/numKey/strKey; UnionJsonSpec pins both paths to
     * the same total order.
     */
-  private def keys(e: Expression): Seq[Expression] = {
+  private[plans] def keys(e: Expression): Seq[Expression] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.expressions.variant.{SchemaOfVariant, VariantGet}
     import org.apache.spark.sql.types._

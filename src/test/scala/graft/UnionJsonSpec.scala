@@ -103,4 +103,43 @@ class UnionJsonSpec extends SparkSpec {
       .map(_.getString(0))
     assert(viaSql.toSeq == asc.toSeq)
   }
+
+  test("GROUP BY and DISTINCT on a VARIANT column work via VariantGroupRule") {
+    import spark.implicits._
+    // Int 5 vs Float 5.0 vs String "5" are DIFFERENT union values
+    // (type id first — values.go Compare); each appears twice
+    // NOTE: Spark renders the DECIMAL-stored 5.0 variant as json "5" —
+    // identical to Int 5's rendering — so groups must be read back as
+    // (runtime type, json) pairs; the grouping KEY is rank-qualified
+    // for the same reason (see VariantGroupRule scaladoc)
+    val raw = Seq("5", "5.0", "\"5\"", "5", "5.0", "\"5\"", "7")
+    val df = raw.toDF("j").select(parse_json(col("j")).as("v"))
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val grouped = keyed(df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .select(schema_of_variant(col("v")), to_json(col("v")), col("n"))
+      .collect())
+    assert(grouped == Map(("BIGINT", "5") -> 2L, ("DECIMAL(1,0)", "5") -> 2L,
+      ("STRING", "\"5\"") -> 2L, ("BIGINT", "7") -> 1L), grouped.toString)
+    // DISTINCT over a variant column
+    val distinct = df.distinct()
+      .select(schema_of_variant(col("v")), to_json(col("v")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(distinct == Set(("BIGINT", "5"), ("DECIMAL(1,0)", "5"),
+      ("STRING", "\"5\""), ("BIGINT", "7")), distinct.toString)
+    // grouped variant stays usable downstream (e.g. sort it — both
+    // rules compose), and count(v) inside an aggregate is untouched
+    val ordered = df.groupBy(col("v"))
+      .agg(count(col("v")).as("n"))
+      .orderBy(col("v"))
+      .select(to_json(col("v"))).collect().map(_.getString(0))
+    assert(ordered.toSeq == Seq("5", "7", "5", "\"5\""), // Int < Float < String
+      ordered.mkString(","))
+    // SQL surface
+    df.createOrReplaceTempView("variant_group_t")
+    val viaSql = keyed(spark.sql(
+      """SELECT schema_of_variant(v), to_json(v), COUNT(*) AS n
+        |FROM variant_group_t GROUP BY v""".stripMargin).collect())
+    assert(viaSql == grouped)
+  }
 }
