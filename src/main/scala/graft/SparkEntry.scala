@@ -675,6 +675,28 @@ object SparkEntry {
         .select(to_json(col("v")).as("val_json"), col("n"))
     }),
 
+    // equality JOIN on a union column: VariantGroupRule rewrites
+    // `va = vb` into equality of null-preserving type-qualified keys,
+    // which the planner extracts as a plain equi key — the join
+    // hash-partitions on a string, never a nested loop (plan-gated by
+    // QueriesSpec like every query). Both sides carry the same k as
+    // both Int and String; only same-type same-value rows link.
+    "q110_union_join" -> ((s, dir) => {
+      import graft.types.UnionJson
+      val e = t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      val ks = col("k").cast(StringType)
+      val v = when(col("event_id") % 2 === 0, parse_json(ks))
+        .otherwise(parse_json(concat(lit("\""), ks, lit("\""))))
+      val a = e.filter(col("event_id") % 4 < 2).select(v.as("va"))
+        .groupBy(col("va")).agg(count(lit(1)).as("na"))
+      val b = e.filter(col("event_id") % 4 >= 2).select(v.as("vb"))
+        .groupBy(col("vb")).agg(count(lit(1)).as("nb"))
+      a.join(b, col("va") === col("vb"))
+        .select(UnionJson.typeRank(col("va")).as("type_rank"),
+          to_json(col("va")).as("val_json"), col("na"), col("nb"))
+    }),
+
     // -----------------------------------------------------------------
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
@@ -4673,6 +4695,21 @@ object SparkEntry {
         |  FROM events)
         |SELECT val_json, CAST(COUNT(*) AS BIGINT) AS n
         |FROM u GROUP BY 1""".stripMargin,
+
+    "q110_union_join" ->
+      """WITH src AS (
+        |  SELECT event_id, event_id % 2 AS ty,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |a AS (SELECT ty, k, COUNT(*) AS na FROM src
+        |      WHERE event_id % 4 < 2 GROUP BY 1, 2),
+        |b AS (SELECT ty, k, COUNT(*) AS nb FROM src
+        |      WHERE event_id % 4 >= 2 GROUP BY 1, 2)
+        |SELECT CASE WHEN a.ty = 0 THEN 1 ELSE 4 END AS type_rank,
+        |  CASE WHEN a.ty = 0 THEN CAST(a.k AS VARCHAR)
+        |       ELSE '"' || CAST(a.k AS VARCHAR) || '"' END AS val_json,
+        |  CAST(a.na AS BIGINT) AS na, CAST(b.nb AS BIGINT) AS nb
+        |FROM a JOIN b ON a.ty = b.ty AND a.k = b.k""".stripMargin,
 
     "p4_repetition" ->
       """WITH t AS (

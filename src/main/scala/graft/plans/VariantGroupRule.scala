@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.VariantType
 
@@ -45,6 +45,19 @@ object VariantGroupRule extends Rule[LogicalPlan] {
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
     Concat(Seq(Cast(VariantSortRule.keys(e).head, StringType),
       Literal(":"), Coalesce(Seq(json, Literal("null")))))
+  }
+
+  /** Equality-JOIN form of the key: NULL-PRESERVING, unlike the
+    * grouping key — SQL `=` on NULL (SQL null or the union's typed
+    * NULL value, which the reference's Kleene logic also nulls out)
+    * must not match, while GROUP BY puts all NULLs in one group. A
+    * null key also keeps outer-join padding semantics exact.
+    */
+  private def joinKey(e: Expression): Expression = {
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.catalyst.expressions.variant.SchemaOfVariant
+    If(Or(IsNull(e), EqualTo(SchemaOfVariant(e), Literal("VOID"))),
+      Literal.create(null, StringType), toJsonKey(e))
   }
 
   private def firstOf(e: Expression): Expression =
@@ -111,5 +124,69 @@ object VariantGroupRule extends Rule[LogicalPlan] {
         } else Alias(firstOf(a), a.name)(exprId = a.exprId)
       }
       Aggregate(grouping, aggs, child)
+
+    // equality joins on union columns: `l.v = r.v` becomes equality of
+    // the null-preserving keys — which the planner then EXTRACTS as an
+    // equi-join key, so the join hash-partitions instead of falling to
+    // a nested loop. `<=>` uses the grouping key (nulls equal).
+    // NOTE the guard checks the EqualTo's CHILDREN, not the condition:
+    // EqualTo(variant, variant) itself never reaches resolved (its
+    // type check fails), which is exactly why it needs rewriting.
+    case j: Join if j.condition.exists(_.exists {
+        case EqualTo(a, b) => isVariant(a) && isVariant(b)
+        case EqualNullSafe(a, b) => isVariant(a) && isVariant(b)
+        case _ => false
+      }) =>
+      j.copy(condition = j.condition.map(_.transformUp {
+        case EqualTo(a, b) if isVariant(a) && isVariant(b) =>
+          EqualTo(joinKey(a), joinKey(b))
+        case EqualNullSafe(a, b) if isVariant(a) && isVariant(b) =>
+          EqualNullSafe(toJsonKey(a), toJsonKey(b))
+      }))
+
+    // window PARTITION BY / ORDER BY a union column. TWO homes for the
+    // variant keys, both rewritten: ExtractWindowExpressions copies the
+    // spec into the logical Window node's own partitionSpec/orderSpec
+    // fields (which CheckAnalysis validates) while each window
+    // function's WindowSpecDefinition EXPRESSION keeps its own copy.
+    // Partition key = grouping key (NULLs are one partition, as SQL
+    // window partitioning groups nulls); order = the Value.Compare
+    // key triple.
+    case w: Window if w.partitionSpec.exists(isVariant) ||
+        w.orderSpec.exists(o => isVariant(o.child)) =>
+      val rewritten = w.copy(
+        partitionSpec = w.partitionSpec.map(e =>
+          if (isVariant(e)) toJsonKey(e) else e),
+        orderSpec = expandOrder(w.orderSpec))
+      rewriteSpecs(rewritten)
+
+    // a WindowSpecDefinition still held by a pre-extraction operator
+    // (e.g. a Project whose window expressions haven't been pulled
+    // into a Window node yet)
+    case p if p.expressions.exists(_.exists {
+        case wsd: WindowSpecDefinition =>
+          wsd.partitionSpec.exists(isVariant) ||
+            wsd.orderSpec.exists(o => isVariant(o.child))
+        case _ => false
+      }) =>
+      rewriteSpecs(p)
   }
+
+  private def expandOrder(order: Seq[SortOrder]): Seq[SortOrder] =
+    order.flatMap { o =>
+      if (isVariant(o.child))
+        VariantSortRule.keys(o.child).map(k => SortOrder(k, o.direction))
+      else Seq(o)
+    }
+
+  private def rewriteSpecs(p: LogicalPlan): LogicalPlan =
+    p.transformExpressions {
+      case wsd: WindowSpecDefinition
+          if wsd.partitionSpec.exists(isVariant) ||
+            wsd.orderSpec.exists(o => isVariant(o.child)) =>
+        wsd.copy(
+          partitionSpec = wsd.partitionSpec.map(e =>
+            if (isVariant(e)) toJsonKey(e) else e),
+          orderSpec = expandOrder(wsd.orderSpec))
+    }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.VariantType
 
@@ -68,17 +68,27 @@ object VariantSortRule extends Rule[LogicalPlan] {
     Seq(rank, num, str)
   }
 
+  private def expand(order: Seq[SortOrder]): Seq[SortOrder] =
+    order.flatMap { o =>
+      if (o.child.resolved && o.child.dataType == VariantType)
+        // nullOrdering is NOT copied: a union NULL is a VALUE with
+        // TypeID 0 (smallest), not SQL null — the rank key encodes
+        // that; the within-type keys are null only across rank
+        // classes the rank key already separates
+        keys(o.child).map(k => SortOrder(k, o.direction))
+      else Seq(o)
+    }
+
+  private def hasVariant(order: Seq[SortOrder]): Boolean =
+    order.exists(o => o.child.resolved && o.child.dataType == VariantType)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case s: Sort if s.order.exists(o =>
-        o.child.resolved && o.child.dataType == VariantType) =>
-      s.copy(order = s.order.flatMap { o =>
-        if (o.child.resolved && o.child.dataType == VariantType)
-          // nullOrdering is NOT copied: a union NULL is a VALUE with
-          // TypeID 0 (smallest), not SQL null — the rank key encodes
-          // that; the within-type keys are null only across rank
-          // classes the rank key already separates
-          keys(o.child).map(k => SortOrder(k, o.direction))
-        else Seq(o)
-      })
+    case s: Sort if hasVariant(s.order) =>
+      s.copy(order = expand(s.order))
+    // a logical Window node with variant orderSpec only occurs when
+    // constructed programmatically — the SQL/Dataset path is rewritten
+    // at the WindowSpecDefinition expression by VariantGroupRule
+    case w: Window if hasVariant(w.orderSpec) =>
+      w.copy(orderSpec = expand(w.orderSpec))
   }
 }

@@ -142,4 +142,49 @@ class UnionJsonSpec extends SparkSpec {
         |FROM variant_group_t GROUP BY v""".stripMargin).collect())
     assert(viaSql == grouped)
   }
+
+  test("equality JOIN on VARIANT keys: typed equality, SQL null semantics, hash join plan") {
+    import spark.implicits._
+    val l = Seq(("a", "5"), ("b", "5.0"), ("c", "\"5\""), ("d", "null"))
+      .toDF("lid", "j").select(col("lid"), parse_json(col("j")).as("lv"))
+    val r = Seq(("x", "5"), ("y", "5.0"), ("z", "null"))
+      .toDF("rid", "j").select(col("rid"), parse_json(col("j")).as("rv"))
+    val joined = l.join(r, col("lv") === col("rv"))
+    val pairs = joined.select("lid", "rid").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    // Int 5 = Int 5, Float 5.0 = Float 5.0; Int 5 ≠ Float 5.0 ≠ "5";
+    // the union NULL value does not `=`-match (Kleene)
+    assert(pairs == Set(("a", "x"), ("b", "y")), pairs.toString)
+    // the rewritten condition is an EXTRACTABLE equi key → hash join,
+    // not a nested loop
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+    // null-safe <=> matches the NULL values too
+    val nsPairs = l.join(r, col("lv") <=> col("rv"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(nsPairs == Set(("a", "x"), ("b", "y"), ("d", "z")),
+      nsPairs.toString)
+  }
+
+  test("window PARTITION BY / ORDER BY a VARIANT column") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = Seq("5", "5", "5.0", "\"5\"", "\"5\"", "\"5\"")
+      .toDF("j").select(parse_json(col("j")).as("v"))
+    val counts = df
+      .withColumn("n", count(lit(1)).over(W.partitionBy(col("v"))))
+      .select(schema_of_variant(col("v")), col("n"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(counts == Set(("BIGINT", 2L), ("DECIMAL(1,0)", 1L),
+      ("STRING", 3L)), counts.toString)
+    // window ORDER BY variant: ranks follow the cross-type total order
+    val ranks = df.distinct()
+      .withColumn("rk", row_number().over(W.orderBy(col("v"))))
+      .select(schema_of_variant(col("v")), col("rk"))
+      .collect().map(x => (x.getString(0), x.getInt(1))).toSet
+    assert(ranks == Set(("BIGINT", 1), ("DECIMAL(1,0)", 2), ("STRING", 3)),
+      ranks.toString) // Int < Float < String
+  }
 }
