@@ -597,10 +597,16 @@ object Dedup {
       val ptr = hop.select(col("id").as("ptr_id"), col("comp").as("ptr_comp"))
       val doubled = hop.join(ptr, hop("comp") === ptr("ptr_id"), "left")
         .select(hop("id"), coalesce(col("ptr_comp"), hop("comp")).as("comp"))
-      // checkpoint EVERY round: the materialization job is the same
-      // work the old persist+fingerprint pair did, and it keeps each
-      // round's plan — and the returned labeling's plan — constant-size
-      val next = doubled.localCheckpoint(true)
+      // checkpoint EVERY round (keeps each round's plan — and the
+      // returned labeling's plan — constant-size), but LAZILY: the
+      // convergence fingerprint below is the round's one scheduled
+      // job, and it materializes the checkpoint blocks as a side
+      // effect — halving jobs per round vs the old eager
+      // checkpoint-then-aggregate pair (the t9 bpeTrain discipline;
+      // at vocabulary/label scale the job-scheduling floor IS the
+      // round cost). The previous round's blocks are still alive
+      // while this job runs, so nothing recomputes.
+      val next = doubled.localCheckpoint(false)
       // labels are monotonically non-increasing per node, so the exact
       // label sum is unchanged iff no label changed — one aggregate
       // instead of a join+filter+count convergence probe

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * Scale design: the iteration state is one (vertex, rank) table; each
   * round is exactly one shuffle (edges ⋈ ranks on src, then a hash
   * aggregate keyed by dst) — the same bounded-round discipline as
-  * [[Dedup.connectedComponents]]. Edges, degrees, and every round's
-  * ranks are eagerly `localCheckpoint`ed so round N's plan does not
-  * re-analyze rounds 0..N-1 (the plan-analysis tax measured in
-  * PLANS.md). Driver traffic is one Long (the vertex count).
+  * [[Dedup.connectedComponents]]. Edges and degrees are eagerly
+  * `localCheckpoint`ed (reused every round); each round's iteration
+  * state is LAZILY checkpointed — plans stay constant-size (round N
+  * roots at round N−1's checkpoint) while materialization happens once
+  * in the consumer's job, not as a scheduled job per round. Driver
+  * traffic is one Long (the vertex count).
   *
   * Numeric design: ranks are fixed-point BIGINTs (`scale` = 1e12), all
   * updates integer multiply/divide — associative, order-independent,
@@ -44,8 +46,14 @@ object Graph {
     require(nV > 0, "pageRank: the edge list is empty (no vertices)")
     val teleport = scale * (100L - dampingPct) / 100L / nV
 
+    // LAZY checkpoints on the iteration state (here and in every
+    // fixed-round loop below): no round has a driver action, so the
+    // final consumer's one job materializes the whole cascade — plans
+    // stay constant-size (each round's plan roots at the previous
+    // round's checkpoint) while the per-round eager-materialization
+    // jobs disappear (the t9/CC job-scheduling-floor discipline).
     var ranks = verts.select(col("host"), lit(scale / nV).as("rank"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       // contribution of src to each out-neighbor: rank div outdeg (exact)
       val contrib = e.join(ranks, e("src") === ranks("host"))
@@ -57,7 +65,7 @@ object Graph {
           (lit(teleport) +
             expr(s"(${dampingPct}L * coalesce(in_mass, 0L)) div 100L"))
             .as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -178,7 +186,7 @@ object Graph {
       expr(s"CAST(coalesce($raw, 0L) AS DECIMAL(38,0)) * $scale div $mx")
         .cast("long")
     var hub = verts.select(col("host"), lit(scale).as("hub"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: see pageRank's iteration-state note
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = e.join(hub, e("src") === hub("host"))
@@ -187,14 +195,14 @@ object Graph {
         .join(aRaw, verts("host") === aRaw("dst"), "left")
         .crossJoin(aRaw.agg(max(col("ar")).as("amax")))
         .select(col("host"), normalized("ar", "amax").as("auth"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hRaw = e.join(auth, e("dst") === auth("host"))
         .groupBy("src").agg(sum(col("auth")).as("hr"))
       hub = verts
         .join(hRaw, verts("host") === hRaw("src"), "left")
         .crossJoin(hRaw.agg(max(col("hr")).as("hmax")))
         .select(col("host"), normalized("hr", "hmax").as("hub"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     hub.join(auth, "host").select("host", "hub", "auth")
   }
@@ -225,15 +233,16 @@ object Graph {
     val adj = und.select(col("a").as("s"), col("b").as("d"))
       .union(und.select(col("b").as("s"), col("a").as("d")))
       .localCheckpoint(true)
-    var frontier = seeds.toDF("v").distinct().localCheckpoint(true)
+    var frontier = seeds.toDF("v").distinct()
+      .localCheckpoint(false) // lazy: see pageRank's iteration-state note
     var visited = frontier
     var out = frontier.select(col("v"), lit(0).as("dist"))
     for (d <- 1 to maxDepth) {
       frontier = adj.join(frontier, adj("s") === frontier("v"))
         .select(col("d").as("v")).distinct()
         .join(visited, Seq("v"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.union(frontier).localCheckpoint(true)
+        .localCheckpoint(false)
+      visited = visited.union(frontier).localCheckpoint(false)
       out = out.union(frontier.select(col("v"), lit(d).as("dist")))
     }
     out
@@ -263,7 +272,8 @@ object Graph {
       .union(und.select(col("b").as("n"), col("a").as("nb")))
       .localCheckpoint(true)
     var labels = adj.select(col("n").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint(true)
+      .withColumn("lab", col("node"))
+      .localCheckpoint(false) // lazy: see pageRank's iteration-state note
     for (_ <- 1 to iters) {
       labels = adj
         .join(labels.select(col("node").as("nb"), col("lab")), "nb")
@@ -272,7 +282,7 @@ object Graph {
         .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab")))
           .as("w"))
         .select(col("n").as("node"), col("w.lab").as("lab"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     labels.select(col("node"), col("lab").as("community"))
   }
