@@ -697,6 +697,45 @@ object SparkEntry {
           to_json(col("va")).as("val_json"), col("na"), col("nb"))
     }),
 
+    // TPC-H Q6 (forecasting revenue change): the pure scan-side query —
+    // every predicate pushes to the parquet reader, one partial+final
+    // aggregate, zero joins and zero shuffles beyond the 1-row
+    // aggregate exchange. Discount equality on doubles is safe here:
+    // the generator writes 2-dp values, and BETWEEN on the exact
+    // binary doubles of 0.05/0.07 brackets identically in both engines.
+    "q111_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("2001-01-01").cast(TimestampType)
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+            * col("l_discount").cast(DecimalType(4, 2)))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q12 (shipping modes and order priority): fact-fact join +
+    // per-category conditional counts (our schema's analog: returnflag
+    // for shipmode, shipdate-vs-orderdate lateness for the
+    // commit/receipt race). Counts are integers — no float treaty
+    // needed; the join shuffles on the orderkey both sides.
+    "q112_tpch_q12" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate")
+          + expr("INTERVAL 30 DAYS")
+          && col("l_shipdate") >= lit("2000-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("2001-01-01").cast(TimestampType))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
     // -----------------------------------------------------------------
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
@@ -4710,6 +4749,28 @@ object SparkEntry {
         |       ELSE '"' || CAST(a.k AS VARCHAR) || '"' END AS val_json,
         |  CAST(a.na AS BIGINT) AS na, CAST(b.nb AS BIGINT) AS nb
         |FROM a JOIN b ON a.ty = b.ty AND a.k = b.k""".stripMargin,
+
+    "q111_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q112_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p4_repetition" ->
       """WITH t AS (

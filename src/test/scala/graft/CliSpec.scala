@@ -112,6 +112,28 @@ class CliSpec extends SparkSpec {
     } finally f.delete()
   }
 
+  test("ORDER BY a union-typed column through the CLI (VariantSortRule in the SQL path)") {
+    // heterogeneous JSON: the value column infers to Float | String
+    // (reference union typing); ORDER BY over it must follow the
+    // TypeID-first Value.Compare order — previously only the final
+    // live-table render could sort unions (driver-side comparator),
+    // now the QUERY's ORDER BY works too, distributed
+    val f = java.nio.file.Files.createTempFile("cli_union", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"value": "pear"}
+        |{"value": 9.5}
+        |{"value": "apple"}
+        |{"value": 2}
+        |""".stripMargin)
+    val (out, err, code) = run(
+      s"SELECT value FROM ${f.toString} ORDER BY value", "--output", "json")
+    assert(code == 0, s"stderr: $err")
+    // Floats (2 before 9.5) sort before Strings ("apple" before "pear")
+    assert(out.linesIterator.toSeq ==
+      Seq("""{"value":2}""", """{"value":9.5}""",
+        """{"value":"apple"}""", """{"value":"pear"}"""), out)
+  }
+
   test("query flags still parse with flags before the query") {
     val (out, err, code) = run("-o", "json", "SELECT 1 AS a")
     assert(code == 0, s"stderr: $err")
