@@ -697,6 +697,27 @@ object SparkEntry {
           to_json(col("va")).as("val_json"), col("na"), col("nb"))
     }),
 
+    // min/max over a union column: VariantGroupRule rewrites them to
+    // min_by/max_by on the Value.Compare key triple (null-skipping via
+    // a nulled ordering), so the cross-type extremes distribute as a
+    // plain hash aggregate. Ints rank below Strings, so min is the
+    // numeric minimum and max the LEXICAL string maximum — the oracle
+    // reconstructs both from construction-time types.
+    "q113_union_minmax" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      val ks = col("k").cast(StringType)
+      val v = when(col("event_id") % 2 === 0, parse_json(ks))
+        .otherwise(parse_json(concat(lit("\""), ks, lit("\""))))
+      e.select(col("event_type"), v.as("v"))
+        .groupBy("event_type")
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+          count_distinct(col("v")).as("n_distinct"))
+        .select(col("event_type"), to_json(col("mn")).as("min_json"),
+          to_json(col("mx")).as("max_json"), col("n_distinct"))
+        .orderBy("event_type")
+    }),
+
     // TPC-H Q6 (forecasting revenue change): the pure scan-side query —
     // every predicate pushes to the parquet reader, one partial+final
     // aggregate, zero joins and zero shuffles beyond the 1-row
@@ -4749,6 +4770,24 @@ object SparkEntry {
         |       ELSE '"' || CAST(a.k AS VARCHAR) || '"' END AS val_json,
         |  CAST(a.na AS BIGINT) AS na, CAST(b.nb AS BIGINT) AS nb
         |FROM a JOIN b ON a.ty = b.ty AND a.k = b.k""".stripMargin,
+
+    "q113_union_minmax" ->
+      """WITH u AS (
+        |  SELECT event_type, event_id % 2 AS ty,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CASE WHEN COUNT(CASE WHEN ty = 0 THEN 1 END) > 0
+        |       THEN CAST(MIN(CASE WHEN ty = 0 THEN k END) AS VARCHAR)
+        |       ELSE '"' || MIN(CASE WHEN ty = 1
+        |            THEN CAST(k AS VARCHAR) END) || '"' END AS min_json,
+        |  CASE WHEN COUNT(CASE WHEN ty = 1 THEN 1 END) > 0
+        |       THEN '"' || MAX(CASE WHEN ty = 1
+        |            THEN CAST(k AS VARCHAR) END) || '"'
+        |       ELSE CAST(MAX(CASE WHEN ty = 0 THEN k END) AS VARCHAR)
+        |       END AS max_json,
+        |  CAST(COUNT(DISTINCT (ty, k)) AS BIGINT) AS n_distinct
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q111_tpch_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

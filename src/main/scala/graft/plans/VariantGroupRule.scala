@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, First, Max, MaxBy, Min, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.VariantType
@@ -74,7 +74,54 @@ object VariantGroupRule extends Rule[LogicalPlan] {
       case other => other.mapChildren(fix(_, grouped))
     }
 
+  /** min/max over a union value follow Value.Compare — rewritten to
+    * min_by/max_by on the sort-key triple (the value rides along, only
+    * the triple needs ordering); count(DISTINCT v) counts distinct
+    * null-preserving keys (SQL count skips NULL, and the union's typed
+    * NULL is the NULL value). Aggregates that never order or hash the
+    * variant itself (count, first, last) pass through untouched.
+    */
+  /** The min_by/max_by ordering: the sort-key triple, nulled out for
+    * NULL values (SQL null or the union's typed NULL) — a null
+    * ordering makes the aggregate SKIP the row, matching SQL
+    * MIN/MAX null-skipping (the reference's aggregates skip NULLs
+    * too; without this the typed NULL would always win min as the
+    * smallest TypeID).
+    */
+  private def aggOrdering(v: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.variant.SchemaOfVariant
+    val ks = CreateStruct(VariantSortRule.keys(v))
+    If(Or(IsNull(v), EqualTo(SchemaOfVariant(v), Literal("VOID"))),
+      Literal.create(null, ks.dataType), ks)
+  }
+
+  private def rewriteAggFns(e: Expression): Expression = e.transformUp {
+    case ae @ AggregateExpression(Min(v), _, _, _, _) if isVariant(v) =>
+      ae.copy(aggregateFunction = MinBy(v, aggOrdering(v)))
+    case ae @ AggregateExpression(Max(v), _, _, _, _) if isVariant(v) =>
+      ae.copy(aggregateFunction = MaxBy(v, aggOrdering(v)))
+    case ae @ AggregateExpression(c: Count, _, true, _, _)
+        if c.children.exists(isVariant) =>
+      ae.copy(aggregateFunction = Count(c.children.map(ch =>
+        if (isVariant(ch)) joinKey(ch) else ch)))
+  }
+
+  private def hasVariantAggFn(e: Expression): Boolean = e.exists {
+    case AggregateExpression(Min(v), _, _, _, _) => isVariant(v)
+    case AggregateExpression(Max(v), _, _, _, _) => isVariant(v)
+    case AggregateExpression(c: Count, _, true, _, _) =>
+      c.children.exists(isVariant)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // min/max/count-distinct over variant args: independent of (and
+    // checked before) the grouping-key rewrite, so an aggregate with
+    // plain grouping keys but a variant min still rewrites
+    case a: Aggregate if a.aggregateExpressions.exists(hasVariantAggFn) =>
+      a.copy(aggregateExpressions = a.aggregateExpressions.map(ne =>
+        rewriteAggFns(ne).asInstanceOf[NamedExpression]))
+
     case a: Aggregate if a.groupingExpressions.exists(isVariant) &&
         a.aggregateExpressions.forall(_.resolved) =>
       val grouped = a.groupingExpressions.filter(isVariant)

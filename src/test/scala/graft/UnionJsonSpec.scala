@@ -143,6 +143,35 @@ class UnionJsonSpec extends SparkSpec {
     assert(viaSql == grouped)
   }
 
+  test("min/max/count(DISTINCT) over a VARIANT column follow Value.Compare") {
+    import spark.implicits._
+    val raw = Seq("17", "3", "9.75", "2.5", "\"pear\"", "\"apple\"",
+      "3", "null")
+    val df = raw.toDF("j").select(parse_json(col("j")).as("v"))
+    val r = df.agg(
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count_distinct(col("v")).as("nd"))
+      .select(to_json(col("mn")), to_json(col("mx")), col("nd"))
+      .collect().head
+    // NULL values are SKIPPED (SQL MIN/MAX/COUNT semantics — without
+    // the null-ordering guard the typed NULL would win min as TypeID
+    // 0): min = Int 3 (Ints rank below Floats/Strings), max = lexical
+    // max string, count distinct = 6 non-null values
+    assert(r.getString(0) == "3", r.toString)
+    assert(r.getString(1) == "\"pear\"", r.toString)
+    assert(r.getLong(2) == 6L, r.toString)
+    // grouped form composes with the variant grouping-key rewrite
+    val g = df.filter(schema_of_variant(col("v")) =!= "VOID")
+      .withColumn("grp",
+        when(schema_of_variant(col("v")) === "STRING", "s").otherwise("n"))
+      .groupBy("grp").agg(min(col("v")).as("mn"))
+      .select(col("grp"), to_json(col("mn")))
+      .collect().map(x => (x.getString(0), x.getString(1))).toMap
+    // numerics group: Int 3 < Float 2.5 (TypeID first — Ints rank
+    // below Floats regardless of magnitude)
+    assert(g == Map("n" -> "3", "s" -> "\"apple\""), g.toString)
+  }
+
   test("equality JOIN on VARIANT keys: typed equality, SQL null semantics, hash join plan") {
     import spark.implicits._
     val l = Seq(("a", "5"), ("b", "5.0"), ("c", "\"5\""), ("d", "null"))
