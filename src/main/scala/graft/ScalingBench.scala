@@ -62,7 +62,19 @@ object ScalingBench {
       dt
     }
 
+    // SPARK_GRAFT_ONLY=q1,q2 measures a subset and MERGES it into the
+    // existing record instead of overwriting — new queries join the
+    // full-suite record without a 40-minute re-run. Unknown names fail
+    // loudly (the Bench discipline).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(o.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY invalid; unknown: ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warm-up at the smallest scale: session machinery + codegen
     dirs.foreach { case (_, d) =>
       Engine.TableNames.foreach(n => Engine.table(spark, d, n).count()) }
@@ -91,25 +103,58 @@ object ScalingBench {
 
     def j(v: Double): String =
       if (v.isNaN) "null" else f"$v%.4f"
-    val body = records.map { case (n, ts, e) =>
-      s""""$n":{${ts.map { case (sf, t) =>
-        s""""t${sf.toString.replace(".", "_")}":${j(t)}""" }.mkString(",")},"exponent":${j(e)}}"""
-    }.mkString(",")
-    val totals = dirs.map { case (sf, _) =>
-      sf -> names.map(n => times((n, sf))).filterNot(_.isNaN).sum }
-    val json =
-      s"""{"metric":"scaling","unit":"sec","passes":$passes,"cpus":$cpus,
-         |"sfs":[${dirs.map(_._1).mkString(",")}],
-         |"totals":{${totals.map { case (sf, t) =>
-             s""""sf$sf":${j(t)}""" }.mkString(",")}},
-         |"flagged_super_linear":[${flagged.map("\"" + _._1 + "\"").mkString(",")}],
-         |"queries":{$body}}""".stripMargin.replace("\n", "")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SCALING.json"),
-      (json + "\n").getBytes("UTF-8"))
-    println(s"[scaling] wrote BENCH_SCALING.json; " +
-      s"${flagged.size} super-linear queries" +
-      (if (flagged.isEmpty) "" else ": " + flagged.map(_._1).mkString(", ")))
+    val path = java.nio.file.Paths.get("BENCH_SCALING.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // merge base: the existing record when it exists (so subset runs
+    // extend it and full runs preserve extra sections like st_scaling)
+    val root: com.fasterxml.jackson.databind.node.ObjectNode =
+      if (java.nio.file.Files.exists(path))
+        mapper.readTree(path.toFile)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else mapper.createObjectNode()
+    root.put("metric", "scaling").put("unit", "sec")
+      .put("passes", passes).put("cpus", cpus)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("sfs", mapper.readTree(dirs.map(_._1).mkString("[", ",", "]")))
+    val qNode = root.path("queries") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ =>
+        val o = mapper.createObjectNode(); root.set[com.fasterxml.jackson.databind.JsonNode]("queries", o); o
+    }
+    records.foreach { case (n, ts, e) =>
+      val entry = ts.map { case (sf, t) =>
+        s""""t${sf.toString.replace(".", "_")}":${j(t)}"""
+      }.mkString("{", ",", s""","exponent":${j(e)}}""")
+      qNode.set[com.fasterxml.jackson.databind.JsonNode](n, mapper.readTree(entry))
+    }
+    // totals + super-linear flags recomputed over the MERGED query set
+    val totalsNode = mapper.createObjectNode()
+    dirs.foreach { case (sf, _) =>
+      var tot = 0.0
+      val it = qNode.fields()
+      while (it.hasNext) {
+        val v = it.next().getValue.path(s"t${sf.toString.replace(".", "_")}")
+        if (v.isNumber) tot += v.asDouble()
+      }
+      totalsNode.put(s"sf$sf", tot)
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("totals", totalsNode)
+    val flaggedAll = {
+      val b = Seq.newBuilder[String]
+      val it = qNode.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val exp = e.getValue.path("exponent")
+        if (exp.isNumber && exp.asDouble() > 1.2) b += e.getKey
+      }
+      b.result().sorted
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("flagged_super_linear",
+      mapper.readTree(flaggedAll.map("\"" + _ + "\"").mkString("[", ",", "]")))
+    java.nio.file.Files.write(path,
+      (mapper.writeValueAsString(root) + "\n").getBytes("UTF-8"))
+    println(s"[scaling] wrote BENCH_SCALING.json (${qNode.size()} queries); " +
+      s"${flaggedAll.size} super-linear queries" +
+      (if (flaggedAll.isEmpty) "" else ": " + flaggedAll.mkString(", ")))
     spark.stop()
   }
 }
