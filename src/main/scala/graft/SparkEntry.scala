@@ -697,6 +697,41 @@ object SparkEntry {
           to_json(col("va")).as("val_json"), col("na"), col("nb"))
     }),
 
+    // URL hygiene for web corpora (operators.Web): per-doc URLs are
+    // CONSTRUCTED deterministically (the m16 encode-then-decode
+    // discipline — uppercased schemes, co.uk-style second-level
+    // suffixes, empty paths, tracking params in shuffled order,
+    // fragments), then canonicalized through parse_url-based Column
+    // algebra and aggregated per registered domain. Everything is
+    // codegen'd built-ins; the oracle rebuilds the canonical strings
+    // from the same construction arithmetic.
+    "p54_url_canonical" -> ((s, dir) => {
+      import operators.Web
+      val ids = col("doc_id").cast(StringType)
+      val hostCol = when(col("doc_id") % 4 === 0,
+          concat(col("source"), lit(".co.uk")))
+        .otherwise(concat(lit("docs."), col("source"), lit(".com")))
+      val scheme = when(col("doc_id") % 5 === 0, lit("HTTPS"))
+        .otherwise(lit("https"))
+      val path = when(col("doc_id") % 7 === 0, lit(""))
+        .otherwise(concat(lit("/"), col("lang"), lit("/doc"), ids))
+      val query = when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=news&id="), ids, lit("&ref=home")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?b=2&a=1&utm_campaign=x&id="), ids))
+        .otherwise(lit("?utm_medium=email"))
+      val frag = when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit(""))
+      val url = concat(scheme, lit("://"), hostCol, path, query, frag)
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang"))
+        .select(url.as("url"))
+        .select(Web.registeredDomain(col("url")).as("domain"),
+          Web.canonicalUrl(col("url")).as("curl"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("curl").as("n_unique"))
+        .orderBy("domain")
+    }),
+
     // min/max over a union column: VariantGroupRule rewrites them to
     // min_by/max_by on the Value.Compare key triple (null-skipping via
     // a nulled ordering), so the cross-type extremes distribute as a
@@ -4770,6 +4805,29 @@ object SparkEntry {
         |       ELSE '"' || CAST(a.k AS VARCHAR) || '"' END AS val_json,
         |  CAST(a.na AS BIGINT) AS na, CAST(b.nb AS BIGINT) AS nb
         |FROM a JOIN b ON a.ty = b.ty AND a.k = b.k""".stripMargin,
+
+    "p54_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN source || '.co.uk'
+        |         ELSE 'docs.' || source || '.com' END AS host,
+        |    CASE WHEN doc_id % 4 = 0 THEN source || '.co.uk'
+        |         ELSE source || '.com' END AS domain,
+        |    CASE WHEN doc_id % 7 = 0 THEN '/'
+        |         ELSE '/' || lang || '/doc' || CAST(doc_id AS VARCHAR)
+        |         END AS path,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'id=' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 3 = 1 THEN array_to_string(list_sort(
+        |           ['a=1', 'b=2', 'id=' || CAST(doc_id AS VARCHAR)]), '&')
+        |         ELSE NULL END AS q
+        |  FROM documents),
+        |c AS (
+        |  SELECT domain,
+        |    'https://' || host || path || COALESCE('?' || q, '') AS curl
+        |  FROM u)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_unique
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q113_union_minmax" ->
       """WITH u AS (

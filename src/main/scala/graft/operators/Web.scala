@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-corpus pipelines — the per-document
+  * normalization every crawl-derived training set runs before
+  * domain-level aggregation (source weighting, per-domain caps,
+  * dedup-by-canonical-URL): tracking-parameter stripping, canonical
+  * form, registered-domain extraction.
+  *
+  * Scale shape: pure per-row Column compositions over Spark's
+  * codegen'd built-ins (`parse_url`, `split`, higher-order `filter`/
+  * `array_sort`/`array_join`) — no UDFs, no state, no shuffle; the
+  * downstream per-domain aggregate is an ordinary hash group-by. Every
+  * step is deterministic string algebra a DuckDB oracle replays
+  * exactly.
+  */
+object Web {
+
+  /** Lowercased host of `url` (scheme://host[:port]/...). */
+  def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
+
+  /** Registered domain by the 2-label heuristic with a small built-in
+    * second-level-suffix list (co.uk / com.au / co.jp style): the last
+    * two host labels, or three when the 2-label tail is itself a
+    * public second-level suffix. A full public-suffix-list lookup is a
+    * broadcast-joinable table at scale; the heuristic covers the
+    * overwhelming majority of corpus hosts and is exactly replayable.
+    */
+  def registeredDomain(url: Column): Column = {
+    val labels = split(host(url), "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    val sld = Seq("co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp",
+      "co.kr", "com.br", "com.cn", "co.in", "co.za")
+    when(n <= 2, host(url))
+      .when(last2.isin(sld: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Query string with tracking parameters removed: any key starting
+    * with one of `prefixes` (utm_ campaign tags) or exactly matching
+    * one of `keys` (click ids, referrers). Remaining parameters are
+    * SORTED — parameter order is transport noise, and a canonical
+    * order is what makes canonical-URL dedup keys stable. Empty result
+    * → NULL (no '?' in the canonical form).
+    */
+  def cleanQuery(url: Column,
+                 prefixes: Seq[String] = Seq("utm_"),
+                 keys: Seq[String] = Seq("ref", "fbclid", "gclid",
+                   "mc_cid", "mc_eid")): Column = {
+    val q = parse_url(url, lit("QUERY"))
+    val kept = filter(split(q, "&"), p => {
+      val k = lower(element_at(split(p, "="), 1))
+      val isTracking = prefixes.map(pre => k.startsWith(pre))
+        .reduce(_ || _) || k.isin(keys: _*)
+      !isTracking && p =!= ""
+    })
+    when(q.isNull || size(kept) === 0, lit(null).cast("string"))
+      .otherwise(array_join(array_sort(kept), "&"))
+  }
+
+  /** Canonical URL: lowercase scheme+host, default ports dropped, path
+    * kept verbatim (trailing-slash-normalized: bare "" → "/"), cleaned
+    * sorted query, fragment dropped. The stable key for URL-level
+    * dedup and the input to per-domain uniqueness counts.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    val rawPath = parse_url(url, lit("PATH"))
+    val path = when(rawPath.isNull || rawPath === "", "/").otherwise(rawPath)
+    val cq = cleanQuery(url)
+    concat(scheme, lit("://"), host(url), path,
+      when(cq.isNull, "").otherwise(concat(lit("?"), cq)))
+  }
+}

@@ -881,6 +881,30 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("Web URL hygiene: registered domain, tracking strip, canonical form") {
+    import graft.operators.Web
+    val urls = Seq(
+      // SLD heuristic: co.uk keeps three labels
+      "https://news.bbc.co.uk/a?x=1",
+      // plain com: last two labels; HOST lowercased; port kept out of
+      // the domain; fragment dropped; utm_/ref stripped; params sorted
+      "HTTPS://Sub.Example.COM:8080/p/q?utm_source=a&b=2&ref=r&a=1#frag",
+      // bare host: empty path canonicalizes to "/"; all-tracking query
+      // drops the "?" entirely
+      "https://example.com?utm_medium=email",
+      // two-label host is its own registered domain
+      "https://short.io/x")
+    val df = urls.toDF("url")
+    val got = df.select(col("url"), Web.registeredDomain(col("url")).as("d"),
+        Web.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("bbc.co.uk", "https://news.bbc.co.uk/a?x=1"),
+      ("example.com", "https://sub.example.com/p/q?a=1&b=2"),
+      ("example.com", "https://example.com/"),
+      ("short.io", "https://short.io/x")), got.mkString("\n"))
+  }
+
   test("id3v2TextFrames: v2.3 BE32/Latin-1 and v2.4 syncsafe/UTF-8, audio untouched") {
     import graft.operators.Multimodal
     val frames = Seq("TIT2" -> "Café Müller", "TPE1" -> "artist",
