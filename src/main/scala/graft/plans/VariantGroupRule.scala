@@ -74,13 +74,6 @@ object VariantGroupRule extends Rule[LogicalPlan] {
       case other => other.mapChildren(fix(_, grouped))
     }
 
-  /** min/max over a union value follow Value.Compare — rewritten to
-    * min_by/max_by on the sort-key triple (the value rides along, only
-    * the triple needs ordering); count(DISTINCT v) counts distinct
-    * null-preserving keys (SQL count skips NULL, and the union's typed
-    * NULL is the NULL value). Aggregates that never order or hash the
-    * variant itself (count, first, last) pass through untouched.
-    */
   /** The min_by/max_by ordering: the sort-key triple, nulled out for
     * NULL values (SQL null or the union's typed NULL) — a null
     * ordering makes the aggregate SKIP the row, matching SQL
@@ -95,6 +88,13 @@ object VariantGroupRule extends Rule[LogicalPlan] {
       Literal.create(null, ks.dataType), ks)
   }
 
+  /** min/max over a union value follow Value.Compare — rewritten to
+    * min_by/max_by on the sort-key triple (the value rides along, only
+    * the triple needs ordering); count(DISTINCT v) counts distinct
+    * null-preserving keys (SQL count skips NULL, and the union's typed
+    * NULL is the NULL value). Aggregates that never order or hash the
+    * variant itself (count, first, last) pass through untouched.
+    */
   private def rewriteAggFns(e: Expression): Expression = e.transformUp {
     case ae @ AggregateExpression(Min(v), _, _, _, _) if isVariant(v) =>
       ae.copy(aggregateFunction = MinBy(v, aggOrdering(v)))
