@@ -792,6 +792,179 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // TPC-H Q7 (volume shipping between two nations): the disjunctive
+    // nation-pair predicate is applied to the DIMS before any fact
+    // join — suppliers and customers outside the two nations never
+    // reach the shuffle, so both dim sides stay broadcastable at any
+    // corpus size (1/12.5 of each dim here; at 100 TB the filter is
+    // what keeps the plan broadcast + one orderkey shuffle). Revenue
+    // is an exact decimal sum; year() keys are ints.
+    "q114_tpch_q7" -> ((s, dir) => {
+      val twoNations = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
+      val sp = t(s, dir, "supplier")
+        .join(twoNations.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val cn = t(s, dir, "customer")
+        .join(twoNations.select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation")),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey", "cust_nation")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("2001-01-01").cast(TimestampType))
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val vol = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2))
+          - col("l_discount").cast(DecimalType(4, 2)))
+      l.join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(cn), o("o_custkey") === cn("c_custkey"))
+        .filter((col("supp_nation") === "NATION_3"
+            && col("cust_nation") === "NATION_8")
+          || (col("supp_nation") === "NATION_8"
+            && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(vol).cast(DoubleType).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q9 (product-type profit, adapted: the schema has no
+    // ps_supplycost, so cost = 0.6·p_retailprice·l_quantity — same
+    // shape, profit per supplier-nation per order-year). part and
+    // supplier⨝nation broadcast; the one real shuffle is the
+    // lineitem⨝orders orderkey join. All money math in DECIMAL.
+    "q115_tpch_q9" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select("p_partkey", "p_retailprice")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val sn = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val profit = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(3, 2))
+          - col("l_discount").cast(DecimalType(4, 2))) -
+        lit(0.6).cast(DecimalType(3, 2)) *
+        col("p_retailprice").cast(DecimalType(12, 2)) *
+        col("l_quantity").cast(DecimalType(12, 2))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(sn), l("l_suppkey") === sn("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).cast(DoubleType).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q2 (min-cost supplier, adapted: no partsupp table, so the
+    // candidate set is the DISTINCT (partkey, suppkey) pairs observed
+    // in lineitem and the "cost" is s_acctbal). The correlated MIN
+    // subquery decorrelates to one |parts|-sized MIN aggregate joined
+    // back — the pair-distinct shuffles once on (part, supp), the
+    // rest is broadcast. Oracle runs the textbook correlated form.
+    "q116_tpch_q2" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val sup = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+      val withBal = pairs
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val minBal = withBal.groupBy(col("l_partkey").as("mb_pk"))
+        .agg(min("s_acctbal").as("min_bal"))
+      withBal
+        .join(minBal, col("l_partkey") === col("mb_pk")
+          && col("s_acctbal") === col("min_bal"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_size") === 15)),
+          col("l_partkey") === col("p_partkey"))
+        .select("s_acctbal", "s_name", "p_partkey", "p_brand")
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 (important stock, adapted: "value" is the exact
+    // decimal extendedprice a nation's suppliers shipped per part; the
+    // HAVING threshold is a fraction of the same set's global sum).
+    // The global is a 1-row aggregate crossed back in broadcast form;
+    // the threshold comparison stays in DECIMAL so the boundary can't
+    // flip between engines. One shuffle on partkey.
+    "q117_tpch_q11" -> ((s, dir) => {
+      val natSupp = t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val lv = t(s, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("val"))
+      val perPart = lv.groupBy("l_partkey")
+        .agg(sum("val").as("value_dec"))
+      val global = lv.agg(sum("val").as("g"))
+      perPart.crossJoin(broadcast(global))
+        .filter(col("value_dec") >
+          col("g") * lit(0.001).cast(DecimalType(4, 3)))
+        .select(col("l_partkey"),
+          col("value_dec").cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q16 (supplier counts by part attribute, NOT IN exclusion):
+    // the NOT IN subquery (suppliers with negative balance, standing
+    // in for the benchmark's complaint comment scan) is a broadcast
+    // LEFT ANTI join — s_suppkey is non-null so NOT IN ≡ anti join.
+    // count(DISTINCT) shuffles once on the (brand, type, size) key.
+    "q118_tpch_q16" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13"
+          && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 (part promotion, adapted: a (supplier, part) pair
+    // "dominates" a SMALL-type part when its year-2000 shipped
+    // quantity exceeds half the part's total across all suppliers
+    // that year — the benchmark's availqty-vs-half-shipped correlated
+    // scalar re-keyed to what this schema can express). Decorrelated:
+    // two aggregates over the same filtered scan joined on partkey,
+    // then a semi join back to supplier. Quantities are
+    // integer-valued doubles — sums are exact in any order.
+    "q119_tpch_q20" -> ((s, dir) => {
+      val smallParts = t(s, dir, "part")
+        .filter(col("p_type") === "SMALL").select("p_partkey")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("2001-01-01").cast(TimestampType))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+      val perPair = l.groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("pair_qty"))
+      val perPart = l.groupBy(col("l_partkey").as("pp_pk"))
+        .agg(sum("l_quantity").as("part_qty"))
+      val dominating = perPair
+        .join(perPart, col("l_partkey") === col("pp_pk"))
+        .filter(col("pair_qty") > lit(0.5) * col("part_qty"))
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(dominating, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
+
     // -----------------------------------------------------------------
     // LLM-data-pipeline operators
     // -----------------------------------------------------------------
@@ -4868,6 +5041,97 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q114_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+        |  CAST(SUM(vol) AS DOUBLE) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2))
+        |        - CAST(l_discount AS DECIMAL(4,2))) AS vol
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00') f
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q115_tpch_q9" ->
+      """SELECT nation, CAST(o_year AS INT) AS o_year,
+        |  CAST(SUM(profit) AS DOUBLE) AS sum_profit FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(3,2))
+        |        - CAST(l_discount AS DECIMAL(4,2)))
+        |      - CAST(0.6 AS DECIMAL(3,2))
+        |        * CAST(p_retailprice AS DECIMAL(12,2))
+        |        * CAST(l_quantity AS DECIMAL(12,2)) AS profit
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_type = 'STANDARD') f
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q116_tpch_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, p_partkey, p_brand
+        |FROM part p
+        |JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE p_size = 15
+        |  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+        |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q117_tpch_q11" ->
+      """WITH lv AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3')
+        |SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS value
+        |FROM lv GROUP BY 1
+        |HAVING SUM(val) > (SELECT SUM(val) FROM lv)
+        |  * CAST(0.001 AS DECIMAL(4,3))
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q118_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q119_tpch_q20" ->
+      """SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+        |    AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(l_quantity) > 0.5 * (
+        |    SELECT SUM(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey
+        |      AND l2.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |      AND l2.l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |      AND l2.l_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_type = 'SMALL')))
+        |ORDER BY s_name""".stripMargin,
 
     "p4_repetition" ->
       """WITH t AS (
