@@ -732,6 +732,74 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // HTML → text extraction (operators.Html): per-doc HTML pages are
+    // CONSTRUCTED deterministically (m16 discipline — scripts whose
+    // string literals contain fake tags, style blocks, comments,
+    // upper/lowercase paragraph tags, entity-laden sentences including
+    // a &lt;em&gt; that must survive tag stripping as literal text,
+    // nav link counts varying by doc) and pushed through the
+    // regex/replace Column pipeline: drop script/style/comments, strip
+    // tags to spaces, decode entities AFTER stripping, collapse
+    // whitespace; anchor-text chars feed the link-density boilerplate
+    // signal. The oracle rebuilds the expected visible text from the
+    // same construction arithmetic — integer/string-exact, no floats.
+    "t30_html_extract" -> ((s, dir) => {
+      import operators.Html
+      val ids = col("doc_id").cast(StringType)
+      val navLinks = when(col("doc_id") % 3 === 0,
+          lit("<a href=\"/\">Home</a> <a href=\"/about\">About</a>"))
+        .otherwise(lit("<a href=\"/\">Home</a>"))
+      val pOpen = when(col("doc_id") % 2 === 0, lit("<P>")).otherwise(lit("<p>"))
+      val pClose = when(col("doc_id") % 2 === 0, lit("</P>")).otherwise(lit("</p>"))
+      val html = concat(
+        lit("<html><head><title>Doc "), ids,
+        lit("</title><style>body { color: red }</style>"),
+        lit("<script type=\"text/javascript\">var s = \"<p>not text</p>\";"
+          + "</script></head><body><nav>"),
+        navLinks,
+        lit("</nav><h1>Title "), ids, lit("</h1>"),
+        pOpen, col("text"), pClose,
+        lit("<p>Q &amp; A &lt;em&gt; &#39;quoted&#39;&nbsp;end</p>"
+          + "<!-- hidden comment --><footer>&copy; 2024 "),
+        col("source"), lit("</footer></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          Html.title(col("html")).as("title"),
+          Html.extractText(col("html")).as("extracted"),
+          Html.anchorChars(col("html")).cast(LongType).as("link_chars"))
+        .withColumn("text_chars", length(col("extracted")).cast(LongType))
+    }),
+
+    // Encoding-quality signals (TextAnalysis.replacementCharCount /
+    // controlCharCount / mojibakeCount): corruption is INJECTED
+    // deterministically (U+FFFD runs, Latin-1 mojibake "Ã©" pairs, BEL
+    // control chars, all keyed on doc_id arithmetic) and the per-source
+    // rollup counts it back out through length-difference arithmetic
+    // over codegen'd replace/regexp_replace. The oracle re-injects and
+    // re-counts independently in DuckDB — integer-exact.
+    "t31_encoding_quality" -> ((s, dir) => {
+      import operators.TextAnalysis
+      val corrupted = concat(col("text"), lit(" "),
+        repeat(lit("\ufffd"), (col("doc_id") % 3).cast(IntegerType)),
+        repeat(lit("\u00c3\u00a9"), (col("doc_id") % 4).cast(IntegerType)),
+        repeat(lit("\u0007"), (col("doc_id") % 2).cast(IntegerType)))
+      t(s, dir, "documents")
+        .select(col("source"), corrupted.as("s"))
+        .select(col("source"),
+          TextAnalysis.replacementCharCount(col("s")).as("n_repl"),
+          TextAnalysis.controlCharCount(col("s")).as("n_ctrl"),
+          TextAnalysis.mojibakeCount(col("s")).as("n_moji"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_repl") > 0 || col("n_moji") > 0, 1L)
+            .otherwise(0L)).as("n_suspect"),
+          sum("n_repl").as("sum_repl"),
+          sum("n_ctrl").as("sum_ctrl"),
+          sum("n_moji").as("sum_moji"))
+        .orderBy("source")
+    }),
+
     // min/max over a union column: VariantGroupRule rewrites them to
     // min_by/max_by on the Value.Compare key triple (null-skipping via
     // a nulled ordering), so the cross-type extremes distribute as a
@@ -5001,6 +5069,54 @@ object SparkEntry {
         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_unique
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // expected visible text rebuilt from the construction arithmetic:
+    // nav anchors + h1 + body text + the entity sentence decoded one
+    // level + footer, single-space-joined and collapsed
+    "t30_html_extract" ->
+      ("""WITH e AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |    trim(regexp_replace(
+        |      (CASE WHEN doc_id % 3 = 0 THEN 'Home About' ELSE 'Home' END)
+        |      || ' Title ' || CAST(doc_id AS VARCHAR)
+        |      || ' ' || text
+        |      || ' Q & A <em> ''quoted'' end """
+        + "©"
+        + """ 2024 ' || source,
+        |      '\s+', ' ', 'g')) AS extracted,
+        |    CASE WHEN doc_id % 3 = 0 THEN 9 ELSE 4 END AS link_chars
+        |  FROM documents)
+        |SELECT doc_id, title, extracted,
+        |  CAST(link_chars AS BIGINT) AS link_chars,
+        |  CAST(length(extracted) AS BIGINT) AS text_chars
+        |FROM e""").stripMargin,
+
+    // re-inject the corruption and re-count it independently: same
+    // length-difference arithmetic, DuckDB's own replace/regexp engine
+    "t31_encoding_quality" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    text || ' '
+        |      || repeat(chr(65533), CAST(doc_id % 3 AS INT))
+        |      || repeat(chr(195) || chr(169), CAST(doc_id % 4 AS INT))
+        |      || repeat(chr(7), CAST(doc_id % 2 AS INT)) AS s
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    length(s) - length(replace(s, chr(65533), '')) AS n_repl,
+        |    length(s) - length(regexp_replace(s,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS n_ctrl,
+        |    (length(s) - length(replace(s, chr(195) || chr(169), ''))) // 2
+        |      AS n_moji
+        |  FROM c)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_repl > 0 OR n_moji > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_suspect,
+        |  CAST(SUM(n_repl) AS BIGINT) AS sum_repl,
+        |  CAST(SUM(n_ctrl) AS BIGINT) AS sum_ctrl,
+        |  CAST(SUM(n_moji) AS BIGINT) AS sum_moji
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q113_union_minmax" ->
       """WITH u AS (

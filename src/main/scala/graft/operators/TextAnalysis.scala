@@ -175,6 +175,40 @@ object TextAnalysis {
         (max("n").cast("double") / sum("n").cast("double")).as("top_token_frac"))
   }
 
+  /** Count of U+FFFD replacement characters — the unambiguous "a
+    * decoder already gave up here" marker every encoding-hygiene pass
+    * keys on. Length-difference arithmetic over literal `replace`:
+    * codegen'd, exactly replayable by any engine.
+    */
+  def replacementCharCount(text: Column): Column =
+    occurrences(text, "\ufffd")
+
+  /** Count of C0 control characters excluding whitespace (TAB/LF/CR):
+    * real prose never contains BEL or NUL; their presence flags binary
+    * junk that leaked into a text column.
+    */
+  def controlCharCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+      .cast("long")
+
+  /** Count of mojibake marker bigrams — the UTF-8-bytes-decoded-as-
+    * Latin-1 signatures ("Ã©" for é, "Ã¨" for è, "â€"-prefixed smart
+    * quotes). Each marker is counted by length-difference over literal
+    * `replace` and divided by the marker's own length, so the total is
+    * integer-exact and order-independent (markers are chosen
+    * non-overlapping).
+    */
+  def mojibakeCount(text: Column,
+                    markers: Seq[String] = Seq(
+                      "\u00c3\u00a9", // "\u00e9" seen through Latin-1
+                      "\u00c3\u00a8", // "\u00e8"
+                      "\u00c3\u00a4", // "\u00e4"
+                      "\u00e2\u20ac\u2122", // "\u2019" through cp1252
+                      "\u00e2\u20ac\u0153" // "\u201c" through cp1252
+                    )): Column =
+    markers.map(m => occurrences(text, m)).reduce(_ + _)
+
   /** Top-k characteristic terms per document by TF-IDF (tf × ln((N+1)/
     * (df+1)), ties broken by term asc). Output: `(doc_id, term, tf,
     * df_docs, rank)` for rank ≤ k — integer columns only, so results
