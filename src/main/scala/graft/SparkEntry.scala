@@ -800,6 +800,25 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Cross-document line-level boilerplate removal (Dedup.lineDedup,
+    // the CCNet/RefinedWeb pass): pages are CONSTRUCTED with shared
+    // header/footer lines (two variants each, so every boilerplate
+    // line lands in ~hundreds of docs), the document body as a content
+    // line, and a whitespace-only line that must always drop. Lines in
+    // more than maxDocs distinct docs are removed corpus-wide and the
+    // survivors reassembled in order — duplicated body texts past the
+    // threshold are removed too, which the oracle replays exactly.
+    "d25_line_dedup" -> ((s, dir) => {
+      val boilTop = when(col("doc_id") % 2 === 0,
+        lit("Subscribe to our newsletter")).otherwise(lit("Sign in to continue"))
+      val boilBot = when(col("doc_id") % 3 === 0,
+        lit("All rights reserved")).otherwise(lit("Share this article"))
+      val page = concat(boilTop, lit("\n"), col("text"), lit("\n \n"), boilBot)
+      operators.Dedup.lineDedup(
+        t(s, dir, "documents").select(col("doc_id"), page.as("text")),
+        maxDocs = 3)
+    }),
+
     // min/max over a union column: VariantGroupRule rewrites them to
     // min_by/max_by on the Value.Compare key triple (null-skipping via
     // a nulled ordering), so the cross-type extremes distribute as a
@@ -5117,6 +5136,43 @@ object SparkEntry {
         |  CAST(SUM(n_ctrl) AS BIGINT) AS sum_ctrl,
         |  CAST(SUM(n_moji) AS BIGINT) AS sum_moji
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replay: same page construction, same trimmed-line doc-frequency
+    // threshold, same ordered reassembly (d11's list_transform idiom
+    // for positions)
+    "d25_line_dedup" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter'
+        |          ELSE 'Sign in to continue' END)
+        |    || chr(10) || text || chr(10) || ' ' || chr(10)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved'
+        |             ELSE 'Share this article' END) AS page
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(parts) + 1),
+        |        j -> {'pos': j - 1, 'line': trim(parts[j])})) AS u
+        |    FROM (SELECT doc_id, string_split(page, chr(10)) AS parts
+        |          FROM pages))
+        |  WHERE u.line <> ''),
+        |rare AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS df FROM ls GROUP BY 1)
+        |  WHERE df <= 3),
+        |kept AS (
+        |  SELECT ls.* FROM ls SEMI JOIN rare ON ls.line = rare.line),
+        |rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY 1)
+        |SELECT ls.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_in,
+        |  CAST(COALESCE(ANY_VALUE(rebuilt.n_kept), 0) AS BIGINT)
+        |    AS n_lines_kept,
+        |  COALESCE(ANY_VALUE(rebuilt.cleaned), '') AS cleaned
+        |FROM ls LEFT JOIN rebuilt ON ls.doc_id = rebuilt.doc_id
+        |GROUP BY 1""".stripMargin,
 
     "q113_union_minmax" ->
       """WITH u AS (

@@ -718,6 +718,49 @@ object Dedup {
         col("first.pos").cast("long").as("pos"), col("chunk"))
   }
 
+  /** Cross-document line-level boilerplate removal (the CCNet /
+    * RefinedWeb pass): a line whose TRIMMED form occurs in more than
+    * `maxDocs` distinct documents corpus-wide is boilerplate
+    * ("Subscribe…", nav crumbs, copyright footers) and is removed from
+    * EVERY document; surviving lines are reassembled in original
+    * order. Empty/whitespace-only lines are always dropped. Documents
+    * with no non-empty lines drop out entirely (they were never text).
+    *
+    * Scale shape: posexplode → (doc,line) distinct → per-line hash
+    * aggregate (map-side combine; the all-docs boilerplate line is ONE
+    * group, partial aggregation absorbs the skew) → LEFT SEMI join
+    * back on the line string against the rare-line set (AQE picks
+    * broadcast when that set is small) → per-doc
+    * sort_array(collect_list(struct(pos,line))) reassembly, bounded by
+    * document size. No driver actions, no all-pairs shapes.
+    *
+    * Returns `(doc_id, n_lines_in, n_lines_kept, cleaned)`.
+    */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", maxDocs: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"), trim(col("raw")).as("line"))
+      .filter(col("line") =!= "")
+    val rare = lines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocs)
+      .select("line")
+    val kept = lines.join(rare, Seq("line"), "left_semi")
+    val perDocIn = lines.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines_in"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("cleaned"))
+    perDocIn.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines_in"),
+        coalesce(col("n_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Content-defined chunking (the rsync/LBFS boundary trick, Muthitacharoen
     * et al. 2001): a position ends a chunk when the hash of its trailing
     * `window`-char context is ≡ 0 (mod `divisor`), so boundaries are a

@@ -322,6 +322,27 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, "a b c d e f g h"), (1L, 1L, "i j"), (2L, 1L, "x y")))
   }
 
+  test("lineDedup drops corpus-frequent and blank lines, keeps order") {
+    val docs = Seq(
+      (1L, "keep one\nBOILER\n  \nkeep two"),
+      (2L, "BOILER\nunique a"),
+      (3L, "unique b\nBOILER\nBOILER"), // repeats in ONE doc: df is still 4
+      (4L, "BOILER\nunique c"),
+      (5L, "unique d")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.lineDedup(docs, maxDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // BOILER is in 4 distinct docs > maxDocs=3 -> removed everywhere;
+    // the blank line never counts; order of survivors preserved
+    assert(out(1L) == ((3L, 2L, "keep one\nkeep two")))
+    assert(out(2L) == ((2L, 1L, "unique a")))
+    assert(out(3L) == ((3L, 1L, "unique b")))
+    assert(out(4L) == ((2L, 1L, "unique c")))
+    assert(out(5L) == ((1L, 1L, "unique d")))
+  }
+
   test("Dedup.exact keeps one row per key, min id wins") {
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
     val out = Dedup.exact(df, "id", Seq("k")).orderBy("k")
