@@ -819,6 +819,25 @@ object SparkEntry {
         maxDocs = 3)
     }),
 
+    // Per-domain document caps (Web.domainCap): URLs constructed as in
+    // p54, registered domain extracted through the parse path, then at
+    // most k=3 docs kept per domain preferring longer docs (n_chars
+    // desc, doc_id asc unique tiebreak). The custom TopKPerKey bounds
+    // shuffle volume map-side; the oracle replays the cap as a plain
+    // window rank. Output is the kept rows themselves — integer-exact.
+    "p55_domain_cap" -> ((s, dir) => {
+      val hostCol = when(col("doc_id") % 4 === 0,
+          concat(col("source"), lit(".co.uk")))
+        .otherwise(concat(lit("docs."), col("source"), lit(".com")))
+      val url = concat(lit("https://"), hostCol, lit("/d/"),
+        col("doc_id").cast(StringType))
+      operators.Web.domainCap(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast(LongType).as("n_chars"), url.as("url")),
+        col("url"), k = 3)
+        .select(col("domain"), col("doc_id"), col("n_chars"))
+    }),
+
     // min/max over a union column: VariantGroupRule rewrites them to
     // min_by/max_by on the Value.Compare key triple (null-skipping via
     // a nulled ordering), so the cross-type extremes distribute as a
@@ -5173,6 +5192,20 @@ object SparkEntry {
         |  COALESCE(ANY_VALUE(rebuilt.cleaned), '') AS cleaned
         |FROM ls LEFT JOIN rebuilt ON ls.doc_id = rebuilt.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // the cap as a textbook window rank; 'docs.' hosts fold to the
+    // same registered domain the Spark side extracts
+    "p55_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CASE WHEN doc_id % 4 = 0 THEN source || '.co.uk'
+        |         ELSE source || '.com' END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT domain, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM u)
+        |SELECT domain, doc_id, n_chars FROM r WHERE rk <= 3""".stripMargin,
 
     "q113_union_minmax" ->
       """WITH u AS (

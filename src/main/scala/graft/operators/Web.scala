@@ -63,6 +63,29 @@ object Web {
       .otherwise(array_join(array_sort(kept), "&"))
   }
 
+  /** Per-registered-domain document cap (the Gopher/MassiveWeb
+    * anti-SEO-farm pass): keep at most `k` documents per domain,
+    * preferring longer documents, doc_id ascending as the unique
+    * tiebreak. Rows pass through with a `domain` column added.
+    *
+    * Scale shape: the custom [[graft.plans.TopKPerKey]] operator
+    * bounds every input partition to k rows per domain BEFORE the
+    * exchange (shuffle volume ≤ k × domains × partitions, not the
+    * corpus — the map-side combine stock window functions lack), then
+    * the exact per-domain window rank picks the final k.
+    */
+  def domainCap(docs: org.apache.spark.sql.DataFrame, url: Column,
+                k: Int): org.apache.spark.sql.DataFrame = {
+    val dd = docs.withColumn("domain", registeredDomain(url))
+    val bounded = graft.plans.TopKPerKey(dd, Seq("domain"),
+      Seq(("n_chars", false), ("doc_id", true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    bounded.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Canonical URL: lowercase scheme+host, default ports dropped, path
     * kept verbatim (trailing-slash-normalized: bare "" → "/"), cleaned
     * sorted query, fragment dropped. The stable key for URL-level
