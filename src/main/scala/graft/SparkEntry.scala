@@ -4167,6 +4167,41 @@ object SparkEntry {
         .toDF("doc_id", "id3_version", "title", "artist", "album", "codec")
     }),
 
+    // REAL compressed-audio decode: IMA ADPCM (WAV format 0x11), the
+    // 4:1 lossy codec whose bitstream is pure integer tables — encode
+    // a deterministic nibble stream per doc, container round-trip
+    // through the RIFF writer/parser, run the full stateful decode
+    // (step table, index adjust, clamps), and emit integer features.
+    // The oracle replays the ENTIRE state machine sample-by-sample in
+    // a recursive CTE, so any decoder divergence (table entry, clamp
+    // edge, nibble order, sign bit) breaks the hash.
+    "m18_adpcm_decode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 100 + 50).toInt
+            val sr = (8000 + (id % 3) * 4000).toInt
+            val pred0 = ((id * 31) % 2048 - 1024).toShort
+            val idx0 = (id % 89).toInt
+            val codes = Array.tabulate(n)(k =>
+              ((id * 7 + k * 13) % 16).toByte)
+            val wav = Multimodal.encodeImaAdpcmWav(sr, pred0, idx0, codes)
+            val (rate, samples) = Multimodal.decodeImaAdpcmWav(wav).get
+            var peak = 0; var sumAbs = 0L
+            samples.foreach { v =>
+              val a = math.abs(v.toInt)
+              if (a > peak) peak = a
+              sumAbs += a
+            }
+            (id, rate.toLong, samples.length.toLong, peak.toLong, sumAbs,
+              samples.last.toLong)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "peak", "sum_abs",
+          "last_sample")
+    }),
+
     // FLAC STREAMINFO scan: rate/channels/bits/total-samples from the
     // mandatory first metadata block, duration as exact integer
     // division — no frame read, mirrors m10's MP3 frame-math oracle
@@ -5828,6 +5863,57 @@ object SparkEntry {
         |       WHEN doc_id % 3 = 1 THEN 'hvc1'
         |       ELSE 'mp4v' END AS codec
         |FROM documents""".stripMargin,
+
+    // full IMA state-machine replay, one recursion step per nibble:
+    // step table as a list literal, bit tests as integer div/mod,
+    // the same clamps — an independent decode of the same bitstream
+    "m18_adpcm_decode" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 100 + 50 AS INT) AS n,
+        |    8000 + (doc_id % 3) * 4000 AS sr,
+        |    CAST((doc_id * 31) % 2048 - 1024 AS INT) AS pred0,
+        |    CAST(doc_id % 89 AS INT) AS idx0
+        |  FROM documents),
+        |dec AS (
+        |  SELECT doc_id, n, sr, 0 AS i, pred0 AS pred, idx0 AS idx,
+        |    ABS(pred0) AS peak, CAST(ABS(pred0) AS BIGINT) AS sum_abs
+        |  FROM d0
+        |  UNION ALL
+        |  SELECT doc_id, n, sr, i + 1, pred2, idx2,
+        |    GREATEST(peak, ABS(pred2)), sum_abs + ABS(pred2)
+        |  FROM (
+        |    SELECT *,
+        |      LEAST(32767, GREATEST(-32768,
+        |        CASE WHEN code >= 8 THEN pred - delta
+        |             ELSE pred + delta END)) AS pred2,
+        |      LEAST(88, GREATEST(0, idx + CASE WHEN code % 8 < 4 THEN -1
+        |        WHEN code % 8 = 4 THEN 2 WHEN code % 8 = 5 THEN 4
+        |        WHEN code % 8 = 6 THEN 6 ELSE 8 END)) AS idx2
+        |    FROM (
+        |      SELECT *,
+        |        step // 8
+        |        + CASE WHEN code % 2 = 1 THEN step // 4 ELSE 0 END
+        |        + CASE WHEN (code // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+        |        + CASE WHEN (code // 4) % 2 = 1 THEN step ELSE 0 END
+        |          AS delta
+        |      FROM (
+        |        SELECT dec.*,
+        |          CAST((doc_id * 7 + i * 13) % 16 AS INT) AS code,
+        |          ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |            41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+        |            173,190,209,230,253,279,307,337,371,408,449,494,544,
+        |            598,658,724,796,876,963,1060,1166,1282,1411,1552,
+        |            1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+        |            4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+        |            11487,12635,13899,15289,16818,18500,20350,22385,
+        |            24623,27086,29794,32767])[idx + 1] AS step
+        |        FROM dec WHERE i < n) q1) q2) q3)
+        |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(n + 1 AS BIGINT) AS n_samples,
+        |  CAST(peak AS BIGINT) AS peak, sum_abs,
+        |  CAST(pred AS BIGINT) AS last_sample
+        |FROM dec WHERE i = n""".stripMargin,
 
     "m15_flac_header" ->
       """SELECT doc_id,

@@ -322,6 +322,47 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, "a b c d e f g h"), (1L, 1L, "i j"), (2L, 1L, "x y")))
   }
 
+  test("IMA ADPCM: decode(encode(codes)) replays the state machine exactly") {
+    import graft.operators.Multimodal
+    // every nibble value 0..15 appears; seed at a clamp-adjacent index
+    val codes = Array.tabulate(37)(k => ((k * 5 + 3) % 16).toByte)
+    val wav = Multimodal.encodeImaAdpcmWav(16000, (-700).toShort, 87, codes)
+    val (rate, samples) = Multimodal.decodeImaAdpcmWav(wav).get
+    assert(rate == 16000 && samples.length == 38)
+    assert(samples(0) == -700)
+    // independent scalar replay of the same bitstream
+    var pred = -700; var idx = 87
+    codes.zipWithIndex.foreach { case (c, k) =>
+      val (p, i) = Multimodal.imaStep(pred, idx, c & 0x0F)
+      pred = p; idx = i
+      assert(samples(k + 1) == pred.toShort, s"sample ${k + 1}")
+    }
+  }
+
+  test("IMA ADPCM closed-loop encoder tracks its own reconstruction") {
+    import graft.operators.Multimodal
+    // a loud ramp with direction changes — forces clamps and index walk
+    val signal = Array.tabulate(300)(i =>
+      (math.sin(i / 7.0) * 30000).toInt.toShort)
+    val (codes, recon) = Multimodal.adpcmEncode(signal)
+    val wav = Multimodal.encodeImaAdpcmWav(8000, signal(0), 0, codes)
+    val (_, decoded) = Multimodal.decodeImaAdpcmWav(wav).get
+    // bitstream decode == encoder's internal reconstruction, bit-exact
+    assert(decoded.toSeq == recon.toSeq)
+    // and the codec is actually tracking the signal (lossy but close:
+    // max error a few step sizes once the index adapts)
+    val errs = signal.indices.drop(50).map(i => math.abs(signal(i) - decoded(i)))
+    assert(errs.max < 4000, s"worst error ${errs.max}")
+  }
+
+  test("ADPCM decoder rejects plain PCM WAV and vice versa") {
+    import graft.operators.Multimodal
+    val pcm = Multimodal.encodePcm16Wav(8000, Array[Short](1, 2, 3))
+    assert(Multimodal.decodeImaAdpcmWav(pcm).isEmpty)
+    val adpcm = Multimodal.encodeImaAdpcmWav(8000, 5, 0, Array[Byte](1, 2))
+    assert(Multimodal.decodeWavSamples(adpcm).isEmpty)
+  }
+
   test("lineDedup drops corpus-frequent and blank lines, keeps order") {
     val docs = Seq(
       (1L, "keep one\nBOILER\n  \nkeep two"),
