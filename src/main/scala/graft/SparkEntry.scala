@@ -4202,6 +4202,35 @@ object SparkEntry {
           "last_sample")
     }),
 
+    // G.711 µ-law/A-law decode (WAV tags 7/6): the telephony companding
+    // codecs ASR corpora arrive in — stateless integer expansion per
+    // byte, so the oracle replays the exact ITU formulas over the same
+    // deterministic byte stream with list_transform (no recursion).
+    "m19_g711_decode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 80 + 40).toInt
+            val data = Array.tabulate(n)(i =>
+              ((id * 11 + i * 29) % 256).toByte)
+            val wav = Multimodal.encodeG711Wav(8000, aLaw = id % 2 != 0, data)
+            val (rate, samples, aLaw) = Multimodal.decodeG711Wav(wav).get
+            var peak = 0; var sumAbs = 0L
+            samples.foreach { v =>
+              val a = math.abs(v.toInt)
+              if (a > peak) peak = a
+              sumAbs += a
+            }
+            (id, if (aLaw) "alaw" else "ulaw", rate.toLong,
+              samples.length.toLong, peak.toLong, sumAbs,
+              samples.head.toLong, samples.last.toLong)
+          }
+        }
+        .toDF("doc_id", "law", "sample_rate", "n_samples", "peak",
+          "sum_abs", "first_sample", "last_sample")
+    }),
+
     // FLAC STREAMINFO scan: rate/channels/bits/total-samples from the
     // mandatory first metadata block, duration as exact integer
     // division — no frame read, mirrors m10's MP3 frame-math oracle
@@ -5914,6 +5943,44 @@ object SparkEntry {
         |  CAST(peak AS BIGINT) AS peak, sum_abs,
         |  CAST(pred AS BIGINT) AS last_sample
         |FROM dec WHERE i = n""".stripMargin,
+
+    // the exact ITU G.711 expansion formulas, byte -> complement/xor
+    // intermediate -> magnitude shift, per companding law
+    "m19_g711_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(doc_id % 80 + 40 AS INT) AS n,
+        |    doc_id % 2 = 0 AS is_u
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, n, is_u,
+        |    CASE WHEN is_u THEN
+        |      list_transform(
+        |        list_transform(range(0, n),
+        |          i -> CAST(255 - ((doc_id * 11 + i * 29) % 256) AS INT)),
+        |        u -> CASE WHEN u >= 128
+        |          THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+        |          ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+        |          END)
+        |    ELSE
+        |      list_transform(
+        |        list_transform(range(0, n),
+        |          i -> xor(CAST((doc_id * 11 + i * 29) % 256 AS INT), 85)),
+        |        a -> (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+        |          (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+        |                ELSE ((a % 16) * 16 + 264)
+        |                  * (1 << ((a // 16) % 8 - 1)) END))
+        |    END AS smp
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN is_u THEN 'ulaw' ELSE 'alaw' END AS law,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+        |  CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT)
+        |    AS sum_abs,
+        |  CAST(smp[1] AS BIGINT) AS first_sample,
+        |  CAST(smp[n] AS BIGINT) AS last_sample
+        |FROM ex""".stripMargin,
 
     "m15_flac_header" ->
       """SELECT doc_id,

@@ -492,6 +492,104 @@ object Multimodal {
     if (out == null || sampleRate <= 0) None else Some((sampleRate, out))
   }
 
+  // ---------------------------------------------------------------
+  // G.711 µ-law / A-law (WAV format tags 7 / 6): the telephony codecs
+  // ASR training corpora arrive in. Stateless per-sample companding —
+  // pure integer formulas (ITU-T G.711), no tables needed.
+  // ---------------------------------------------------------------
+
+  /** µ-law byte → linear 16-bit sample (classic Sun/ITU expansion). */
+  private[graft] def ulaw2linear(b: Int): Int = {
+    val u = ~b & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → linear 16-bit sample (ITU expansion; sign bit SET
+    * means positive, per the G.711 PCM convention).
+    */
+  private[graft] def alaw2linear(b: Int): Int = {
+    val a = b ^ 0x55
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** RIFF/WAVE writer for G.711: format tag 7 (µ-law) or 6 (A-law),
+    * mono, 8 bits per sample, one byte per sample.
+    */
+  def encodeG711Wav(sampleRate: Int, aLaw: Boolean,
+                    data: Array[Byte]): Array[Byte] = {
+    val dataLen = data.length
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + 4 + 8 +
+        dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(4 + 8 + 18 + 8 + 4 + 8 + dataLen + (dataLen & 1))
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(18)
+    bb.putShort(if (aLaw) 6 else 7); bb.putShort(1)
+    bb.putInt(sampleRate); bb.putInt(sampleRate) // 1 byte/sample
+    bb.putShort(1); bb.putShort(8) // block align, bits
+    bb.putShort(0) // cbSize
+    bb.put("fact".getBytes("US-ASCII")); bb.putInt(4); bb.putInt(dataLen)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    bb.put(data)
+    if ((dataLen & 1) == 1) bb.put(0.toByte)
+    bb.array()
+  }
+
+  /** Real G.711 WAV decode: RIFF walk to `fmt ` (tag 6 or 7, mono,
+    * 8-bit) and `data`, expand each byte through the matching
+    * companding formula. Returns `(sampleRate, samples, aLaw)`; `None`
+    * for anything else (PCM, ADPCM, stereo…).
+    */
+  def decodeG711Wav(bytes: Array[Byte]): Option[(Int, Array[Short], Boolean)] = {
+    if (bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") return None
+    bb.getInt
+    if (fourcc() != "WAVE") return None
+    var sampleRate = -1; var aLaw = false; var ok = false
+    var out: Array[Short] = null
+    while (bb.remaining() >= 8 && out == null) {
+      val id = fourcc(); val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return None
+      val next = bb.position() + len + (len & 1)
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val fmt = bb.getShort; val ch = bb.getShort
+          sampleRate = bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          ok = (fmt == 6 || fmt == 7) && ch == 1 && bits == 8
+          if (!ok) return None
+          aLaw = fmt == 6
+        case "data" =>
+          if (!ok) return None
+          val buf = new Array[Short](len)
+          var i = 0
+          while (i < len) {
+            val b = bb.get() & 0xFF
+            buf(i) = (if (aLaw) alaw2linear(b) else ulaw2linear(b)).toShort
+            i += 1
+          }
+          out = buf
+        case _ =>
+      }
+      bb.position(math.min(next, bb.limit()))
+    }
+    if (out == null || sampleRate <= 0) None
+    else Some((sampleRate, out, aLaw))
+  }
+
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
                       width: Int, height: Int)
   case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,

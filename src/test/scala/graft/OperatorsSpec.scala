@@ -355,6 +355,42 @@ class OperatorsSpec extends SparkSpec {
     assert(errs.max < 4000, s"worst error ${errs.max}")
   }
 
+  test("G.711 expansion matches the classic reference vectors") {
+    import graft.operators.Multimodal
+    // µ-law: 0xFF and 0x7F are both zero (positive/negative silence);
+    // 0x00 is the negative extreme -32124
+    assert(Multimodal.ulaw2linear(0xFF) == 0)
+    assert(Multimodal.ulaw2linear(0x7F) == 0)
+    assert(Multimodal.ulaw2linear(0x00) == -32124)
+    assert(Multimodal.ulaw2linear(0x80) == 32124)
+    // A-law: 0x55 is -8, 0xD5 is +8; 0x2A the negative extreme -32256
+    assert(Multimodal.alaw2linear(0x55) == -8)
+    assert(Multimodal.alaw2linear(0xD5) == 8)
+    assert(Multimodal.alaw2linear(0x2A) == -32256)
+    assert(Multimodal.alaw2linear(0xAA) == 32256)
+  }
+
+  test("G.711 WAV round-trip both laws; format tags are mutually exclusive") {
+    import graft.operators.Multimodal
+    val data = Array.tabulate(11)(i => (i * 23).toByte)
+    for (aLaw <- Seq(false, true)) {
+      val wav = Multimodal.encodeG711Wav(8000, aLaw, data)
+      val (rate, samples, law) = Multimodal.decodeG711Wav(wav).get
+      assert(rate == 8000 && law == aLaw && samples.length == 11)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        val b = data(i) & 0xFF
+        val exp = if (aLaw) Multimodal.alaw2linear(b)
+                  else Multimodal.ulaw2linear(b)
+        assert(v == exp.toShort)
+      }
+      // cross-rejection: G711 payloads are not PCM or ADPCM
+      assert(Multimodal.decodeWavSamples(wav).isEmpty)
+      assert(Multimodal.decodeImaAdpcmWav(wav).isEmpty)
+    }
+    val adpcm = Multimodal.encodeImaAdpcmWav(8000, 5, 0, Array[Byte](1, 2))
+    assert(Multimodal.decodeG711Wav(adpcm).isEmpty)
+  }
+
   test("ADPCM decoder rejects plain PCM WAV and vice versa") {
     import graft.operators.Multimodal
     val pcm = Multimodal.encodePcm16Wav(8000, Array[Short](1, 2, 3))
