@@ -64,11 +64,11 @@ class QueriesSpec extends SparkSpec {
     assert(stale.isEmpty, s"allowlist entries without a query: $stale")
   }
 
-  test("every query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set("d3_minhash_lsh", "d4_simhash", "s2_ann_lsh",
-      "m2_media_features")
-    val missing = SparkEntry.queries.keySet --
-      SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle") {
+    // the once rows-only queries (d3, d4, s2, m2) gained oracles in
+    // later rounds; the allowlist is gone so a new query cannot ship
+    // without one
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
