@@ -4231,6 +4231,71 @@ object SparkEntry {
           "sum_abs", "first_sample", "last_sample")
     }),
 
+    // ASR-prep resample: G.711 decode (µ-law 8 kHz on even ids, A-law
+    // 44.1 kHz on odd) then linear-interp to 16 kHz — the exact ×2
+    // upsample and the fractional 441→160 downsample paths both run
+    // every batch. Integer-exact end to end: truncating division in
+    // the engine, `//` in the oracle (DuckDB truncates toward zero on
+    // signed numerators — measured, not assumed), so sum/peak/first/
+    // last pin every output sample.
+    "m21_resample_16k" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 80 + 40).toInt
+            val data = Array.tabulate(n)(i =>
+              ((id * 11 + i * 29) % 256).toByte)
+            val src = if (id % 2 == 0) 8000 else 44100
+            val wav = Multimodal.encodeG711Wav(src, aLaw = id % 2 != 0, data)
+            val (rate, samples, _) = Multimodal.decodeG711Wav(wav).get
+            val out = Multimodal.resampleLinear(samples, rate, 16000)
+            var peak = 0L; var sumAbs = 0L
+            out.foreach { v =>
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              sumAbs += a
+            }
+            (id, rate.toLong, out.length.toLong, peak, sumAbs,
+              out.head.toLong, out.last.toLong)
+          }
+        }
+        .toDF("doc_id", "src_rate", "n_out", "peak", "sum_abs",
+          "first_out", "last_out")
+    }),
+
+    // MP4 sample-table seek index (frame sampling without a decoder):
+    // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
+    // offset derived the spec way — stsc chunk run mapping → stco
+    // chunk offset → intra-chunk size accumulation. The ORACLE knows
+    // the fixture lays chunks out contiguously, so offset(k) must
+    // equal dataStart + prefix-sum(sizes[0..k)); the decoder never
+    // uses that shortcut (real MP4s interleave tracks), which makes
+    // the equality a genuine cross-check of the three-table walk.
+    "m20_mp4_samples" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 20 + 5).toInt
+            val d1 = 512 + (id % 7) * 64
+            val d2 = d1 + 256
+            val sizes = Array.tabulate(n)(i =>
+              (100 + (id * 7 + i * 13) % 90).toInt)
+            val spc = (id % 4 + 1).toInt
+            val mp4 = Multimodal.encodeMp4Samples(
+              90000, d1, d2, sizes, spc, 4096)
+            val tbl = Multimodal.mp4SampleTables(mp4).get
+            val k = id % n
+            (id, tbl.sampleCount.toLong, tbl.chunkOffsets.length.toLong,
+              tbl.durationTicks, tbl.totalBytes, tbl.maxSize, k,
+              tbl.sampleTimestamp(k), tbl.sampleOffset(k), tbl.chunkOf(k)._1)
+          }
+        }
+        .toDF("doc_id", "n_samples", "n_chunks", "duration_ticks",
+          "total_bytes", "max_size", "k", "ts_k", "offset_k", "chunk_k")
+    }),
+
     // FLAC STREAMINFO scan: rate/channels/bits/total-samples from the
     // mandatory first metadata block, duration as exact integer
     // division — no frame read, mirrors m10's MP3 frame-math oracle
@@ -5981,6 +6046,83 @@ object SparkEntry {
         |  CAST(smp[1] AS BIGINT) AS first_sample,
         |  CAST(smp[n] AS BIGINT) AS last_sample
         |FROM ex""".stripMargin,
+
+    // m19's expansion formulas feed the same interpolation arithmetic
+    // the engine runs; both sides truncate signed quotients toward
+    // zero (DuckDB `//` semantics, Scala `/` semantics)
+    "m21_resample_16k" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(doc_id % 80 + 40 AS INT) AS n,
+        |    doc_id % 2 = 0 AS is_u,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 44100 END AS src
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, n, src,
+        |    CASE WHEN is_u THEN
+        |      list_transform(
+        |        list_transform(range(0, n),
+        |          i -> CAST(255 - ((doc_id * 11 + i * 29) % 256) AS INT)),
+        |        u -> CASE WHEN u >= 128
+        |          THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+        |          ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+        |          END)
+        |    ELSE
+        |      list_transform(
+        |        list_transform(range(0, n),
+        |          i -> xor(CAST((doc_id * 11 + i * 29) % 256 AS INT), 85)),
+        |        a -> (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+        |          (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+        |                ELSE ((a % 16) * 16 + 264)
+        |                  * (1 << ((a // 16) % 8 - 1)) END))
+        |    END AS smp
+        |  FROM s),
+        |rs AS (
+        |  SELECT doc_id, src,
+        |    ((n - 1) * 16000 + src - 1) // src AS m,
+        |    list_transform(
+        |      range(0, ((n - 1) * 16000 + src - 1) // src),
+        |      j -> (smp[CAST((j * src) // 16000 AS INT) + 1]
+        |              * (16000 - (j * src) % 16000)
+        |            + smp[CAST((j * src) // 16000 AS INT) + 2]
+        |              * ((j * src) % 16000)) // 16000) AS out
+        |  FROM ex)
+        |SELECT doc_id, CAST(src AS BIGINT) AS src_rate,
+        |  CAST(m AS BIGINT) AS n_out,
+        |  CAST(list_max(list_transform(out, x -> abs(x))) AS BIGINT)
+        |    AS peak,
+        |  CAST(list_sum(list_transform(out, x -> abs(x))) AS BIGINT)
+        |    AS sum_abs,
+        |  CAST(out[1] AS BIGINT) AS first_out,
+        |  CAST(out[CAST(m AS INT)] AS BIGINT) AS last_out
+        |FROM rs""".stripMargin,
+
+    // contiguous-layout arithmetic replay: the engine derives offset_k
+    // through stsc/stco/stsz; the oracle derives it as dataStart +
+    // prefix-sum — equality proves the chunk-table walk
+    "m20_mp4_samples" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    doc_id % 20 + 5 AS n,
+        |    512 + (doc_id % 7) * 64 AS d1,
+        |    512 + (doc_id % 7) * 64 + 256 AS d2,
+        |    doc_id % 4 + 1 AS spc,
+        |    list_transform(range(0, doc_id % 20 + 5),
+        |      i -> 100 + (doc_id * 7 + i * 13) % 90) AS sizes
+        |  FROM documents),
+        |k0 AS (SELECT *, doc_id % n AS k, n // 2 AS n1 FROM s)
+        |SELECT doc_id,
+        |  n AS n_samples,
+        |  (n + spc - 1) // spc AS n_chunks,
+        |  n1 * d1 + (n - n1) * d2 AS duration_ticks,
+        |  CAST(list_sum(sizes) AS BIGINT) AS total_bytes,
+        |  CAST(list_max(sizes) AS BIGINT) AS max_size,
+        |  k,
+        |  CASE WHEN k < n1 THEN k * d1
+        |       ELSE n1 * d1 + (k - n1) * d2 END AS ts_k,
+        |  4096 + CAST(COALESCE(list_sum(sizes[1:k]), 0) AS BIGINT)
+        |    AS offset_k,
+        |  k // spc + 1 AS chunk_k
+        |FROM k0""".stripMargin,
 
     "m15_flac_header" ->
       """SELECT doc_id,

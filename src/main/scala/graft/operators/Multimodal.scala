@@ -590,6 +590,34 @@ object Multimodal {
     else Some((sampleRate, out, aLaw))
   }
 
+  /** Linear-interpolation resample — the ASR-prep primitive (speech
+    * models want 16 kHz mono; telephony corpora arrive at 8 kHz, web
+    * audio at 44.1/48 kHz). All-integer: output j sits at source
+    * position j·src/dst, carried as (num = j·src, idx = num/dst,
+    * frac = num%dst), and the interpolated value is
+    * (s[idx]·(dst−frac) + s[idx+1]·frac) / dst with TRUNCATING
+    * division: samples are signed, and DuckDB's integer `//`
+    * truncates toward zero (-7//2 = -3, measured) — the engine must
+    * round negative numerators identically or the oracle hash breaks
+    * on every negative midpoint. Output stops strictly before source
+    * position n−1 so s[idx+1] is always in bounds; no extrapolation
+    * is ever fabricated.
+    */
+  def resampleLinear(samples: Array[Short], srcRate: Int, dstRate: Int)
+      : Array[Int] = {
+    require(srcRate > 0 && dstRate > 0, s"rates: $srcRate -> $dstRate")
+    val n = samples.length
+    if (n < 2) return samples.map(_.toInt)
+    val m = (((n - 1).toLong * dstRate + srcRate - 1) / srcRate).toInt
+    Array.tabulate(m) { j =>
+      val num = j.toLong * srcRate
+      val idx = (num / dstRate).toInt
+      val frac = num % dstRate
+      ((samples(idx).toLong * (dstRate - frac) +
+        samples(idx + 1).toLong * frac) / dstRate).toInt
+    }
+  }
+
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
                       width: Int, height: Int)
   case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
@@ -909,6 +937,215 @@ object Multimodal {
     val mdia = box("mdia", skip ++ box("minf", skip ++ box("stbl", skip ++ stsd)))
     // splice mdia into the existing moov/trak: rebuild the tree rather
     // than patch sizes — the writer is fixture-only, clarity wins
+    val top = walkBoxes(base, 0, base.length)
+    val moov = top.find(_._1 == "moov").get
+    val inMoov = walkBoxes(base, moov._2, moov._3)
+    val mvhd = inMoov.find(_._1 == "mvhd").get
+    val trak = inMoov.find(_._1 == "trak").get
+    val mvhdBytes = java.util.Arrays.copyOfRange(base, mvhd._2 - 8, mvhd._3)
+    val trakInner = java.util.Arrays.copyOfRange(base, trak._2, trak._3)
+    val ftyp = top.find(_._1 == "ftyp").get
+    val ftypBytes = java.util.Arrays.copyOfRange(base, ftyp._2 - 8, ftyp._3)
+    ftypBytes ++ box("moov",
+      mvhdBytes ++ box("trak", trakInner ++ skip ++ mdia))
+  }
+
+  // ---- MP4 sample tables (stts/stsz/stsc/stco) ----------------------
+
+  /** Parsed ISO-BMFF sample tables — the seek index a frame-sampling
+    * pipeline needs before any decoder runs: which byte range is
+    * sample k, and what is its media timestamp. Offsets are derived
+    * the spec-defined way (ISO 14496-12 §8.7: stsc chunk mapping →
+    * stco chunk offset → intra-chunk size accumulation), never by
+    * assuming samples are contiguous in the file.
+    */
+  case class Mp4SampleTables(
+      sttsRuns: Seq[(Long, Long)],   // (sampleCount, delta) runs
+      sizes: Array[Long],            // per-sample byte sizes (stsz)
+      stscRuns: Seq[(Long, Long)],   // (firstChunk 1-based, samplesPerChunk)
+      chunkOffsets: Array[Long]) {   // stco, one entry per chunk
+
+    def sampleCount: Int = sizes.length
+    def durationTicks: Long = sttsRuns.map { case (c, d) => c * d }.sum
+    def totalBytes: Long = sizes.sum
+    def maxSize: Long = if (sizes.isEmpty) 0L else sizes.max
+
+    /** Media timestamp (ticks) of 0-based sample k: walk the stts
+      * run-length encoding.
+      */
+    def sampleTimestamp(k: Long): Long = {
+      var rem = k; var ts = 0L; var i = 0
+      while (i < sttsRuns.length && rem >= sttsRuns(i)._1) {
+        ts += sttsRuns(i)._1 * sttsRuns(i)._2
+        rem -= sttsRuns(i)._1
+        i += 1
+      }
+      if (i < sttsRuns.length) ts + rem * sttsRuns(i)._2 else ts
+    }
+
+    /** (1-based chunk holding 0-based sample k, index of that chunk's
+      * first sample) — from the stsc run-length mapping, where each
+      * run covers chunks [firstChunk, next run's firstChunk).
+      */
+    def chunkOf(k: Long): (Long, Long) = {
+      var i = 0
+      var firstSampleOfRun = 0L
+      var res: (Long, Long) = null
+      while (res == null && i < stscRuns.length) {
+        val (firstChunk, spc) = stscRuns(i)
+        val lastChunk = if (i + 1 < stscRuns.length) stscRuns(i + 1)._1 - 1
+                        else chunkOffsets.length.toLong
+        val runSamples = (lastChunk - firstChunk + 1) * spc
+        if (k < firstSampleOfRun + runSamples) {
+          val chunk = firstChunk + (k - firstSampleOfRun) / spc
+          res = (chunk, firstSampleOfRun + (chunk - firstChunk) * spc)
+        } else {
+          firstSampleOfRun += runSamples
+          i += 1
+        }
+      }
+      if (res == null) (chunkOffsets.length.toLong, firstSampleOfRun) else res
+    }
+
+    /** Byte offset of 0-based sample k: stco[chunk] plus the sizes of
+      * the chunk's earlier samples. Deliberately does NOT shortcut to
+      * a global prefix sum — real MP4s interleave tracks, so chunks
+      * are not contiguous and only this derivation is correct.
+      */
+    def sampleOffset(k: Long): Long = {
+      val (chunk, first) = chunkOf(k)
+      var off = chunkOffsets((chunk - 1).toInt)
+      var i = first
+      while (i < k) { off += sizes(i.toInt); i += 1 }
+      off
+    }
+  }
+
+  /** Sample-table scan: moov→trak→mdia→minf→stbl, then the four
+    * mandatory tables. This is the frame-sampling primitive for video
+    * corpora — downstream decoders need (offset, size, timestamp) per
+    * sample, and this derives them from the container alone. No codec
+    * is touched (the reference has no video support at all; this is
+    * the beyond-reference multimodal mandate). Every read is
+    * bounds-guarded: one truncated table costs one null row.
+    */
+  def mp4SampleTables(bytes: Array[Byte]): Option[Mp4SampleTables] = {
+    val top = walkBoxes(bytes, 0, bytes.length)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    def child(b: (String, Int, Int), typ: String): Option[(String, Int, Int)] =
+      walkBoxes(bytes, b._2, b._3).find(_._1 == typ)
+    for {
+      moov <- top.find(_._1 == "moov")
+      trak <- child(moov, "trak")
+      mdia <- child(trak, "mdia")
+      minf <- child(mdia, "minf")
+      stbl <- child(minf, "stbl")
+      stts <- child(stbl, "stts")
+      stsz <- child(stbl, "stsz")
+      stsc <- child(stbl, "stsc")
+      stco <- child(stbl, "stco")
+      parsed <- parseSampleTables(bytes, stts, stsz, stsc, stco)
+    } yield parsed
+  }
+
+  private def parseSampleTables(b: Array[Byte],
+      stts: (String, Int, Int), stsz: (String, Int, Int),
+      stsc: (String, Int, Int), stco: (String, Int, Int))
+      : Option[Mp4SampleTables] = {
+    val (_, tp, te) = stts
+    if (te - tp < 8) return None
+    val nRuns = be32(b, tp + 4).toInt
+    if (nRuns < 0 || te - tp < 8 + nRuns.toLong * 8) return None
+    val runs = (0 until nRuns).map(i =>
+      (be32(b, tp + 8 + i * 8), be32(b, tp + 12 + i * 8)))
+    val (_, zp, ze) = stsz
+    if (ze - zp < 12) return None
+    val uniform = be32(b, zp + 4)
+    val nSamples = be32(b, zp + 8).toInt
+    if (nSamples < 0) return None
+    val sizes =
+      if (uniform != 0) Array.fill(nSamples)(uniform)
+      else {
+        if (ze - zp < 12 + nSamples.toLong * 4) return None
+        Array.tabulate(nSamples)(i => be32(b, zp + 12 + i * 4))
+      }
+    val (_, cp, ce) = stsc
+    if (ce - cp < 8) return None
+    val nStsc = be32(b, cp + 4).toInt
+    if (nStsc < 0 || ce - cp < 8 + nStsc.toLong * 12) return None
+    val stscRuns = (0 until nStsc).map(i =>
+      (be32(b, cp + 8 + i * 12), be32(b, cp + 12 + i * 12)))
+    val (_, op, oe) = stco
+    if (oe - op < 8) return None
+    val nChunks = be32(b, op + 4).toInt
+    if (nChunks < 0 || oe - op < 8 + nChunks.toLong * 4) return None
+    val offsets = Array.tabulate(nChunks)(i => be32(b, op + 8 + i * 4))
+    Some(Mp4SampleTables(runs, sizes, stscRuns, offsets))
+  }
+
+  /** Fixture writer: the full moov→trak→mdia→minf→stbl chain whose
+    * stbl carries real stts/stsz/stsc/stco — two stts runs, explicit
+    * per-sample sizes, `spc` samples per chunk with a short final
+    * chunk when spc doesn't divide, chunk offsets laid out
+    * contiguously from `dataStart`. Free-box siblings exercise
+    * unknown-box skipping at each level, like [[encodeMp4Tree]].
+    */
+  def encodeMp4Samples(timescale: Long, delta1: Long, delta2: Long,
+      sizes: Array[Int], spc: Int, dataStart: Long): Array[Byte] = {
+    require(spc >= 1 && sizes.nonEmpty && spc <= sizes.length,
+      s"need 1 <= spc <= n: spc=$spc n=${sizes.length}")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val n = sizes.length
+    val n1 = n / 2
+    val stts = box("stts", {
+      val bb = java.nio.ByteBuffer.allocate(8 + 16)
+      bb.putInt(0).putInt(2)
+      bb.putInt(n1).putInt(delta1.toInt)
+      bb.putInt(n - n1).putInt(delta2.toInt)
+      bb.array()
+    })
+    val stsz = box("stsz", {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * n)
+      bb.putInt(0).putInt(0).putInt(n) // version+flags, non-uniform, count
+      sizes.foreach(bb.putInt)
+      bb.array()
+    })
+    val nFull = n / spc
+    val rem = n % spc
+    val stscEntries: Seq[(Int, Int)] =
+      if (rem == 0) Seq((1, spc)) else Seq((1, spc), (nFull + 1, rem))
+    val stsc = box("stsc", {
+      val bb = java.nio.ByteBuffer.allocate(8 + 12 * stscEntries.length)
+      bb.putInt(0).putInt(stscEntries.length)
+      stscEntries.foreach { case (fc, s) =>
+        bb.putInt(fc).putInt(s).putInt(1) // sample_description_index 1
+      }
+      bb.array()
+    })
+    val nChunks = nFull + (if (rem > 0) 1 else 0)
+    val offsets = new Array[Long](nChunks)
+    var off = dataStart
+    var s = 0
+    (0 until nChunks).foreach { c =>
+      offsets(c) = off
+      val inChunk = if (c < nFull) spc else rem
+      (0 until inChunk).foreach { _ => off += sizes(s); s += 1 }
+    }
+    val stco = box("stco", {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 * nChunks)
+      bb.putInt(0).putInt(nChunks)
+      offsets.foreach(o => bb.putInt(o.toInt))
+      bb.array()
+    })
+    val skip = box("free", new Array[Byte](4))
+    val stbl = box("stbl", skip ++ stts ++ stsz ++ stsc ++ stco)
+    val mdia = box("mdia", skip ++ box("minf", skip ++ stbl))
+    // splice into encodeMp4's ftyp/moov/trak scaffold, as encodeMp4Tree
+    val base = encodeMp4(timescale, 0L, 0, 0)
     val top = walkBoxes(base, 0, base.length)
     val moov = top.find(_._1 == "moov").get
     val inMoov = walkBoxes(base, moov._2, moov._3)

@@ -1041,6 +1041,73 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.mp4CodecFourcc("junk".getBytes).isEmpty)
   }
 
+  test("resampleLinear: exact up/down paths, truncating rounding on negatives") {
+    import graft.operators.Multimodal
+    // ×2 upsample: midpoints exact, output stops before the last
+    // source position (no extrapolation)
+    assert(Multimodal.resampleLinear(Array[Short](0, 10, 20), 8000, 16000)
+      .toSeq == Seq(0, 5, 10, 15))
+    // ×2 decimation: every other sample, last never emitted
+    assert(Multimodal.resampleLinear(Array[Short](0, 10, 20, 30, 40),
+      32000, 16000).toSeq == Seq(0, 20))
+    // fractional 1.5× ratio: position 1.5 interpolates
+    assert(Multimodal.resampleLinear(Array[Short](0, 30, 60, 90),
+      24000, 16000).toSeq == Seq(0, 45))
+    // negative midpoint -3.5 truncates to -3, matching DuckDB's `//`
+    // (which truncates toward zero: -7//2 = -3, measured); a flooring
+    // floorDiv here would give -4 and break the oracle hash
+    assert(Multimodal.resampleLinear(Array[Short](-3, -4), 8000, 16000)
+      .toSeq == Seq(-3, -3))
+    // degenerate inputs pass through
+    assert(Multimodal.resampleLinear(Array[Short](7), 8000, 16000)
+      .toSeq == Seq(7))
+    assert(Multimodal.resampleLinear(Array.empty[Short], 8000, 16000).isEmpty)
+  }
+
+  test("mp4SampleTables: stts/stsz/stsc/stco round-trip with remainder chunk") {
+    import graft.operators.Multimodal
+    // n=7, spc=3 -> chunks of 3,3,1; two stts runs 3@1000 + 4@2000
+    val sizes = Array(10, 20, 30, 40, 50, 60, 70)
+    val bytes = Multimodal.encodeMp4Samples(90000, 1000, 2000, sizes, 3, 500)
+    val t = Multimodal.mp4SampleTables(bytes).get
+    assert(t.sampleCount == 7 && t.chunkOffsets.length == 3)
+    assert(t.durationTicks == 3 * 1000 + 4 * 2000)
+    assert(t.totalBytes == sizes.sum && t.maxSize == 70)
+    // offsets: chunk starts 500, 560 (10+20+30), 710 (+40+50+60)
+    assert(t.chunkOffsets.toSeq == Seq(500L, 560L, 710L))
+    // sample 4 (0-based) is the 2nd sample of chunk 2: 560 + 40
+    assert(t.chunkOf(4) == ((2L, 3L)))
+    assert(t.sampleOffset(4) == 600L)
+    // sample 6 is alone in the remainder chunk
+    assert(t.chunkOf(6) == ((3L, 6L)) && t.sampleOffset(6) == 710L)
+    // timestamps cross the stts run boundary: ts(2)=2000, ts(3)=3000,
+    // ts(5)=3000+2*2000
+    assert(t.sampleTimestamp(2) == 2000L && t.sampleTimestamp(3) == 3000L &&
+      t.sampleTimestamp(5) == 7000L)
+    // spec-walk vs contiguous prefix sum agree on every sample
+    (0 until 7).foreach { k =>
+      assert(t.sampleOffset(k) == 500L + sizes.take(k).sum,
+        s"offset mismatch at k=$k")
+    }
+    // truncated stbl: chop the last stco entry -> None, not a throw
+    assert(Multimodal.mp4SampleTables(bytes.dropRight(4)).isEmpty)
+    assert(Multimodal.mp4SampleTables("junk".getBytes).isEmpty)
+  }
+
+  test("mp4SampleTables: non-contiguous chunks prove the stco walk is real") {
+    import graft.operators.Multimodal
+    // hand-built tables a muxer interleaving two tracks would produce:
+    // chunk 2 does NOT start where chunk 1's samples end
+    val t = Multimodal.Mp4SampleTables(
+      sttsRuns = Seq((4L, 100L)),
+      sizes = Array(10L, 20L, 30L, 40L),
+      stscRuns = Seq((1L, 2L)),
+      chunkOffsets = Array(1000L, 9000L))
+    assert(t.sampleOffset(0) == 1000L && t.sampleOffset(1) == 1010L)
+    // samples 2,3 live in the second chunk at the far offset
+    assert(t.sampleOffset(2) == 9000L && t.sampleOffset(3) == 9030L)
+  }
+
   test("mp4Header: box walk finds brand/timescale/duration/dims, skips free, rejects non-BMFF") {
     import graft.operators.Multimodal
     val bytes = Multimodal.encodeMp4(timescale = 90000, duration = 450000,
