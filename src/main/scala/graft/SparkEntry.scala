@@ -838,6 +838,71 @@ object SparkEntry {
         .select(col("domain"), col("doc_id"), col("n_chars"))
     }),
 
+    // robots.txt crawl filtering (RFC 9309): per-source robots files
+    // are CONSTRUCTED with comments, a Sitemap line, a Crawl-delay,
+    // and — for even-length sources — a graftbot-specific group, then
+    // parsed by the real group parser (Web.parseRobots). Decision
+    // semantics are the RFC's: the agent's own group REPLACES `*`
+    // (never merges), longest matching prefix wins, a length tie goes
+    // to Allow, no match allows. Scale shape: the parsed rule set is
+    // |sources|-sized → broadcast; the crawl-filter join is a
+    // broadcast prefix join + max(struct(len, is_allow)) aggregate —
+    // the fact side never shuffles before the final per-source rollup.
+    // The oracle replays the decision table per (bucket, group).
+    "p56_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      import operators.Web
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+          col("lang"))
+      val ids = col("doc_id").cast(StringType)
+      val path = when(col("doc_id") % 5 === 0,
+          concat(lit("/private/x"), ids))
+        .when(col("doc_id") % 5 === 1, concat(lit("/private/ok/"), ids))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("/"), col("lang"), lit("/doc"), ids))
+        .when(col("doc_id") % 5 === 3, concat(lit("/tmp/"), ids))
+        .otherwise(concat(lit("/doc"), ids))
+      val withPath = docs.withColumn("path", path)
+      val robots = docs.select(col("source")).distinct().as[String]
+        .mapPartitions { it =>
+          it.flatMap { src =>
+            val bot =
+              if (src.length % 2 == 0)
+                "\n# extended rules\nUser-agent: graftbot\n" +
+                "Allow: /private\nDisallow: /en\nCrawl-delay: 2\n"
+              else ""
+            val txt = s"# robots for $src\nUser-agent: *\n" +
+              "Disallow: /private\nAllow: /private/ok\nDisallow: /tmp\n" +
+              s"Sitemap: https://$src/sitemap.xml\n" + bot
+            Web.parseRobots(txt).map { case (ua, allow, prefix) =>
+              (src, ua, allow, prefix)
+            }
+          }
+        }.toDF("source", "ua", "is_allow", "prefix")
+      val hasBot = robots.groupBy("source")
+        .agg(max(when(col("ua") === "graftbot", 1).otherwise(0))
+          .as("has_bot"))
+      val grp = robots.join(broadcast(hasBot), "source")
+        .filter((col("has_bot") === 1 && col("ua") === "graftbot") ||
+          (col("has_bot") === 0 && col("ua") === "*"))
+        .select(col("source").as("rsource"), col("is_allow"),
+          col("prefix"), length(col("prefix")).as("plen"))
+      val joined = withPath.join(broadcast(grp),
+          withPath("source") === col("rsource") &&
+            col("path").startsWith(col("prefix")), "left")
+      val decided = joined.groupBy("doc_id", "source")
+        .agg(max(struct(col("plen"), col("is_allow"))).as("best"))
+        .select(col("source"),
+          coalesce(col("best.is_allow"), lit(true)).as("allowed"),
+          coalesce(col("best.plen"), lit(0)).as("rule_len"))
+      decided.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(col("rule_len").cast(LongType)).as("sum_rule_len"))
+        .orderBy("source")
+    }),
+
     // min/max over a union column: VariantGroupRule rewrites them to
     // min_by/max_by on the Value.Compare key triple (null-skipping via
     // a nulled ordering), so the cross-type extremes distribute as a
@@ -4264,6 +4329,132 @@ object SparkEntry {
           "first_out", "last_out")
     }),
 
+    // WARC crawl-container ingest (operators.Warc): per doc a 3-record
+    // WARC member (warcinfo + request + response, ISO 28500 framing) is
+    // ENCODED deterministically — the response block is a full HTTP/1.1
+    // message whose body is the document text, so bodies routinely
+    // contain newlines and can contain the literal text `WARC/1.0`;
+    // length-based framing must never be fooled by content. The engine
+    // then PARSES the member back (record walk + HTTP block split) and
+    // emits one row per record. The oracle re-encodes every record as a
+    // DuckDB string and measures it: `file_bytes` equality pins every
+    // CRLF of the framing, `block_len`/`body_len` pin Content-Length
+    // round-trips, `http_status` pins the HTTP status-line split.
+    // Scale shape: stateless per-row mapPartitions, zero shuffle.
+    "m22_warc_records" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      t(s, dir, "documents").select(col("doc_id").cast(LongType), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val uri = s"http://example.com/doc/$id"
+            val date = "2026-01-01T00:00:00Z"
+            def rid(j: Long) =
+              f"<urn:uuid:00000000-0000-0000-0000-${id * 3 + j}%012d>"
+            val body = text.getBytes(UTF_8)
+            val sline = (id % 3) match {
+              case 0 => "200 OK"
+              case 1 => "301 Moved Permanently"
+              case _ => "404 Not Found"
+            }
+            val b1 = ("software: graft/1.0\r\n"
+              + "format: WARC File Format 1.1\r\n").getBytes(UTF_8)
+            val b2 = (s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n"
+              + "User-Agent: graftbot/1.0\r\n\r\n").getBytes(UTF_8)
+            val b3 = (s"HTTP/1.1 $sline\r\n"
+              + "Content-Type: text/plain; charset=utf-8\r\n"
+              + s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+              body
+            val file = operators.Warc.encodeFile(Seq(
+              operators.Warc.encodeRecord(Seq(
+                "WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid(0),
+                "WARC-Date" -> date,
+                "Content-Type" -> "application/warc-fields"), b1),
+              operators.Warc.encodeRecord(Seq(
+                "WARC-Type" -> "request", "WARC-Record-ID" -> rid(1),
+                "WARC-Date" -> date, "WARC-Target-URI" -> uri,
+                "Content-Type" -> "application/http;msgtype=request"), b2),
+              operators.Warc.encodeRecord(Seq(
+                "WARC-Type" -> "response", "WARC-Record-ID" -> rid(2),
+                "WARC-Date" -> date, "WARC-Target-URI" -> uri,
+                "Content-Type" -> "application/http;msgtype=response"), b3)))
+            val recs = operators.Warc.parseFile(file).get
+            val total = file.length.toLong
+            recs.zipWithIndex.map { case (r, i) =>
+              val http =
+                if (r.header("WARC-Type").contains("response"))
+                  operators.Warc.parseHttp(r.block)
+                else None
+              (id, i.toLong, r.header("WARC-Type").orNull,
+                r.header("WARC-Target-URI"),
+                r.block.length.toLong,
+                http.flatMap(_.status).map(_.toLong),
+                http.map(_.body.length.toLong),
+                total)
+            }
+          }
+        }
+        .toDF("doc_id", "rec_idx", "warc_type", "uri", "block_len",
+          "http_status", "body_len", "file_bytes")
+    }),
+
+    // WebVTT subtitle cue extraction (operators.Subtitles): per doc a
+    // VTT track is CONSTRUCTED in pure Column algebra — optional cue
+    // identifier lines (i%2==0), cue settings after the end timestamp
+    // (i%4==0), multi-line payloads (i%3==0), payload text sliced from
+    // the document (newlines flattened so framing can't be forged) —
+    // then PARSED back by the cue-model walk: header block dropped,
+    // timing line found on line 1 or 2 by the ` --> ` arrow,
+    // timestamps re-derived by string arithmetic (never reusing the
+    // input integers). The oracle recomputes every statistic from the
+    // construction arithmetic alone. Zero UDFs, zero shuffle — one
+    // codegen'd projection.
+    "m23_vtt_cues" -> ((s, dir) => {
+      import operators.Subtitles
+      val id = col("doc_id").cast(LongType)
+      val ids = id.cast(StringType)
+      val nCues = (id % 7 + 2).cast(IntegerType)
+      val cueArr = transform(sequence(lit(0), nCues - 1), i => {
+        val iL = i.cast(LongType)
+        val istr = i.cast(StringType)
+        val start = iL * 3000L + id % 997L
+        val end = start + 800L + (iL * 37L % 1200L)
+        val slice = regexp_replace(
+          col("text").substr((i * 17 + 1).cast(IntegerType),
+            (lit(10) + i % 5).cast(IntegerType)),
+          "[\\n\\r]", " ")
+        val line1 = concat(lit("w"), istr, lit(":"), slice)
+        concat(
+          when(i % 2 === 0,
+            concat(lit("cue-"), ids, lit("-"), istr, lit("\n")))
+            .otherwise(lit("")),
+          Subtitles.vttTimestamp(start), lit(" --> "),
+          Subtitles.vttTimestamp(end),
+          when(i % 4 === 0, lit(" align:start")).otherwise(lit("")),
+          lit("\n"), line1,
+          when(i % 3 === 0, concat(lit("\n[x"), istr, lit("]")))
+            .otherwise(lit("")))
+      })
+      val vtt = concat(lit("WEBVTT - doc "), ids, lit("\n\n"),
+        array_join(cueArr, "\n\n"))
+      t(s, dir, "documents")
+        .select(id.as("doc_id"), Subtitles.parseCues(vtt).as("cues"))
+        .select(col("doc_id"),
+          size(col("cues")).cast(LongType).as("n_cues"),
+          size(filter(col("cues"), c => c.getField("has_id")))
+            .cast(LongType).as("n_with_id"),
+          element_at(col("cues"), 1).getField("start_ms")
+            .as("first_start"),
+          element_at(col("cues"), -1).getField("end_ms").as("last_end"),
+          aggregate(col("cues"), lit(0L),
+            (acc, c) => acc + c.getField("end_ms") -
+              c.getField("start_ms")).as("total_dur"),
+          aggregate(col("cues"), lit(0L),
+            (acc, c) => acc + length(c.getField("text")))
+            .as("n_payload_chars"))
+    }),
+
     // MP4 sample-table seek index (frame sampling without a decoder):
     // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
     // offset derived the spec way — stsc chunk run mapping → stco
@@ -5336,6 +5527,40 @@ object SparkEntry {
         |  FROM u)
         |SELECT domain, doc_id, n_chars FROM r WHERE rk <= 3""".stripMargin,
 
+    // decision-table replay of RFC 9309 semantics: graftbot group
+    // (even-length sources) = [Allow /private(8), Disallow /en(3)];
+    // `*` group = [Disallow /private(8), Allow /private/ok(11),
+    // Disallow /tmp(4)]; longest prefix wins, tie -> Allow, no match
+    // -> allowed with rule_len 0
+    "p56_robots_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, CAST(doc_id % 5 AS INT) AS b,
+        |    length(source) % 2 = 0 AS has_bot
+        |  FROM documents),
+        |dec AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN has_bot THEN
+        |      CASE WHEN b IN (0, 1) THEN TRUE
+        |           WHEN b = 2 AND lang = 'en' THEN FALSE
+        |           ELSE TRUE END
+        |    ELSE
+        |      CASE WHEN b = 0 THEN FALSE WHEN b = 1 THEN TRUE
+        |           WHEN b = 3 THEN FALSE ELSE TRUE END
+        |    END AS allowed,
+        |    CASE WHEN has_bot THEN
+        |      CASE WHEN b IN (0, 1) THEN 8
+        |           WHEN b = 2 AND lang = 'en' THEN 3 ELSE 0 END
+        |    ELSE
+        |      CASE WHEN b = 0 THEN 8 WHEN b = 1 THEN 11
+        |           WHEN b = 3 THEN 4 ELSE 0 END
+        |    END AS rule_len
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(sum(rule_len) AS BIGINT) AS sum_rule_len
+        |FROM dec GROUP BY source ORDER BY source""".stripMargin,
+
     "q113_union_minmax" ->
       """WITH u AS (
         |  SELECT event_type, event_id % 2 AS ty,
@@ -6095,6 +6320,112 @@ object SparkEntry {
         |  CAST(out[1] AS BIGINT) AS first_out,
         |  CAST(out[CAST(m AS INT)] AS BIGINT) AS last_out
         |FROM rs""".stripMargin,
+
+    // independent re-encoder: the oracle rebuilds every WARC record as
+    // a string (CRLFs via chr()) and measures it — file_bytes pins the
+    // whole framing byte-for-byte, block_len/body_len pin the
+    // Content-Length round-trip, http_status the status-line split
+    "m22_warc_records" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '200 OK'
+        |      WHEN 1 THEN '301 Moved Permanently'
+        |      ELSE '404 Not Found' END AS sline,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 200
+        |      WHEN 1 THEN 301 ELSE 404 END AS scode,
+        |    'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    chr(13) || chr(10) AS nl,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blen
+        |  FROM documents),
+        |b AS (
+        |  SELECT *,
+        |    'software: graft/1.0' || nl
+        |      || 'format: WARC File Format 1.1' || nl AS b1,
+        |    'GET /doc/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1' || nl
+        |      || 'Host: example.com' || nl
+        |      || 'User-Agent: graftbot/1.0' || nl || nl AS b2,
+        |    'HTTP/1.1 ' || sline || nl
+        |      || 'Content-Type: text/plain; charset=utf-8' || nl
+        |      || 'Content-Length: ' || CAST(blen AS VARCHAR) || nl || nl
+        |      || text AS b3
+        |  FROM d),
+        |r AS (
+        |  SELECT *,
+        |    'WARC/1.0' || nl || 'WARC-Type: warcinfo' || nl
+        |      || 'WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-'
+        |      || lpad(CAST(doc_id * 3 AS VARCHAR), 12, '0') || '>' || nl
+        |      || 'WARC-Date: 2026-01-01T00:00:00Z' || nl
+        |      || 'Content-Type: application/warc-fields' || nl
+        |      || 'Content-Length: '
+        |      || CAST(octet_length(CAST(b1 AS BLOB)) AS VARCHAR)
+        |      || nl || nl || b1 || nl || nl AS r1,
+        |    'WARC/1.0' || nl || 'WARC-Type: request' || nl
+        |      || 'WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-'
+        |      || lpad(CAST(doc_id * 3 + 1 AS VARCHAR), 12, '0') || '>' || nl
+        |      || 'WARC-Date: 2026-01-01T00:00:00Z' || nl
+        |      || 'WARC-Target-URI: ' || uri || nl
+        |      || 'Content-Type: application/http;msgtype=request' || nl
+        |      || 'Content-Length: '
+        |      || CAST(octet_length(CAST(b2 AS BLOB)) AS VARCHAR)
+        |      || nl || nl || b2 || nl || nl AS r2,
+        |    'WARC/1.0' || nl || 'WARC-Type: response' || nl
+        |      || 'WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-'
+        |      || lpad(CAST(doc_id * 3 + 2 AS VARCHAR), 12, '0') || '>' || nl
+        |      || 'WARC-Date: 2026-01-01T00:00:00Z' || nl
+        |      || 'WARC-Target-URI: ' || uri || nl
+        |      || 'Content-Type: application/http;msgtype=response' || nl
+        |      || 'Content-Length: '
+        |      || CAST(octet_length(CAST(b3 AS BLOB)) AS VARCHAR)
+        |      || nl || nl || b3 || nl || nl AS r3
+        |  FROM b),
+        |f AS (
+        |  SELECT *,
+        |    CAST(octet_length(CAST(r1 || r2 || r3 AS BLOB)) AS BIGINT)
+        |      AS file_bytes
+        |  FROM r)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+        |  'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS uri,
+        |  CAST(octet_length(CAST(b1 AS BLOB)) AS BIGINT) AS block_len,
+        |  CAST(NULL AS BIGINT) AS http_status,
+        |  CAST(NULL AS BIGINT) AS body_len, file_bytes
+        |FROM f
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), 'request', uri,
+        |  CAST(octet_length(CAST(b2 AS BLOB)) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), file_bytes
+        |FROM f
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS BIGINT), 'response', uri,
+        |  CAST(octet_length(CAST(b3 AS BLOB)) AS BIGINT),
+        |  CAST(scode AS BIGINT), blen, file_bytes
+        |FROM f""".stripMargin,
+
+    // construction-arithmetic replay: cue count/id parity from the
+    // modulus schedule, timestamps from the start/duration formulas,
+    // payload chars from the same substr slice (newlines flattened
+    // identically) — the engine side must RE-DERIVE all of these from
+    // the VTT text it parsed
+    "m23_vtt_cues" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, doc_id % 7 + 2 AS n, doc_id % 997 AS s0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_cues,
+        |  CAST((n + 1) // 2 AS BIGINT) AS n_with_id,
+        |  CAST(s0 AS BIGINT) AS first_start,
+        |  CAST((n - 1) * 3000 + s0 + 800 + ((n - 1) * 37 % 1200)
+        |    AS BIGINT) AS last_end,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |    i -> 800 + (i * 37 % 1200))) AS BIGINT) AS total_dur,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |    i -> length('w' || CAST(i AS VARCHAR) || ':'
+        |           || replace(replace(substr(text, CAST(i * 17 + 1 AS INT),
+        |                CAST(10 + i % 5 AS INT)), chr(10), ' '),
+        |              chr(13), ' '))
+        |         + CASE WHEN i % 3 = 0
+        |             THEN length('[x' || CAST(i AS VARCHAR) || ']') + 1
+        |             ELSE 0 END)) AS BIGINT) AS n_payload_chars
+        |FROM d""".stripMargin,
 
     // contiguous-layout arithmetic replay: the engine derives offset_k
     // through stsc/stco/stsz; the oracle derives it as dataStart +

@@ -1,0 +1,187 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** WARC (ISO 28500) record framing — the container format of web-scale
+  * crawl corpora (Common Crawl ships ~100 TB/month of these). The
+  * reference engine has no crawl-container support at all (its sources
+  * are CSV/JSON/parquet/lines — octosql.go:61-96); for a 100-TB
+  * training-data pipeline WARC ingest is the very first operator that
+  * runs, so it's part of the beyond-reference pipeline mandate.
+  *
+  * Format (public spec, ISO 28500 / WARC 1.1): a WARC file is a
+  * concatenation of records, each
+  *
+  * {{{
+  *   WARC/1.0<CRLF>
+  *   <header-name>: <value><CRLF> ...
+  *   <CRLF>
+  *   <Content-Length octets of block>
+  *   <CRLF><CRLF>
+  * }}}
+  *
+  * The block of a `response` record is itself an HTTP/1.1 response
+  * (status line, headers, CRLFCRLF, body). Framing is LENGTH-based:
+  * a body containing the literal text `WARC/1.0` must not confuse the
+  * walk — the parser never scans for magic inside a block.
+  *
+  * Scale shape: records parse independently per payload — a
+  * `mapPartitions` over binary rows with zero state and zero shuffle;
+  * at cluster scale each executor walks its own WARC members. All
+  * integer/byte arithmetic — deterministic, oracle-replayable.
+  */
+object Warc {
+
+  /** One parsed WARC record: version line, headers in file order
+    * (names case-preserved), and the raw block bytes.
+    */
+  final case class Record(version: String, headers: Vector[(String, String)],
+                          block: Array[Byte]) {
+    /** Case-insensitive header lookup (the spec makes names
+      * case-insensitive — WARC 1.1 §4).
+      */
+    def header(name: String): Option[String] =
+      headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
+  }
+
+  /** A parsed HTTP/1.1 message block from a request/response record. */
+  final case class Http(startLine: String, status: Option[Int],
+                        headers: Vector[(String, String)],
+                        body: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
+  }
+
+  private val Crlf = "\r\n".getBytes(UTF_8)
+
+  /** Encode one record. `Content-Length` is computed from `block` and
+    * appended after the caller's headers (last-wins on read would be
+    * wrong, so callers must not pass their own Content-Length).
+    */
+  def encodeRecord(headers: Seq[(String, String)],
+                   block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ")
+      .append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(UTF_8)
+    val out = new Array[Byte](head.length + block.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(block, 0, out, head.length, block.length)
+    System.arraycopy(Crlf, 0, out, head.length + block.length, 2)
+    System.arraycopy(Crlf, 0, out, head.length + block.length + 2, 2)
+    out
+  }
+
+  /** Concatenate records into one WARC member. */
+  def encodeFile(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new Array[Byte](records.map(_.length).sum)
+    var off = 0
+    records.foreach { r =>
+      System.arraycopy(r, 0, out, off, r.length); off += r.length
+    }
+    out
+  }
+
+  /** Walk every record in `bytes`. Returns None on any framing
+    * violation (bad magic, missing blank line, truncated block,
+    * missing record terminator, unparsable Content-Length) — a corrupt
+    * member is rejected whole rather than half-read, the behavior a
+    * crawl-ingest job wants (skip + count the member, keep the batch).
+    */
+  def parseFile(bytes: Array[Byte]): Option[Vector[Record]] = {
+    val out = Vector.newBuilder[Record]
+    var pos = 0
+    while (pos < bytes.length) {
+      parseRecord(bytes, pos) match {
+        case Some((rec, next)) => out += rec; pos = next
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Parse one record at `from`; returns (record, offset past its
+    * trailing CRLFCRLF).
+    */
+  private def parseRecord(bytes: Array[Byte],
+                          from: Int): Option[(Record, Int)] = {
+    val headEnd = indexOfCrlfCrlf(bytes, from)
+    if (headEnd < 0) return None
+    val head = new String(bytes, from, headEnd - from, UTF_8)
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("WARC/")) return None
+    val hdrs = Vector.newBuilder[(String, String)]
+    var i = 1
+    while (i < lines.length) {
+      val line = lines(i)
+      val c = line.indexOf(':')
+      if (c <= 0) return None
+      hdrs += ((line.substring(0, c).trim, line.substring(c + 1).trim))
+      i += 1
+    }
+    val rec0 = Record(lines(0), hdrs.result(), Array.emptyByteArray)
+    val len = rec0.header("Content-Length")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(return None)
+    val blockStart = headEnd + 4
+    val blockEnd = blockStart + len
+    if (len < 0 || blockEnd + 4 > bytes.length) return None
+    // record terminator: exactly CRLFCRLF after the block
+    if (bytes(blockEnd) != '\r' || bytes(blockEnd + 1) != '\n' ||
+        bytes(blockEnd + 2) != '\r' || bytes(blockEnd + 3) != '\n')
+      return None
+    val block = java.util.Arrays.copyOfRange(bytes, blockStart, blockEnd)
+    Some((rec0.copy(block = block), blockEnd + 4))
+  }
+
+  /** Parse an HTTP/1.1 message block (request or response). The body is
+    * everything after the first CRLFCRLF — HTTP inside WARC is stored
+    * unchunked (the crawler dechunks before writing), so no
+    * Transfer-Encoding handling is needed or attempted.
+    */
+  def parseHttp(block: Array[Byte]): Option[Http] = {
+    val headEnd = indexOfCrlfCrlf(block, 0)
+    if (headEnd < 0) return None
+    val head = new String(block, 0, headEnd, UTF_8)
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty) return None
+    val start = lines(0)
+    val status =
+      if (start.startsWith("HTTP/")) {
+        val parts = start.split(" ", 3)
+        if (parts.length < 2) return None
+        scala.util.Try(parts(1).toInt).toOption match {
+          case Some(s) => Some(s)
+          case None => return None
+        }
+      } else None
+    val hdrs = Vector.newBuilder[(String, String)]
+    var i = 1
+    while (i < lines.length) {
+      val c = lines(i).indexOf(':')
+      if (c <= 0) return None
+      hdrs += ((lines(i).substring(0, c).trim, lines(i).substring(c + 1).trim))
+      i += 1
+    }
+    val body =
+      java.util.Arrays.copyOfRange(block, headEnd + 4, block.length)
+    Some(Http(start, status, hdrs.result(), body))
+  }
+
+  private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    val n = bytes.length - 3
+    while (i < n) {
+      if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+}

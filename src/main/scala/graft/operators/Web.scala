@@ -86,6 +86,66 @@ object Web {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** robots.txt group-aware parse (RFC 9309, the public Robots
+    * Exclusion Protocol): returns (user-agent token lowercased,
+    * isAllow, path-prefix) rules. Group logic per the RFC — one or
+    * more consecutive `User-agent` lines open a group; `Allow` /
+    * `Disallow` / `Crawl-delay` lines attach to ALL agents of the
+    * current group; a `User-agent` line after rules starts a NEW
+    * group (groups never merge). Comments (`#` to EOL) stripped,
+    * keys case-insensitive, empty `Disallow:` (allow-all marker)
+    * yields no rule, unknown directives and `Sitemap` ignored.
+    *
+    * Path matching downstream is plain prefix (no `*`/`$` wildcard
+    * expansion) — the overwhelming majority of real rules are bare
+    * prefixes, and prefix rules keep the crawl-filter join pure
+    * `startswith` Column algebra; wildcard rules would need a regex
+    * translation layer.
+    */
+  def parseRobots(txt: String): Vector[(String, Boolean, String)] = {
+    val out = Vector.newBuilder[(String, Boolean, String)]
+    var uas: List[String] = Nil
+    var inRules = false
+    txt.split("\n", -1).foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val c = line.indexOf(':')
+      if (line.nonEmpty && c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) { uas = Nil; inRules = false }
+            uas = value.toLowerCase :: uas
+          case "allow" | "disallow" =>
+            inRules = true
+            if (value.nonEmpty)
+              uas.foreach(u => out += ((u, key == "allow", value)))
+          case "crawl-delay" => inRules = true
+          case _ => () // sitemap + unknown directives: not group members
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Reference decision for one (ua, path) against parsed rules — the
+    * semantics the distributed crawl-filter join must reproduce: the
+    * group is the agent's own rules if any exist, else the `*` group;
+    * within the group the LONGEST matching prefix wins; a length tie
+    * goes to Allow; no match (or no group) → allowed. Driver-side
+    * helper for specs and tiny rule sets; the p56 query runs the same
+    * logic as a broadcast join + max(struct(len, is_allow)) aggregate.
+    */
+  def robotsAllowed(rules: Seq[(String, Boolean, String)], ua: String,
+                    path: String): Boolean = {
+    val mine = rules.filter(_._1 == ua.toLowerCase)
+    val group = if (mine.nonEmpty) mine else rules.filter(_._1 == "*")
+    val matching = group.filter { case (_, _, p) => path.startsWith(p) }
+    if (matching.isEmpty) true
+    else matching.maxBy { case (_, allow, p) => (p.length, allow) }._2
+  }
+
   /** Canonical URL: lowercase scheme+host, default ports dropped, path
     * kept verbatim (trailing-slash-normalized: bare "" → "/"), cleaned
     * sorted query, fragment dropped. The stable key for URL-level
