@@ -4455,6 +4455,48 @@ object SparkEntry {
             .as("n_payload_chars"))
     }),
 
+    // WebDataset tar shards (operators.Tar): docs are grouped into
+    // BOUNDED shards (bucket = doc_id/16 → ≤16 docs regardless of SF —
+    // shard COUNT scales with data, shard SIZE doesn't), each shard
+    // encoded as a POSIX ustar archive with two members per sample
+    // (NNNNNNNN.txt + NNNNNNNN.cls, the WebDataset basename-grouping
+    // convention), then PARSED back: magic + checksum verified per
+    // header, sizes from octal fields, member data offsets from the
+    // 512-block walk. The oracle replays every member's byte offset as
+    // a window prefix-sum over the same block arithmetic — any
+    // disagreement in header size, padding, or member order breaks
+    // rows. Scale shape: one shuffle (the bounded groupBy), then
+    // shard-parallel encode/parse with zero further exchanges.
+    "m24_tar_webdataset" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"),
+          col("lang"), col("source"))
+        .withColumn("bucket", (col("doc_id") / lit(16)).cast(LongType))
+        .groupBy(col("source"), col("bucket"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"),
+          col("lang")))).as("docs"))
+        .as[(String, Long, Seq[(Long, String, String)])]
+        .flatMap { case (src, bucket, ds) =>
+          val members = ds.flatMap { case (id, text, lang) =>
+            Seq((f"$id%08d.txt", text.getBytes(UTF_8)),
+              (f"$id%08d.cls", lang.getBytes(UTF_8)))
+          }
+          val tar = operators.Tar.encode(members)
+          val parsed = operators.Tar.parse(tar).get
+          val shardBytes = tar.length.toLong
+          val nSamples =
+            parsed.map(_.name.takeWhile(_ != '.')).distinct.size.toLong
+          parsed.map { m =>
+            (src, bucket, m.name, m.size, m.dataOffset, shardBytes,
+              nSamples)
+          }
+        }
+        .toDF("source", "bucket", "name", "size", "data_offset",
+          "shard_bytes", "n_samples")
+    }),
+
     // MP4 sample-table seek index (frame sampling without a decoder):
     // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
     // offset derived the spec way — stsc chunk run mapping → stco
@@ -6426,6 +6468,36 @@ object SparkEntry {
         |             THEN length('[x' || CAST(i AS VARCHAR) || ']') + 1
         |             ELSE 0 END)) AS BIGINT) AS n_payload_chars
         |FROM d""".stripMargin,
+
+    // block-arithmetic replay: member byte offsets as window
+    // prefix-sums over 512-padded sizes in (doc_id, .txt-then-.cls)
+    // order; shard total = member blocks + the 1024-byte zero trailer
+    "m24_tar_webdataset" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CAST(doc_id // 16 AS BIGINT) AS bucket
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, bucket, doc_id * 2 AS ord,
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size
+        |  FROM d
+        |  UNION ALL
+        |  SELECT source, bucket, doc_id * 2 + 1,
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.cls',
+        |    CAST(octet_length(CAST(lang AS BLOB)) AS BIGINT)
+        |  FROM d)
+        |SELECT source, bucket, name, size,
+        |  CAST(512 + COALESCE(SUM(512 + ((size + 511) // 512) * 512)
+        |    OVER (PARTITION BY source, bucket ORDER BY ord
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS data_offset,
+        |  CAST(SUM(512 + ((size + 511) // 512) * 512)
+        |    OVER (PARTITION BY source, bucket) + 1024 AS BIGINT)
+        |    AS shard_bytes,
+        |  CAST(COUNT(*) OVER (PARTITION BY source, bucket) // 2
+        |    AS BIGINT) AS n_samples
+        |FROM m""".stripMargin,
 
     // contiguous-layout arithmetic replay: the engine derives offset_k
     // through stsc/stco/stsz; the oracle derives it as dataStart +
