@@ -4497,6 +4497,71 @@ object SparkEntry {
           "shard_bytes", "n_samples")
     }),
 
+    // .warc.gz member walk (operators.Gzip): the Common Crawl layout —
+    // each WARC record is its OWN gzip member, members concatenated,
+    // so member boundaries are the crawl's random-access index. Per
+    // doc, a warcinfo + response record pair (m22's exact construction
+    // and record-ids) is gzip'd per-record via the JDK encoder, then
+    // the engine re-walks the concatenation: full RFC 1952 header
+    // grammar, raw-deflate inflate, CRC32 + ISIZE trailer verified
+    // against the decompressed bytes, and each member's plain bytes
+    // re-parsed as a WARC record. Compressed sizes are
+    // implementation-defined (never asserted); the oracle pins the
+    // DECOMPRESSED record lengths via m22's string arithmetic, and
+    // `walk_exact` (member offsets/lengths tile the blob exactly) +
+    // crc/isize booleans pin the walk itself.
+    "m25_warc_gzip" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      t(s, dir, "documents").select(col("doc_id").cast(LongType),
+          col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val uri = s"http://example.com/doc/$id"
+            val date = "2026-01-01T00:00:00Z"
+            def rid(j: Long) =
+              f"<urn:uuid:00000000-0000-0000-0000-${id * 3 + j}%012d>"
+            val body = text.getBytes(UTF_8)
+            val sline = (id % 3) match {
+              case 0 => "200 OK"
+              case 1 => "301 Moved Permanently"
+              case _ => "404 Not Found"
+            }
+            val b1 = ("software: graft/1.0\r\n"
+              + "format: WARC File Format 1.1\r\n").getBytes(UTF_8)
+            val b3 = (s"HTTP/1.1 $sline\r\n"
+              + "Content-Type: text/plain; charset=utf-8\r\n"
+              + s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+              body
+            val r1 = operators.Warc.encodeRecord(Seq(
+              "WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid(0),
+              "WARC-Date" -> date,
+              "Content-Type" -> "application/warc-fields"), b1)
+            val r3 = operators.Warc.encodeRecord(Seq(
+              "WARC-Type" -> "response", "WARC-Record-ID" -> rid(2),
+              "WARC-Date" -> date, "WARC-Target-URI" -> uri,
+              "Content-Type" -> "application/http;msgtype=response"), b3)
+            val gz = operators.Gzip.compress(r1) ++
+              operators.Gzip.compress(r3)
+            val ms = operators.Gzip.members(gz).get
+            // the walk must tile the blob: offsets/lengths adjacent,
+            // total equals the blob length
+            val walkExact = ms.length == 2 && ms(0).offset == 0L &&
+              ms(1).offset == ms(0).compLen &&
+              ms(0).compLen + ms(1).compLen == gz.length.toLong
+            ms.zipWithIndex.map { case (m, i) =>
+              val rec = operators.Warc.parseFile(m.plain).get.head
+              (id, i.toLong, m.plain.length.toLong,
+                rec.header("WARC-Type").orNull,
+                rec.block.length.toLong, m.crcOk, m.isizeOk, walkExact)
+            }
+          }
+        }
+        .toDF("doc_id", "member_idx", "plain_len", "warc_type",
+          "block_len", "crc_ok", "isize_ok", "walk_exact")
+    }),
+
     // MP4 sample-table seek index (frame sampling without a decoder):
     // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
     // offset derived the spec way — stsc chunk run mapping → stco
@@ -6498,6 +6563,63 @@ object SparkEntry {
         |  CAST(COUNT(*) OVER (PARTITION BY source, bucket) // 2
         |    AS BIGINT) AS n_samples
         |FROM m""".stripMargin,
+
+    // decompressed-side replay: plain_len re-derives each record's
+    // framed length with m22's exact string arithmetic; the gzip walk
+    // itself is pinned by the engine-verified crc/isize/tiling booleans
+    // (compressed sizes are deflate-implementation-defined and never
+    // asserted)
+    "m25_warc_gzip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '200 OK'
+        |      WHEN 1 THEN '301 Moved Permanently'
+        |      ELSE '404 Not Found' END AS sline,
+        |    'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |    chr(13) || chr(10) AS nl,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blen
+        |  FROM documents),
+        |b AS (
+        |  SELECT *,
+        |    'software: graft/1.0' || nl
+        |      || 'format: WARC File Format 1.1' || nl AS b1,
+        |    'HTTP/1.1 ' || sline || nl
+        |      || 'Content-Type: text/plain; charset=utf-8' || nl
+        |      || 'Content-Length: ' || CAST(blen AS VARCHAR) || nl || nl
+        |      || text AS b3
+        |  FROM d),
+        |r AS (
+        |  SELECT *,
+        |    'WARC/1.0' || nl || 'WARC-Type: warcinfo' || nl
+        |      || 'WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-'
+        |      || lpad(CAST(doc_id * 3 AS VARCHAR), 12, '0') || '>' || nl
+        |      || 'WARC-Date: 2026-01-01T00:00:00Z' || nl
+        |      || 'Content-Type: application/warc-fields' || nl
+        |      || 'Content-Length: '
+        |      || CAST(octet_length(CAST(b1 AS BLOB)) AS VARCHAR)
+        |      || nl || nl || b1 || nl || nl AS r1,
+        |    'WARC/1.0' || nl || 'WARC-Type: response' || nl
+        |      || 'WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-'
+        |      || lpad(CAST(doc_id * 3 + 2 AS VARCHAR), 12, '0') || '>' || nl
+        |      || 'WARC-Date: 2026-01-01T00:00:00Z' || nl
+        |      || 'WARC-Target-URI: ' || uri || nl
+        |      || 'Content-Type: application/http;msgtype=response' || nl
+        |      || 'Content-Length: '
+        |      || CAST(octet_length(CAST(b3 AS BLOB)) AS VARCHAR)
+        |      || nl || nl || b3 || nl || nl AS r3
+        |  FROM b)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS member_idx,
+        |  CAST(octet_length(CAST(r1 AS BLOB)) AS BIGINT) AS plain_len,
+        |  'warcinfo' AS warc_type,
+        |  CAST(octet_length(CAST(b1 AS BLOB)) AS BIGINT) AS block_len,
+        |  TRUE AS crc_ok, TRUE AS isize_ok, TRUE AS walk_exact
+        |FROM r
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT),
+        |  CAST(octet_length(CAST(r3 AS BLOB)) AS BIGINT), 'response',
+        |  CAST(octet_length(CAST(b3 AS BLOB)) AS BIGINT),
+        |  TRUE, TRUE, TRUE
+        |FROM r""".stripMargin,
 
     // contiguous-layout arithmetic replay: the engine derives offset_k
     // through stsc/stco/stsz; the oracle derives it as dataStart +
