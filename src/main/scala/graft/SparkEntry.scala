@@ -800,6 +800,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Multi-pattern blocklist scan (plans.AhoCount): one Aho-Corasick
+    // pass per document counts ALL occurrences of every dictionary
+    // pattern — the policy-phrase / benchmark-contamination primitive.
+    // A codegen'd Catalyst Expression (automaton built once, shipped
+    // as a codegen reference object) instead of |patterns| LIKE scans:
+    // O(n + matches) per doc vs O(n·patterns), and the single pass is
+    // what survives a 100-TB corpus with a 10k-phrase blocklist. The
+    // dictionary here is border-free (no pattern is periodic), so the
+    // oracle's non-overlapping replace() count equals the automaton's
+    // all-occurrence count — overlap semantics are locked separately
+    // by AhoCountSpec.
+    "t32_blocklist" -> ((s, dir) => {
+      val pats = Seq("the", "and", "ing", "tion", "data", "with", "for",
+        "ment")
+      val cnts = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.plans.AhoCount(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+          pats))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(cnts).as(Seq("pi", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(element_at(array(pats.map(lit): _*), col("pi") + 1)
+          .as("pat"), col("cnt"))
+        .groupBy("pat")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cnt")).as("n_occurrences"))
+        .orderBy("pat")
+    }),
+
     // Cross-document line-level boilerplate removal (Dedup.lineDedup,
     // the CCNet/RefinedWeb pass): pages are CONSTRUCTED with shared
     // header/footer lines (two variants each, so every boilerplate
@@ -5582,6 +5611,25 @@ object SparkEntry {
         |  CAST(SUM(n_ctrl) AS BIGINT) AS sum_ctrl,
         |  CAST(SUM(n_moji) AS BIGINT) AS sum_moji
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-pattern occurrence replay via non-overlapping replace()
+    // counts — equal to the automaton's all-occurrence counts because
+    // every dictionary pattern is border-free (AhoCountSpec locks the
+    // overlap semantics the oracle can't express)
+    "t32_blocklist" ->
+      """WITH p AS (
+        |  SELECT unnest(['the', 'and', 'ing', 'tion', 'data', 'with',
+        |                 'for', 'ment']) AS pat),
+        |c AS (
+        |  SELECT pat, doc_id,
+        |    (length(text) - length(replace(text, pat, '')))
+        |      // length(pat) AS cnt
+        |  FROM documents CROSS JOIN p)
+        |SELECT pat,
+        |  CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY pat HAVING SUM(cnt) > 0 ORDER BY pat""".stripMargin,
 
     // replay: same page construction, same trimmed-line doc-frequency
     // threshold, same ordered reassembly (d11's list_transform idiom
