@@ -4591,6 +4591,50 @@ object SparkEntry {
           "block_len", "crc_ok", "isize_ok", "walk_exact")
     }),
 
+    // OGG page walk (RFC 3533, Multimodal.oggPages): per doc an OGG
+    // stream is ENCODED (one page per packet, 255-byte lacing with the
+    // spec's trailing-0 rule for exact multiples — packet sizes sweep
+    // 1..600 so single-, two- and three-segment lacings all occur),
+    // then PARSED back: magic/version checked, every page's CRC
+    // recomputed with OGG's own unreflected 0x04c11db7 CRC-32 (a PNG
+    // CRC table would fail every page), packets reassembled from the
+    // lacing state machine, BOS/EOS flags and sequence numbers
+    // verified. The oracle replays page/packet counts and byte totals
+    // from the lacing arithmetic: page bytes = 27 + (size//255 + 1) +
+    // size. Scale shape: stateless per-row mapPartitions, zero shuffle.
+    "m26_ogg_pages" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (id % 5 + 2).toInt
+            val packets = Seq.tabulate(n) { i =>
+              val sz = (((id * 7 + i * 13) % 600) + 1).toInt
+              Array.tabulate(sz)(j => ((id + i * 31 + j) % 256).toByte)
+            }
+            val granules = Seq.tabulate(n)(i => (i + 1) * 960L)
+            val serial = (id % 100000).toInt
+            val ogg = Multimodal.encodeOgg(serial, packets, granules)
+            val pages = Multimodal.oggPages(ogg).get
+            val pktLens = Multimodal.oggPacketLengths(pages)
+            val allCrc = pages.forall(_.crcOk)
+            val bosEos = (pages.head.headerType & 2) == 2 &&
+              (pages.last.headerType & 4) == 4 &&
+              pages.tail.forall(p => (p.headerType & 2) == 0) &&
+              pages.init.forall(p => (p.headerType & 4) == 0)
+            val seqOk = pages.zipWithIndex.forall { case (p, i) =>
+              p.seqNo == i && p.serial == serial
+            }
+            (id, pages.length.toLong, pktLens.length.toLong, pktLens.sum,
+              pages.last.granule, ogg.length.toLong, allCrc, bosEos,
+              seqOk)
+          }
+        }
+        .toDF("doc_id", "n_pages", "n_packets", "total_payload",
+          "last_granule", "file_bytes", "all_crc_ok", "bos_eos_ok",
+          "seq_ok")
+    }),
+
     // MP4 sample-table seek index (frame sampling without a decoder):
     // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
     // offset derived the spec way — stsc chunk run mapping → stco
@@ -6668,6 +6712,29 @@ object SparkEntry {
         |  CAST(octet_length(CAST(b3 AS BLOB)) AS BIGINT),
         |  TRUE, TRUE, TRUE
         |FROM r""".stripMargin,
+
+    // lacing-arithmetic replay: page bytes = 27-byte header + lacing
+    // table (size//255 + 1 values, the trailing-0 rule makes the
+    // formula exact for 255-multiples too) + payload; CRC/flag/seq
+    // checks are engine-verified booleans
+    "m26_ogg_pages" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> ((doc_id * 7 + i * 13) % 600) + 1) AS sizes
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_pages,
+        |  CAST(n AS BIGINT) AS n_packets,
+        |  CAST(list_sum(sizes) AS BIGINT) AS total_payload,
+        |  CAST(n * 960 AS BIGINT) AS last_granule,
+        |  CAST(list_sum(list_transform(sizes,
+        |    z -> 27 + (z // 255 + 1) + z)) AS BIGINT) AS file_bytes,
+        |  TRUE AS all_crc_ok, TRUE AS bos_eos_ok, TRUE AS seq_ok
+        |FROM s""".stripMargin,
 
     // contiguous-layout arithmetic replay: the engine derives offset_k
     // through stsc/stco/stsz; the oracle derives it as dataStart +

@@ -1726,4 +1726,150 @@ object Multimodal {
     out(25) = (totalSamples & 0xFF).toByte
     out
   }
+
+  // ---- OGG container (RFC 3533) ----
+
+  /** OGG's page CRC-32: polynomial 0x04c11db7, UNreflected, zero
+    * initial value, zero final xor — deliberately different from the
+    * zlib/PNG CRC, so a shared table would silently pass garbage.
+    */
+  private val oggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        j += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  def oggCrc(bytes: Array[Byte], from: Int, len: Int): Int = {
+    var crc = 0
+    var i = from
+    val end = from + len
+    while (i < end) {
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ (bytes(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** One parsed OGG page. */
+  final case class OggPage(headerType: Int, granule: Long, serial: Int,
+                           seqNo: Int, lacing: Array[Int],
+                           payload: Array[Byte], crcOk: Boolean)
+
+  /** Minimal OGG writer: one page per packet (the common shape for
+    * small packets), packets laced into 255-byte segments with the
+    * spec's trailing-0 rule for exact multiples, BOS on the first
+    * page, EOS on the last, page CRC computed with the CRC field
+    * zeroed (RFC 3533 §6).
+    */
+  def encodeOgg(serial: Int, packets: Seq[Array[Byte]],
+                granules: Seq[Long]): Array[Byte] = {
+    require(packets.nonEmpty && packets.length == granules.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    packets.zipWithIndex.foreach { case (pkt, pi) =>
+      val nFull = pkt.length / 255
+      val rem = pkt.length % 255
+      // exact multiple of 255 needs a terminating 0 lacing value
+      val lacing = Array.fill(nFull)(255) ++ Array(rem)
+      require(lacing.length <= 255, "packet too long for one page")
+      val headerLen = 27 + lacing.length
+      val page = new Array[Byte](headerLen + pkt.length)
+      page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+      page(4) = 0 // version
+      page(5) = ((if (pi == 0) 2 else 0) |
+        (if (pi == packets.length - 1) 4 else 0)).toByte
+      val g = granules(pi)
+      var k = 0
+      while (k < 8) { page(6 + k) = ((g >> (8 * k)) & 0xff).toByte; k += 1 }
+      k = 0
+      while (k < 4) {
+        page(14 + k) = ((serial >> (8 * k)) & 0xff).toByte
+        page(18 + k) = ((pi >> (8 * k)) & 0xff).toByte
+        k += 1
+      }
+      page(26) = lacing.length.toByte
+      var s = 0
+      while (s < lacing.length) { page(27 + s) = lacing(s).toByte; s += 1 }
+      System.arraycopy(pkt, 0, page, headerLen, pkt.length)
+      val crc = oggCrc(page, 0, page.length)
+      k = 0
+      while (k < 4) { page(22 + k) = ((crc >> (8 * k)) & 0xff).toByte; k += 1 }
+      bos.write(page, 0, page.length)
+    }
+    bos.toByteArray
+  }
+
+  /** Page walk: magic + version checked, CRC recomputed with the CRC
+    * field zeroed and reported per page (damaged pages are countable,
+    * not fatal); structural violations (bad magic, truncated lacing or
+    * payload) reject the stream whole.
+    */
+  def oggPages(bytes: Array[Byte]): Option[Vector[OggPage]] = {
+    val out = Vector.newBuilder[OggPage]
+    var pos = 0
+    while (pos < bytes.length) {
+      if (pos + 27 > bytes.length) return None
+      if (!(bytes(pos) == 'O' && bytes(pos + 1) == 'g' &&
+            bytes(pos + 2) == 'g' && bytes(pos + 3) == 'S' &&
+            bytes(pos + 4) == 0)) return None
+      var granule = 0L
+      var k = 0
+      while (k < 8) {
+        granule |= (bytes(pos + 6 + k) & 0xffL) << (8 * k); k += 1
+      }
+      var serial = 0; var seq = 0; var storedCrc = 0
+      k = 0
+      while (k < 4) {
+        serial |= (bytes(pos + 14 + k) & 0xff) << (8 * k)
+        seq |= (bytes(pos + 18 + k) & 0xff) << (8 * k)
+        storedCrc |= (bytes(pos + 22 + k) & 0xff) << (8 * k)
+        k += 1
+      }
+      val nSegs = bytes(pos + 26) & 0xff
+      if (pos + 27 + nSegs > bytes.length) return None
+      val lacing = Array.tabulate(nSegs)(i => bytes(pos + 27 + i) & 0xff)
+      val payloadLen = lacing.sum
+      val total = 27 + nSegs + payloadLen
+      if (pos + total > bytes.length) return None
+      // recompute CRC with the CRC field zeroed
+      val copy = java.util.Arrays.copyOfRange(bytes, pos, pos + total)
+      copy(22) = 0; copy(23) = 0; copy(24) = 0; copy(25) = 0
+      val crcOk = oggCrc(copy, 0, total) == storedCrc
+      out += OggPage(bytes(pos + 5) & 0xff, granule, serial, seq, lacing,
+        java.util.Arrays.copyOfRange(bytes, pos + 27 + nSegs, pos + total),
+        crcOk)
+      pos += total
+    }
+    Some(out.result())
+  }
+
+  /** Reassemble packets from pages: a lacing value < 255 ends a
+    * packet; 255 continues it (within or across pages — the
+    * continuation flag on the next page is not re-checked here, the
+    * lacing state machine alone defines boundaries per RFC 3533 §5).
+    * Returns packet lengths (payloads concatenate in order).
+    */
+  def oggPacketLengths(pages: Seq[OggPage]): Vector[Long] = {
+    val out = Vector.newBuilder[Long]
+    var cur = 0L
+    var open = false
+    pages.foreach { p =>
+      p.lacing.foreach { l =>
+        cur += l
+        open = true
+        if (l < 255) { out += cur; cur = 0L; open = false }
+      }
+    }
+    if (open) out += cur
+    out.result()
+  }
 }
