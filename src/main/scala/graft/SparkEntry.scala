@@ -4905,6 +4905,27 @@ object SparkEntry {
         .select(col("source"), col("n_rows"),
           col("fingerprint").cast(LongType).as("fingerprint"))),
 
+    // streaming per-domain admission quota (Streams.runStreamQuotaAdmit
+    // — the streaming form of p55's cap): URLs constructed as in p55,
+    // registered domain extracted through the real parse path, then at
+    // most k=5 docs EVER admitted per domain; state is one counter per
+    // key and over-quota rows are dropped inside the state function,
+    // so the sink sees ≤ k·|domains| rows regardless of stream length.
+    // In-batch candidates admit in ascending doc_id order → the
+    // drained admitted set is the k smallest doc_ids per domain, which
+    // the oracle replays as a window rank.
+    "st18_stream_quota" -> ((s, dir) => {
+      val hostCol = when(col("doc_id") % 4 === 0,
+          concat(col("source"), lit(".co.uk")))
+        .otherwise(concat(lit("docs."), col("source"), lit(".com")))
+      val url = concat(lit("https://"), hostCol, lit("/d/"),
+        col("doc_id").cast(StringType))
+      Streams.runStreamQuotaAdmit(s, s"$dir/documents.parquet",
+          operators.Web.registeredDomain(url), col("doc_id"), k = 5,
+          queryName = "st18_stream_quota")
+        .select(col("key").as("domain"), col("id").as("doc_id"))
+    }),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -5406,6 +5427,20 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS DECIMAL(38,0)))
         |    AS BIGINT) AS fingerprint
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // quota replay: admitted = the k smallest doc_ids per registered
+    // domain (the single-batch drain admits in ascending doc_id order)
+    "st18_stream_quota" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN source || '.co.uk'
+        |         ELSE source || '.com' END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT domain, doc_id, row_number() OVER (
+        |    PARTITION BY domain ORDER BY doc_id) AS rk
+        |  FROM u)
+        |SELECT domain, doc_id FROM r WHERE rk <= 5""".stripMargin,
 
     "q96_not_exists" ->
       """SELECT c.c_custkey, c.c_name FROM customer c

@@ -696,6 +696,63 @@ object Streams {
     spark.table(queryName)
   }
 
+  case class QuotaState(admitted: Long)
+
+  /** Streaming per-key admission quota — the streaming form of
+    * [[graft.operators.Web.domainCap]]: at most `k` rows ever admitted
+    * per key over the life of the stream (anti-SEO-farm ingest caps,
+    * per-tenant rate quotas). Unlike the batch cap (which prefers
+    * longer docs), a stream admits in ARRIVAL order; within each
+    * micro-batch candidates are processed in ascending id order, so
+    * with the single-batch file drain the admitted set is exactly the
+    * k smallest ids per key — which is what the DuckDB oracle replays
+    * as a window rank. State is ONE counter per key (O(keys), not
+    * O(rows)); rows past the quota are dropped inside the state
+    * function, so nothing beyond k·|keys| ever reaches the sink.
+    */
+  def runStreamQuotaAdmit(spark: SparkSession, path: String,
+                          keyExpr: Column, idExpr: Column, k: Int,
+                          queryName: String = "graft_stream_quota")
+      : DataFrame = {
+    import spark.implicits._
+    val src = fileStream(spark, path)
+      .select(keyExpr.cast("string").as("key"), idExpr.cast("long").as("id"))
+      .as[(String, Long)]
+    val q = withStatePartitions(spark)(quotaAdmitStream(src, k).toDF("key", "id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** The quota state machine, exposed for MemoryStream-based
+    * multi-batch specs: the per-key counter persists across
+    * micro-batches, so a key that exhausted its quota in batch 1
+    * admits nothing in batch 2.
+    */
+  def quotaAdmitStream(src: Dataset[(String, Long)],
+                       k: Int): Dataset[(String, Long)] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[QuotaState]) =>
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val sorted = rows.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          var i = 0
+          while (i < sorted.length && n < k) {
+            out += ((key, sorted(i))); n += 1L; i += 1
+          }
+          state.update(QuotaState(n))
+          out.iterator
+      }
+  }
+
   /** One emitted record of a retraction stream: `retraction = true`
     * withdraws the previously emitted value for the key — the
     * reference's Record.Retraction bit (execution/execution.go:58-62).
