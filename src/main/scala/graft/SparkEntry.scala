@@ -829,6 +829,45 @@ object SparkEntry {
         .orderBy("pat")
     }),
 
+    // sentence segmentation (operators.Sentences): paragraphs are
+    // CONSTRUCTED from k sentences with rotating terminals (. ! ?),
+    // varying inter-sentence whitespace (single/double space), a
+    // protected-abbreviation trap ("Dr. " inside sentence 1 — a naive
+    // splitter would over-count), and document-text slices sanitized
+    // of terminal chars so the construction controls every boundary.
+    // The engine splits with protect → lookbehind split → restore; the
+    // oracle recomputes sentence count and every length from the
+    // construction arithmetic (all length-preserving replaces).
+    "t33_sentences" -> ((s, dir) => {
+      import operators.Sentences
+      val id = col("doc_id").cast(LongType)
+      val k = (id % 4 + 2).cast(IntegerType)
+      val pieces = transform(sequence(lit(0), k - 1), i => {
+        val term = when(i % 3 === 0, lit("."))
+          .when(i % 3 === 1, lit("!")).otherwise(lit("?"))
+        val slice = regexp_replace(
+          col("text").substr((i * 23 + 1).cast(IntegerType),
+            (lit(8) + i % 7).cast(IntegerType)),
+          "[\\s.!?]", "a")
+        val sep = when(i === k - 1, lit(""))
+          .when(i % 2 === 0, lit("  ")).otherwise(lit(" "))
+        concat(lit("S"), i.cast(StringType), lit(" "),
+          when(i === 1, lit("Dr. ")).otherwise(lit("")),
+          slice, term, sep)
+      })
+      val para = array_join(pieces, "")
+      t(s, dir, "documents")
+        .select(id.as("doc_id"), Sentences.split(para).as("sents"))
+        .select(col("doc_id"),
+          size(col("sents")).cast(LongType).as("n_sentences"),
+          aggregate(col("sents"), lit(0L),
+            (acc, x) => acc + length(x)).as("total_chars"),
+          length(element_at(col("sents"), 1)).cast(LongType)
+            .as("len_first"),
+          length(element_at(col("sents"), -1)).cast(LongType)
+            .as("len_last"))
+    }),
+
     // Cross-document line-level boilerplate removal (Dedup.lineDedup,
     // the CCNet/RefinedWeb pass): pages are CONSTRUCTED with shared
     // header/footer lines (two variants each, so every boilerplate
@@ -5709,6 +5748,29 @@ object SparkEntry {
         |    AS n_docs,
         |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences
         |FROM c GROUP BY pat HAVING SUM(cnt) > 0 ORDER BY pat""".stripMargin,
+
+    // construction-arithmetic replay: every sanitizing replace is
+    // length-preserving, so sentence i's length = len('S')+len(i)+
+    // len(' ') + (4 for the protected 'Dr. ' in sentence 1) +
+    // len(slice_i) + 1 terminal; the separator whitespace is consumed
+    // by the split and never counted
+    "t33_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(doc_id % 4 + 2 AS INT) AS k
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, k,
+        |    list_transform(range(0, k),
+        |      i -> 4 + CASE WHEN i = 1 THEN 4 ELSE 0 END
+        |           + length(substr(text, CAST(i * 23 + 1 AS INT),
+        |               CAST(8 + i % 7 AS INT)))) AS lens
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(k AS BIGINT) AS n_sentences,
+        |  CAST(list_sum(lens) AS BIGINT) AS total_chars,
+        |  CAST(lens[1] AS BIGINT) AS len_first,
+        |  CAST(lens[k] AS BIGINT) AS len_last
+        |FROM l""".stripMargin,
 
     // replay: same page construction, same trimmed-line doc-frequency
     // threshold, same ordered reassembly (d11's list_transform idiom
