@@ -4674,6 +4674,51 @@ object SparkEntry {
           "seq_ok")
     }),
 
+    // the .warc.gz PATH SOURCE end-to-end (sources.WarcTable via
+    // PathTable.resolve — `SELECT * FROM 'seg.warc.gz'` in the CLI):
+    // a 48-record archive is written once per sf-dir (bounded driver
+    // write, the q97 XML discipline), then read back through the real
+    // source: gzip member walk → WARC record walk → HTTP split. The
+    // oracle replays per-record URI, status, framed length, and body
+    // chars from the construction arithmetic.
+    "m27_warc_source" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 48)
+        .select(col("doc_id").cast(LongType), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val recs = rows.map { case (id, text) =>
+        val uri = s"http://example.com/doc/$id"
+        val sline = (id % 3) match {
+          case 0 => "200 OK"
+          case 1 => "301 Moved Permanently"
+          case _ => "404 Not Found"
+        }
+        val body = text.getBytes(UTF_8)
+        val b3 = (s"HTTP/1.1 $sline\r\n"
+          + "Content-Type: text/plain; charset=utf-8\r\n"
+          + s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+          body
+        operators.Warc.encodeRecord(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" ->
+            f"<urn:uuid:00000000-0000-0000-0000-${id * 3 + 2}%012d>",
+          "WARC-Date" -> "2026-01-01T00:00:00Z",
+          "WARC-Target-URI" -> uri,
+          "Content-Type" -> "application/http;msgtype=response"), b3)
+      }
+      val outDir = new java.io.File(
+        s"/tmp/graft_warc_src/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      outDir.mkdirs()
+      val f = new java.io.File(outDir, "seg.warc.gz")
+      java.nio.file.Files.write(f.toPath,
+        recs.map(operators.Gzip.compress).reduce(_ ++ _))
+      sources.PathTable.resolve(s, f.getAbsolutePath)
+        .select(col("target_uri"),
+          col("http_status"),
+          col("content_length"),
+          length(col("body")).cast(LongType).as("body_chars"))
+    }),
+
     // MP4 sample-table seek index (frame sampling without a decoder):
     // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
     // offset derived the spec way — stsc chunk run mapping → stco
@@ -6832,6 +6877,30 @@ object SparkEntry {
         |    z -> 27 + (z // 255 + 1) + z)) AS BIGINT) AS file_bytes,
         |  TRUE AS all_crc_ok, TRUE AS bos_eos_ok, TRUE AS seq_ok
         |FROM s""".stripMargin,
+
+    // per-record replay over the same 48-doc slice: framed HTTP block
+    // length via m22's arithmetic, body chars = document chars
+    "m27_warc_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '200 OK'
+        |      WHEN 1 THEN '301 Moved Permanently'
+        |      ELSE '404 Not Found' END AS sline,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 200
+        |      WHEN 1 THEN 301 ELSE 404 END AS scode,
+        |    chr(13) || chr(10) AS nl,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blen
+        |  FROM documents WHERE doc_id < 48)
+        |SELECT
+        |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS target_uri,
+        |  CAST(scode AS BIGINT) AS http_status,
+        |  CAST(octet_length(CAST('HTTP/1.1 ' || sline || nl
+        |    || 'Content-Type: text/plain; charset=utf-8' || nl
+        |    || 'Content-Length: ' || CAST(blen AS VARCHAR) || nl || nl
+        |    || text AS BLOB)) AS BIGINT) AS content_length,
+        |  CAST(length(text) AS BIGINT) AS body_chars
+        |FROM d""".stripMargin,
 
     // contiguous-layout arithmetic replay: the engine derives offset_k
     // through stsc/stco/stsz; the oracle derives it as dataStart +

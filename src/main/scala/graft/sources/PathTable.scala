@@ -75,7 +75,12 @@ object PathTable {
         val parts = path.split('.')
         val last = parts.last.toLowerCase
         val ext =
-          if ((last == "gz" || last == "bz2") && parts.length >= 3 &&
+          // .warc.gz keeps its own member-aware decompressor (the gzip
+          // members ARE the record index) — never the Hadoop codec path
+          if (last == "gz" && parts.length >= 3 &&
+              parts(parts.length - 2).toLowerCase == "warc")
+            "warcgz"
+          else if ((last == "gz" || last == "bz2") && parts.length >= 3 &&
               textFmts.contains(parts(parts.length - 2).toLowerCase))
             parts(parts.length - 2).toLowerCase
           else last
@@ -150,6 +155,10 @@ object PathTable {
       if (opts.get("tail").contains("true")) tailLines(spark, path)
       else linesWithNumbers(spark, path, opts.get("sep"))
         .select(col("number"), col("text"))
+    case "warc" => // beyond-reference: crawl archives as tables
+      WarcTable.read(spark, path, gzipped = false)
+    case "warcgz" =>
+      WarcTable.read(spark, path, gzipped = true)
     case other =>
       throw new IllegalArgumentException(s"unsupported table format: $other")
   }
