@@ -4719,6 +4719,35 @@ object SparkEntry {
           length(col("body")).cast(LongType).as("body_chars"))
     }),
 
+    // the .tar PATH SOURCE end-to-end (sources.TarTable via
+    // PathTable.resolve — `SELECT * FROM 'shard.tar'`): a 48-sample
+    // WebDataset shard (txt + cls member per doc) is written once per
+    // sf-dir, then read back through the real source: ustar checksum
+    // walk → member rows with sample keys and extensions split. The
+    // oracle replays names, sizes, and block offsets from the same
+    // 512-block arithmetic as m24.
+    "m28_tar_source" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 48)
+        .select(col("doc_id").cast(LongType), col("text"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      val members = rows.flatMap { case (id, text, lang) =>
+        Seq((f"$id%08d.txt", text.getBytes(UTF_8)),
+          (f"$id%08d.cls", lang.getBytes(UTF_8)))
+      }
+      val outDir = new java.io.File(
+        s"/tmp/graft_tar_src/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      outDir.mkdirs()
+      val f = new java.io.File(outDir, "shard.tar")
+      java.nio.file.Files.write(f.toPath,
+        operators.Tar.encode(members.toSeq))
+      sources.PathTable.resolve(s, f.getAbsolutePath)
+        .select(col("name"), col("sample_key"), col("ext"), col("size"),
+          col("data_offset"),
+          length(col("text")).cast(LongType).as("text_chars"))
+    }),
+
     // MP4 sample-table seek index (frame sampling without a decoder):
     // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
     // offset derived the spec way — stsc chunk run mapping → stco
@@ -6901,6 +6930,34 @@ object SparkEntry {
         |    || text AS BLOB)) AS BIGINT) AS content_length,
         |  CAST(length(text) AS BIGINT) AS body_chars
         |FROM d""".stripMargin,
+
+    // m24's block arithmetic replayed over the written shard: members
+    // in (doc_id, txt-then-cls) order, offset = window prefix-sum
+    "m28_tar_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id < 48),
+        |m AS (
+        |  SELECT doc_id * 2 AS ord,
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS sample_key,
+        |    'txt' AS ext,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size,
+        |    CAST(length(text) AS BIGINT) AS text_chars
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1,
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.cls',
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0'), 'cls',
+        |    CAST(octet_length(CAST(lang AS BLOB)) AS BIGINT),
+        |    CAST(length(lang) AS BIGINT)
+        |  FROM d)
+        |SELECT name, sample_key, ext, size,
+        |  CAST(512 + COALESCE(SUM(512 + ((size + 511) // 512) * 512)
+        |    OVER (ORDER BY ord
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS data_offset,
+        |  text_chars
+        |FROM m""".stripMargin,
 
     // contiguous-layout arithmetic replay: the engine derives offset_k
     // through stsc/stco/stsz; the oracle derives it as dataStart +

@@ -159,6 +159,8 @@ object PathTable {
       WarcTable.read(spark, path, gzipped = false)
     case "warcgz" =>
       WarcTable.read(spark, path, gzipped = true)
+    case "tar" => // beyond-reference: WebDataset shards as tables
+      TarTable.read(spark, path)
     case other =>
       throw new IllegalArgumentException(s"unsupported table format: $other")
   }

@@ -532,6 +532,9 @@ object Dialect {
       } else {
         val (realPath, ext) = pathPart match {
           case PrefixForm(fmt, rest) => (rest, fmt)
+          case _ if pathPart.toLowerCase.endsWith(".warc.gz") =>
+            // member-aware decompressor, not the Hadoop codec path
+            (pathPart, "warcgz")
           case _ => (pathPart, pathPart.split('.').last.toLowerCase)
         }
         val resolved =

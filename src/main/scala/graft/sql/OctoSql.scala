@@ -33,7 +33,7 @@ import graft.sources.PathTable
 object OctoSql {
 
   private[sql] val PathTableRe =
-    """(?i)([A-Za-z0-9_\-./]+(?:\.(?:csv|tsv|json|lines|txt|log)(?:\.(?:gz|bz2))?|\.parquet)(?:\?[A-Za-z0-9_=&.\-]*)?)"""
+    """(?i)([A-Za-z0-9_\-./]+(?:\.(?:csv|tsv|json|lines|txt|log)(?:\.(?:gz|bz2))?|\.parquet|\.warc(?:\.gz)?|\.tar)(?:\?[A-Za-z0-9_=&.\-]*)?)"""
 
   /** Tokenize preserving single-quoted string literals (with '' escape)
     * so rewrites never touch literal contents.

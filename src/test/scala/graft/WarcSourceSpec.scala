@@ -53,6 +53,44 @@ class WarcSourceSpec extends SparkSpec {
       .collect()(0).getString(0) == "<html>hi</html>")
   }
 
+  test("tar file reads as a table with WebDataset sample keys") {
+    import graft.operators.Tar
+    val f = new java.io.File(dir, "shard.tar")
+    Files.write(f.toPath, Tar.encode(Seq(
+      ("000001.txt", "hello".getBytes(UTF_8)),
+      ("000001.cls", "en".getBytes(UTF_8)),
+      ("000002.seg.json", "{}".getBytes(UTF_8)))))
+    val df = PathTable.resolve(spark, f.getAbsolutePath)
+    val rows = df.orderBy("member_idx").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("sample_key")).toSeq ==
+      Seq("000001", "000001", "000002"))
+    // WebDataset extension = everything after the FIRST dot
+    assert(rows(2).getAs[String]("ext") == "seg.json")
+    assert(rows(0).getAs[String]("text") == "hello")
+    assert(rows(0).getAs[Long]("size") == 5L)
+    import spark.implicits._
+    val grouped = df.groupBy("sample_key")
+      .count().orderBy("sample_key").as[(String, Long)].collect().toSeq
+    assert(grouped == Seq(("000001", 2L), ("000002", 1L)))
+  }
+
+  test("archives are reachable from the SQL dialect surface") {
+    val w = new java.io.File(dir, "sql.warc")
+    Files.write(w.toPath, Warc.encodeFile(sampleRecords))
+    val prep = graft.sql.Dialect.prepare(spark,
+      s"SELECT warc_type, http_status FROM ${w.getAbsolutePath} " +
+        "WHERE http_status IS NOT NULL")
+    val rows = prep.df.collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 200L)
+    val t = new java.io.File(dir, "sql.tar")
+    Files.write(t.toPath, graft.operators.Tar.encode(Seq(
+      ("a.txt", "x".getBytes(UTF_8)))))
+    val trows = graft.sql.Dialect.prepare(spark,
+      s"SELECT name, size FROM ${t.getAbsolutePath}").df.collect()
+    assert(trows.length == 1 && trows(0).getString(0) == "a.txt")
+  }
+
   test("corrupt archives fail loudly with the file path") {
     val f = new java.io.File(dir, "bad.warc")
     Files.write(f.toPath, "WARC/1.0\r\nbroken".getBytes(UTF_8))
