@@ -868,6 +868,36 @@ object SparkEntry {
             .as("len_last"))
     }),
 
+    // Unicode normalization drift (plans.UnicodeNormStats): decomposed
+    // sequences (e+U+0301), compatibility ligatures (ﬁ) and fullwidth
+    // forms (Ａ) are INJECTED per doc on a modulus schedule over the
+    // (verified pure-ASCII, therefore normalization-stable) document
+    // text; the codegen'd kernel counts code points of the raw, NFC,
+    // and NFKC forms via the JDK normalizer. The oracle recomputes all
+    // three counts from the injection arithmetic alone: NFC composes
+    // each e+◌́ (-1 cp), NFKC additionally expands each ﬁ (+1) and
+    // folds each Ａ (0). is_nfc is the cheap skip condition a rewrite
+    // pass keys on.
+    "t34_normalization" -> ((s, dir) => {
+      val id = col("doc_id").cast(LongType)
+      val corrupted = concat(col("text"),
+        repeat(lit("e\u0301"), (id % 3).cast(IntegerType)),
+        repeat(lit("\uFB01"), (id % 2).cast(IntegerType)),
+        repeat(lit("\uFF21"), (id % 4).cast(IntegerType)),
+        repeat(lit("\u00E9"), (id % 5).cast(IntegerType)))
+      val stats = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.plans.UnicodeNormStats(
+          org.apache.spark.sql.GraftSqlBridge.expression(corrupted)))
+      t(s, dir, "documents")
+        .select(id.as("doc_id"), stats.as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).as("raw_chars"),
+          element_at(col("st"), 2).as("nfc_chars"),
+          element_at(col("st"), 3).as("nfkc_chars"),
+          (element_at(col("st"), 1) === element_at(col("st"), 2))
+            .as("is_nfc"))
+    }),
+
     // Cross-document line-level boilerplate removal (Dedup.lineDedup,
     // the CCNet/RefinedWeb pass): pages are CONSTRUCTED with shared
     // header/footer lines (two variants each, so every boilerplate
@@ -5845,6 +5875,20 @@ object SparkEntry {
         |  CAST(lens[1] AS BIGINT) AS len_first,
         |  CAST(lens[k] AS BIGINT) AS len_last
         |FROM l""".stripMargin,
+
+    // injection-arithmetic replay over verified-ASCII text: raw counts
+    // the decomposed pair as 2 cp; NFC composes it (-1 per); NFKC
+    // additionally expands each ligature (+1) and folds fullwidth (0)
+    "t34_normalization" ->
+      """SELECT doc_id,
+        |  CAST(length(text) + 2 * (doc_id % 3) + doc_id % 2
+        |    + doc_id % 4 + doc_id % 5 AS BIGINT) AS raw_chars,
+        |  CAST(length(text) + doc_id % 3 + doc_id % 2
+        |    + doc_id % 4 + doc_id % 5 AS BIGINT) AS nfc_chars,
+        |  CAST(length(text) + doc_id % 3 + 2 * (doc_id % 2)
+        |    + doc_id % 4 + doc_id % 5 AS BIGINT) AS nfkc_chars,
+        |  doc_id % 3 = 0 AS is_nfc
+        |FROM documents""".stripMargin,
 
     // replay: same page construction, same trimmed-line doc-frequency
     // threshold, same ordered reassembly (d11's list_transform idiom
