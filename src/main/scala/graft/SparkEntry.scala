@@ -917,6 +917,38 @@ object SparkEntry {
         maxDocs = 3)
     }),
 
+    // Directed containment dedup at candidate-generation scale
+    // (Dedup.containmentPrefixPairs; d21 is the full-inverted-index
+    // form, this is its PPJoin-style prefix path) — the
+    // asymmetric near-dup Jaccard misses: quote documents are
+    // CONSTRUCTED as the first ⌈0.4·n⌉ tokens of parents (pure quotes,
+    // containment 1.0, id+1e6) and noisy quotes with 5 alien tokens
+    // appended (containment (k−2)/(k+3) < 0.9 at every test doc
+    // length, id+2e6). Candidate gen is A's rarity prefix against the
+    // df-capped inverted shingle index — never all-pairs; the oracle
+    // replays the FULL directed pair join brute-force, so the filter
+    // stack is gated lossless.
+    "d26_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      val ts = split(trim(col("text")), "\\s+")
+      val k = ((size(ts) * 2 + 4) / 5).cast(IntegerType)
+      val quote = array_join(slice(ts, lit(1), k), " ")
+      val pure = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          quote.as("text"))
+      val noisy = docs.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(quote, lit(" zzzq qqzx wwvv vvuu uqzz")).as("text"))
+      operators.Dedup.containmentPrefixPairs(
+          docs.unionByName(pure).unionByName(noisy), 9, 10)
+        .select(col("doc_a"), col("doc_b"),
+          col("n_inter").cast(LongType).as("n_inter"),
+          col("n_a").cast(LongType).as("n_a"),
+          col("n_b").cast(LongType).as("n_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Per-domain document caps (Web.domainCap): URLs constructed as in
     // p54, registered domain extracted through the parse path, then at
     // most k=3 docs kept per domain preferring longer docs (n_chars
@@ -5926,6 +5958,46 @@ object SparkEntry {
         |  COALESCE(ANY_VALUE(rebuilt.cleaned), '') AS cleaned
         |FROM ls LEFT JOIN rebuilt ON ls.doc_id = rebuilt.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // brute-force DIRECTED pair replay over the same constructed
+    // corpus: full shingle equijoin (no prefix filter, no df cap) —
+    // the engine's candidate stack is gated lossless against it
+    "d26_containment" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, ts, (2 * len(ts) + 4) // 5 AS k FROM t0),
+        |corpus AS (
+        |  SELECT doc_id, ts FROM t0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, ts[1:CAST(k AS INT)]
+        |  FROM q WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    list_concat(ts[1:CAST(k AS INT)],
+        |      ['zzzq', 'qqzx', 'wwvv', 'vvuu', 'uqzz'])
+        |  FROM q WHERE doc_id % 7 = 1),
+        |toks AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |      || ' ' || ts[CAST(i AS INT) + 2] AS tok
+        |  FROM corpus, unnest(range(1, len(ts) - 1)) r(i)
+        |  WHERE len(ts) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS n_inter
+        |  FROM toks a JOIN toks b
+        |    ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE 10 * n_inter >= 9 * sa.n
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the cap as a textbook window rank; 'docs.' hosts fold to the
     // same registered domain the Spark side extracts

@@ -289,6 +289,74 @@ object Dedup {
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
   }
 
+  /** Directed CONTAINMENT near-dup pairs — the asymmetric case Jaccard
+    * misses: a short document quoted wholesale inside a long one has
+    * J = |A|/|B| (arbitrarily small) but containment |A∩B|/|A| = 1.
+    * Quote/subset detection is its own dedup pass in web-corpus
+    * pipelines (syndicated snippets, quoted posts, boilerplate-wrapped
+    * reprints).
+    *
+    * Same algebra family as [[prefixFilterJaccardPairs]], adapted to
+    * the directed bound: |A∩B| ≥ ⌈τ·nA⌉ forces B to contain one of
+    * A's first (nA − ⌈τ·nA⌉ + 1) tokens under the global rarity
+    * order — so the candidate join is A's rarity PREFIX against the
+    * full (df-capped) inverted index, never all-pairs. The length
+    * filter tDen·nB ≥ tNum·nA is implied by containment (|A∩B| ≤ nB)
+    * and rides the join; exact verify re-joins full token sets on
+    * candidates only. All-integer thresholds, lossless when the df cap
+    * doesn't bind (rare-prefix tokens are by construction the least
+    * frequent, so the cap binds only for a doc whose WHOLE prefix is
+    * corpus-frequent).
+    */
+  def containmentPrefixPairs(docs: DataFrame, tNum: Int, tDen: Int,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3,
+                       maxDocFreq: Int = 50): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= shingleN)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $shingleN)," +
+          s" i -> concat_ws(' ', slice(ts, i + 1, $shingleN)))"))
+        .as("tok"))
+      .distinct()
+      .persist()
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("df", "tok")
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, "id")
+      .filter(col("rn") <=
+        col("n") - expr(s"(${tNum}L * n + ${tDen - 1}L) div ${tDen}L") + 1)
+      .select(col("id").as("doc_a"), col("tok"), col("n").as("na"))
+    val index = toks.join(dfreq, "tok")
+      .filter(col("df") <= maxDocFreq)
+      .select(col("id").as("doc_b"), col("tok"))
+    val cands = prefix.join(index, "tok")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "na").distinct()
+      // containment implies tDen·nB ≥ tNum·nA (|A∩B| ≤ nB) — prune
+      // small-B candidates before the verify join
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(lit(tDen) * col("nb") >= lit(tNum) * col("na"))
+      .select("doc_a", "doc_b")
+    val inter = cands
+      .join(toks.toDF("doc_a", "tok"), "doc_a")
+      .join(toks.toDF("doc_b", "tok"), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .filter(lit(tDen) * col("n_inter") >= lit(tNum) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"))
+  }
+
   /** Exact substring-span duplication (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", the suffix-array
     * substring dedup, re-expressed as a shingle join): pairs of
