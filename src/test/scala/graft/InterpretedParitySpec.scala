@@ -18,7 +18,8 @@ package graft
   * DsirBuckets -> t13, CdcBoundaries -> d16, PolyHash -> d23/d9,
   * SimHash64 -> d4, TokenShingles+MinHashAgg -> d3, VecDot -> s1,
   * VecLshBuckets -> s2, VecTopCells -> s3, VecNearestCell -> s4,
-  * VecRandomProject -> s6, JaroWinklerSim -> p51.
+  * VecRandomProject -> s6, JaroWinklerSim -> p51, AhoCount -> t32,
+  * UnicodeNormStats -> t34.
   */
 class InterpretedParitySpec extends SparkSpec {
 
@@ -26,7 +27,8 @@ class InterpretedParitySpec extends SparkSpec {
     "t2_quality", "t5_gopher_rules", "t6_entropy", "t13_dsir",
     "d16_cdc_dedup", "d23_winnowing", "d9_substring_dup", "d4_simhash",
     "d3_minhash_lsh", "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf",
-    "s4_kmeans", "s6_random_projection", "p51_jaro_linkage")
+    "s4_kmeans", "s6_random_projection", "p51_jaro_linkage",
+    "t32_blocklist", "t34_normalization")
 
   /** Engine-ordering-free fingerprint of a result: JSON rows, sorted. */
   private def snapshot(name: String): Seq[String] =
