@@ -5101,6 +5101,20 @@ object SparkEntry {
         .select(col("key").as("domain"), col("id").as("doc_id"))
     }),
 
+    // streaming blocklist audit (Streams.runStreamBlocklist): t32's
+    // Aho-Corasick kernel on the micro-batch path — stateless per row
+    // (the automaton rides whole-stage codegen inside the stream), so
+    // the only state is the per-source aggregate; the drained
+    // complete-mode table equals the batch rollup the oracle replays
+    "st19_stream_blocklist" -> ((s, dir) =>
+      Streams.runStreamBlocklist(s, s"$dir/documents.parquet",
+          "source", "text",
+          Seq("the", "and", "ing", "tion", "data", "with", "for",
+            "ment"),
+          queryName = "st19_stream_blocklist")
+        .select(col("key").as("source"), col("n_docs"),
+          col("n_flagged"), col("n_occurrences"))),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -5616,6 +5630,23 @@ object SparkEntry {
         |    PARTITION BY domain ORDER BY doc_id) AS rk
         |  FROM u)
         |SELECT domain, doc_id FROM r WHERE rk <= 5""".stripMargin,
+
+    // batch rollup of the same border-free dictionary (t32's replace
+    // arithmetic), grouped per source
+    "st19_stream_blocklist" ->
+      """WITH c AS (
+        |  SELECT source, doc_id,
+        |    list_sum(list_transform(
+        |      ['the', 'and', 'ing', 'tion', 'data', 'with', 'for',
+        |       'ment'],
+        |      p -> (length(text) - length(replace(text, p, '')))
+        |           // length(p))) AS cnt
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY source""".stripMargin,
 
     "q96_not_exists" ->
       """SELECT c.c_custkey, c.c_name FROM customer c

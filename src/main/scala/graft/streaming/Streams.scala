@@ -728,6 +728,37 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming blocklist audit: the codegen'd Aho-Corasick kernel
+    * ([[graft.plans.AhoCount]]) applied per micro-batch — stateless
+    * per row, so the only streaming state is the per-key aggregate.
+    * The complete-mode drain's final table equals the batch t32
+    * rollup, which is what the oracle replays.
+    */
+  def runStreamBlocklist(spark: SparkSession, path: String,
+                         keyCol: String, textCol: String,
+                         patterns: Seq[String],
+                         queryName: String = "graft_stream_blocklist")
+      : DataFrame = {
+    val counts = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.AhoCount(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+        patterns))
+    val perDoc = fileStream(spark, path)
+      .select(col(keyCol).as("key"),
+        aggregate(counts, lit(0L), (acc, x) => acc + x).as("hits"))
+    val agg = perDoc.groupBy("key")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).as("n_occurrences"))
+    val q = withStatePartitions(spark)(agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** The quota state machine, exposed for MemoryStream-based
     * multi-batch specs: the per-key counter persists across
     * micro-batches, so a key that exhausted its quota in batch 1
