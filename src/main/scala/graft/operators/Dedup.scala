@@ -328,22 +328,37 @@ object Dedup {
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "tok")
-    val prefix = toks.join(dfreq, "tok")
+    // one ranked pass feeds BOTH the prefix (filtered) and the full
+    // index (with positions, for the positional bound below)
+    val ranked = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(wDoc))
       .join(sizes, "id")
+      .persist()
+    val prefix = ranked
       .filter(col("rn") <=
         col("n") - expr(s"(${tNum}L * n + ${tDen - 1}L) div ${tDen}L") + 1)
-      .select(col("id").as("doc_a"), col("tok"), col("n").as("na"))
-    val index = toks.join(dfreq, "tok")
+      .select(col("id").as("doc_a"), col("tok"), col("n").as("na"),
+        col("rn").as("pa"))
+    val index = ranked
       .filter(col("df") <= maxDocFreq)
-      .select(col("id").as("doc_b"), col("tok"))
+      .select(col("id").as("doc_b"), col("tok"), col("n").as("nb"),
+        col("rn").as("pb"))
+    // positional bound (the PPJoin algebra, directed): both sides are
+    // ranked under the same global (df, tok) order, so the FIRST
+    // common token at (pa, pb) caps the overlap at
+    // 1 + min(na − pa, nb − pb); containment needs tDen·|A∩B| ≥
+    // tNum·na, so candidates violating the bound can't verify. The
+    // length filter tDen·nb ≥ tNum·na (|A∩B| ≤ nb) rides the same
+    // aggregate.
     val cands = prefix.join(index, "tok")
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select("doc_a", "doc_b", "na").distinct()
-      // containment implies tDen·nB ≥ tNum·nA (|A∩B| ≤ nB) — prune
-      // small-B candidates before the verify join
-      .join(sizes.toDF("doc_b", "nb"), "doc_b")
-      .filter(lit(tDen) * col("nb") >= lit(tNum) * col("na"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        lit(tDen) * col("nb") >= lit(tNum) * col("na"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min("pa").as("pa"), min("pb").as("pb"),
+        first("na").as("na"), first("nb").as("nb"))
+      .filter(lit(tDen) *
+        (lit(1L) + least(col("na") - col("pa"), col("nb") - col("pb"))) >=
+        lit(tNum) * col("na"))
       .select("doc_a", "doc_b")
     val inter = cands
       .join(toks.toDF("doc_a", "tok"), "doc_a")
