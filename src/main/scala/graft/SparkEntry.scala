@@ -924,8 +924,8 @@ object SparkEntry {
     // CONSTRUCTED as the first ⌈0.4·n⌉ tokens of parents (pure quotes,
     // containment 1.0, id+1e6) and noisy quotes with 5 alien tokens
     // appended (containment (k−2)/(k+3) < 0.9 at every test doc
-    // length, id+2e6). Candidate gen is A's rarity prefix against the
-    // df-capped inverted shingle index — never all-pairs; the oracle
+    // length, id+2e6). Candidate gen is A's rarity prefix against an
+    // index semi-joined to prefix tokens — never all-pairs; the oracle
     // replays the FULL directed pair join brute-force, so the filter
     // stack is gated lossless.
     "d26_containment" -> ((s, dir) => {
@@ -4478,37 +4478,11 @@ object SparkEntry {
         .as[(Long, String)]
         .mapPartitions { it =>
           it.flatMap { case (id, text) =>
-            val uri = s"http://example.com/doc/$id"
-            val date = "2026-01-01T00:00:00Z"
-            def rid(j: Long) =
-              f"<urn:uuid:00000000-0000-0000-0000-${id * 3 + j}%012d>"
-            val body = text.getBytes(UTF_8)
-            val sline = (id % 3) match {
-              case 0 => "200 OK"
-              case 1 => "301 Moved Permanently"
-              case _ => "404 Not Found"
-            }
-            val b1 = ("software: graft/1.0\r\n"
-              + "format: WARC File Format 1.1\r\n").getBytes(UTF_8)
-            val b2 = (s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n"
-              + "User-Agent: graftbot/1.0\r\n\r\n").getBytes(UTF_8)
-            val b3 = (s"HTTP/1.1 $sline\r\n"
-              + "Content-Type: text/plain; charset=utf-8\r\n"
-              + s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
-              body
             val file = operators.Warc.encodeFile(Seq(
-              operators.Warc.encodeRecord(Seq(
-                "WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid(0),
-                "WARC-Date" -> date,
-                "Content-Type" -> "application/warc-fields"), b1),
-              operators.Warc.encodeRecord(Seq(
-                "WARC-Type" -> "request", "WARC-Record-ID" -> rid(1),
-                "WARC-Date" -> date, "WARC-Target-URI" -> uri,
-                "Content-Type" -> "application/http;msgtype=request"), b2),
-              operators.Warc.encodeRecord(Seq(
-                "WARC-Type" -> "response", "WARC-Record-ID" -> rid(2),
-                "WARC-Date" -> date, "WARC-Target-URI" -> uri,
-                "Content-Type" -> "application/http;msgtype=response"), b3)))
+              operators.Warc.Fixture.warcinfoRecord(id * 3),
+              operators.Warc.Fixture.requestRecord(id, id * 3 + 1),
+              operators.Warc.Fixture.responseRecord(id, id * 3 + 2,
+                text)))
             val recs = operators.Warc.parseFile(file).get
             val total = file.length.toLong
             recs.zipWithIndex.map { case (r, i) =>
@@ -4648,30 +4622,9 @@ object SparkEntry {
         .as[(Long, String)]
         .mapPartitions { it =>
           it.flatMap { case (id, text) =>
-            val uri = s"http://example.com/doc/$id"
-            val date = "2026-01-01T00:00:00Z"
-            def rid(j: Long) =
-              f"<urn:uuid:00000000-0000-0000-0000-${id * 3 + j}%012d>"
-            val body = text.getBytes(UTF_8)
-            val sline = (id % 3) match {
-              case 0 => "200 OK"
-              case 1 => "301 Moved Permanently"
-              case _ => "404 Not Found"
-            }
-            val b1 = ("software: graft/1.0\r\n"
-              + "format: WARC File Format 1.1\r\n").getBytes(UTF_8)
-            val b3 = (s"HTTP/1.1 $sline\r\n"
-              + "Content-Type: text/plain; charset=utf-8\r\n"
-              + s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
-              body
-            val r1 = operators.Warc.encodeRecord(Seq(
-              "WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid(0),
-              "WARC-Date" -> date,
-              "Content-Type" -> "application/warc-fields"), b1)
-            val r3 = operators.Warc.encodeRecord(Seq(
-              "WARC-Type" -> "response", "WARC-Record-ID" -> rid(2),
-              "WARC-Date" -> date, "WARC-Target-URI" -> uri,
-              "Content-Type" -> "application/http;msgtype=response"), b3)
+            val r1 = operators.Warc.Fixture.warcinfoRecord(id * 3)
+            val r3 = operators.Warc.Fixture.responseRecord(id,
+              id * 3 + 2, text)
             val gz = operators.Gzip.compress(r1) ++
               operators.Gzip.compress(r3)
             val ms = operators.Gzip.members(gz).get
@@ -4749,24 +4702,7 @@ object SparkEntry {
         .select(col("doc_id").cast(LongType), col("text"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       val recs = rows.map { case (id, text) =>
-        val uri = s"http://example.com/doc/$id"
-        val sline = (id % 3) match {
-          case 0 => "200 OK"
-          case 1 => "301 Moved Permanently"
-          case _ => "404 Not Found"
-        }
-        val body = text.getBytes(UTF_8)
-        val b3 = (s"HTTP/1.1 $sline\r\n"
-          + "Content-Type: text/plain; charset=utf-8\r\n"
-          + s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
-          body
-        operators.Warc.encodeRecord(Seq(
-          "WARC-Type" -> "response",
-          "WARC-Record-ID" ->
-            f"<urn:uuid:00000000-0000-0000-0000-${id * 3 + 2}%012d>",
-          "WARC-Date" -> "2026-01-01T00:00:00Z",
-          "WARC-Target-URI" -> uri,
-          "Content-Type" -> "application/http;msgtype=response"), b3)
+        operators.Warc.Fixture.responseRecord(id, id * 3 + 2, text)
       }
       val outDir = new java.io.File(
         s"/tmp/graft_warc_src/${dir.replaceAll("[^A-Za-z0-9]", "_")}")

@@ -299,19 +299,17 @@ object Dedup {
     * Same algebra family as [[prefixFilterJaccardPairs]], adapted to
     * the directed bound: |A∩B| ≥ ⌈τ·nA⌉ forces B to contain one of
     * A's first (nA − ⌈τ·nA⌉ + 1) tokens under the global rarity
-    * order — so the candidate join is A's rarity PREFIX against the
-    * full (df-capped) inverted index, never all-pairs. The length
-    * filter tDen·nB ≥ tNum·nA is implied by containment (|A∩B| ≤ nB)
-    * and rides the join; exact verify re-joins full token sets on
-    * candidates only. All-integer thresholds, lossless when the df cap
-    * doesn't bind (rare-prefix tokens are by construction the least
-    * frequent, so the cap binds only for a doc whose WHOLE prefix is
-    * corpus-frequent).
+    * order — so the candidate join is A's rarity PREFIX against an
+    * inverted index semi-joined down to prefix-occurring tokens,
+    * never all-pairs. The length filter tDen·nB ≥ tNum·nA is implied
+    * by containment (|A∩B| ≤ nB) and rides the join; exact verify
+    * re-joins full token sets on candidates only. All-integer
+    * thresholds, LOSSLESS end to end — gated against the brute-force
+    * directed-pair oracle (d26).
     */
   def containmentPrefixPairs(docs: DataFrame, tNum: Int, tDen: Int,
                        idCol: String = "doc_id", textCol: String = "text",
-                       shingleN: Int = 3,
-                       maxDocFreq: Int = 50): DataFrame = {
+                       shingleN: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
     val toks = docs
@@ -339,8 +337,13 @@ object Dedup {
         col("n") - expr(s"(${tNum}L * n + ${tDen - 1}L) div ${tDen}L") + 1)
       .select(col("id").as("doc_a"), col("tok"), col("n").as("na"),
         col("rn").as("pa"))
+    // the index only needs tokens that occur in SOME probe prefix — a
+    // LOSSLESS shrink (a df cap here would silently drop true pairs
+    // whenever a doc's whole prefix is corpus-frequent; prefix tokens
+    // are the corpus-rarest, so this semi-join keeps the index small
+    // for the same reason a cap would, without the loss)
     val index = ranked
-      .filter(col("df") <= maxDocFreq)
+      .join(prefix.select("tok").distinct(), "tok")
       .select(col("id").as("doc_b"), col("tok"), col("n").as("nb"),
         col("rn").as("pb"))
     // positional bound (the PPJoin algebra, directed): both sides are

@@ -38,7 +38,11 @@ object Sentences {
   def split(text: Column, abbrevs: Seq[String] = DefaultAbbrevs): Column = {
     val protectedText = abbrevs.foldLeft(text) { (t, a) =>
       val marked = a.dropRight(1) + Mark
-      regexp_replace(t, java.util.regex.Pattern.quote(a), marked)
+      // word-boundary anchor: 'etc.' must not match inside 'fetc.' —
+      // an unanchored replace would suppress a REAL sentence boundary
+      // after any word that merely ends in an abbreviation string
+      regexp_replace(t,
+        "(?<![\\p{L}\\p{N}])" + java.util.regex.Pattern.quote(a), marked)
     }
     val parts = org.apache.spark.sql.functions.split(
       protectedText, "(?<=[.!?])\\s+")

@@ -19,13 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Subtitles {
 
-  /** Format milliseconds as a VTT timestamp `HH:MM:SS.mmm`. */
-  def vttTimestamp(ms: Column): Column = concat(
-    lpad((ms / 3600000L).cast("long").cast("string"), 2, "0"), lit(":"),
-    lpad(((ms / 60000L) % 60).cast("long").cast("string"), 2, "0"),
-    lit(":"),
-    lpad(((ms / 1000L) % 60).cast("long").cast("string"), 2, "0"),
-    lit("."), lpad((ms % 1000).cast("long").cast("string"), 3, "0"))
+  /** Format milliseconds as a VTT timestamp `HH:MM:SS.mmm`. Hours keep
+    * every digit past 99 (lpad alone would TRUNCATE to len — the spec
+    * allows 2+ hour digits and [[vttMs]] parses them).
+    */
+  def vttTimestamp(ms: Column): Column = {
+    val hs = (ms / 3600000L).cast("long").cast("string")
+    concat(
+      when(length(hs) < 2, lpad(hs, 2, "0")).otherwise(hs), lit(":"),
+      lpad(((ms / 60000L) % 60).cast("long").cast("string"), 2, "0"),
+      lit(":"),
+      lpad(((ms / 1000L) % 60).cast("long").cast("string"), 2, "0"),
+      lit("."), lpad((ms % 1000).cast("long").cast("string"), 3, "0"))
+  }
 
   /** Parse a VTT timestamp back to milliseconds (NULL on mismatch).
     * Hours may exceed two digits per the spec.

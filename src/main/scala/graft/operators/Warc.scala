@@ -126,12 +126,16 @@ object Warc {
       i += 1
     }
     val rec0 = Record(lines(0), hdrs.result(), Array.emptyByteArray)
-    val len = rec0.header("Content-Length")
-      .flatMap(v => scala.util.Try(v.toInt).toOption)
+    // Long arithmetic: a corrupt Content-Length near Int.MaxValue must
+    // not wrap the bounds check negative and index out of range
+    val lenL = rec0.header("Content-Length")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
       .getOrElse(return None)
     val blockStart = headEnd + 4
+    if (lenL < 0 || blockStart.toLong + lenL + 4 > bytes.length)
+      return None
+    val len = lenL.toInt
     val blockEnd = blockStart + len
-    if (len < 0 || blockEnd + 4 > bytes.length) return None
     // record terminator: exactly CRLFCRLF after the block
     if (bytes(blockEnd) != '\r' || bytes(blockEnd + 1) != '\n' ||
         bytes(blockEnd + 2) != '\r' || bytes(blockEnd + 3) != '\n')
@@ -172,6 +176,57 @@ object Warc {
     val body =
       java.util.Arrays.copyOfRange(block, headEnd + 4, block.length)
     Some(Http(start, status, hdrs.result(), body))
+  }
+
+  /** Deterministic test-corpus record builders shared by the m22 /
+    * m25 / m27 queries and their oracles — ONE definition so the
+    * construction can never diverge between the three (each oracle
+    * re-encodes these exact strings in SQL).
+    */
+  object Fixture {
+    val Date = "2026-01-01T00:00:00Z"
+
+    def recordId(j: Long): String =
+      f"<urn:uuid:00000000-0000-0000-0000-$j%012d>"
+
+    def statusLine(id: Long): String = (id % 3) match {
+      case 0 => "200 OK"
+      case 1 => "301 Moved Permanently"
+      case _ => "404 Not Found"
+    }
+
+    def uri(id: Long): String = s"http://example.com/doc/$id"
+
+    /** warcinfo record with the fixed fields block; record-id j. */
+    def warcinfoRecord(j: Long): Array[Byte] =
+      encodeRecord(Seq(
+        "WARC-Type" -> "warcinfo", "WARC-Record-ID" -> recordId(j),
+        "WARC-Date" -> Date,
+        "Content-Type" -> "application/warc-fields"),
+        ("software: graft/1.0\r\n"
+          + "format: WARC File Format 1.1\r\n").getBytes(UTF_8))
+
+    /** request record for doc `id`; record-id j. */
+    def requestRecord(id: Long, j: Long): Array[Byte] =
+      encodeRecord(Seq(
+        "WARC-Type" -> "request", "WARC-Record-ID" -> recordId(j),
+        "WARC-Date" -> Date, "WARC-Target-URI" -> uri(id),
+        "Content-Type" -> "application/http;msgtype=request"),
+        (s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n"
+          + "User-Agent: graftbot/1.0\r\n\r\n").getBytes(UTF_8))
+
+    /** response record: status by id%3, body = the document text. */
+    def responseRecord(id: Long, j: Long, text: String): Array[Byte] = {
+      val body = text.getBytes(UTF_8)
+      val block = (s"HTTP/1.1 ${statusLine(id)}\r\n"
+        + "Content-Type: text/plain; charset=utf-8\r\n"
+        + s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+        body
+      encodeRecord(Seq(
+        "WARC-Type" -> "response", "WARC-Record-ID" -> recordId(j),
+        "WARC-Date" -> Date, "WARC-Target-URI" -> uri(id),
+        "Content-Type" -> "application/http;msgtype=response"), block)
+    }
   }
 
   private def indexOfCrlfCrlf(bytes: Array[Byte], from: Int): Int = {

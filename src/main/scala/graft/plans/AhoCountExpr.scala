@@ -24,6 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object AhoCountUtil {
 
   final class Automaton(patterns: Seq[String]) extends Serializable {
+    // duplicates would share a trie terminal and silently zero all but
+    // the last duplicate's count — reject loudly instead
+    require(patterns.distinct.size == patterns.size,
+      s"duplicate patterns in dictionary: ${patterns.diff(patterns.distinct).distinct.mkString(", ")}")
+    require(patterns.forall(_.nonEmpty), "empty pattern in dictionary")
     val nPatterns: Int = patterns.size
     // build goto trie
     private val patBytes = patterns.map(_.getBytes("UTF-8")).toArray

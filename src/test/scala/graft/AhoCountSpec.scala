@@ -39,4 +39,15 @@ class AhoCountSpec extends AnyFunSuite {
     val c = count(Seq("x", "yz"), "")
     assert(c.values.forall(_ == 0L))
   }
+
+  test("duplicate and empty patterns are rejected loudly") {
+    // a duplicate would share a trie terminal and silently zero the
+    // earlier entry's count
+    intercept[IllegalArgumentException] {
+      new AhoCountUtil.Automaton(Seq("the", "the"))
+    }
+    intercept[IllegalArgumentException] {
+      new AhoCountUtil.Automaton(Seq("a", ""))
+    }
+  }
 }

@@ -35,6 +35,14 @@ class SentencesSpec extends SparkSpec {
     assert(split("Only one.") == Seq("Only one."))
   }
 
+  test("a word merely ending in an abbreviation string still splits") {
+    // 'fetc.' ends in 'etc.' but IS a sentence end — protection is
+    // word-boundary-anchored
+    assert(split("I fetc. Then left.") == Seq("I fetc.", "Then left."))
+    assert(split("He said adr. Next one.") ==
+      Seq("He said adr.", "Next one."))
+  }
+
   test("abbreviation at sentence end still restores its dot") {
     // 'etc.' is protected, so the split happens only at '!'
     assert(split("Tea, coffee, etc. were served! Yes.") ==

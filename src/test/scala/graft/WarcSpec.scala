@@ -67,6 +67,11 @@ class WarcSpec extends AnyFunSuite {
     val badLen = ("WARC/1.0\r\nWARC-Type: resource\r\n"
       + "Content-Length: zap\r\n\r\n\r\n\r\n").getBytes(UTF_8)
     assert(Warc.parseFile(badLen).isEmpty)
+    // near-Int.MaxValue Content-Length must reject, not wrap the
+    // bounds check negative and throw
+    val hugeLen = ("WARC/1.0\r\nWARC-Type: resource\r\n"
+      + "Content-Length: 2147483600\r\n\r\n\r\n\r\n").getBytes(UTF_8)
+    assert(Warc.parseFile(hugeLen).isEmpty)
   }
 
   test("http parse: request start line has no status; bare body split") {

@@ -95,4 +95,16 @@ class WebVttSpec extends SparkSpec {
     val c = cues("WEBVTT\n\n100:00:00.001 --> 100:00:00.002\nx")
     assert(c(0).getAs[Long]("start_ms") == 360000000L + 1L)
   }
+
+  test("vtt: timestamp format keeps 3-digit hours (no lpad truncation)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val ms = 100L * 3600000L + 62005L // 100:01:02.005
+    val row = Seq(1).toDF("x")
+      .select(Subtitles.vttTimestamp(lit(ms)).as("ts"))
+      .select(col("ts"), Subtitles.vttMs(col("ts")).as("back"))
+      .collect()(0)
+    assert(row.getString(0) == "100:01:02.005")
+    assert(row.getLong(1) == ms)
+  }
 }
