@@ -4689,6 +4689,39 @@ object SparkEntry {
           "seq_ok")
     }),
 
+    // MP3 Xing/Info VBR header (Multimodal.mp3XingInfo): the
+    // first-frame metadata block that turns duration from a
+    // full-stream frame walk into one multiply. Files are built with
+    // a tag frame (Xing on even ids, Info on odd) + n audio frames;
+    // the scan re-reads the tag through the real side-info offset
+    // arithmetic (mono MPEG-1 → 17 bytes) and mp3Scan independently
+    // counts n+1 physical frames. Oracle: frame-length/duration
+    // integer arithmetic — duration_ms = n·1152·1000/rate truncating.
+    "m29_mp3_xing" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val rate = Array(44100, 48000, 32000)((id % 3).toInt)
+            val br = Array(128, 192, 64, 256)((id % 4).toInt)
+            val n = (id % 30 + 5).toInt
+            val frameLen = 144000 * br / rate
+            val total = (n + 1).toLong * frameLen
+            val xing = Multimodal.encodeMp3XingFrame(br, rate,
+              vbr = id % 2 == 0, frames = n.toLong, totalBytes = total)
+            val audio = Multimodal.encodeMp3(br, rate, n)
+            val file = xing ++ audio
+            val (tag, frames, nBytes, durMs) =
+              Multimodal.mp3XingInfo(file).get
+            val scanned = Multimodal.mp3Scan(file).get
+            (id, tag, frames.get, nBytes.get, durMs,
+              scanned.nFrames.toLong, file.length.toLong)
+          }
+        }
+        .toDF("doc_id", "tag", "xing_frames", "xing_bytes",
+          "duration_ms", "scan_frames", "file_bytes")
+    }),
+
     // the .warc.gz PATH SOURCE end-to-end (sources.WarcTable via
     // PathTable.resolve — `SELECT * FROM 'seg.warc.gz'` in the CLI):
     // a 48-record archive is written once per sf-dir (bounded driver
@@ -6989,6 +7022,28 @@ object SparkEntry {
         |    z -> 27 + (z // 255 + 1) + z)) AS BIGINT) AS file_bytes,
         |  TRUE AS all_crc_ok, TRUE AS bos_eos_ok, TRUE AS seq_ok
         |FROM s""".stripMargin,
+
+    // frame-length arithmetic replay: frameLen = 144000·br//rate (no
+    // padding), file = (n+1) frames, duration truncating-integer
+    "m29_mp3_xing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100
+        |      WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 128
+        |      WHEN 1 THEN 192 WHEN 2 THEN 64 ELSE 256 END AS br,
+        |    doc_id % 30 + 5 AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, 144000 * br // rate AS flen FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Xing' ELSE 'Info' END AS tag,
+        |  CAST(n AS BIGINT) AS xing_frames,
+        |  CAST((n + 1) * flen AS BIGINT) AS xing_bytes,
+        |  CAST(n * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(n + 1 AS BIGINT) AS scan_frames,
+        |  CAST((n + 1) * flen AS BIGINT) AS file_bytes
+        |FROM f""".stripMargin,
 
     // per-record replay over the same 48-doc slice: framed HTTP block
     // length via m22's arithmetic, body chars = document chars
