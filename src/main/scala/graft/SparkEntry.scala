@@ -4722,6 +4722,44 @@ object SparkEntry {
           "duration_ms", "scan_frames", "file_bytes")
     }),
 
+    // FLAC metadata-block walk (Multimodal.flacMetaBlocks): the
+    // mixed-endianness trap done for real — block headers and
+    // SEEKTABLE entries are big-endian, but the VORBIS_COMMENT
+    // interior is little-endian (the Vorbis spec embedded verbatim);
+    // a single-endianness reader passes STREAMINFO and garbles every
+    // tag. Comments derive from doc columns, seekpoints from modulus
+    // schedules; the oracle replays counts, byte totals (vendor len +
+    // 4+len per comment + 18 per seekpoint + headers), and the last
+    // seekpoint sample from the construction arithmetic.
+    "m30_flac_meta" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType), col("lang"), col("source"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, lang, source) =>
+            val comments = Seq(
+              "TITLE" -> s"Doc $id", "ARTIST" -> source,
+              "LANGUAGE" -> lang) ++
+              (if (id % 2 == 0) Seq("ALBUM" -> s"Set ${id % 10}")
+               else Nil)
+            val nSeek = (id % 6 + 1).toInt
+            val seeks = Seq.tabulate(nSeek)(k =>
+              (k.toLong * 4096L, k.toLong * 1000L + id % 7, 4096))
+            val flac = Multimodal.encodeFlacMeta(44100, 2, 16,
+              id * 100 + 1, vendor = "graft 1.0", comments = comments,
+              seekpoints = seeks)
+            val (types, vendor, cs, sp) =
+              Multimodal.flacMetaBlocks(flac).get
+            (id, types.mkString(","), vendor, cs.length.toLong,
+              cs.map { case (k, v) => k.length + 1 + v.length }.sum.toLong,
+              sp.length.toLong, sp.last._1, flac.length.toLong)
+          }
+        }
+        .toDF("doc_id", "block_types", "vendor", "n_comments",
+          "comment_chars", "n_seek", "last_seek_sample", "file_bytes")
+    }),
+
     // the .warc.gz PATH SOURCE end-to-end (sources.WarcTable via
     // PathTable.resolve — `SELECT * FROM 'seg.warc.gz'` in the CLI):
     // a 48-record archive is written once per sf-dir (bounded driver
@@ -7044,6 +7082,27 @@ object SparkEntry {
         |  CAST(n + 1 AS BIGINT) AS scan_frames,
         |  CAST((n + 1) * flen AS BIGINT) AS file_bytes
         |FROM f""".stripMargin,
+
+    // construction replay: comment chars piecewise (TITLE=Doc <id>,
+    // ARTIST=<source>, LANGUAGE=<lang>, even-id ALBUM=Set <d>), file
+    // bytes = 67 fixed (magic + STREAMINFO + headers + vendor frame)
+    // + 4 per comment + comment chars + 18 per seekpoint
+    "m30_flac_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 6 + 1 AS BIGINT) AS nseek,
+        |    3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS nc,
+        |    (10 + length(CAST(doc_id AS VARCHAR)))
+        |      + (7 + length(source)) + (9 + length(lang))
+        |      + CASE WHEN doc_id % 2 = 0 THEN 11 ELSE 0 END AS cc
+        |  FROM documents)
+        |SELECT doc_id, '0,4,3' AS block_types, 'graft 1.0' AS vendor,
+        |  CAST(nc AS BIGINT) AS n_comments,
+        |  CAST(cc AS BIGINT) AS comment_chars,
+        |  nseek AS n_seek,
+        |  CAST((nseek - 1) * 4096 AS BIGINT) AS last_seek_sample,
+        |  CAST(67 + 4 * nc + cc + 18 * nseek AS BIGINT) AS file_bytes
+        |FROM d""".stripMargin,
 
     // per-record replay over the same 48-doc slice: framed HTTP block
     // length via m22's arithmetic, body chars = document chars

@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1812,6 +1813,130 @@ object Multimodal {
     out(24) = ((totalSamples >> 8) & 0xFF).toByte
     out(25) = (totalSamples & 0xFF).toByte
     out
+  }
+
+  /** FLAC metadata-block walk past STREAMINFO: block headers are
+    * 1 byte (last-flag | type) + 24-bit BIG-endian length, but the
+    * VORBIS_COMMENT block's interior is LITTLE-endian (it's the
+    * Vorbis comment spec embedded verbatim) — the classic
+    * mixed-endianness trap. SEEKTABLE entries are 18 bytes BE
+    * (sample, byte offset, sample count). Returns
+    * (blockTypes, vendor, comments, seekpoints); None on bad magic or
+    * any truncated block.
+    */
+  def flacMetaBlocks(bytes: Array[Byte])
+      : Option[(Vector[Int], String, Vector[(String, String)],
+                Vector[(Long, Long, Int)])] = {
+    if (bytes.length < 4 || bytes(0) != 'f' || bytes(1) != 'L' ||
+        bytes(2) != 'a' || bytes(3) != 'C') return None
+    var o = 4
+    val types = Vector.newBuilder[Int]
+    var vendor = ""
+    val comments = Vector.newBuilder[(String, String)]
+    val seeks = Vector.newBuilder[(Long, Long, Int)]
+    var last = false
+    while (!last) {
+      if (o + 4 > bytes.length) return None
+      val h = bytes(o) & 0xFF
+      last = (h & 0x80) != 0
+      val tpe = h & 0x7F
+      val len = ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+      o += 4
+      if (o + len > bytes.length) return None
+      types += tpe
+      tpe match {
+        case 4 => // VORBIS_COMMENT, little-endian interior
+          var p = o
+          def le32(): Long = {
+            val v = (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+              ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+            p += 4
+            v
+          }
+          if (p + 4 > o + len) return None
+          val vlen = le32().toInt
+          if (p + vlen > o + len) return None
+          vendor = new String(bytes, p, vlen, UTF_8)
+          p += vlen
+          if (p + 4 > o + len) return None
+          val n = le32().toInt
+          var i = 0
+          while (i < n) {
+            if (p + 4 > o + len) return None
+            val clen = le32().toInt
+            if (p + clen > o + len) return None
+            val s = new String(bytes, p, clen, UTF_8)
+            p += clen
+            val eq = s.indexOf('=')
+            if (eq <= 0) return None
+            comments += ((s.substring(0, eq), s.substring(eq + 1)))
+            i += 1
+          }
+        case 3 => // SEEKTABLE, 18-byte BE entries
+          if (len % 18 != 0) return None
+          var p = o
+          while (p < o + len) {
+            def be(from: Int, n: Int): Long = {
+              var v = 0L
+              var k = 0
+              while (k < n) { v = (v << 8) | (bytes(from + k) & 0xFFL); k += 1 }
+              v
+            }
+            seeks += ((be(p, 8), be(p + 8, 8), be(p + 16, 2).toInt))
+            p += 18
+          }
+        case _ => ()
+      }
+      o += len
+    }
+    Some((types.result(), vendor, comments.result(), seeks.result()))
+  }
+
+  /** Fixture writer: fLaC + STREAMINFO + VORBIS_COMMENT (LE interior)
+    * + last-flagged SEEKTABLE, reusing [[encodeFlac]]'s STREAMINFO
+    * bytes.
+    */
+  def encodeFlacMeta(rate: Int, channels: Int, bps: Int,
+                     totalSamples: Long, vendor: String,
+                     comments: Seq[(String, String)],
+                     seekpoints: Seq[(Long, Long, Int)]): Array[Byte] = {
+    val si = encodeFlac(rate, channels, bps, totalSamples)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(si, 0, 4) // magic
+    out.write(0) // STREAMINFO header, not last
+    out.write(0); out.write(0); out.write(34)
+    out.write(si, 8, 34)
+    val vc = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      vc.write(v & 0xFF); vc.write((v >> 8) & 0xFF)
+      vc.write((v >> 16) & 0xFF); vc.write((v >> 24) & 0xFF)
+    }
+    val vb = vendor.getBytes(UTF_8)
+    le32(vb.length); vc.write(vb, 0, vb.length)
+    le32(comments.size)
+    comments.foreach { case (k, v) =>
+      val cb = s"$k=$v".getBytes(UTF_8)
+      le32(cb.length); vc.write(cb, 0, cb.length)
+    }
+    val vcb = vc.toByteArray
+    out.write(4) // VORBIS_COMMENT, not last
+    out.write((vcb.length >> 16) & 0xFF)
+    out.write((vcb.length >> 8) & 0xFF)
+    out.write(vcb.length & 0xFF)
+    out.write(vcb, 0, vcb.length)
+    val stLen = seekpoints.size * 18
+    out.write(0x80 | 3) // SEEKTABLE, last
+    out.write((stLen >> 16) & 0xFF); out.write((stLen >> 8) & 0xFF)
+    out.write(stLen & 0xFF)
+    seekpoints.foreach { case (sample, off, cnt) =>
+      var k = 7
+      while (k >= 0) { out.write(((sample >> (8 * k)) & 0xFF).toInt); k -= 1 }
+      k = 7
+      while (k >= 0) { out.write(((off >> (8 * k)) & 0xFF).toInt); k -= 1 }
+      out.write((cnt >> 8) & 0xFF); out.write(cnt & 0xFF)
+    }
+    out.toByteArray
   }
 
   // ---- OGG container (RFC 3533) ----
