@@ -4760,6 +4760,51 @@ object SparkEntry {
           "comment_chars", "n_seek", "last_seek_sample", "file_bytes")
     }),
 
+    // ZIP central-directory walk (operators.Zip): the archive is
+    // written by the JDK's OWN ZipOutputStream (STORED entries, fixed
+    // DOS mtime) and read back by the independent byte walk — a real
+    // third-party-writer cross-check, unlike the mirrored
+    // encoder/decoder fixtures. EOCD scan, directory entries, local
+    // header existence at each claimed offset, and CRC agreement with
+    // a recompute over the source bytes. Oracle: STORED layout
+    // arithmetic — 30+name local headers, 46+name central entries,
+    // 22-byte EOCD.
+    "m31_zip_directory" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType), col("text"), col("lang"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text, lang) =>
+            val members = Seq((f"$id%08d.txt", text.getBytes(UTF_8)),
+              (f"$id%08d.cls", lang.getBytes(UTF_8)))
+            val bos = new java.io.ByteArrayOutputStream()
+            val z = new java.util.zip.ZipOutputStream(bos)
+            members.foreach { case (n, d) =>
+              val e = new java.util.zip.ZipEntry(n)
+              e.setMethod(java.util.zip.ZipEntry.STORED)
+              e.setSize(d.length.toLong)
+              val c = new java.util.zip.CRC32(); c.update(d)
+              e.setCrc(c.getValue)
+              e.setTime(315532800000L)
+              z.putNextEntry(e); z.write(d); z.closeEntry()
+            }
+            z.close()
+            val zip = bos.toByteArray
+            val es = operators.Zip.entries(zip).get
+            es.map { en =>
+              val orig = members.find(_._1 == en.name).get._2
+              val c = new java.util.zip.CRC32(); c.update(orig)
+              (id, en.name, en.size, en.localOffset, en.method.toLong,
+                en.localOk, c.getValue == en.crc, zip.length.toLong)
+            }
+          }
+        }
+        .toDF("doc_id", "name", "size", "local_offset", "method",
+          "local_ok", "crc_match", "file_bytes")
+    }),
+
     // the .warc.gz PATH SOURCE end-to-end (sources.WarcTable via
     // PathTable.resolve — `SELECT * FROM 'seg.warc.gz'` in the CLI):
     // a 48-record archive is written once per sf-dir (bounded driver
@@ -7102,6 +7147,25 @@ object SparkEntry {
         |  nseek AS n_seek,
         |  CAST((nseek - 1) * 4096 AS BIGINT) AS last_seek_sample,
         |  CAST(67 + 4 * nc + cc + 18 * nseek AS BIGINT) AS file_bytes
+        |FROM d""".stripMargin,
+
+    // STORED layout arithmetic: txt entry at offset 0, cls at
+    // 42 + size(txt) (30-byte local header + 12-char name); file =
+    // locals (42+size each) + centrals (58 each) + 22-byte EOCD
+    "m31_zip_directory" ->
+      """WITH d AS (
+        |  SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS st,
+        |    CAST(octet_length(CAST(lang AS BLOB)) AS BIGINT) AS sl
+        |  FROM documents)
+        |SELECT doc_id, k || '.txt' AS name, st AS size,
+        |  CAST(0 AS BIGINT) AS local_offset, CAST(0 AS BIGINT) AS method,
+        |  TRUE AS local_ok, TRUE AS crc_match,
+        |  CAST(222 + st + sl AS BIGINT) AS file_bytes
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, k || '.cls', sl, CAST(42 + st AS BIGINT),
+        |  CAST(0 AS BIGINT), TRUE, TRUE, CAST(222 + st + sl AS BIGINT)
         |FROM d""".stripMargin,
 
     // per-record replay over the same 48-doc slice: framed HTTP block
