@@ -1855,17 +1855,22 @@ object Multimodal {
             v
           }
           if (p + 4 > o + len) return None
+          // ADVICE r8: declared lengths >= 2^31 go negative through
+          // .toInt and would pass the upper-bound check, then crash in
+          // new String — reject negatives explicitly (same for the
+          // comment count and each comment length below)
           val vlen = le32().toInt
-          if (p + vlen > o + len) return None
+          if (vlen < 0 || p + vlen > o + len) return None
           vendor = new String(bytes, p, vlen, UTF_8)
           p += vlen
           if (p + 4 > o + len) return None
           val n = le32().toInt
+          if (n < 0) return None
           var i = 0
           while (i < n) {
             if (p + 4 > o + len) return None
             val clen = le32().toInt
-            if (p + clen > o + len) return None
+            if (clen < 0 || p + clen > o + len) return None
             val s = new String(bytes, p, clen, UTF_8)
             p += clen
             val eq = s.indexOf('=')

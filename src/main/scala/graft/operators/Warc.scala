@@ -132,7 +132,11 @@ object Warc {
       .flatMap(v => scala.util.Try(v.toLong).toOption)
       .getOrElse(return None)
     val blockStart = headEnd + 4
-    if (lenL < 0 || blockStart.toLong + lenL + 4 > bytes.length)
+    // ADVICE r8: reject absurd lengths BEFORE any addition — a crafted
+    // Content-Length near Long.MaxValue would overflow
+    // blockStart + lenL + 4 to negative and bypass the bounds check
+    if (lenL < 0 || lenL > bytes.length ||
+        blockStart.toLong + lenL + 4 > bytes.length)
       return None
     val len = lenL.toInt
     val blockEnd = blockStart + len

@@ -38,6 +38,9 @@ object Zip {
       ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
     val n = le16(e + 10)
     val dirOff = le32(e + 16)
+    // ADVICE r8: a 32-bit offset >= 2^31 would go negative through
+    // .toInt and index out of range — validate in Long space first
+    if (dirOff > bytes.length.toLong) return None
     var p = dirOff.toInt
     val out = Vector.newBuilder[Entry]
     var i = 0
@@ -53,8 +56,10 @@ object Zip {
       val localOff = le32(p + 42)
       if (p + 46 + nameLen > bytes.length) return None
       val name = new String(bytes, p + 46, nameLen, UTF_8)
-      val lo = localOff.toInt
-      val localOk = lo + 4 <= bytes.length && le32(lo) == 0x04034b50L
+      // Long-space bound before .toInt: localOff >= 2^31 must read as
+      // out-of-file, not as a negative array index
+      val localOk = localOff + 4 <= bytes.length.toLong &&
+        le32(localOff.toInt) == 0x04034b50L
       out += Entry(name, method, size, csize, crc, localOff, localOk)
       p += 46 + nameLen + extraLen + commentLen
       i += 1

@@ -41,7 +41,19 @@ object WarcTable {
         val plain =
           if (gzipped)
             Gzip.members(raw) match {
-              case Some(ms) => ms.toArray.flatMap(_.plain)
+              case Some(ms) =>
+                // ADVICE r8: a member that inflates but fails its
+                // CRC32/ISIZE trailer is corrupt payload — admitting it
+                // silently would contradict the fail-loudly contract
+                // above (the walk itself only reports, per its audit
+                // use; the source enforces)
+                ms.find(m => !m.crcOk || !m.isizeOk).foreach { m =>
+                  throw new IllegalArgumentException(
+                    s"gzip member at offset ${m.offset} in $file fails " +
+                    s"trailer verification (crcOk=${m.crcOk}, " +
+                    s"isizeOk=${m.isizeOk})")
+                }
+                ms.toArray.flatMap(_.plain)
               case None =>
                 throw new IllegalArgumentException(
                   s"corrupt gzip framing in $file")

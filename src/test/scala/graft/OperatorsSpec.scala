@@ -2541,6 +2541,25 @@ class OperatorsSpec extends SparkSpec {
       new Array[Byte](40)).isEmpty)
   }
 
+  test("flacMetaBlocks rejects crafted negative interior lengths") {
+    val M = operators.Multimodal
+    val good = M.encodeFlacMeta(44100, 2, 16, 1000L, "vend",
+      Seq("TITLE" -> "t"), Seq((0L, 0L, 100)))
+    assert(M.flacMetaBlocks(good).isDefined) // sanity: fixture parses
+    // VORBIS_COMMENT interior starts at 46 (4 magic + 4+34 STREAMINFO
+    // + 4 block header); its first le32 is the vendor length. 2^32-1
+    // reads as -1 through .toInt and must reject, not crash in
+    // new String (ADVICE r8)
+    val badVendor = good.clone()
+    (46 until 50).foreach(i => badVendor(i) = 0xFF.toByte)
+    assert(M.flacMetaBlocks(badVendor).isEmpty)
+    // same for a comment length: vendor "vend" = 4 bytes, so the
+    // comment count le32 is at 54, first comment length at 58
+    val badComment = good.clone()
+    (58 until 62).foreach(i => badComment(i) = 0xFF.toByte)
+    assert(M.flacMetaBlocks(badComment).isEmpty)
+  }
+
   test("jpegHeader round-trips SOF+EXIF and rejects junk") {
     val M = operators.Multimodal
     for (w <- Seq(1, 480, 65535); h <- Seq(1, 360, 65535);

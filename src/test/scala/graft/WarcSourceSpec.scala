@@ -91,6 +91,24 @@ class WarcSourceSpec extends SparkSpec {
     assert(trows.length == 1 && trows(0).getString(0) == "a.txt")
   }
 
+  test("gzip member with a bad CRC trailer fails loudly (ADVICE r8)") {
+    // inflates fine (deflate stream untouched) but the CRC32 trailer
+    // lies about the payload — the source must reject, not silently
+    // admit a corrupt record into the corpus
+    val member = Gzip.compress(Warc.encodeFile(sampleRecords.take(1)))
+    member(member.length - 8) = (member(member.length - 8) ^ 0xFF).toByte
+    val f = new java.io.File(dir, "badcrc.warc.gz")
+    Files.write(f.toPath, member)
+    val e = intercept[org.apache.spark.SparkException] {
+      PathTable.resolve(spark, f.getAbsolutePath).count()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("trailer verification") &&
+      msgs.contains("badcrc.warc.gz"))
+  }
+
   test("corrupt archives fail loudly with the file path") {
     val f = new java.io.File(dir, "bad.warc")
     Files.write(f.toPath, "WARC/1.0\r\nbroken".getBytes(UTF_8))

@@ -72,6 +72,11 @@ class WarcSpec extends AnyFunSuite {
     val hugeLen = ("WARC/1.0\r\nWARC-Type: resource\r\n"
       + "Content-Length: 2147483600\r\n\r\n\r\n\r\n").getBytes(UTF_8)
     assert(Warc.parseFile(hugeLen).isEmpty)
+    // near-Long.MaxValue: blockStart + len + 4 would overflow Long to
+    // negative and bypass the bounds check (ADVICE r8) — must reject
+    val hugeLong = ("WARC/1.0\r\nWARC-Type: resource\r\n"
+      + "Content-Length: 9223372036854775800\r\n\r\n\r\n\r\n").getBytes(UTF_8)
+    assert(Warc.parseFile(hugeLong).isEmpty)
   }
 
   test("http parse: request start line has no status; bare body split") {

@@ -60,6 +60,23 @@ class ZipSpec extends AnyFunSuite {
     assert(es(0).localOk)
   }
 
+  test("crafted 2^31+ offsets reject instead of negative indexing") {
+    // ADVICE r8: 32-bit offsets >= 2^31 go negative through .toInt;
+    // both the directory offset and each local offset must bound-check
+    // in Long space, not throw ArrayIndexOutOfBounds
+    val zip = writeZip(Seq(("a", "x".getBytes(UTF_8))))
+    val eocd = zip.length - 22
+    val badDir = zip.clone()
+    (eocd + 16 until eocd + 20).foreach(i => badDir(i) = 0x80.toByte)
+    assert(Zip.entries(badDir).isEmpty)
+    // local offset field is at central-dir entry + 42
+    val dirOff = (zip(eocd + 16) & 0xFF) | ((zip(eocd + 17) & 0xFF) << 8)
+    val badLocal = zip.clone()
+    (dirOff + 42 until dirOff + 46).foreach(i => badLocal(i) = 0x80.toByte)
+    val es = Zip.entries(badLocal).get
+    assert(es.length == 1 && !es(0).localOk)
+  }
+
   test("corruption rejects") {
     val zip = writeZip(Seq(("a", "x".getBytes(UTF_8))))
     assert(Zip.entries(zip.dropRight(4)).isEmpty) // truncated EOCD
