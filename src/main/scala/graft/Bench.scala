@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst drop unused projections).
   */
 object Bench {
+  // JIT sink for the calibration probe: volatile write defeats
+  // dead-code elimination of the probe loop
+  @volatile private var probeSink: Long = 0L
+
   def main(args: Array[String]): Unit = {
     // normalized (no trailing separators): the flagship gate and the
     // sf-number parse below both key off the dir NAME, and a trailing
@@ -21,6 +25,64 @@ object Bench {
       .replaceAll("/+$", "")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(s"local[$cpus]", cpus.toInt)
+
+    // ---- CPU calibration probe (VERDICT r8 task 1) ----
+    // The round-8 driver record was taken on a loaded host: untouched
+    // queries uniformly slowed 2.6-3.1x, producing 111 false
+    // min-regression flags that took forensics to adjudicate. Make the
+    // record load-robust MECHANICALLY: a fixed, deterministic,
+    // CPU-bound loop runs on `cpus` threads immediately before every
+    // timed pass; its wall time against a quiet-host reference is the
+    // load ratio at that instant. Ratios ride the record — a calibrated
+    // total and per-flag annotations — so a loaded run self-reports
+    // instead of masquerading as a code regression.
+    val probeThreads = cpus.toInt
+    // fixed daemon pool, created once: spawning 32 threads per probe
+    // costs more than the loop itself and turns the probe into a
+    // thread-creation benchmark (measured: pooled min 0.024 s vs
+    // fresh-thread min 0.033 s with 2x the work)
+    val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+      probeThreads,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    def probeSec(): Double = {
+      val iters = 3_000_000L // ~25 ms wall quiet at 32 threads
+      val t0 = System.nanoTime()
+      val fs = (0 until probeThreads).map { tid =>
+        probePool.submit(new Runnable { def run(): Unit = {
+          // xorshift64* mix: integer-only, no memory traffic, immune
+          // to JIT dead-code elimination via the volatile sink
+          var x = 0x9E3779B97F4A7C15L + tid
+          var i = 0L
+          while (i < iters) {
+            x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+            i += 1
+          }
+          probeSink = x * 0x2545F4914F6CDD1DL
+        }})
+      }
+      fs.foreach(_.get())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // quiet-host reference: min-of-12 measured on this container
+    // (local[32], Linux 6.18, Java 17) = ~0.024 s; env-overridable if
+    // the driver host's hardware ever changes.
+    val probeRef = sys.env.get("SPARK_GRAFT_PROBE_REF_SEC")
+      .map(_.toDouble).getOrElse(0.025)
+    // Deadband at 1.6: quiet-host probe samples jitter 1.0-1.5x of the
+    // reference (scheduler noise on a 32-thread fork-join), while the
+    // loaded-host signature this exists to catch is a uniform 2.6-3.1x.
+    // Below the deadband the ratio clamps to 1 — calibration must
+    // never deduct time from a quiet run (that would inflate the
+    // capability claim); above it the measured ratio applies in full.
+    (1 to 3).foreach(_ => probeSec()) // JIT warm-up for the probe loop
+    // min-of-3: a single probe lands in the previous pass's System.gc()
+    // tail often enough to read 1.5-2x quiet — a transient the min
+    // rides out, while SUSTAINED oversubscription (the thing being
+    // measured) slows all three probes alike
+    def loadRatio(): Double = {
+      val r = Seq.fill(3)(probeSec()).min / probeRef
+      if (r < 1.6) 1.0 else r
+    }
 
     def force(name: String): Long = {
       val t0 = System.nanoTime()
@@ -74,9 +136,15 @@ object Bench {
     // before timings stabilize (2 warm-ups left ~2x on the table vs a
     // fully-hot JIT); the median is the stable point estimate
     (1 to 6).foreach(_ => csvFlagship())
-    val samples = Vector.fill(5)(csvFlagship()).sorted
+    // each sample paired with the calibration probe run just before it
+    val flagshipPairs = Vector.fill(5) { val r = loadRatio(); (csvFlagship(), r) }
+    val samples = flagshipPairs.map(_._1).sorted
+    val flagshipRatios = flagshipPairs.map(_._2)
     val csvSec = samples(samples.length / 2)
     val csvRps = liRows / csvSec
+    // calibrated best: the sample whose load-deducted time is lowest
+    val flagshipCalBestSec = flagshipPairs.map(p => p._1 / p._2).min
+    val flagshipCalRps = liRows / flagshipCalBestSec
     // Regression guard (VERDICT r5 task 3): the flagship must stay
     // well above the reference's 1.0M rows/s. Gate on the MIN sample,
     // not the median — PLANS.md §flagship-drift: this host's medians
@@ -92,7 +160,12 @@ object Bench {
     val gateRps = sys.env.get("SPARK_GRAFT_FLAGSHIP_MIN_RPS")
       .map(_.toDouble).getOrElse(1.6e6)
     val bestRps = liRows / samples.head
-    val gateFailed = sfDir.endsWith("sf0.1") && gateRps > 0 && bestRps < gateRps
+    // gate on the CALIBRATED best (>= raw best by construction): a
+    // loaded host must not burn the round's bench record with a false
+    // regression, while a true code regression moves the calibrated
+    // number just the same (VERDICT r8 task 1)
+    val gateFailed = sfDir.endsWith("sf0.1") && gateRps > 0 &&
+      math.max(bestRps, flagshipCalRps) < gateRps
     if (gateFailed) System.err.println(
       f"[bench] FLAGSHIP REGRESSION: best sample ${samples.head}%.3f s = " +
       f"$bestRps%.0f rows/s < $gateRps%.0f rows/s gate " +
@@ -114,17 +187,32 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // min of two timed passes per query — the same warm-cache
+    // min of three timed passes per query — the same warm-cache
     // discipline as BASELINE.md's hyperfine protocol (and the flagship
     // below, which reports the median of 5). Single-shot timings on
     // this host swing 2-4x with ambient load; the min is the
-    // reproducible capability number. SPARK_GRAFT_SAMPLES overrides
-    // (1 = old single-shot behavior).
-    val passes = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(2)
+    // reproducible capability number, and three passes (VERDICT r8
+    // task 1) give the min two chances to land between load bursts.
+    // Each pass is preceded by the calibration probe so every sample
+    // carries the host-load ratio at its own instant.
+    // SPARK_GRAFT_SAMPLES overrides (1 = old single-shot behavior).
+    val passes = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(3)
     val resultSamples = names.map { name =>
-      name -> (1 to passes).map(_ => force(name) / 1e9)
+      name -> (1 to passes).map { _ =>
+        val r = loadRatio()
+        (force(name) / 1e9, r)
+      }
     }
-    val results = resultSamples.map { case (n, ss) => n -> ss.min }
+    val results = resultSamples.map { case (n, ss) => n -> ss.map(_._1).min }
+    // per-query: the min pass's raw seconds, its adjacent load ratio,
+    // and the calibrated estimate raw/ratio (ratio >= 1, so
+    // calibration only ever DEDUCTS ambient load, never inflates)
+    val perQuery = resultSamples.map { case (n, ss) =>
+      val (raw, ratio) = ss.minBy(_._1)
+      (n, raw, ratio, raw / ratio)
+    }
+    val ratios = perQuery.map(_._3).sorted
+    val ratioMedian = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
 
     // Round-over-round min drift (VERDICT r6 task 8): before this run
     // overwrites BENCH_LOCAL.json, read the previous same-sf record and
@@ -170,12 +258,20 @@ object Bench {
           Map.empty
         }
       } else Map.empty
-    val minRegressions = results.flatMap { case (n, v) =>
-      prevMins.get(n).filter(p => p > 0 && v > p * 1.5 && v - p > 0.25)
-        .map(p => (n, p, v))
+    // A flag fires only if the CALIBRATED min still regresses: raw
+    // regressions fully explained by the load ratio (raw/ratio back
+    // under the threshold) are host load by construction, exactly the
+    // adjudication the r8 judge had to do by hand. Every flag carries
+    // its ratio and calibrated value so the record is self-explaining.
+    val minRegressions = perQuery.flatMap { case (n, v, ratio, cal) =>
+      prevMins.get(n)
+        .filter(p => p > 0 && cal > p * 1.5 && cal - p > 0.25)
+        .map(p => (n, p, v, ratio, cal))
     }
-    minRegressions.foreach { case (n, p, v) => System.err.println(
-      f"[bench] MIN-REGRESSION $n: $p%.2f s -> $v%.2f s (>1.5x prior min)") }
+    minRegressions.foreach { case (n, p, v, ratio, cal) =>
+      System.err.println(
+        f"[bench] MIN-REGRESSION $n: $p%.2f s -> $v%.2f s raw, " +
+        f"$cal%.2f s calibrated at load ratio $ratio%.2f (>1.5x prior min)") }
     // Driver contract: ONE JSON line on stdout, and the driver's tail
     // capture keeps only the LAST 2000 bytes of all output — including
     // sbt's ~76-char "[success]" epilogue that prints after us. Round
@@ -212,12 +308,15 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalCalibrated = perQuery.map(_._4).sum
 
     // sf as a bare number ("/root/testdata/sf0.1" -> 0.1) keeps the
     // line short; the full dir path is in BENCH_LOCAL.json.
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val json = s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
+      s""""value_calibrated":${short(totalCalibrated)},""" +
+      s""""load_ratio_median":${short(ratioMedian)},""" +
       s""""queries":$qs,"q_relational_total":${short(qRelTotal)},""" +
       s""""flagship_csv_rows_per_sec":${csvRps.toLong},""" +
       s""""flagship_best_rows_per_sec":${bestRps.toLong},""" +
@@ -225,16 +324,26 @@ object Bench {
     // per-query spread [min,max] across passes + any round-over-round
     // min regressions — full-precision record only (byte-budget-free)
     val spreadFull = resultSamples.map { case (k, ss) =>
-      "\"" + k + "\":[" + ss.min + "," + ss.max + "]"
+      "\"" + k + "\":[" + ss.map(_._1).min + "," + ss.map(_._1).max + "]"
     }.mkString("{", ",", "}")
-    val regressionsFull = minRegressions.map { case (n, p, v) =>
-      "\"" + n + "\":[" + p + "," + v + "]"
+    val ratiosFull = perQuery.map { case (n, _, ratio, cal) =>
+      "\"" + n + "\":[" + ratio + "," + cal + "]"
+    }.mkString("{", ",", "}")
+    val regressionsFull = minRegressions.map { case (n, p, v, ratio, cal) =>
+      "\"" + n + "\":[" + p + "," + v + "," + ratio + "," + cal + "]"
     }.mkString("{", ",", "}")
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s""""value_calibrated":$totalCalibrated,""" +
+      s""""load_ratio_median":$ratioMedian,""" +
+      s""""probe_ref_sec":$probeRef,""" +
+      s""""queries_load_ratio_calibrated":$ratiosFull,""" +
       s""""queries_spread":$spreadFull,""" +
       s""""min_regressions":$regressionsFull,""" +
+      s""""min_regressions_format":"[prior_min, raw_min, load_ratio, calibrated_min]",""" +
       s""""flagship_csv_groupby_sec":$csvSec,"flagship_csv_rows_per_sec":$csvRps,""" +
       s""""flagship_samples_sec":${samples.mkString("[", ",", "]")},""" +
+      s""""flagship_load_ratios":${flagshipRatios.mkString("[", ",", "]")},""" +
+      s""""flagship_calibrated_rows_per_sec":$flagshipCalRps,""" +
       s""""flagship_best_rows_per_sec":$bestRps,""" +
       s""""baseline_octosql_rows_per_sec":1.0E6,"sf":"$sfDir"}"""
     // full-precision record to a file: stdout goes through sbt's logger
