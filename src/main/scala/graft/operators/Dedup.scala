@@ -303,15 +303,24 @@ object Dedup {
     * inverted index semi-joined down to prefix-occurring tokens,
     * never all-pairs. The length filter tDen·nB ≥ tNum·nA is implied
     * by containment (|A∩B| ≤ nB) and rides the join; exact verify
-    * re-joins full token sets on candidates only. All-integer
-    * thresholds, LOSSLESS end to end — gated against the brute-force
-    * directed-pair oracle (d26).
+    * intersects per-doc 64-bit token arrays on candidates only
+    * (array_intersect — |cands| rows, not |cands|·doc-len exploded
+    * rows). All-integer thresholds, LOSSLESS end to end (64-bit-hash
+    * equality classes, the hashedShingleIndex tradeoff) — gated
+    * against the brute-force directed-pair oracle (d26).
     */
   def containmentPrefixPairs(docs: DataFrame, tNum: Int, tDen: Int,
                        idCol: String = "doc_id", textCol: String = "text",
                        shingleN: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    // hash shingles to 64 bits BEFORE the joins (VERDICT r8 task 3):
+    // this operator persists two full token relations and re-joins the
+    // verify twice — shuffling longs instead of 3-token strings cuts
+    // the shuffle bytes ~5x. Same equality classes w.h.p. (the
+    // hashedShingleIndex tradeoff, identical to d2's); the global
+    // rarity order becomes (df, hash) — still a total order shared by
+    // both sides, which is all the PPJoin positional algebra needs.
     val toks = docs
       .select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("ts"))
@@ -319,18 +328,23 @@ object Dedup {
       .select(col("id"), explode(expr(
         s"transform(sequence(0, size(ts) - $shingleN)," +
           s" i -> concat_ws(' ', slice(ts, i + 1, $shingleN)))"))
-        .as("tok"))
+        .as("s"))
+      .select(col("id"), xxhash64(col("s")).as("tok"))
       .distinct()
       .persist()
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "tok")
+    // doc sizes as a second window function over the SAME id
+    // partitioning (not a separate aggregate + join): the row_number
+    // exchange+sort already co-locates each doc, so n rides the same
+    // pass and two whole stages drop out of the plan
+    val wId = org.apache.spark.sql.expressions.Window.partitionBy("id")
     // one ranked pass feeds BOTH the prefix (filtered) and the full
     // index (with positions, for the positional bound below)
     val ranked = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(wDoc))
-      .join(sizes, "id")
+      .withColumn("n", count(lit(1)).over(wId))
       .persist()
     val prefix = ranked
       .filter(col("rn") <=
@@ -363,16 +377,25 @@ object Dedup {
         (lit(1L) + least(col("na") - col("pa"), col("nb") - col("pb"))) >=
         lit(tNum) * col("na"))
       .select("doc_a", "doc_b")
-    val inter = cands
-      .join(toks.toDF("doc_a", "tok"), "doc_a")
-      .join(toks.toDF("doc_b", "tok"), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+    // exact verify on candidates via per-doc token ARRAYS and the
+    // codegen'd array_intersect, not by re-exploding the inverted
+    // index: on duplicate-heavy corpora (the 10x scale-soak makes
+    // every doc a 10-clique) candidates legitimately number in the
+    // millions, and the exploded verify shuffles |cands| x avg-doc-len
+    // rows (billions) into a groupBy. The array form joins |cands|
+    // rows against one doc-array relation — the same intersection
+    // counts (toks is per-doc distinct), a fraction of the shuffle.
+    val docArrays = toks.groupBy("id")
+      .agg(collect_list(col("tok")).as("toks"))
+    cands
+      .join(docArrays.toDF("doc_a", "toks_a"), "doc_a")
+      .join(docArrays.toDF("doc_b", "toks_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b")))
+          .cast("long").as("n_inter"),
+        size(col("toks_a")).cast("long").as("n_a"),
+        size(col("toks_b")).cast("long").as("n_b"))
       .filter(lit(tDen) * col("n_inter") >= lit(tNum) * col("n_a"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
-        col("n_b"))
   }
 
   /** Exact substring-span duplication (Lee et al. 2021, "Deduplicating
