@@ -4862,6 +4862,39 @@ object SparkEntry {
           length(col("text")).cast(LongType).as("text_chars"))
     }),
 
+    // MULTI-SHARD .warc.gz via the DSv2 connector (VERDICT r8 task 5):
+    // 64 shard files (doc_id % 64, 4 records each) written once per
+    // sf-dir, read back through the glob surface — the connector plans
+    // one input partition PER FILE and the header-only projection here
+    // takes the pruned path (no block copy, no HTTP parse; the plan
+    // assertion lives in WarcSourceSpec). The oracle replays shard
+    // assignment, per-shard ordinals, and declared block lengths from
+    // the construction arithmetic.
+    "m32_warc_shards" -> ((s, dir) => {
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 256)
+        .select(col("doc_id").cast(LongType), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val outDir = new java.io.File(
+        s"/tmp/graft_warc_shards/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      outDir.mkdirs()
+      (0 until 64).foreach { k =>
+        val recs = rows.filter(_._1 % 64 == k).map { case (id, text) =>
+          operators.Gzip.compress(
+            operators.Warc.Fixture.responseRecord(id, id * 3 + 2, text))
+        }
+        java.nio.file.Files.write(
+          new java.io.File(outDir, f"shard$k%05d.warc.gz").toPath,
+          recs.reduce(_ ++ _))
+      }
+      sources.PathTable.resolve(s,
+          s"${outDir.getAbsolutePath}/shard*.warc.gz")
+        .select(
+          regexp_extract(col("file"), "shard(\\d+)", 1)
+            .cast(LongType).as("shard"),
+          col("record_idx"), col("target_uri"), col("content_length"),
+          col("warc_date"))
+    }),
+
     // MP4 sample-table seek index (frame sampling without a decoder):
     // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
     // offset derived the spec way — stsc chunk run mapping → stco
@@ -7190,6 +7223,30 @@ object SparkEntry {
         |    || 'Content-Length: ' || CAST(blen AS VARCHAR) || nl || nl
         |    || text AS BLOB)) AS BIGINT) AS content_length,
         |  CAST(length(text) AS BIGINT) AS body_chars
+        |FROM d""".stripMargin,
+
+    // m27's construction arithmetic, sharded: shard = doc_id % 64,
+    // per-shard ordinal = doc_id // 64 (records are written in doc_id
+    // order within each shard), declared length = the HTTP block
+    "m32_warc_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '200 OK'
+        |      WHEN 1 THEN '301 Moved Permanently'
+        |      ELSE '404 Not Found' END AS sline,
+        |    chr(13) || chr(10) AS nl,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blen
+        |  FROM documents WHERE doc_id < 256)
+        |SELECT
+        |  CAST(doc_id % 64 AS BIGINT) AS shard,
+        |  CAST(doc_id // 64 AS BIGINT) AS record_idx,
+        |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS target_uri,
+        |  CAST(octet_length(CAST('HTTP/1.1 ' || sline || nl
+        |    || 'Content-Type: text/plain; charset=utf-8' || nl
+        |    || 'Content-Length: ' || CAST(blen AS VARCHAR) || nl || nl
+        |    || text AS BLOB)) AS BIGINT) AS content_length,
+        |  '2026-01-01T00:00:00Z' AS warc_date
         |FROM d""".stripMargin,
 
     // m24's block arithmetic replayed over the written shard: members

@@ -106,11 +106,41 @@ object Warc {
     Some(out.result())
   }
 
+  /** Header-only walk: same framing validation as [[parseFile]] (the
+    * Content-Length arithmetic still steps over every block and checks
+    * the record terminator), but block bytes are never COPIED — each
+    * record carries an empty block plus its declared length. This is
+    * the projection-pruning fast path for header-only reads of large
+    * archives: no per-record allocation proportional to body size, no
+    * UTF-8 decode.
+    */
+  def parseFileHeaders(bytes: Array[Byte])
+      : Option[Vector[(Record, Long)]] = {
+    val out = Vector.newBuilder[(Record, Long)]
+    var pos = 0
+    while (pos < bytes.length) {
+      parseRecordAt(bytes, pos, copyBlock = false) match {
+        case Some((rec, len, next)) => out += ((rec, len)); pos = next
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
   /** Parse one record at `from`; returns (record, offset past its
     * trailing CRLFCRLF).
     */
   private def parseRecord(bytes: Array[Byte],
-                          from: Int): Option[(Record, Int)] = {
+                          from: Int): Option[(Record, Int)] =
+    parseRecordAt(bytes, from, copyBlock = true)
+      .map { case (rec, _, next) => (rec, next) }
+
+  /** Shared framing walk; `copyBlock = false` skips the block copy
+    * (record.block is empty; the declared length is returned).
+    */
+  private def parseRecordAt(bytes: Array[Byte], from: Int,
+                            copyBlock: Boolean)
+      : Option[(Record, Long, Int)] = {
     val headEnd = indexOfCrlfCrlf(bytes, from)
     if (headEnd < 0) return None
     val head = new String(bytes, from, headEnd - from, UTF_8)
@@ -144,8 +174,12 @@ object Warc {
     if (bytes(blockEnd) != '\r' || bytes(blockEnd + 1) != '\n' ||
         bytes(blockEnd + 2) != '\r' || bytes(blockEnd + 3) != '\n')
       return None
-    val block = java.util.Arrays.copyOfRange(bytes, blockStart, blockEnd)
-    Some((rec0.copy(block = block), blockEnd + 4))
+    val rec =
+      if (copyBlock)
+        rec0.copy(block = java.util.Arrays.copyOfRange(
+          bytes, blockStart, blockEnd))
+      else rec0
+    Some((rec, lenL, blockEnd + 4))
   }
 
   /** Parse an HTTP/1.1 message block (request or response). The body is

@@ -1,30 +1,31 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Gzip, Warc}
 
 /** `.warc` / `.warc.gz` as a path table — crawl archives readable the
   * way the reference reads csv/json/lines (`SELECT * FROM
   * 'segment.warc'`). One output row per WARC record with the HTTP
   * block split out for request/response records.
   *
-  * Scale shape: `binaryFile` gives one task per archive file, and
-  * records parse independently within it — segment-level parallelism,
-  * which matches how crawl corpora are laid out (Common Crawl: ~1 GB
-  * per segment, tens of thousands of segments). Finer-than-file
-  * splitting would use the gzip member index ([[Gzip.members]] returns
-  * the offsets that make range reads possible); not needed until a
-  * single segment outgrows an executor.
+  * Implementation is the DataSourceV2 connector
+  * [[graft.sources.v2.WarcTableProvider]] (`graft-warc`) — ONE walk
+  * shared by the SQL path-table surface and the programmatic
+  * `spark.read.format("graft-warc")` surface, so the two can never
+  * diverge. The connector plans one input partition per shard file
+  * (globs fan out: `segments/x*.warc.gz`) and prunes columns: a
+  * header-only projection never copies block bytes or parses HTTP.
   *
   * A corrupt archive fails loudly with its path — a silent skip would
   * undercount a training corpus with no trace (the no-silent-caps
-  * rule).
+  * rule). That includes gzip members whose CRC32/ISIZE trailer
+  * mismatches their payload (ADVICE r8).
   */
 object WarcTable {
 
   /** One row per record: file, ordinal, WARC headers of record-level
     * interest, and the HTTP split (nulls where not applicable).
+    * Field order is the connector's schema
+    * ([[graft.sources.v2.WarcSourceTable.schema]]).
     */
   final case class WarcRow(file: String, record_idx: Long,
                            warc_type: String, record_id: String,
@@ -32,58 +33,8 @@ object WarcTable {
                            content_length: Long, http_status: Option[Long],
                            http_content_type: String, body: String)
 
-  def read(spark: SparkSession, path: String, gzipped: Boolean): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, raw) =>
-        val plain =
-          if (gzipped)
-            Gzip.members(raw) match {
-              case Some(ms) =>
-                // ADVICE r8: a member that inflates but fails its
-                // CRC32/ISIZE trailer is corrupt payload — admitting it
-                // silently would contradict the fail-loudly contract
-                // above (the walk itself only reports, per its audit
-                // use; the source enforces)
-                ms.find(m => !m.crcOk || !m.isizeOk).foreach { m =>
-                  throw new IllegalArgumentException(
-                    s"gzip member at offset ${m.offset} in $file fails " +
-                    s"trailer verification (crcOk=${m.crcOk}, " +
-                    s"isizeOk=${m.isizeOk})")
-                }
-                ms.toArray.flatMap(_.plain)
-              case None =>
-                throw new IllegalArgumentException(
-                  s"corrupt gzip framing in $file")
-            }
-          else raw
-        val records = Warc.parseFile(plain).getOrElse(
-          throw new IllegalArgumentException(
-            s"corrupt WARC framing in $file"))
-        records.zipWithIndex.map { case (r, i) =>
-          // the record's own Content-Type says whether the block is an
-          // HTTP message (WARC 1.1 §6: application/http;msgtype=...)
-          val http =
-            if (r.header("Content-Type").exists(
-                _.toLowerCase.startsWith("application/http")))
-              Warc.parseHttp(r.block)
-            else None
-          WarcRow(
-            file = file,
-            record_idx = i.toLong,
-            warc_type = r.header("WARC-Type").orNull,
-            record_id = r.header("WARC-Record-ID").orNull,
-            warc_date = r.header("WARC-Date").orNull,
-            target_uri = r.header("WARC-Target-URI").orNull,
-            content_length = r.block.length.toLong,
-            http_status = http.flatMap(_.status).map(_.toLong),
-            http_content_type = http.flatMap(_.header("Content-Type")).orNull,
-            body = http.map(h => new String(h.body, UTF_8))
-              .getOrElse(new String(r.block, UTF_8)))
-        }
-      }
-      .toDF()
-  }
+  def read(spark: SparkSession, path: String, gzipped: Boolean): DataFrame =
+    spark.read.format("graft-warc")
+      .option("gzipped", gzipped.toString)
+      .load(path)
 }

@@ -91,6 +91,48 @@ class WarcSourceSpec extends SparkSpec {
     assert(trows.length == 1 && trows(0).getString(0) == "a.txt")
   }
 
+  test("multi-shard glob fans out one input partition per file") {
+    val shardDir = Files.createTempDirectory("graft_warc_shards").toFile
+    (0 until 64).foreach { k =>
+      val recs = sampleRecords.map(Gzip.compress)
+      Files.write(new java.io.File(shardDir, f"s$k%03d.warc.gz").toPath,
+        recs.reduce(_ ++ _))
+    }
+    val df = PathTable.resolve(spark,
+      s"${shardDir.getAbsolutePath}/s*.warc.gz")
+    assert(df.rdd.getNumPartitions == 64,
+      s"expected one partition per shard file, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 128)
+  }
+
+  test("header-only projection prunes body out of the scan (plan-visible)") {
+    val f = new java.io.File(dir, "prune.warc")
+    Files.write(f.toPath, Warc.encodeFile(sampleRecords))
+    val df = PathTable.resolve(spark, f.getAbsolutePath)
+      .select("target_uri", "content_length", "warc_type")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScan for the warc source")
+    val readCols = scans.head.scan.readSchema().fieldNames.toSet
+    // the pruned schema must exclude every block-derived field — this
+    // is what guarantees the reader took Warc.parseFileHeaders (no
+    // block copy, no HTTP parse) rather than the full walk
+    assert(readCols == Set("target_uri", "content_length", "warc_type"),
+      s"scan did not prune to the projection: $readCols")
+    // and the header-only values still match the full read
+    val full = PathTable.resolve(spark, f.getAbsolutePath)
+      .select("target_uri", "content_length", "warc_type")
+    assert(df.collect().toSet == full.collect().toSet)
+    // content_length (declared, fast path) == block length (full path)
+    val declared = df.agg(org.apache.spark.sql.functions.sum("content_length"))
+      .collect()(0).getLong(0)
+    val walked = PathTable.resolve(spark, f.getAbsolutePath)
+      .selectExpr("sum(content_length)", "max(length(body))")
+      .collect()(0).getLong(0)
+    assert(declared == walked)
+  }
+
   test("gzip member with a bad CRC trailer fails loudly (ADVICE r8)") {
     // inflates fine (deflate stream untouched) but the CRC32 trailer
     // lies about the payload — the source must reject, not silently
