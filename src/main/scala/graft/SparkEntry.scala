@@ -5200,6 +5200,22 @@ object SparkEntry {
         .select(col("key").as("source"), col("n_docs"),
           col("n_flagged"), col("n_occurrences"))),
 
+    // streaming GROUP BY on a union-typed key (VERDICT r8 task 6):
+    // the q109 VARIANT construction (same k as Int on even event_ids,
+    // as String on odd — type distinction load-bearing) grouped under
+    // the incremental planner; VariantGroupRule rewrites the state-
+    // store key to the type-qualified string. The drained complete-
+    // mode table is bit-identical to batch q109 — the oracle IS q109's
+    // SQL.
+    "st20_stream_union_groupby" -> ((s, dir) => {
+      val ks = get_json_object(col("props"), "$.k").cast(LongType)
+        .cast(StringType)
+      val v = when(col("event_id") % 2 === 0, parse_json(ks))
+        .otherwise(parse_json(concat(lit("\""), ks, lit("\""))))
+      Streams.runStreamUnionGroupBy(s, s"$dir/events.parquet", v,
+        queryName = "st20_stream_union_groupby")
+    }),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -5732,6 +5748,19 @@ object SparkEntry {
         |    AS n_flagged,
         |  CAST(sum(cnt) AS BIGINT) AS n_occurrences
         |FROM c GROUP BY source""".stripMargin,
+
+    // streaming == batch on the union-typed key: the oracle is q109's
+    // replay verbatim (the drained complete-mode table must equal it)
+    "st20_stream_union_groupby" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN event_id % 2 = 0
+        |      THEN CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+        |           AS VARCHAR)
+        |      ELSE '"' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+        |           AS VARCHAR) || '"' END AS val_json
+        |  FROM events)
+        |SELECT val_json, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1""".stripMargin,
 
     "q96_not_exists" ->
       """SELECT c.c_custkey, c.c_name FROM customer c

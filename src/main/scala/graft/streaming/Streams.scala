@@ -728,6 +728,31 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming GROUP BY on a union-typed (VARIANT) key (VERDICT r8
+    * task 6): the batch surface is total (q107-q113) but grouping a
+    * VARIANT under the INCREMENTAL planner exercises a different
+    * path — VariantGroupRule must rewrite the streaming Aggregate's
+    * key into the type-qualified string before the state store ever
+    * sees it (state keys are then plain strings, partitioned like any
+    * streaming aggregate). Complete-mode drain → final table equals
+    * the batch q109 shape bit-for-bit.
+    */
+  def runStreamUnionGroupBy(spark: SparkSession, path: String,
+                            varExpr: Column,
+                            queryName: String = "graft_stream_union")
+      : DataFrame = {
+    val src = fileStream(spark, path).select(varExpr.as("v"))
+    val agg = src.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .select(to_json(col("v")).as("val_json"), col("n"))
+    val q = withStatePartitions(spark)(agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming blocklist audit: the codegen'd Aho-Corasick kernel
     * ([[graft.plans.AhoCount]]) applied per micro-batch — stateless
     * per row, so the only streaming state is the per-key aggregate.

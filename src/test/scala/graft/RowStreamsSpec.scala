@@ -77,4 +77,34 @@ class RowStreamsSpec extends SparkSpec {
     assert(rows.contains(("b", 2L, false)))
     assert(rows.contains(("a", 1L, true)))
   }
+
+  test("counting-trigger retractions on a union-typed (VARIANT) key") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // the same value 7 arrives as Int (even ordinals) and as String
+    // (odd ordinals): the union type distinction must keep TWO state
+    // keys, and retraction emission must round-trip the VARIANT value
+    val df = mem.toDF().select(
+      when(col("value") % 2 === 0, parse_json(lit("7")))
+        .otherwise(parse_json(lit("\"7\""))).as("v"))
+    val out = RowStreams.countingTriggerAgg(df, Seq("v"), n = 2,
+        Seq(RowStreams.CountAgg()))
+      .select(to_json(col("v")).as("vj"), col("count"), col("retraction"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rt_variant_ct").start()
+    mem.addData(0L, 1L, 2L, 3L) // int-7 x2, str-7 x2 -> both fire at 2
+    q.processAllAvailable()
+    mem.addData(4L, 6L) // int-7 reaches 4 -> retract 2, emit 4
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rt_variant_ct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows.contains(("7", 2L, false)))
+    assert(rows.contains(("\"7\"", 2L, false)))
+    assert(rows.contains(("7", 2L, true)))
+    assert(rows.contains(("7", 4L, false)))
+    // the STRING key never went past 2: no retraction for it
+    assert(rows.filter(_._1 == "\"7\"") == Seq(("\"7\"", 2L, false)))
+  }
 }
