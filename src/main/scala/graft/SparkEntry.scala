@@ -1120,9 +1120,9 @@ object SparkEntry {
       val vol = col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1).cast(DecimalType(3, 2))
           - col("l_discount").cast(DecimalType(4, 2)))
-      l.join(broadcast(sp), l("l_suppkey") === sp("s_suppkey"))
+      l.join(sp, l("l_suppkey") === sp("s_suppkey"))
         .join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(cn), o("o_custkey") === cn("c_custkey"))
+        .join(cn, o("o_custkey") === cn("c_custkey"))
         .filter((col("supp_nation") === "NATION_3"
             && col("cust_nation") === "NATION_8")
           || (col("supp_nation") === "NATION_8"
@@ -1135,9 +1135,12 @@ object SparkEntry {
 
     // TPC-H Q9 (product-type profit, adapted: the schema has no
     // ps_supplycost, so cost = 0.6·p_retailprice·l_quantity — same
-    // shape, profit per supplier-nation per order-year). part and
-    // supplier⨝nation broadcast; the one real shuffle is the
-    // lineitem⨝orders orderkey join. All money math in DECIMAL.
+    // shape, profit per supplier-nation per order-year). No manual
+    // broadcast hints: AQE picks broadcast for part and supplier⨝nation
+    // from runtime sizes (TpchUnhintedSpec guards this at sf0.1), and
+    // at sf100 it can fall back to SMJ instead of OOMing a forced
+    // broadcast. The one real shuffle is the lineitem⨝orders orderkey
+    // join. All money math in DECIMAL.
     "q115_tpch_q9" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
@@ -1153,8 +1156,8 @@ object SparkEntry {
         lit(0.6).cast(DecimalType(3, 2)) *
         col("p_retailprice").cast(DecimalType(12, 2)) *
         col("l_quantity").cast(DecimalType(12, 2))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .join(broadcast(sn), l("l_suppkey") === sn("s_suppkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(sn, l("l_suppkey") === sn("s_suppkey"))
         .join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(sum(profit).cast(DoubleType).as("sum_profit"))
@@ -1173,13 +1176,13 @@ object SparkEntry {
       val sup = t(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_acctbal")
       val withBal = pairs
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
       val minBal = withBal.groupBy(col("l_partkey").as("mb_pk"))
         .agg(min("s_acctbal").as("min_bal"))
       withBal
         .join(minBal, col("l_partkey") === col("mb_pk")
           && col("s_acctbal") === col("min_bal"))
-        .join(broadcast(t(s, dir, "part").filter(col("p_size") === 15)),
+        .join(t(s, dir, "part").filter(col("p_size") === 15),
           col("l_partkey") === col("p_partkey"))
         .select("s_acctbal", "s_name", "p_partkey", "p_brand")
         .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
@@ -1198,7 +1201,7 @@ object SparkEntry {
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val lv = t(s, dir, "lineitem")
-        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"),
           col("l_extendedprice").cast(DecimalType(18, 2)).as("val"))
       val perPart = lv.groupBy("l_partkey")
@@ -1226,8 +1229,8 @@ object SparkEntry {
       val bad = t(s, dir, "supplier")
         .filter(col("s_acctbal") < 0).select("s_suppkey")
       t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"),
           "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
@@ -1249,7 +1252,7 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType)
           && col("l_shipdate") < lit("2001-01-01").cast(TimestampType))
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "l_suppkey", "l_quantity")
       val perPair = l.groupBy("l_partkey", "l_suppkey")
         .agg(sum("l_quantity").as("pair_qty"))
