@@ -97,7 +97,19 @@ object Tar {
     * zero-block trailer — corrupt shards reject whole (count the
     * shard, keep the batch).
     */
-  def parse(bytes: Array[Byte]): Option[Vector[Member]] = {
+  def parse(bytes: Array[Byte]): Option[Vector[Member]] =
+    parse(bytes, copyData = true)
+
+  /** Header-only walk: same checksum/framing validation, but member
+    * payloads are never copied (each Member carries empty data; sizes
+    * and offsets are real). The projection-pruning fast path for
+    * name/size/offset-only reads of large shards.
+    */
+  def parseMeta(bytes: Array[Byte]): Option[Vector[Member]] =
+    parse(bytes, copyData = false)
+
+  private def parse(bytes: Array[Byte],
+                    copyData: Boolean): Option[Vector[Member]] = {
     val out = Vector.newBuilder[Member]
     var pos = 0
     while (true) {
@@ -130,8 +142,10 @@ object Tar {
       val padded = (size + 511) / 512 * 512
       if (dataOff + padded > bytes.length) return None
       out += Member(name, size, dataOff.toLong,
-        java.util.Arrays.copyOfRange(bytes, dataOff,
-          (dataOff + size).toInt))
+        if (copyData)
+          java.util.Arrays.copyOfRange(bytes, dataOff,
+            (dataOff + size).toInt)
+        else Array.emptyByteArray)
       pos = (dataOff + padded).toInt
     }
     None // unreachable

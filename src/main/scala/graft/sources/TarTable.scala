@@ -1,8 +1,6 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Tar
 
 /** `.tar` as a path table — WebDataset shards readable the way the
   * reference reads csv/json (`SELECT * FROM 'shard.tar'`). One row per
@@ -12,9 +10,16 @@ import graft.operators.Tar
   *
   * `data` is the raw member as binary; `text` is its UTF-8 decode (the
   * right column for .txt/.cls/.json members — binary members decode
-  * lossily, use `data`). Scale shape: one task per shard file,
-  * member-parallel within; checksum/framing violations fail loudly
-  * with the path (no-silent-caps rule).
+  * lossily, use `data`).
+  *
+  * Implementation is the DataSourceV2 connector
+  * [[graft.sources.v2.TarTableProvider]] (`graft-tar`) — one walk for
+  * the SQL path-table surface and the programmatic format surface.
+  * The connector plans one input partition per shard file (globs fan
+  * out) and prunes columns: a name/size/offset projection walks only
+  * ustar headers, never copying or decoding payloads.
+  * Checksum/framing violations fail loudly with the path
+  * (no-silent-caps rule).
   */
 object TarTable {
 
@@ -23,25 +28,6 @@ object TarTable {
                           data_offset: Long, data: Array[Byte],
                           text: String)
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, raw) =>
-        val members = Tar.parse(raw).getOrElse(
-          throw new IllegalArgumentException(
-            s"corrupt tar framing in $file"))
-        members.zipWithIndex.map { case (m, i) =>
-          val base = m.name.split('/').last
-          val dot = base.indexOf('.')
-          val (key, ext) =
-            if (dot < 0) (base, "")
-            else (base.substring(0, dot), base.substring(dot + 1))
-          TarRow(file, i.toLong, m.name, key, ext, m.size, m.dataOffset,
-            m.data, new String(m.data, UTF_8))
-        }
-      }
-      .toDF()
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-tar").load(path)
 }

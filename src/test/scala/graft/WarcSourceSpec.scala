@@ -2,6 +2,7 @@ package graft
 
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import graft.operators.{Gzip, Warc}
 import graft.sources.PathTable
 
@@ -131,6 +132,36 @@ class WarcSourceSpec extends SparkSpec {
       .selectExpr("sum(content_length)", "max(length(body))")
       .collect()(0).getLong(0)
     assert(declared == walked)
+  }
+
+  test("tar: multi-shard glob fans out; header-only projection prunes payload") {
+    import graft.operators.Tar
+    import spark.implicits._
+    val shardDir = Files.createTempDirectory("graft_tar_shards").toFile
+    (0 until 16).foreach { k =>
+      Files.write(new java.io.File(shardDir, f"t$k%03d.tar").toPath,
+        Tar.encode(Seq(
+          (f"$k%06d.txt", ("payload " * 10).getBytes(UTF_8)),
+          (f"$k%06d.cls", "en".getBytes(UTF_8)))))
+    }
+    val df = PathTable.resolve(spark, s"${shardDir.getAbsolutePath}/t*.tar")
+    assert(df.rdd.getNumPartitions == 16)
+    assert(df.count() == 32)
+    // header-only projection: pruned scan schema excludes data/text
+    val meta = df.select("sample_key", "ext", "size", "data_offset")
+    val scans = meta.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSet ==
+      Set("sample_key", "ext", "size", "data_offset"))
+    // header-declared sizes match the full walk's payload lengths
+    val bySize = meta.filter(col("ext") === "txt").select("size")
+      .as[Long].collect().toSeq
+    assert(bySize == Seq.fill(16)(80L))
+    val fullText = df.filter(col("ext") === "cls").select("text")
+      .as[String].collect().toSet
+    assert(fullText == Set("en"))
   }
 
   test("gzip member with a bad CRC trailer fails loudly (ADVICE r8)") {
