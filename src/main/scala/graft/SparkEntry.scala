@@ -4898,6 +4898,46 @@ object SparkEntry {
           col("warc_date"))
     }),
 
+    // End-to-end crawl-ingest composite: 32 .warc.gz shards whose
+    // response bodies are HTML, read through the graft-warc connector
+    // glob, HTTP-status filtered (200 ⇔ doc_id % 3 = 0 by the fixture
+    // arithmetic), then the t30 HTML extraction stack (title, visible
+    // text, anchor chars) — the first operators a real crawl pipeline
+    // runs, composed. The oracle replays construction + extraction
+    // arithmetic end to end.
+    "m33_crawl_extract" -> ((s, dir) => {
+      import operators.Html
+      val rows = t(s, dir, "documents").filter(col("doc_id") < 192)
+        .select(col("doc_id").cast(LongType), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val outDir = new java.io.File(
+        s"/tmp/graft_crawl_extract/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      outDir.mkdirs()
+      (0 until 32).foreach { k =>
+        val recs = rows.filter(_._1 % 32 == k).map { case (id, text) =>
+          val html = s"<html><head><title>Doc $id</title>" +
+            "<script>var x = \"<p>not text</p>\";</script></head><body>" +
+            "<nav><a href=\"/\">Home</a></nav>" +
+            s"<h1>Title $id</h1><p>$text</p></body></html>"
+          operators.Gzip.compress(
+            operators.Warc.Fixture.responseRecord(id, id * 7 + 1, html))
+        }
+        java.nio.file.Files.write(
+          new java.io.File(outDir, f"seg$k%05d.warc.gz").toPath,
+          recs.reduce(_ ++ _))
+      }
+      sources.PathTable.resolve(s,
+          s"${outDir.getAbsolutePath}/seg*.warc.gz")
+        .filter(col("http_status") === 200)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)", 1)
+            .cast(LongType).as("doc_id"),
+          Html.title(col("body")).as("title"),
+          Html.extractText(col("body")).as("extracted"),
+          Html.anchorChars(col("body")).cast(LongType).as("link_chars"))
+        .withColumn("text_chars", length(col("extracted")).cast(LongType))
+    }),
+
     // MP4 sample-table seek index (frame sampling without a decoder):
     // stts/stsz/stsc/stco parsed from the stbl, then sample k's byte
     // offset derived the spec way — stsc chunk run mapping → stco
@@ -7280,6 +7320,25 @@ object SparkEntry {
         |    || text AS BLOB)) AS BIGINT) AS content_length,
         |  '2026-01-01T00:00:00Z' AS warc_date
         |FROM d""".stripMargin,
+
+    // crawl composite replay: the 200-status subset (doc_id % 3 = 0 by
+    // the fixture's status arithmetic), then the t30-style extraction
+    // replay over the constructed HTML (nav anchor 'Home' = 4 chars)
+    "m33_crawl_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 192 AND doc_id % 3 = 0),
+        |e AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |    trim(regexp_replace(
+        |      'Home Title ' || CAST(doc_id AS VARCHAR) || ' ' || text,
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM d)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, title, extracted,
+        |  CAST(4 AS BIGINT) AS link_chars,
+        |  CAST(length(extracted) AS BIGINT) AS text_chars
+        |FROM e""".stripMargin,
 
     // m24's block arithmetic replayed over the written shard: members
     // in (doc_id, txt-then-cls) order, offset = window prefix-sum
