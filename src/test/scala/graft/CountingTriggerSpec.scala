@@ -44,7 +44,7 @@ class CountingTriggerSpec extends SparkSpec {
     def rows() = spark.table("dt_test")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     def await(pred: => Boolean): Unit = {
-      val deadline = System.currentTimeMillis + 20000
+      val deadline = System.currentTimeMillis + 60000 // generous: full-suite load once blew a 20 s budget
       while (!pred && System.currentTimeMillis < deadline) Thread.sleep(50)
     }
     mem.addData("a", "a", "b")
@@ -76,7 +76,7 @@ class CountingTriggerSpec extends SparkSpec {
     def rows() = spark.table("dt_ttl_test")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     def await(pred: => Boolean): Unit = {
-      val deadline = System.currentTimeMillis + 20000
+      val deadline = System.currentTimeMillis + 60000 // generous: full-suite load once blew a 20 s budget
       while (!pred && System.currentTimeMillis < deadline) Thread.sleep(50)
     }
     mem.addData("a", "a")
