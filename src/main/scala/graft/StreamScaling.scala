@@ -68,8 +68,9 @@ object StreamScaling {
 
     // ---- progress capture: keyed by (scale, query name) ----
     val obs = scala.collection.concurrent.TrieMap
-      .empty[(Double, String), Vector[Obs]]
+      .empty[(Double, String, Int), Vector[Obs]]
     @volatile var scaleNow = 1.0
+    @volatile var passNow = 0
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -82,44 +83,64 @@ object StreamScaling {
           val ms = Option(p.durationMs.get("triggerExecution"))
             .map(_.longValue).getOrElse(0L)
           val state = p.stateOperators.map(_.numRowsTotal).sum
-          val key = (scaleNow, p.name)
+          val key = (scaleNow, p.name, passNow)
           obs.updateWith(key)(v => Some(v.getOrElse(Vector.empty) :+
             Obs(ms, state, p.numInputRows)))
         }
       }
     })
 
+    // min-of-N passes (VERDICT r8 task 2): single-shot streaming walls
+    // on this host swing with ambient load (the r8 record's st4 walked
+    // 2.6 -> 50.5 -> 13.8 s across scales); the min per (scale, query)
+    // is the reproducible point, same discipline as Bench/ScalingBench.
+    val passes = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(2)
     val names = SparkEntry.queries.keys.filter(_.startsWith("st")).toSeq.sorted
-    val wall = scala.collection.mutable.Map.empty[(Double, String), Double]
+    val wall = scala.collection.mutable.Map.empty[(Double, String, Int), Double]
     dirs.foreach { case (scale, dir) =>
       scaleNow = scale
       names.foreach { n =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[stsoak] $n@x$scale failed: ${e.getMessage}")
+        (0 until passes).foreach { pass =>
+          passNow = pass
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(n)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[stsoak] $n@x$scale failed: ${e.getMessage}")
+          }
+          wall((scale, n, pass)) = (System.nanoTime() - t0) / 1e9
+          Engine.releaseCaches(spark)
+          println(f"[stsoak] x$scale%-5s $n%-26s p$pass ${wall((scale, n, pass))}%7.2f s " +
+            s"batches=${obs.get((scale, n, pass)).map(_.size).getOrElse(0)} " +
+            s"maxState=${obs.get((scale, n, pass)).map(_.map(_.stateRows).max).getOrElse(0L)}")
         }
-        wall((scale, n)) = (System.nanoTime() - t0) / 1e9
-        Engine.releaseCaches(spark)
-        println(f"[stsoak] x$scale%-5s $n%-26s ${wall((scale, n))}%7.2f s " +
-          s"batches=${obs.get((scale, n)).map(_.size).getOrElse(0)} " +
-          s"maxState=${obs.get((scale, n)).map(_.map(_.stateRows).max).getOrElse(0L)}")
       }
     }
+    // collapse passes: min wall; min-over-passes of within-pass max
+    // batch time (the worst batch of the BEST run); max state anywhere
+    // (state size is data-determined, not load-determined); batch
+    // count from pass 0 (deterministic given maxFilesPerTrigger)
+    def wallMin(scale: Double, n: String): Double =
+      (0 until passes).map(p => wall((scale, n, p))).min
+    def maxStateOf(scale: Double, n: String): Long =
+      (0 until passes).flatMap(p => obs.get((scale, n, p)))
+        .flatMap(_.map(_.stateRows)).maxOption.getOrElse(0L)
+    def maxBatchOf(scale: Double, n: String): Long =
+      (0 until passes).flatMap(p =>
+          obs.get((scale, n, p)).map(_.map(_.batchMs).max))
+        .minOption.getOrElse(0L)
+    def batchesOf(scale: Double, n: String): Int =
+      obs.get((scale, n, 0)).map(_.size).getOrElse(0)
 
     def exp(pts: Seq[(Double, Double)]): Double =
       ScalingBench.fitExponent(pts)
     def j(v: Double): String = if (v.isNaN) "null" else f"$v%.4f"
     val flagged = scala.collection.mutable.ListBuffer.empty[String]
     val body = names.map { n =>
-      val walls = dirs.map { case (s, _) => s -> wall((s, n)) }
-      val states = dirs.map { case (s, _) =>
-        s -> obs.get((s, n)).map(_.map(_.stateRows).max).getOrElse(0L) }
-      val maxBatch = dirs.map { case (s, _) =>
-        s -> obs.get((s, n)).map(_.map(_.batchMs).max).getOrElse(0L) }
-      val batches = dirs.map { case (s, _) =>
-        s -> obs.get((s, n)).map(_.size).getOrElse(0) }
+      val walls = dirs.map { case (s, _) => s -> wallMin(s, n) }
+      val states = dirs.map { case (s, _) => s -> maxStateOf(s, n) }
+      val maxBatch = dirs.map { case (s, _) => s -> maxBatchOf(s, n) }
+      val batches = dirs.map { case (s, _) => s -> batchesOf(s, n) }
       val we = exp(walls)
       // state exponent only meaningful when the operator HAS state
       val se = if (states.exists(_._2 > 0))
