@@ -22,6 +22,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  /** d19's stored band-index table, one per sf-dir — the name carries
+    * the dir so a session that touches several scale factors can never
+    * probe a stale index built from another one.
+    */
+  def d19IndexTable(dir: String): String =
+    "graft_d19_band_index_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
+
   /** Unrolled DuckDB replica of [[operators.Sampling.maxCoverageSelect]]:
     * k greedy rounds as chained CTEs — pick argmax-gain doc over
     * tokens not yet covered (tie: smallest id), union its tokens into
@@ -3185,12 +3193,42 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     }),
 
-    // incremental NEAR-dup ingest: the corpus side persists a band-
-    // signature index ONCE (Dedup.bandSignatures — the stored-parquet
-    // table in production); each arriving batch is shingled, banded and
+    // Ingest-time half of the incremental near-dup pattern (VERDICT r9
+    // task 3 split this out of d19_index_probe, whose bench row was
+    // double-counting the write): shingle the corpus, band the minhash
+    // signatures, and write the index bucketed by the probe-join key
+    // (band, sig) — every later incremental probe joins with zero
+    // Exchange on the index side, and the skew-cap aggregation rides
+    // the same pre-partitioning. At 100 TB this is the difference
+    // between reshuffling the corpus-sized index per daily batch and
+    // never reshuffling it. Output = a DuckDB-replayable summary of
+    // the stored table: corpus docs carrying >=1 surviving shingle,
+    // each contributing exactly `bands` (4) index rows.
+    "d19_index_build" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rawIdx = Dedup.capDocFreq(
+        Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
+            maxDocFreq = None, tokens = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        Some(50))
+      val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
+      graft.sources.Sink.writeBucketed(banded.filter(!(col("id") % 10 === 0)),
+        d19IndexTable(dir), Seq("band", "sig"), numBuckets = 8,
+        sortCols = Seq("band", "sig"))
+      s.table(d19IndexTable(dir))
+        .agg(countDistinct("id").as("n_docs"),
+          count(lit(1)).as("n_index_rows"))
+    }),
+
+    // incremental NEAR-dup ingest, probe half: the corpus-side band
+    // index persists as the bucketed table d19_index_build wrote (once
+    // per sf-dir at ingest — rebuilt here only when this entry runs
+    // standalone); each arriving batch is shingled, banded and
     // equi-joined against it, so per-batch cost scales with the batch,
     // never the corpus. d12 is this pattern for exact dup; recall
-    // contract vs the cross-side exact Jaccard pairs (d3 discipline).
+    // contract vs the cross-side exact Jaccard pairs (d3 discipline —
+    // the exact pair set is computed in-query because recall against
+    // it IS the output the oracle checks).
     "d19_index_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val rawIdx = Dedup.capDocFreq(
@@ -3201,16 +3239,14 @@ object SparkEntry {
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val isBatch = col("id") % 10 === 0
-      // Stored corpus index: written ONCE at ingest, bucketed by the
-      // probe-join key (band, sig) — every later incremental probe
-      // joins with zero Exchange on the index side, and the per-bucket
-      // skew-cap aggregation below rides the same pre-partitioning.
-      // At 100 TB this is the difference between reshuffling the
-      // corpus-sized index per daily batch and never reshuffling it.
-      graft.sources.Sink.writeBucketed(banded.filter(!isBatch),
-        "graft_d19_band_index", Seq("band", "sig"), numBuckets = 8,
-        sortCols = Seq("band", "sig"))
-      val index = s.table("graft_d19_band_index")
+      // ingest wrote the bucketed index (d19_index_build runs first in
+      // Bench/Verify name order); build it here only if probed
+      // standalone so the entry stays self-contained
+      if (!s.catalog.tableExists(d19IndexTable(dir)))
+        graft.sources.Sink.writeBucketed(banded.filter(!isBatch),
+          d19IndexTable(dir), Seq("band", "sig"), numBuckets = 8,
+          sortCols = Seq("band", "sig"))
+      val index = s.table(d19IndexTable(dir))
       val probe = banded.filter(isBatch)    // today's arriving batch
       // skew guard on BOTH sides: a degenerate signature shared by m
       // probe docs and n index docs yields m×n candidates — cap each
@@ -4877,6 +4913,10 @@ object SparkEntry {
       val rows = t(s, dir, "documents").filter(col("doc_id") < 256)
         .select(col("doc_id").cast(LongType), col("text"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      // the oracle's record_idx arithmetic assumes doc_ids 0..255 are
+      // all present and contiguous — fail loudly if the fixture isn't
+      require(rows.map(_._1).toSeq == (0L until 256L),
+        s"m32 fixture expects doc_ids 0..255, got ${rows.length} rows")
       val outDir = new java.io.File(
         s"/tmp/graft_warc_shards/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
       outDir.mkdirs()
@@ -4887,7 +4927,7 @@ object SparkEntry {
         }
         java.nio.file.Files.write(
           new java.io.File(outDir, f"shard$k%05d.warc.gz").toPath,
-          recs.reduce(_ ++ _))
+          recs.foldLeft(Array.emptyByteArray)(_ ++ _))
       }
       sources.PathTable.resolve(s,
           s"${outDir.getAbsolutePath}/shard*.warc.gz")
@@ -4910,6 +4950,8 @@ object SparkEntry {
       val rows = t(s, dir, "documents").filter(col("doc_id") < 192)
         .select(col("doc_id").cast(LongType), col("text"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      require(rows.map(_._1).toSeq == (0L until 192L),
+        s"m33 fixture expects doc_ids 0..191, got ${rows.length} rows")
       val outDir = new java.io.File(
         s"/tmp/graft_crawl_extract/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
       outDir.mkdirs()
@@ -4924,7 +4966,7 @@ object SparkEntry {
         }
         java.nio.file.Files.write(
           new java.io.File(outDir, f"seg$k%05d.warc.gz").toPath,
-          recs.reduce(_ ++ _))
+          recs.foldLeft(Array.emptyByteArray)(_ ++ _))
       }
       sources.PathTable.resolve(s,
           s"${outDir.getAbsolutePath}/seg*.warc.gz")
@@ -6513,6 +6555,26 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_found,
         |  1.0 AS recall_vs_exact
         |FROM pairs""".stripMargin,
+
+    // the stored index's row arithmetic: every corpus doc (doc_id % 10
+    // <> 0) with >=1 shingle surviving the doc-frequency cap carries
+    // exactly 4 band rows (k=32 minhash in 4 bands)
+    "d19_index_build" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |           || ' ' || ts[CAST(i AS INT) + 2])) AS shingle
+        |  FROM toks),
+        |sh AS (SELECT doc_id, shingle FROM sh0
+        |       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50),
+        |corpus AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) * 4 AS BIGINT) AS n_index_rows
+        |FROM corpus""".stripMargin,
 
     "d19_index_probe" ->
       """WITH toks AS (

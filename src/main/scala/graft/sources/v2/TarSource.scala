@@ -65,10 +65,11 @@ class TarSourceTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TarScanBuilder(path)
+    new TarScanBuilder(path, WarcSourceTable.driverHadoopConf())
 }
 
-class TarScanBuilder(path: String)
+class TarScanBuilder(path: String,
+                     conf: org.apache.spark.util.SerializableConfiguration)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = TarSourceTable.schema
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -76,31 +77,35 @@ class TarScanBuilder(path: String)
     required = StructType(
       TarSourceTable.schema.fields.filter(f => want.contains(f.name)))
   }
-  override def build(): Scan = new TarScan(path, required)
+  override def build(): Scan = new TarScan(path, required, conf)
 }
 
 case class TarShardPartition(file: String) extends InputPartition
 
-class TarScan(path: String, required: StructType) extends Scan with Batch {
+class TarScan(path: String, required: StructType,
+              conf: org.apache.spark.util.SerializableConfiguration)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tar $path, columns=[${required.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    WarcSourceTable.listShards(path) // same listing discipline
+    WarcSourceTable.listShards(path, conf.value, "graft-tar")
       .map(TarShardPartition.apply).toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(required.fieldNames)
+    new TarReaderFactory(required.fieldNames, conf)
 }
 
-class TarReaderFactory(fieldNames: Array[String])
+class TarReaderFactory(fieldNames: Array[String],
+                       conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TarShardReader(
-      partition.asInstanceOf[TarShardPartition].file, fieldNames)
+      partition.asInstanceOf[TarShardPartition].file, fieldNames, conf)
 }
 
-class TarShardReader(file: String, fieldNames: Array[String])
+class TarShardReader(file: String, fieldNames: Array[String],
+                     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val needPayload =
@@ -108,7 +113,7 @@ class TarShardReader(file: String, fieldNames: Array[String])
 
   private val rows: Iterator[InternalRow] = {
     val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     val len = fs.getFileStatus(p).getLen
     require(len <= Int.MaxValue, s"graft-tar: $file exceeds 2 GiB")
     val raw = new Array[Byte](len.toInt)

@@ -3,14 +3,17 @@ package graft.sources.v2
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.operators.{Gzip, Warc}
 
@@ -33,6 +36,16 @@ import graft.operators.{Gzip, Warc}
   *     that is the difference between scanning headers and scanning
   *     everything. The pruned schema is plan-visible (`ReadSchema` on
   *     the BatchScan node), so the fast path is assertable.
+  *   - **filter pushdown** ([[SupportsPushDownFilters]], advisory): a
+  *     `warc_type = 'response'` / `http_status = 200` predicate skips
+  *     filtered-out records BEFORE the HTTP parse and body UTF-8
+  *     decode. Pushdown is advisory — every filter is also returned
+  *     as a post-scan residual, so Spark re-evaluates with exact SQL
+  *     semantics and the reader only has to be conservative (skip a
+  *     record only when the predicate is definitely false/unknown,
+  *     which for top-level conjuncts is exactly "row excluded").
+  *     A crawl-ingest job that keeps only HTTP-200 responses (m33's
+  *     composite) decodes only the bodies it keeps.
   *
   * Corruption stays loud (the WarcTable contract): bad gzip framing,
   * CRC/ISIZE trailer mismatches, and WARC framing violations all throw
@@ -77,11 +90,21 @@ object WarcSourceTable {
   val blockFields: Set[String] = Set("http_status", "http_content_type",
     "body")
 
-  /** Expand the path/glob into concrete shard files (driver-side, the
-    * same listing discipline as Spark's file sources).
+  /** The session's Hadoop conf, resolved on the driver — this is what
+    * carries user FS settings (s3a credentials, custom schemes) that a
+    * bare `new Configuration()` would drop (ADVICE r9).
     */
-  def listShards(path: String): Seq[String] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+  def driverHadoopConf(): SerializableConfiguration =
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+
+  /** Expand the path/glob into concrete shard files (driver-side, the
+    * same listing discipline as Spark's file sources). `source` names
+    * the connector in the no-match error (graft-warc / graft-tar).
+    */
+  def listShards(path: String,
+                 conf: org.apache.hadoop.conf.Configuration,
+                 source: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -91,8 +114,85 @@ object WarcSourceTable {
       else Seq(st)
     }.map(_.getPath.toString).sorted
     if (files.isEmpty)
-      throw new IllegalArgumentException(s"graft-warc: no files match $path")
+      throw new IllegalArgumentException(s"$source: no files match $path")
     files
+  }
+}
+
+/** Conservative evaluation of pushed [[Filter]]s inside the shard
+  * reader. Each pushed filter is a top-level conjunct, so "false or
+  * unknown" ⇒ the row is excluded by the residual filter anyway — the
+  * reader may skip it without replicating exact three-valued logic.
+  * Values are the source's natives: String, Long, or null.
+  */
+private[graft] object WarcFilters {
+  /** Evaluable from the WARC record headers alone (before HTTP parse). */
+  val headerAttrs: Set[String] = Set("file", "record_idx", "warc_type",
+    "record_id", "warc_date", "target_uri", "content_length")
+  /** Evaluable after the HTTP split but before body UTF-8 decode. */
+  val httpAttrs: Set[String] = Set("http_status", "http_content_type")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => known(a)
+    case GreaterThan(a, _) => known(a)
+    case GreaterThanOrEqual(a, _) => known(a)
+    case LessThan(a, _) => known(a)
+    case LessThanOrEqual(a, _) => known(a)
+    case In(a, _) => known(a)
+    case IsNull(a) => known(a)
+    case IsNotNull(a) => known(a)
+    case StringStartsWith(a, _) => known(a)
+    case StringContains(a, _) => known(a)
+    case _ => false
+  }
+  private def known(a: String): Boolean =
+    headerAttrs.contains(a) || httpAttrs.contains(a)
+
+  def headerStage(f: Filter): Boolean =
+    f.references.forall(headerAttrs.contains)
+
+  /** true = record may pass; false = definitely excluded. A null
+    * operand excludes (SQL unknown at a top-level conjunct drops the
+    * row); a defensive type mismatch KEEPS the row — only the residual
+    * filter may decide it, never a lossy comparison here.
+    */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v) => test(get(a), v)(_ == 0)
+    case GreaterThan(a, v) => test(get(a), v)(_ > 0)
+    case GreaterThanOrEqual(a, v) => test(get(a), v)(_ >= 0)
+    case LessThan(a, v) => test(get(a), v)(_ < 0)
+    case LessThanOrEqual(a, v) => test(get(a), v)(_ <= 0)
+    case In(a, vs) =>
+      val x = get(a)
+      x != null && vs.exists(v => test(x, v)(_ == 0))
+    case IsNull(a) => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case StringStartsWith(a, p) => get(a) match {
+      case s: String => s.startsWith(p); case null => false; case _ => true
+    }
+    case StringContains(a, p) => get(a) match {
+      case s: String => s.contains(p); case null => false; case _ => true
+    }
+    case _ => true // unsupported shapes are never pushed; keep the row
+  }
+
+  private sealed trait Cmp
+  private case object NullCmp extends Cmp       // SQL unknown → exclude
+  private case object Incomparable extends Cmp  // defensive → keep
+  private final case class Cmped(c: Int) extends Cmp
+
+  private def test(lhs: Any, rhs: Any)(p: Int => Boolean): Boolean =
+    cmp(lhs, rhs) match {
+      case Cmped(c) => p(c)
+      case NullCmp => false
+      case Incomparable => true
+    }
+
+  private def cmp(lhs: Any, rhs: Any): Cmp = (lhs, rhs) match {
+    case (null, _) | (_, null) => NullCmp
+    case (a: Long, b: Number) => Cmped(java.lang.Long.compare(a, b.longValue))
+    case (a: String, b: String) => Cmped(a.compareTo(b))
+    case _ => Incomparable
   }
 }
 
@@ -103,12 +203,15 @@ class WarcSourceTable(path: String, gzipped: Option[Boolean])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path, gzipped)
+    new WarcScanBuilder(path, gzipped, WarcSourceTable.driverHadoopConf())
 }
 
-class WarcScanBuilder(path: String, gzipped: Option[Boolean])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class WarcScanBuilder(path: String, gzipped: Option[Boolean],
+                      conf: SerializableConfiguration)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = WarcSourceTable.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve source field order regardless of projection order —
     // the reader emits values positionally
@@ -116,47 +219,69 @@ class WarcScanBuilder(path: String, gzipped: Option[Boolean])
     required = StructType(
       WarcSourceTable.schema.fields.filter(f => want.contains(f.name)))
   }
-  override def build(): Scan = new WarcScan(path, gzipped, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(WarcFilters.supported)
+    // advisory pushdown: the reader uses `pushed` to skip HTTP parse /
+    // body decode early, but EVERY filter is returned as residual so
+    // Spark re-evaluates with exact SQL semantics — the reader never
+    // has to be the source of truth for three-valued logic
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new WarcScan(path, gzipped, required,
+    pushed, conf)
 }
 
 /** One shard file per input partition. */
 case class WarcShardPartition(file: String) extends InputPartition
 
 class WarcScan(path: String, gzipped: Option[Boolean],
-               required: StructType) extends Scan with Batch {
+               required: StructType, val pushed: Array[Filter],
+               conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-warc $path, columns=[${required.fieldNames.mkString(",")}]"
+    s"graft-warc $path, columns=[${required.fieldNames.mkString(",")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    WarcSourceTable.listShards(path)
+    WarcSourceTable.listShards(path, conf.value, "graft-warc")
       .map(WarcShardPartition.apply).toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required.fieldNames, gzipped)
+    new WarcReaderFactory(required.fieldNames, gzipped, pushed, conf)
 }
 
 class WarcReaderFactory(fieldNames: Array[String],
-                        gzipped: Option[Boolean])
+                        gzipped: Option[Boolean],
+                        pushed: Array[Filter],
+                        conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcShardReader(
-      partition.asInstanceOf[WarcShardPartition].file, fieldNames, gzipped)
+      partition.asInstanceOf[WarcShardPartition].file, fieldNames, gzipped,
+      pushed, conf)
 }
 
 /** Walks one shard. Header-only projections use
   * [[Warc.parseFileHeaders]] (framing arithmetic, zero block copies);
   * anything touching block content takes the full walk + HTTP split.
+  * Pushed filters gate each stage: header-stage predicates skip a
+  * record before its HTTP parse; http-stage predicates skip it before
+  * the body UTF-8 decode.
   */
 class WarcShardReader(file: String, fieldNames: Array[String],
-                      gzipped: Option[Boolean])
+                      gzipped: Option[Boolean],
+                      pushed: Array[Filter],
+                      conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val needBlock =
     fieldNames.exists(WarcSourceTable.blockFields.contains)
+  private val (headerFilters, httpFilters) =
+    pushed.partition(WarcFilters.headerStage)
 
   private val rows: Iterator[InternalRow] = {
     val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     val len = fs.getFileStatus(p).getLen
     require(len <= Int.MaxValue, s"graft-warc: $file exceeds 2 GiB")
     val raw = new Array[Byte](len.toInt)
@@ -187,38 +312,64 @@ class WarcShardReader(file: String, fieldNames: Array[String],
           throw new IllegalArgumentException(
             s"corrupt WARC framing in $file"))
     val fileUtf8 = UTF8String.fromString(file)
-    parsed.iterator.zipWithIndex.map { case ((r, blockLen), i) =>
-      val http =
-        if (needBlock && r.header("Content-Type").exists(
-            _.toLowerCase.startsWith("application/http")))
-          Warc.parseHttp(r.block)
-        else None
-      def s(v: Option[String]): AnyRef =
-        v.map(UTF8String.fromString).orNull
-      val row = new GenericInternalRow(fieldNames.length)
-      var j = 0
-      while (j < fieldNames.length) {
-        val v: Any = fieldNames(j) match {
-          case "file" => fileUtf8
-          case "record_idx" => i.toLong
-          case "warc_type" => s(r.header("WARC-Type"))
-          case "record_id" => s(r.header("WARC-Record-ID"))
-          case "warc_date" => s(r.header("WARC-Date"))
-          case "target_uri" => s(r.header("WARC-Target-URI"))
-          case "content_length" => blockLen
-          case "http_status" =>
-            http.flatMap(_.status).map(st => Long.box(st.toLong)).orNull
-          case "http_content_type" => s(http.flatMap(_.header("Content-Type")))
-          case "body" =>
-            UTF8String.fromString(http.map(h => new String(h.body, UTF_8))
-              .getOrElse(new String(r.block, UTF_8)))
-          case other => throw new IllegalStateException(
-            s"graft-warc: unknown column $other")
-        }
-        row.update(j, v)
-        j += 1
+    parsed.iterator.zipWithIndex.flatMap { case ((r, blockLen), i) =>
+      // header-stage gate: runs on framing-walk values only — a
+      // filtered-out record never reaches the HTTP parse below
+      def headerVal(name: String): Any = name match {
+        case "file" => file
+        case "record_idx" => i.toLong
+        case "warc_type" => r.header("WARC-Type").orNull
+        case "record_id" => r.header("WARC-Record-ID").orNull
+        case "warc_date" => r.header("WARC-Date").orNull
+        case "target_uri" => r.header("WARC-Target-URI").orNull
+        case "content_length" => blockLen
+        case _ => null
       }
-      row: InternalRow
+      if (!headerFilters.forall(WarcFilters.eval(_, headerVal))) None
+      else {
+        val http =
+          if (needBlock && r.header("Content-Type").exists(
+              _.toLowerCase.startsWith("application/http")))
+            Warc.parseHttp(r.block)
+          else None
+        // http-stage gate: after the HTTP split, before body decode
+        def httpVal(name: String): Any = name match {
+          case "http_status" =>
+            http.flatMap(_.status).map(_.toLong).map(Long.box).orNull
+          case "http_content_type" =>
+            http.flatMap(_.header("Content-Type")).orNull
+          case other => headerVal(other)
+        }
+        if (!httpFilters.forall(WarcFilters.eval(_, httpVal))) None
+        else {
+          def s(v: Option[String]): AnyRef =
+            v.map(UTF8String.fromString).orNull
+          val row = new GenericInternalRow(fieldNames.length)
+          var j = 0
+          while (j < fieldNames.length) {
+            val v: Any = fieldNames(j) match {
+              case "file" => fileUtf8
+              case "record_idx" => i.toLong
+              case "warc_type" => s(r.header("WARC-Type"))
+              case "record_id" => s(r.header("WARC-Record-ID"))
+              case "warc_date" => s(r.header("WARC-Date"))
+              case "target_uri" => s(r.header("WARC-Target-URI"))
+              case "content_length" => blockLen
+              case "http_status" =>
+                http.flatMap(_.status).map(st => Long.box(st.toLong)).orNull
+              case "http_content_type" => s(http.flatMap(_.header("Content-Type")))
+              case "body" =>
+                UTF8String.fromString(http.map(h => new String(h.body, UTF_8))
+                  .getOrElse(new String(r.block, UTF_8)))
+              case other => throw new IllegalStateException(
+                s"graft-warc: unknown column $other")
+            }
+            row.update(j, v)
+            j += 1
+          }
+          Some(row: InternalRow)
+        }
+      }
     }.toVector.iterator
   }
 

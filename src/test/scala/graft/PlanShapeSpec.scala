@@ -68,15 +68,15 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    // building the query once writes the bucketed index table
-    SparkEntry.queries("d19_index_probe")(spark, sf)
+    // the ingest entry writes the bucketed index table
+    SparkEntry.queries("d19_index_build")(spark, sf).collect()
     // exchanges are inserted by EnsureRequirements (executedPlan), and
     // AQE wraps that tree — disable AQE + broadcast so the probe join
     // plans as a plain SortMergeJoin whose sides we can inspect
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val index = spark.table("graft_d19_band_index")
+      val index = spark.table(SparkEntry.d19IndexTable(sf))
       // the skew-cap aggregation rides the bucketing: zero exchanges
       val keep = index.groupBy("band", "sig").count()
       assert(keep.queryExecution.executedPlan.collect {
@@ -92,7 +92,7 @@ class PlanShapeSpec extends SparkSpec {
       assert(smj.nonEmpty, joined.queryExecution.executedPlan)
       def hasIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
         p.collect { case f: FileSourceScanExec
-          if f.toString.contains("graft_d19_band_index") => f }.nonEmpty
+          if f.toString.contains(SparkEntry.d19IndexTable(sf)) => f }.nonEmpty
       val (indexSide, probeSide) =
         if (hasIndexScan(smj.head.right)) (smj.head.right, smj.head.left)
         else (smj.head.left, smj.head.right)

@@ -182,6 +182,82 @@ class WarcSourceSpec extends SparkSpec {
       msgs.contains("badcrc.warc.gz"))
   }
 
+  test("filter pushdown reaches the scan and skips pre-decode (plan-visible)") {
+    import graft.sources.v2.WarcScan
+    import org.apache.spark.sql.sources.{EqualTo, IsNotNull}
+    val f = new java.io.File(dir, "pushdown.warc")
+    Files.write(f.toPath, Warc.encodeFile(sampleRecords))
+    def scanOf(df: org.apache.spark.sql.DataFrame): WarcScan =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case w: WarcScan => w }
+        .getOrElse(fail("expected a WarcScan in the physical plan"))
+    // header-stage predicate: pushed, and the surviving row is right
+    val byType = PathTable.resolve(spark, f.getAbsolutePath)
+      .filter(col("warc_type") === "response").select("warc_type", "body")
+    assert(scanOf(byType).pushed.toSeq
+      .contains(EqualTo("warc_type", "response")),
+      s"warc_type filter not pushed: ${scanOf(byType).pushed.toSeq}")
+    val rows = byType.collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "<html>hi</html>")
+    // http-stage predicate: pushed; null http_status (warcinfo) excluded
+    val byStatus = PathTable.resolve(spark, f.getAbsolutePath)
+      .filter(col("http_status") === 200).select("record_idx", "body")
+    val pushedStatus = scanOf(byStatus).pushed.toSeq
+    assert(pushedStatus.contains(EqualTo("http_status", 200L)) ||
+      pushedStatus.exists(_.references.contains("http_status")),
+      s"http_status filter not pushed: $pushedStatus")
+    assert(byStatus.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // IS NOT NULL pushes; a non-translatable predicate stays residual
+    // and the query is still correct (pushdown is advisory)
+    val mixed = PathTable.resolve(spark, f.getAbsolutePath)
+      .filter(col("http_status").isNotNull &&
+        org.apache.spark.sql.functions.length(col("body")) > 2)
+    assert(scanOf(mixed).pushed.toSeq.contains(IsNotNull("http_status")))
+    assert(mixed.count() == 1)
+    // filter that excludes everything: zero rows, no crash
+    assert(PathTable.resolve(spark, f.getAbsolutePath)
+      .filter(col("warc_type") === "nope").count() == 0)
+    // record_idx stays the per-file ordinal even when earlier records
+    // are skipped by the pushed filter
+    val idx = PathTable.resolve(spark, f.getAbsolutePath)
+      .filter(col("warc_type") === "response").select("record_idx")
+      .collect().map(_.getLong(0)).toSeq
+    assert(idx == Seq(1L))
+  }
+
+  test("pushed-filter evaluation is conservative (unit)") {
+    import graft.sources.v2.WarcFilters
+    import org.apache.spark.sql.sources._
+    def get(v: Any): String => Any = _ => v
+    // null operand at a top-level conjunct = SQL unknown = excluded
+    assert(!WarcFilters.eval(EqualTo("http_status", 200L), get(null)))
+    assert(!WarcFilters.eval(GreaterThan("http_status", 100L), get(null)))
+    assert(!WarcFilters.eval(In("warc_type", Array("a", "b")), get(null)))
+    // defensive type mismatch KEEPS the row (residual decides)
+    assert(WarcFilters.eval(EqualTo("warc_type", java.lang.Boolean.TRUE),
+      get("response")))
+    assert(WarcFilters.eval(StringStartsWith("target_uri", "http"),
+      get(7L)))
+    // normal cases
+    assert(WarcFilters.eval(EqualTo("http_status", 200), get(200L)))
+    assert(!WarcFilters.eval(LessThan("content_length", 10L), get(11L)))
+    assert(WarcFilters.eval(StringContains("target_uri", "/p"),
+      get("http://h/p")))
+    assert(WarcFilters.eval(IsNull("http_status"), get(null)))
+  }
+
+  test("tar glob with no matches names the tar source in the error") {
+    val e = intercept[Exception] {
+      PathTable.resolve(spark, "/tmp/graft_no_such_dir/none*.tar").count()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("graft-tar"), s"expected graft-tar in: $msgs")
+  }
+
   test("corrupt archives fail loudly with the file path") {
     val f = new java.io.File(dir, "bad.warc")
     Files.write(f.toPath, "WARC/1.0\r\nbroken".getBytes(UTF_8))
