@@ -83,6 +83,18 @@ object Bench {
       val r = Seq.fill(3)(probeSec()).min / probeRef
       if (r < 1.6) 1.0 else r
     }
+    // ADVICE r9: a probe taken only BEFORE the pass can overstate load
+    // (host loaded during the probe, quiet during the query), inflating
+    // the calibrated number and potentially masking a regression behind
+    // the max(raw, calibrated) gate. Bracket every timed pass with a
+    // probe on each side and take the MIN ratio: calibration deducts
+    // only load that was present both entering and leaving the pass.
+    def bracketed[A](work: () => A): (A, Double) = {
+      val before = loadRatio()
+      val out = work()
+      val after = loadRatio()
+      (out, math.min(before, after))
+    }
 
     def force(name: String): Long = {
       val t0 = System.nanoTime()
@@ -136,8 +148,8 @@ object Bench {
     // before timings stabilize (2 warm-ups left ~2x on the table vs a
     // fully-hot JIT); the median is the stable point estimate
     (1 to 6).foreach(_ => csvFlagship())
-    // each sample paired with the calibration probe run just before it
-    val flagshipPairs = Vector.fill(5) { val r = loadRatio(); (csvFlagship(), r) }
+    // each sample bracketed by calibration probes (min of both sides)
+    val flagshipPairs = Vector.fill(5)(bracketed(() => csvFlagship()))
     val samples = flagshipPairs.map(_._1).sorted
     val flagshipRatios = flagshipPairs.map(_._2)
     val csvSec = samples(samples.length / 2)
@@ -193,14 +205,14 @@ object Bench {
     // this host swing 2-4x with ambient load; the min is the
     // reproducible capability number, and three passes (VERDICT r8
     // task 1) give the min two chances to land between load bursts.
-    // Each pass is preceded by the calibration probe so every sample
-    // carries the host-load ratio at its own instant.
+    // Each pass is bracketed by calibration probes (min of the two
+    // ratios) so every sample carries the host-load ratio that was
+    // actually sustained across it.
     // SPARK_GRAFT_SAMPLES overrides (1 = old single-shot behavior).
     val passes = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(3)
     val resultSamples = names.map { name =>
       name -> (1 to passes).map { _ =>
-        val r = loadRatio()
-        (force(name) / 1e9, r)
+        bracketed(() => force(name) / 1e9)
       }
     }
     val results = resultSamples.map { case (n, ss) => n -> ss.map(_._1).min }

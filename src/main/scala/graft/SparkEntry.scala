@@ -5301,6 +5301,26 @@ object SparkEntry {
         queryName = "st20_stream_union_groupby")
     }),
 
+    // stream-stream interval join on a union-typed KEY (VERDICT r9
+    // task 7 — st20 closed GROUP BY; this closes the join): the same
+    // VARIANT construction as the join key (k typed Int on even
+    // event_ids, String on odd — the type distinction load-bearing),
+    // clicks joined to purchases carrying the same typed key within
+    // the following hour. VariantGroupRule's join-condition rewrite
+    // fires under the incremental planner, so the symmetric hash
+    // join's state store keys on the extracted type-qualified string.
+    "st21_stream_union_join" -> ((s, dir) => {
+      val ks = get_json_object(col("props"), "$.k").cast(LongType)
+        .cast(StringType)
+      val v = when(col("event_id") % 2 === 0, parse_json(ks))
+        .otherwise(parse_json(concat(lit("\""), ks, lit("\""))))
+      Streams.runStreamUnionJoin(s, s"$dir/events.parquet", "ts",
+          "event_type", "event_id", v, "click", "purchase", "1 hour",
+          queryName = "st21_stream_union_join")
+        .select(col("left_id").as("click_id"),
+          col("right_id").as("purchase_id"), col("val_json"))
+    }),
+
     // streaming per-window distinct users (windowed DAU): dedup state
     // + window state, both watermark-evicted; drained result equals
     // the batch COUNT(DISTINCT) per hour
@@ -5846,6 +5866,26 @@ object SparkEntry {
         |  FROM events)
         |SELECT val_json, CAST(COUNT(*) AS BIGINT) AS n
         |FROM u GROUP BY 1""".stripMargin,
+
+    // streaming == batch on the union-typed JOIN key: equality is
+    // (type id, value) — the CASE mirrors the typed-json key, NULLs
+    // never match (Kleene =), interval bound as st5
+    "st21_stream_union_join" ->
+      """WITH u AS (
+        |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN event_id % 2 = 0
+        |      THEN CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+        |           AS VARCHAR)
+        |      ELSE '"' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+        |           AS VARCHAR) || '"' END AS val_json
+        |  FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.val_json
+        |FROM u c JOIN u p
+        |  ON c.val_json = p.val_json
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts
+        | AND p.ts <= c.ts + INTERVAL '1 hour'""".stripMargin,
 
     "q96_not_exists" ->
       """SELECT c.c_custkey, c.c_name FROM customer c

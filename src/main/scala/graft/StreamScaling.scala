@@ -29,6 +29,27 @@ object StreamScaling {
   /** One batch's observations for a (scale, query) run. */
   private case class Obs(batchMs: Long, stateRows: Long, inputRows: Long)
 
+  /** Drain Spark's shared listener bus so every queued
+    * StreamingQueryListener event is delivered before the caller moves
+    * on. `SparkContext.listenerBus` and `LiveListenerBus.waitUntilEmpty`
+    * are `private[spark]` (public in bytecode), hence the reflective
+    * call; if either ever disappears this degrades to a no-op and the
+    * min-of-passes collapse still bounds the damage.
+    */
+  private def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .orElse(bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 1))
+        .foreach { m =>
+          if (m.getParameterCount == 0) m.invoke(bus)
+          else m.invoke(bus, Long.box(30000L))
+        }
+    } catch { case _: ReflectiveOperationException => () }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -110,6 +131,11 @@ object StreamScaling {
           }
           wall((scale, n, pass)) = (System.nanoTime() - t0) / 1e9
           Engine.releaseCaches(spark)
+          // ADVICE r9: progress events are delivered asynchronously —
+          // one landing after passNow/scaleNow advance would be keyed
+          // to the wrong (scale, query, pass). Drain the shared
+          // listener bus before reading obs or advancing the keys.
+          flushListenerBus(spark)
           println(f"[stsoak] x$scale%-5s $n%-26s p$pass ${wall((scale, n, pass))}%7.2f s " +
             s"batches=${obs.get((scale, n, pass)).map(_.size).getOrElse(0)} " +
             s"maxState=${obs.get((scale, n, pass)).map(_.map(_.stateRows).max).getOrElse(0L)}")

@@ -60,6 +60,64 @@ class StreamRestartSpec extends SparkSpec {
     graft.sources.v2.MemStore.clear("t_restart")
   }
 
+  test("stateful restart: counting-trigger state recovers from the " +
+      "checkpoint, pre-kill retractions are not re-emitted") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    def runCounting(inDir: String, ckpt: String, table: String): Unit = {
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("key", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .as[String]
+      val q = graft.streaming.Streams.countingTriggerCounts(src, 2)
+        .toDF().writeStream
+        .format("graft-mem")
+        .option("table", table)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def emitted(table: String): Seq[(String, Long, Boolean)] =
+      spark.read.format("graft-mem").option("table", table).load()
+        .as[(String, Long, Boolean)].collect().toSeq.sorted
+    val in = Files.createTempDirectory("graft_state_in").toString
+    val ckpt = Files.createTempDirectory("graft_state_ck").toString
+    // batch 0: a×3 (fires at 2, then holds count=3), b×2 (fires at 2),
+    // c×4 (fires at 2, then RETRACTS 2 and fires at 4 — the pre-kill
+    // retraction that must never re-emit)
+    val f1 = Seq("a", "a", "a", "b", "b", "c", "c", "c", "c")
+    f1.toDF("key").coalesce(1).write.mode("append").parquet(in)
+    runCounting(in, ckpt, "t_state")
+    assert(emitted("t_state") == Seq(
+      ("a", 2L, false), ("b", 2L, false),
+      ("c", 2L, false), ("c", 2L, true), ("c", 4L, false)).sorted,
+      emitted("t_state"))
+    // the kill: query stopped between micro-batches; new input lands
+    val f2 = Seq("a", "c", "c")
+    f2.toDF("key").coalesce(1).write.mode("append").parquet(in)
+    runCounting(in, ckpt, "t_state") // fresh query, same checkpoint
+    val afterRestart = emitted("t_state")
+    // a resumed at count=3/lastEmitted=2 FROM THE STATE STORE: one more
+    // 'a' fires at 4 and retracts the pre-kill 2 — if state had been
+    // lost, count would restart at 1 and nothing would fire
+    val expected = Seq(
+      ("a", 2L, false), ("b", 2L, false),
+      ("c", 2L, false), ("c", 2L, true), ("c", 4L, false),
+      ("a", 2L, true), ("a", 4L, false),
+      ("c", 4L, true), ("c", 6L, false)).sorted
+    assert(afterRestart == expected, afterRestart)
+    // the retraction emitted BEFORE the kill appears exactly once
+    assert(afterRestart.count(_ == ("c", 2L, true)) == 1)
+    // and the whole run equals an unkilled reference run on the same
+    // input (streaming-equals-batch discipline for recovery)
+    val ckptRef = Files.createTempDirectory("graft_state_ck2").toString
+    runCounting(in, ckptRef, "t_state_ref")
+    assert(emitted("t_state_ref") == afterRestart)
+    graft.sources.v2.MemStore.clear("t_state")
+    graft.sources.v2.MemStore.clear("t_state_ref")
+  }
+
   test("epoch replay after torn commit window: sink ledger dedups") {
     val in = Files.createTempDirectory("graft_torn_in").toString
     val ckpt = Files.createTempDirectory("graft_torn_ck").toString

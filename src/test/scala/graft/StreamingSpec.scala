@@ -32,6 +32,54 @@ class StreamingSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("st21: variant-key stream-stream join keys the symmetric hash join " +
+      "(incremental planner) and keeps the Int/String distinction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ujoin")
+      .toFile.getAbsolutePath
+    // k=5 everywhere; event_id parity decides Int 5 vs String "5" —
+    // a click only converts on a purchase whose key has the SAME type
+    Seq(
+      (2L, "click", "2024-01-01 00:00:00"),    // Int 5
+      (3L, "click", "2024-01-01 00:00:00"),    // String "5"
+      (4L, "purchase", "2024-01-01 00:30:00"), // Int 5    -> pairs with 2
+      (5L, "purchase", "2024-01-01 00:30:00"), // String   -> pairs with 3
+      (6L, "purchase", "2024-01-01 02:00:00")) // Int, outside interval
+      .toDF("event_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("""{"k":5}"""))
+      .write.mode("overwrite").parquet(dir)
+    val ks = get_json_object(col("props"), "$.k").cast("long").cast("string")
+    val v = when(col("event_id") % 2 === 0, parse_json(ks))
+      .otherwise(parse_json(concat(lit("\""), ks, lit("\""))))
+    def side(tp: String, as: (String, String, String)) =
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+        .filter(col("event_type") === tp)
+        .select(col("event_id").as(as._1), v.as(as._2), col("ts").as(as._3))
+        .withWatermark(as._3, "1 hour")
+    val joined = side("click", ("left_id", "lv", "lts"))
+      .join(side("purchase", ("right_id", "rv", "rts")),
+        col("lv") === col("rv") && col("rts") >= col("lts") &&
+          col("rts") <= col("lts") + expr("INTERVAL 1 hour"))
+      .select(col("left_id"), col("right_id"), to_json(col("lv")).as("vj"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("spec_union_join").start()
+    val plan = try {
+      q.processAllAvailable()
+      val buf = new java.io.ByteArrayOutputStream
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      buf.toString
+    } finally q.stop()
+    // the rule fired under the INCREMENTAL planner: the join is a
+    // keyed streaming symmetric hash join, not a nested loop over an
+    // unextractable variant predicate
+    assert(plan.contains("StreamingSymmetricHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+    val got = spark.table("spec_union_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((2L, 4L, "5"), (3L, 5L, "\"5\"")), got)
+  }
+
   test("streaming dedup emits each key exactly once (watermark-bounded state)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup")
       .toFile.getAbsolutePath
