@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
 class QueriesSpec extends SparkSpec {
 
   // queries whose correct answer may legitimately be empty at sf0.001
+  // (st21: clicks and purchases sharing a SAME-TYPED union key within
+  // an hour first appear at sf0.01 — 34 oracle rows there, 0 here)
   private val mayBeEmpty = Set("q2_filter", "d2_ngram_jaccard",
-    "d3_minhash_lsh", "d5_embed_pairs")
+    "d3_minhash_lsh", "d5_embed_pairs", "st21_stream_union_join")
 
   // The driver's oracle harness canonicalizes result rows with a pandas
   // lexsort before hashing; a raw ARRAY/MAP/STRUCT column makes that sort
