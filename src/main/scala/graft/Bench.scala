@@ -63,25 +63,70 @@ object Bench {
       fs.foreach(_.get())
       (System.nanoTime() - t0) / 1e9
     }
-    // quiet-host reference: min-of-12 measured on this container
-    // (local[32], Linux 6.18, Java 17) = ~0.024 s; env-overridable if
-    // the driver host's hardware ever changes.
+    // quiet-host reference (RE-MEASURED round 10 via graft.ProbeCal
+    // during a flagship-validated quiet window — 2.44M rows/s
+    // concurrently): min-of-12 = 0.0105 s. The r9 reference (0.025)
+    // was itself taken under host co-tenancy, which silently widened
+    // the deadband to ~4x and is why loaded runs kept probing 1.0 —
+    // the root cause of the r9/r10 false-flag storms. Env-overridable.
     val probeRef = sys.env.get("SPARK_GRAFT_PROBE_REF_SEC")
-      .map(_.toDouble).getOrElse(0.025)
+      .map(_.toDouble).getOrElse(0.011)
+
+    // ---- memory-bandwidth probe (round 10) ----
+    // The r9/r10 false-flag forensics caught the integer probe blind:
+    // a session where the flagship concurrently read 4x slow
+    // (0.54M rows/s best vs 2.37M quiet) still probed load_ratio 1.0,
+    // and /proc inside the container showed 97% idle — the contention
+    // is OUTSIDE the container, in shared DRAM/LLC (host co-tenancy),
+    // which a register-only xorshift loop cannot see and which steals
+    // no CPU time. Complement it: each thread streams a private 8 MiB
+    // long array at cache-line stride (every line fetched, footprint
+    // >> LLC share), so wall time tracks available memory bandwidth.
+    // The effective load ratio is the max of the two probes.
+    val memChunks = Array.fill(probeThreads)(
+      Array.tabulate(1 << 20)(i => i.toLong)) // 8 MiB per thread
+    def memProbeSec(): Double = {
+      val t0 = System.nanoTime()
+      val fs = (0 until probeThreads).map { tid =>
+        probePool.submit(new Runnable { def run(): Unit = {
+          val a = memChunks(tid)
+          var s = 0L
+          var rep = 0
+          while (rep < 4) {
+            var i = 0
+            while (i < a.length) { s += a(i); i += 8 } // one touch per line
+            rep += 1
+          }
+          probeSink = s
+        }})
+      }
+      fs.foreach(_.get())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // quiet reference: min-of-12 = 0.0098 s via graft.ProbeCal in the
+    // same flagship-validated quiet window as probeRef.
+    val memRef = sys.env.get("SPARK_GRAFT_MEM_REF_SEC")
+      .map(_.toDouble).getOrElse(0.010)
     // Deadband at 1.6: quiet-host probe samples jitter 1.0-1.5x of the
     // reference (scheduler noise on a 32-thread fork-join), while the
     // loaded-host signature this exists to catch is a uniform 2.6-3.1x.
     // Below the deadband the ratio clamps to 1 — calibration must
     // never deduct time from a quiet run (that would inflate the
     // capability claim); above it the measured ratio applies in full.
-    (1 to 3).foreach(_ => probeSec()) // JIT warm-up for the probe loop
-    // min-of-3: a single probe lands in the previous pass's System.gc()
-    // tail often enough to read 1.5-2x quiet — a transient the min
-    // rides out, while SUSTAINED oversubscription (the thing being
-    // measured) slows all three probes alike
+    (1 to 3).foreach { _ => probeSec(); memProbeSec() } // JIT warm-up
+    // min-of-3 per probe kind: a single sample lands in the previous
+    // pass's System.gc() tail often enough to read 1.5-2x quiet — a
+    // transient the min rides out, while SUSTAINED contention (the
+    // thing being measured) slows all three samples alike. Each kind
+    // deadbands against its own quiet reference, then the effective
+    // ratio is the max: CPU oversubscription and bandwidth co-tenancy
+    // are independent failure modes and either one slows queries.
     def loadRatio(): Double = {
-      val r = Seq.fill(3)(probeSec()).min / probeRef
-      if (r < 1.6) 1.0 else r
+      val cpu = Seq.fill(3)(probeSec()).min / probeRef
+      val mem = Seq.fill(3)(memProbeSec()).min / memRef
+      val r = math.max(if (cpu < 1.6) 1.0 else cpu,
+        if (mem < 1.6) 1.0 else mem)
+      r
     }
     // ADVICE r9: a probe taken only BEFORE the pass can overstate load
     // (host loaded during the probe, quiet during the query), inflating
@@ -347,7 +392,7 @@ object Bench {
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""value_calibrated":$totalCalibrated,""" +
       s""""load_ratio_median":$ratioMedian,""" +
-      s""""probe_ref_sec":$probeRef,""" +
+      s""""probe_ref_sec":$probeRef,"probe_mem_ref_sec":$memRef,""" +
       s""""queries_load_ratio_calibrated":$ratiosFull,""" +
       s""""queries_spread":$spreadFull,""" +
       s""""min_regressions":$regressionsFull,""" +
