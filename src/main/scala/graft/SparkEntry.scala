@@ -5021,9 +5021,14 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
         .mapPartitions { it =>
           it.map { id =>
+            // STREAMINFO's total-samples field is 36-bit; bound the
+            // synthetic count so amplified soak ids (>68.7M) still
+            // encode a physically-valid header (identical values at
+            // every driver sf — doc_id there is far below the modulus)
+            val sid = id % 60000000L
             val bytes = Multimodal.encodeFlac(
               rates((id % 5).toInt), (id % 2).toInt + 1,
-              if (id % 3 == 0) 24 else 16, id * 1000 + 1)
+              if (id % 3 == 0) 24 else 16, sid * 1000 + 1)
             val (rate, ch, bps, total) = Multimodal.flacHeader(bytes).get
             (id, rate.toLong, ch.toLong, bps.toLong, total,
               total * 1000L / rate)
@@ -7505,8 +7510,8 @@ object SparkEntry {
         |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT)
         |    AS bits_per_sample,
-        |  CAST(doc_id * 1000 + 1 AS BIGINT) AS total_samples,
-        |  (doc_id * 1000 + 1) * 1000 //
+        |  CAST((doc_id % 60000000) * 1000 + 1 AS BIGINT) AS total_samples,
+        |  ((doc_id % 60000000) * 1000 + 1) * 1000 //
         |    ([8000,16000,22050,44100,48000])[CAST(doc_id % 5 AS INT) + 1]
         |    AS duration_ms
         |FROM documents""".stripMargin,
