@@ -132,7 +132,13 @@ private[graft] object WarcFilters {
   /** Evaluable after the HTTP split but before body UTF-8 decode. */
   val httpAttrs: Set[String] = Set("http_status", "http_content_type")
 
-  def supported(f: Filter): Boolean = f match {
+  def supported(f: Filter): Boolean =
+    supportedFor(f, a => headerAttrs.contains(a) || httpAttrs.contains(a))
+
+  /** Shape + attribute check, parameterized so the tar connector can
+    * reuse the same evaluator over its own meta fields.
+    */
+  def supportedFor(f: Filter, known: String => Boolean): Boolean = f match {
     case EqualTo(a, _) => known(a)
     case GreaterThan(a, _) => known(a)
     case GreaterThanOrEqual(a, _) => known(a)
@@ -145,8 +151,6 @@ private[graft] object WarcFilters {
     case StringContains(a, _) => known(a)
     case _ => false
   }
-  private def known(a: String): Boolean =
-    headerAttrs.contains(a) || httpAttrs.contains(a)
 
   def headerStage(f: Filter): Boolean =
     f.references.forall(headerAttrs.contains)

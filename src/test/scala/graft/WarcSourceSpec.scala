@@ -248,6 +248,40 @@ class WarcSourceSpec extends SparkSpec {
     assert(WarcFilters.eval(IsNull("http_status"), get(null)))
   }
 
+  test("tar: filter pushdown gates the payload slice (plan-visible)") {
+    import graft.operators.Tar
+    import graft.sources.v2.TarScan
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    import spark.implicits._
+    val f = new java.io.File(dir, "pushdown.tar")
+    Files.write(f.toPath, Tar.encode(Seq(
+      ("000001.txt", "hello world".getBytes(UTF_8)),
+      ("000001.cls", "en".getBytes(UTF_8)),
+      ("000002.txt", "goodbye".getBytes(UTF_8)))))
+    def scanOf(df: org.apache.spark.sql.DataFrame): TarScan =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case t: TarScan => t }
+        .getOrElse(fail("expected a TarScan in the physical plan"))
+    val txt = PathTable.resolve(spark, f.getAbsolutePath)
+      .filter(col("ext") === "txt").select("sample_key", "text")
+    assert(scanOf(txt).pushed.toSeq.contains(EqualTo("ext", "txt")),
+      s"ext filter not pushed: ${scanOf(txt).pushed.toSeq}")
+    assert(txt.as[(String, String)].collect().toSet ==
+      Set(("000001", "hello world"), ("000002", "goodbye")))
+    // numeric meta predicate pushes too; member_idx stays the file
+    // ordinal when earlier members are skipped
+    val big = PathTable.resolve(spark, f.getAbsolutePath)
+      .filter(col("size") > 7).select("member_idx", "name")
+    assert(scanOf(big).pushed.toSeq.contains(GreaterThan("size", 7L)))
+    assert(big.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((0L, "000001.txt")))
+    // filter excluding everything: zero rows, no crash
+    assert(PathTable.resolve(spark, f.getAbsolutePath)
+      .filter(col("ext") === "nope").count() == 0)
+  }
+
   test("tar glob with no matches names the tar source in the error") {
     val e = intercept[Exception] {
       PathTable.resolve(spark, "/tmp/graft_no_such_dir/none*.tar").count()
