@@ -556,11 +556,11 @@ object Dedup {
 
   /** LSH pairs from a prebuilt `(id, shingle)` index. Candidate pairs
     * are verified EXACTLY against the same index that fed the
-    * signatures (shared-shingle counts + per-doc sizes — the
-    * [[ngramJaccardPairsFromIndex]] formula restricted to candidates),
-    * so a `maxDocFreq`-capped index yields a self-consistent
-    * (signatures, verification, ground truth) triple and the raw text
-    * is never re-shingled.
+    * signatures (per-doc 64-bit token arrays, intersection via the
+    * codegen'd array_intersect — |cands| verify rows, never the
+    * exploded |cands|·doc-len form), so a `maxDocFreq`-capped index
+    * yields a self-consistent (signatures, verification, ground truth)
+    * triple and the raw text is never re-shingled.
     */
   /** `(id, band, sig)` band-bucket table from a `(id, shingle)` index —
     * the LSH index a production corpus PERSISTS (bands × corpus rows,
@@ -619,17 +619,25 @@ object Dedup {
                                verifyThreshold: Double,
                                maxBucket: Int = 200): DataFrame = {
     val cand = minhashLshCandidatesFromIndex(rawIdx, k, bands, maxBucket)
-    // verify candidates exactly from the index: shared-shingle count
-    // per pair via two hash joins keyed on id (the candidate set is
-    // tiny relative to the index), |A∪B| from per-doc distinct counts
+    // exact verify on candidates via per-doc 64-bit token ARRAYS and
+    // the codegen'd array_intersect (the d26 rework's lesson): the old
+    // exploded form joined each candidate against the full index,
+    // shuffling |cands| × avg-doc-len rows into a groupBy — on
+    // duplicate-heavy corpora where banding legitimately yields
+    // millions of candidates that is billions of rows. The array form
+    // joins |cands| rows against one per-doc array relation; same
+    // intersection counts (the index is per-doc distinct).
     val h = rawIdx.select(col("id"), xxhash64(col("shingle")).as("h"))
-    val docSz = h.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      .distinct()
+    val docArrays = h.groupBy("id").agg(collect_list(col("h")).as("hs"))
     cand
-      .join(h.toDF("id_a", "h"), "id_a")
-      .join(h.toDF("id_b", "h"), Seq("id_b", "h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-      .join(docSz.toDF("id_a", "sz_a"), "id_a")
-      .join(docSz.toDF("id_b", "sz_b"), "id_b")
+      .join(docArrays.toDF("id_a", "hs_a"), "id_a")
+      .join(docArrays.toDF("id_b", "hs_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b")))
+          .cast("long").as("n_common"),
+        size(col("hs_a")).cast("long").as("sz_a"),
+        size(col("hs_b")).cast("long").as("sz_b"))
       .withColumn("jaccard",
         col("n_common").cast("double")
           / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
