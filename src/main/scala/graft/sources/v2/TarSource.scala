@@ -103,15 +103,30 @@ case class TarShardPartition(file: String) extends InputPartition
 class TarScan(path: String, required: StructType,
               val pushed: Array[Filter],
               conf: org.apache.spark.util.SerializableConfiguration)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+  private lazy val shards: Seq[String] =
+    WarcSourceTable.listShards(path, conf.value, "graft-tar")
+  private lazy val totalBytes: Long = {
+    val c = conf.value
+    shards.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(c).getFileStatus(p).getLen
+    }.sum
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tar $path, columns=[${required.fieldNames.mkString(",")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    WarcSourceTable.listShards(path, conf.value, "graft-tar")
-      .map(TarShardPartition.apply).toArray[InputPartition]
+    shards.map(TarShardPartition.apply).toArray[InputPartition]
+  /** Shard bytes on disk (see [[WarcScan.estimateStatistics]]). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(totalBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new TarReaderFactory(required.fieldNames, pushed, conf)
 }

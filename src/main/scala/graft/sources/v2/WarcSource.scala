@@ -241,15 +241,37 @@ case class WarcShardPartition(file: String) extends InputPartition
 
 class WarcScan(path: String, gzipped: Option[Boolean],
                required: StructType, val pushed: Array[Filter],
-               conf: SerializableConfiguration) extends Scan with Batch {
+               conf: SerializableConfiguration)
+    extends Scan with Batch with SupportsReportStatistics {
+  // one driver-side listing feeds split planning AND statistics — at
+  // crawl scale a second namenode walk per query would be real money
+  private lazy val shards: Seq[String] =
+    WarcSourceTable.listShards(path, conf.value, "graft-warc")
+  private lazy val totalBytes: Long = {
+    val c = conf.value
+    shards.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(c).getFileStatus(p).getLen
+    }.sum
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-warc $path, columns=[${required.fieldNames.mkString(",")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    WarcSourceTable.listShards(path, conf.value, "graft-warc")
-      .map(WarcShardPartition.apply).toArray[InputPartition]
+    shards.map(WarcShardPartition.apply).toArray[InputPartition]
+  /** File bytes on disk — without this Catalyst assumes
+    * defaultSizeInBytes (effectively infinite) and a small manifest-
+    * sized archive can never be the broadcast side of a join. Row
+    * count stays unknown (records aren't walked at plan time).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(totalBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required.fieldNames, gzipped, pushed, conf)
 }

@@ -282,6 +282,38 @@ class WarcSourceSpec extends SparkSpec {
       .filter(col("ext") === "nope").count() == 0)
   }
 
+  test("connectors report file-size statistics; a small archive broadcasts") {
+    val f = new java.io.File(dir, "stats.warc")
+    Files.write(f.toPath, Warc.encodeFile(sampleRecords))
+    val df = PathTable.resolve(spark, f.getAbsolutePath)
+    // the scan surfaces its shard bytes to the optimizer (without this
+    // Catalyst assumes defaultSizeInBytes and never broadcasts)
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      BigInt(f.length()),
+      s"stats ${df.queryExecution.optimizedPlan.stats.sizeInBytes} != " +
+        s"file ${f.length()}")
+    val t = new java.io.File(dir, "stats.tar")
+    Files.write(t.toPath, graft.operators.Tar.encode(Seq(
+      ("a.txt", "x".getBytes(UTF_8)))))
+    val tdf = PathTable.resolve(spark, t.getAbsolutePath)
+    assert(tdf.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      BigInt(t.length()))
+    // a small archive under the broadcast threshold becomes the build
+    // side of a BroadcastHashJoin (AQE off so the decision is the
+    // logical-stats one being tested)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.range(10000)
+        .selectExpr("cast(id % 3 + 199 as long) as http_status")
+      val joined = big.join(df.select("http_status", "target_uri"),
+        Seq("http_status"))
+      val bhj = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, joined.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tar glob with no matches names the tar source in the error") {
     val e = intercept[Exception] {
       PathTable.resolve(spark, "/tmp/graft_no_such_dir/none*.tar").count()
