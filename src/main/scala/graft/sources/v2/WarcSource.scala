@@ -300,8 +300,15 @@ class WarcShardReader(file: String, fieldNames: Array[String],
                       conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
+  // block columns force the full walk whether they're PROJECTED or
+  // only REFERENCED by a pushed filter — Spark keeps residual-filter
+  // columns in the pruned schema so the two sets normally agree, but a
+  // direct-API caller could push an http_status predicate while
+  // pruning every block column, and evaluating it off the header-only
+  // walk would wrongly drop records
   private val needBlock =
-    fieldNames.exists(WarcSourceTable.blockFields.contains)
+    (fieldNames.iterator ++ pushed.iterator.flatMap(_.references))
+      .exists(WarcSourceTable.blockFields.contains)
   private val (headerFilters, httpFilters) =
     pushed.partition(WarcFilters.headerStage)
 
