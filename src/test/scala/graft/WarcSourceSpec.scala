@@ -324,6 +324,58 @@ class WarcSourceSpec extends SparkSpec {
     assert(msgs.contains("graft-tar"), s"expected graft-tar in: $msgs")
   }
 
+  test("pushdown property: random filters over a random archive equal " +
+      "the unfiltered read filtered in SQL") {
+    // one archive of randomized records: mixed types, some without an
+    // HTTP block, varied status codes and URI shapes
+    val rng = new scala.util.Random(20260816L)
+    val recs = (0 until 60).map { i =>
+      if (rng.nextInt(4) == 0)
+        Warc.encodeRecord(Seq(
+          "WARC-Type" -> "metadata", "WARC-Record-ID" -> s"<urn:uuid:m$i>",
+          "WARC-Date" -> f"2026-01-${i % 28 + 1}%02dT00:00:00Z",
+          "Content-Type" -> "application/warc-fields"),
+          s"note: $i\r\n".getBytes(UTF_8))
+      else
+        Warc.encodeRecord(Seq(
+          "WARC-Type" -> "response", "WARC-Record-ID" -> s"<urn:uuid:r$i>",
+          "WARC-Date" -> f"2026-01-${i % 28 + 1}%02dT00:00:00Z",
+          "WARC-Target-URI" -> s"http://h${i % 5}/p$i",
+          "Content-Type" -> "application/http;msgtype=response"),
+          (s"HTTP/1.1 ${Seq(200, 301, 404, 500)(i % 4)} X\r\n" +
+            s"Content-Type: text/${Seq("html", "plain")(i % 2)}\r\n\r\n" +
+            ("b" * (i % 37))).getBytes(UTF_8))
+    }
+    val f = new java.io.File(dir, "prop.warc")
+    Files.write(f.toPath, Warc.encodeFile(recs))
+    // SQL predicates spanning every pushable shape; each runs through
+    // the pushdown route and must equal the in-memory filter of the
+    // full unfiltered read
+    val full = PathTable.resolve(spark, f.getAbsolutePath).collect().toSeq
+    val fullDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(full),
+      graft.sources.v2.WarcSourceTable.schema)
+    val preds = Seq(
+      "warc_type = 'response'", "warc_type != 'response'",
+      "http_status = 200", "http_status > 300", "http_status <= 301",
+      "http_status IS NULL", "http_status IS NOT NULL",
+      "content_length > 20", "content_length < 5",
+      "target_uri LIKE 'http://h1%'", "target_uri LIKE '%p7%'",
+      "warc_type IN ('metadata', 'warcinfo')",
+      "http_status IN (200, 404)", "record_idx > 30",
+      "http_status = 200 AND content_length > 10",
+      "warc_date >= '2026-01-15'",
+      "http_content_type = 'text/html' AND http_status < 400")
+    preds.foreach { p =>
+      val pushed = PathTable.resolve(spark, f.getAbsolutePath)
+        .filter(p).collect().toSeq
+      val expected = fullDf.filter(p).collect().toSeq
+      assert(pushed.map(_.toString).sorted == expected.map(_.toString).sorted,
+        s"predicate [$p]: pushdown ${pushed.length} rows vs " +
+          s"reference ${expected.length}")
+    }
+  }
+
   test("corrupt archives fail loudly with the file path") {
     val f = new java.io.File(dir, "bad.warc")
     Files.write(f.toPath, "WARC/1.0\r\nbroken".getBytes(UTF_8))
