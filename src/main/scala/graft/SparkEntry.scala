@@ -5306,6 +5306,21 @@ object SparkEntry {
         queryName = "st20_stream_union_groupby")
     }),
 
+    // streaming DISTINCT on a union-typed column — with st20 (GROUP
+    // BY) and st21 (join) this closes every union-typed verb that
+    // keys streaming state: distinct() lowers to Deduplicate, the
+    // VariantGroupRule rewrite turns it into the json-keyed streaming
+    // aggregate, and the drained complete-mode set equals batch
+    // DISTINCT (the oracle)
+    "st22_stream_union_distinct" -> ((s, dir) => {
+      val ks = get_json_object(col("props"), "$.k").cast(LongType)
+        .cast(StringType)
+      val v = when(col("event_id") % 2 === 0, parse_json(ks))
+        .otherwise(parse_json(concat(lit("\""), ks, lit("\""))))
+      Streams.runStreamUnionDistinct(s, s"$dir/events.parquet", v,
+        queryName = "st22_stream_union_distinct")
+    }),
+
     // stream-stream interval join on a union-typed KEY (VERDICT r9
     // task 7 — st20 closed GROUP BY; this closes the join): the same
     // VARIANT construction as the join key (k typed Int on even
@@ -5871,6 +5886,18 @@ object SparkEntry {
         |  FROM events)
         |SELECT val_json, CAST(COUNT(*) AS BIGINT) AS n
         |FROM u GROUP BY 1""".stripMargin,
+
+    // streaming == batch DISTINCT over the union values (typed json
+    // is the value identity, NULL/variant-null one row)
+    "st22_stream_union_distinct" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN event_id % 2 = 0
+        |      THEN CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+        |           AS VARCHAR)
+        |      ELSE '"' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+        |           AS VARCHAR) || '"' END AS val_json
+        |  FROM events)
+        |SELECT DISTINCT val_json FROM u""".stripMargin,
 
     // streaming == batch on the union-typed JOIN key: equality is
     // (type id, value) — the CASE mirrors the typed-json key, NULLs

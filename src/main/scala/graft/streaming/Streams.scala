@@ -795,6 +795,30 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming DISTINCT on a union-typed column (the last union-typed
+    * verb that keys streaming state): Dataset.distinct() lowers to
+    * Deduplicate, which [[graft.plans.VariantGroupRule]] rewrites to
+    * the json-keyed Aggregate at resolution time — under the
+    * incremental planner that is a streaming aggregate whose state
+    * store keys on the type-qualified string, drained in complete
+    * mode. The drained set must equal batch DISTINCT (the oracle).
+    */
+  def runStreamUnionDistinct(spark: SparkSession, path: String,
+                             varExpr: Column,
+                             queryName: String = "graft_stream_union_distinct")
+      : DataFrame = {
+    val src = fileStream(spark, path).select(varExpr.as("v"))
+    val distinctV = src.distinct()
+      .select(to_json(col("v")).as("val_json"))
+    val q = withStatePartitions(spark)(distinctV.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming blocklist audit: the codegen'd Aho-Corasick kernel
     * ([[graft.plans.AhoCount]]) applied per micro-batch — stateless
     * per row, so the only streaming state is the per-key aggregate.
