@@ -49,6 +49,7 @@ object Engine {
     registerCapListener(spark)
     graft.plans.VecExpressions.register(spark)
     graft.plans.PolyHashExpr.register(spark)
+    graft.plans.UrlExprs.register(spark)
     graft.plans.CharEntropyExpr.register(spark)
     graft.plans.GraftSqlFunctions.register(spark)
     // dialect scalar functions with analysis-time type dispatch

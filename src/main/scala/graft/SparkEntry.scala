@@ -5306,6 +5306,37 @@ object SparkEntry {
         queryName = "st20_stream_union_groupby")
     }),
 
+    // URL canonicalization — the crawl-frontier dedup precursor (dedup
+    // keys on the CANONICAL url; per-domain quotas/robots key on the
+    // registrable domain). Constructed URLs exercise every normalizer:
+    // case-folding, default-port strip, dot-segment resolution,
+    // fragment drop, unreserved percent-decode (%7E→~), triplet
+    // uppercasing (%3f→%3F), non-default ports kept, IPv4 hosts,
+    // multi-label public suffixes, null-on-unparsable. The oracle
+    // replays the EXPECTED strings from construction arithmetic — two
+    // independent derivations of the same canonical form.
+    "p57_url_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast(LongType))
+      val k7 = (col("doc_id") % 7).cast(StringType)
+      val id = col("doc_id").cast(StringType)
+      val k250 = (col("doc_id") % 250).cast(StringType)
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTP://Host"), k7, lit(".Example.COM:80/a/./b/../p"),
+            id, lit("?x=1#frag")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://SUB.site"), k7, lit(".CO.UK:443/%7Euser/doc"),
+            id))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://192.168.0."), k250, lit("/p/%3fq")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("ftp://files.site"), id, lit(".org:2121/pub/../data/f"),
+            id))
+        .otherwise(concat(lit("not a url "), id))
+      d.withColumn("url", url)
+        .selectExpr("doc_id", "url_canonical(url) AS canonical",
+          "url_host(url) AS host", "url_domain(url) AS domain")
+    }),
+
     // streaming DISTINCT on a union-typed column — with st20 (GROUP
     // BY) and st21 (join) this closes every union-typed verb that
     // keys streaming state: distinct() lowers to Deduplicate, the
@@ -5886,6 +5917,34 @@ object SparkEntry {
         |  FROM events)
         |SELECT val_json, CAST(COUNT(*) AS BIGINT) AS n
         |FROM u GROUP BY 1""".stripMargin,
+
+    // the expected canonical/host/domain strings replayed from the
+    // construction arithmetic — no URL logic on the oracle side
+    "p57_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'http://host' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.com/a/p' || CAST(doc_id AS VARCHAR) || '?x=1'
+        |    WHEN 1 THEN 'https://sub.site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.co.uk/~user/doc' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'http://192.168.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || '/p/%3Fq'
+        |    WHEN 3 THEN 'ftp://files.site' || CAST(doc_id AS VARCHAR)
+        |      || '.org:2121/data/f' || CAST(doc_id AS VARCHAR)
+        |    ELSE NULL END AS canonical,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |    WHEN 1 THEN 'sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+        |    WHEN 2 THEN '192.168.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |    WHEN 3 THEN 'files.site' || CAST(doc_id AS VARCHAR) || '.org'
+        |    ELSE NULL END AS host,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+        |    WHEN 2 THEN '192.168.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |    WHEN 3 THEN 'site' || CAST(doc_id AS VARCHAR) || '.org'
+        |    ELSE NULL END AS domain
+        |FROM documents""".stripMargin,
 
     // streaming == batch DISTINCT over the union values (typed json
     // is the value identity, NULL/variant-null one row)
