@@ -5337,6 +5337,45 @@ object SparkEntry {
           "url_host(url) AS host", "url_domain(url) AS domain")
     }),
 
+    // domain-level link graph — the crawl-pipeline composite over the
+    // new URL kernel: extract hrefs from page HTML (regexp, codegen'd),
+    // resolve each against the page URL (url_resolve = RFC 3986 §5.2 —
+    // rooted, ../-relative, protocol-relative, absolute, query-only;
+    // mailto: drops as NULL), aggregate (source host → registrable
+    // destination domain) edges. One shuffle (the final groupBy) — at
+    // crawl scale the extract+resolve stage is a pure projection. The
+    // oracle replays every resolved URL from construction arithmetic;
+    // min(resolved) pins exact resolution strings per edge, not just
+    // counts.
+    "p58_link_graph" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast(LongType))
+      val id = col("doc_id").cast(StringType)
+      val j = (col("doc_id") % 3).cast(StringType)
+      val k7 = (col("doc_id") % 7).cast(StringType)
+      val m10 = (col("doc_id") % 10).cast(StringType)
+      val m5 = (col("doc_id") % 5).cast(StringType)
+      val m4 = (col("doc_id") % 4).cast(StringType)
+      val base = concat(lit("http://site"), k7, lit(".example.com/sec"),
+        j, lit("/page"), id, lit(".html"))
+      val html = concat(
+        lit("<p><a href=\"/cat/p"), id, lit("\">c</a>"),
+        lit("<a href=\"../up"), m10, lit("\">u</a>"),
+        lit("<a href=\"//cdn.asset"), m5, lit(".net/img\">i</a>"),
+        lit("<a href=\"https://Ext"), m4, lit(".ORG:443/ref#frag\">e</a>"),
+        lit("<a href=\"mailto:spam@x\">m</a>"),
+        lit("<a href=\"?v=2\">q</a></p>"))
+      d.withColumn("base", base).withColumn("html", html)
+        .select(col("base"), explode(expr(
+          "regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)")).as("href"))
+        .selectExpr("url_host(base) AS src_host",
+          "url_resolve(base, href) AS resolved")
+        .where(col("resolved").isNotNull)
+        .selectExpr("src_host", "url_domain(resolved) AS dst_domain",
+          "resolved")
+        .groupBy("src_host", "dst_domain")
+        .agg(count(lit(1)).as("n"), min(col("resolved")).as("first_url"))
+    }),
+
     // streaming DISTINCT on a union-typed column — with st20 (GROUP
     // BY) and st21 (join) this closes every union-typed verb that
     // keys streaming state: distinct() lowers to Deduplicate, the
@@ -5350,6 +5389,29 @@ object SparkEntry {
         .otherwise(parse_json(concat(lit("\""), ks, lit("\""))))
       Streams.runStreamUnionDistinct(s, s"$dir/events.parquet", v,
         queryName = "st22_stream_union_distinct")
+    }),
+
+    // streaming crawl-frontier dedup: three surface forms per canonical
+    // URL (uppercase host + default port / trailing fragment /
+    // unresolved dot-segments — which form a doc gets is doc_id % 3,
+    // INDEPENDENT of the canonical identity doc_id % 20 × doc_id % 50),
+    // canonicalized by the codegen'd expression inside the incremental
+    // planner; streaming state keys on the canonical string. Drained
+    // per-canonical discovery count + first discovering doc equal the
+    // batch replay.
+    "st23_stream_frontier_dedup" -> ((s, dir) => {
+      val k20 = (col("doc_id") % 20).cast(StringType)
+      val g50 = (col("doc_id") % 50).cast(StringType)
+      val id = col("doc_id").cast(StringType)
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://Site"), k20, lit(".Example.COM:80/p"), g50))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://site"), k20, lit(".example.com/p"), g50,
+            lit("#frag"), id))
+        .otherwise(
+          concat(lit("http://site"), k20, lit(".example.com/a/../p"), g50))
+      Streams.runStreamFrontierDedup(s, s"$dir/documents.parquet", url,
+        "doc_id", queryName = "st23_stream_frontier_dedup")
     }),
 
     // stream-stream interval join on a union-typed KEY (VERDICT r9
@@ -5946,6 +6008,40 @@ object SparkEntry {
         |    ELSE NULL END AS domain
         |FROM documents""".stripMargin,
 
+    // every resolved URL replayed from construction arithmetic (the
+    // mailto: link drops; the other five anchors each have a closed
+    // form), then the same (src_host, dst_domain) edge aggregation
+    "p58_link_graph" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |      AS src_host,
+        |    CAST(doc_id % 3 AS VARCHAR) AS j,
+        |    CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(doc_id % 10 AS VARCHAR) AS m10,
+        |    CAST(doc_id % 5 AS VARCHAR) AS m5,
+        |    CAST(doc_id % 4 AS VARCHAR) AS m4
+        |  FROM documents),
+        |l AS (
+        |  SELECT src_host, 'example.com' AS dst_domain,
+        |    'http://' || src_host || '/cat/p' || id AS resolved FROM b
+        |  UNION ALL
+        |  SELECT src_host, 'example.com',
+        |    'http://' || src_host || '/up' || m10 FROM b
+        |  UNION ALL
+        |  SELECT src_host, 'example.com',
+        |    'http://' || src_host || '/sec' || j || '/page' || id
+        |      || '.html?v=2' FROM b
+        |  UNION ALL
+        |  SELECT src_host, 'asset' || m5 || '.net',
+        |    'http://cdn.asset' || m5 || '.net/img' FROM b
+        |  UNION ALL
+        |  SELECT src_host, 'ext' || m4 || '.org',
+        |    'https://ext' || m4 || '.org/ref' FROM b)
+        |SELECT src_host, dst_domain, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(resolved) AS first_url
+        |FROM l GROUP BY 1, 2""".stripMargin,
+
     // streaming == batch DISTINCT over the union values (typed json
     // is the value identity, NULL/variant-null one row)
     "st22_stream_union_distinct" ->
@@ -5957,6 +6053,18 @@ object SparkEntry {
         |           AS VARCHAR) || '"' END AS val_json
         |  FROM events)
         |SELECT DISTINCT val_json FROM u""".stripMargin,
+
+    // streaming == batch frontier dedup: every surface form of a
+    // canonical URL collapses to one state key; the canonical string,
+    // discovery count and first doc all replay from construction
+    // arithmetic
+    "st23_stream_frontier_dedup" ->
+      """SELECT 'http://site' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '.example.com/p' || CAST(doc_id % 50 AS VARCHAR)
+        |    AS canonical,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // streaming == batch on the union-typed JOIN key: equality is
     // (type id, value) — the CASE mirrors the typed-json key, NULLs

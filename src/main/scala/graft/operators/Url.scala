@@ -196,6 +196,64 @@ object Url {
     }
   }
 
+  /** True when the reference starts with a scheme (RFC 3986 §4.1: a
+    * ':' inside the first segment, preceded by a valid scheme name).
+    */
+  private def hasScheme(ref: String): Boolean = {
+    val ci = ref.indexOf(':')
+    if (ci <= 0) false
+    else {
+      val stop = ref.indexWhere(c => c == '/' || c == '?' || c == '#')
+      if (stop >= 0 && stop < ci) false
+      else {
+        val s = ref.substring(0, ci)
+        s.charAt(0).isLetter && s.forall(c =>
+          c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+      }
+    }
+  }
+
+  /** RFC 3986 §5.2 reference resolution against an absolute base, then
+    * canonicalization — the href→frontier step of a crawl pipeline.
+    * Absolute references resolve on their own; protocol-relative
+    * (`//host/p`) take the base scheme; rooted, relative, query-only
+    * and fragment-only references merge per §5.2.2/§5.2.3. Yields None
+    * when the base is unparsable or the reference is a non-hierarchical
+    * URI (`mailto:`, `javascript:`, `tel:` — no `://`), which the
+    * expression surfaces as NULL so crawl filters drop them.
+    */
+  def resolve(base: String, ref0: String): Option[String] = {
+    val ref = ref0.trim
+    if (hasScheme(ref)) return canonicalize(ref)
+    parse(base.trim).flatMap { b =>
+      if (ref.startsWith("//")) canonicalize(b.scheme + ":" + ref)
+      else {
+        val hi = ref.indexOf('#')
+        val pq = if (hi < 0) ref else ref.substring(0, hi)
+        val qi = pq.indexOf('?')
+        val refPath = if (qi < 0) pq else pq.substring(0, qi)
+        val refQuery = if (qi < 0) "" else pq.substring(qi + 1)
+        val (path, query) =
+          if (refPath.isEmpty && qi < 0) (b.path, b.query)
+          else if (refPath.isEmpty) (b.path, refQuery)
+          else if (refPath.charAt(0) == '/') (refPath, refQuery)
+          else {
+            val merged =
+              if (b.path.isEmpty) "/" + refPath
+              else b.path.substring(0, b.path.lastIndexOf('/') + 1) + refPath
+            (merged, refQuery)
+          }
+        val sb = new StringBuilder(b.scheme).append("://")
+        if (b.userinfo.nonEmpty) sb.append(b.userinfo).append('@')
+        sb.append(b.host)
+        if (b.port >= 0) sb.append(':').append(b.port)
+        sb.append(path)
+        if (query.nonEmpty) sb.append('?').append(query)
+        canonicalize(sb.toString)
+      }
+    }
+  }
+
   // ---- UTF8String entry points for the codegen'd expressions ----
 
   def canonicalUtf8(u: UTF8String): UTF8String =
@@ -206,4 +264,7 @@ object Url {
 
   def domainUtf8(u: UTF8String): UTF8String =
     registrableDomain(u.toString).map(UTF8String.fromString).orNull
+
+  def resolveUtf8(base: UTF8String, ref: UTF8String): UTF8String =
+    resolve(base.toString, ref.toString).map(UTF8String.fromString).orNull
 }

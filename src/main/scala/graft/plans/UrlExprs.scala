@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -62,6 +62,35 @@ case class UrlDomain(child: Expression) extends UrlExpr {
     copy(child = newChild)
 }
 
+/** RFC 3986 §5.2 reference resolution: `url_resolve(base, ref)` — the
+  * href→frontier step (resolve each extracted link against the page
+  * URL, canonicalized). NULL when the base is unparsable or the ref is
+  * a non-hierarchical URI (mailto:, javascript: …).
+  */
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"url_resolve expects two string columns, got ($l, $r)")
+    }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    graft.operators.Url.resolveUtf8(
+      base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) => s"""
+      |${ev.value} = graft.operators.Url.resolveUtf8($b, $r);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+    """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolve =
+    copy(left = newLeft, right = newRight)
+}
+
 object UrlExprs {
   private def one(name: String, mk: Expression => Expression)
                  (exprs: Seq[Expression]): Expression = {
@@ -77,5 +106,11 @@ object UrlExprs {
       one("url_host", UrlHost.apply), "built-in")
     reg.createOrReplaceTempFunction("url_domain",
       one("url_domain", UrlDomain.apply), "built-in")
+    reg.createOrReplaceTempFunction("url_resolve",
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"url_resolve expects exactly two arguments, got ${exprs.length}")
+        UrlResolve(exprs(0), exprs(1))
+      }, "built-in")
   }
 }

@@ -819,6 +819,36 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming crawl-frontier dedup: every discovered URL surface form
+    * (case variants, fragments, unresolved dot-segments, default
+    * ports) is canonicalized by the codegen'd
+    * [[graft.plans.UrlCanonical]] INSIDE the incremental planner, and
+    * streaming state keys on the canonical string — the reference
+    * frontier semantics (a URL already fetched under another surface
+    * form is not fetched again). Unparsable URLs drop as NULL before
+    * state. The complete-mode drain carries the per-canonical
+    * discovery count and the first (min) discovering doc — both
+    * batch-replayable, which is what the oracle does.
+    */
+  def runStreamFrontierDedup(spark: SparkSession, path: String,
+                             urlExpr: Column, idCol: String,
+                             queryName: String = "graft_stream_frontier")
+      : DataFrame = {
+    val agg = fileStream(spark, path)
+      .select(urlExpr.as("url"), col(idCol).cast("long").as("id"))
+      .selectExpr("url_canonical(url) AS canonical", "id")
+      .where(col("canonical").isNotNull)
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
+    val q = withStatePartitions(spark)(agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming blocklist audit: the codegen'd Aho-Corasick kernel
     * ([[graft.plans.AhoCount]]) applied per micro-batch — stateless
     * per row, so the only streaming state is the per-key aggregate.

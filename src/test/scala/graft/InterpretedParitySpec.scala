@@ -28,7 +28,8 @@ class InterpretedParitySpec extends SparkSpec {
     "d16_cdc_dedup", "d23_winnowing", "d9_substring_dup", "d4_simhash",
     "d3_minhash_lsh", "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf",
     "s4_kmeans", "s6_random_projection", "p51_jaro_linkage",
-    "t32_blocklist", "t34_normalization", "p57_url_canonical")
+    "t32_blocklist", "t34_normalization", "p57_url_canonical",
+    "p58_link_graph")
 
   /** Engine-ordering-free fingerprint of a result: JSON rows, sorted. */
   private def snapshot(name: String): Seq[String] =

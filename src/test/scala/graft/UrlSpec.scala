@@ -49,6 +49,52 @@ class UrlSpec extends SparkSpec {
     assert(Url.registrableDomain("http://[::1]/").contains("[::1]"))
   }
 
+  test("resolve: RFC 3986 §5.4 normal examples") {
+    val base = "http://a/b/c/d;p?q"
+    def r(ref: String) = Url.resolve(base, ref)
+    assert(r("g").contains("http://a/b/c/g"))
+    assert(r("./g").contains("http://a/b/c/g"))
+    assert(r("g/").contains("http://a/b/c/g/"))
+    assert(r("/g").contains("http://a/g"))
+    // RFC says "http://g"; we additionally apply the §6.2.3 empty-path
+    // normalization the canonicalizer always does
+    assert(r("//g").contains("http://g/"))
+    assert(r("?y").contains("http://a/b/c/d;p?y"))
+    assert(r("g?y").contains("http://a/b/c/g?y"))
+    assert(r("#s").contains("http://a/b/c/d;p?q")) // fragment dropped
+    assert(r(";x").contains("http://a/b/c/;x"))
+    assert(r("").contains("http://a/b/c/d;p?q"))
+    assert(r(".").contains("http://a/b/c/"))
+    assert(r("..").contains("http://a/b/"))
+    assert(r("../g").contains("http://a/b/g"))
+    assert(r("../..").contains("http://a/"))
+    assert(r("../../g").contains("http://a/g"))
+  }
+
+  test("resolve: RFC 3986 §5.4 abnormal examples + non-hierarchical") {
+    val base = "http://a/b/c/d;p?q"
+    def r(ref: String) = Url.resolve(base, ref)
+    assert(r("../../../g").contains("http://a/g"))
+    assert(r("../../../../g").contains("http://a/g"))
+    assert(r("/./g").contains("http://a/g"))
+    assert(r("/../g").contains("http://a/g"))
+    assert(r("g.").contains("http://a/b/c/g."))
+    assert(r(".g").contains("http://a/b/c/.g"))
+    assert(r("g..").contains("http://a/b/c/g.."))
+    assert(r("..g").contains("http://a/b/c/..g"))
+    assert(r("./../g").contains("http://a/b/g"))
+    assert(r("g;x=1/./y").contains("http://a/b/c/g;x=1/y"))
+    assert(r("g?y/./x").contains("http://a/b/c/g?y/./x"))
+    // non-hierarchical URIs → None (null-on-fail; crawl filters drop)
+    assert(r("g:h").isEmpty)
+    assert(r("mailto:x@y.com").isEmpty)
+    assert(r("javascript:void(0)").isEmpty)
+    // absolute hierarchical ref resolves on its own, canonicalized
+    assert(r("HTTPS://X.Org:443/p/../q#f").contains("https://x.org/q"))
+    // unparsable base → None even for a resolvable-looking ref
+    assert(Url.resolve("not a url", "/g").isEmpty)
+  }
+
   test("SQL surface: url_canonical/url_host/url_domain registered") {
     import spark.implicits._
     val got = Seq("HTTP://A.Example.COM:80/x/../y#f", "nope")
@@ -59,5 +105,19 @@ class UrlSpec extends SparkSpec {
     assert(got(0).getString(1) == "a.example.com")
     assert(got(0).getString(2) == "example.com")
     assert(got(1).isNullAt(0) && got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
+
+  test("SQL surface: url_resolve registered, null-strict") {
+    import spark.implicits._
+    val got = Seq(
+      ("http://a/b/c/d", "../g"),
+      ("http://a/b/c/d", "mailto:x"),
+      ("bad base", "/g"))
+      .toDF("base", "ref")
+      .selectExpr("url_resolve(base, ref) AS r")
+      .collect()
+    assert(got(0).getString(0) == "http://a/b/g")
+    assert(got(1).isNullAt(0))
+    assert(got(2).isNullAt(0))
   }
 }
