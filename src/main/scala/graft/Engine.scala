@@ -50,6 +50,7 @@ object Engine {
     graft.plans.VecExpressions.register(spark)
     graft.plans.PolyHashExpr.register(spark)
     graft.plans.UrlExprs.register(spark)
+    graft.plans.SpoofExprs.register(spark)
     graft.plans.CharEntropyExpr.register(spark)
     graft.plans.GraftSqlFunctions.register(spark)
     // dialect scalar functions with analysis-time type dispatch

@@ -5376,6 +5376,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("resolved")).as("first_url"))
     }),
 
+    // Unicode spoof audit (UTS #39-style): homoglyph skeleton
+    // (Cyrillic а in "pаypal" → "paypal"), mixed-script token count
+    // (the Latin+Cyrillic token flags, the all-Greek ΒΑΝΚ token does
+    // NOT — single-script is legitimate), invisible-character count
+    // (ZWSP counted before NFKC strips context). Construction
+    // arithmetic picks one of four shapes per doc; the oracle replays
+    // expected skeletons/counts with zero Unicode logic.
+    "t35_spoof_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast(LongType))
+      val id = col("doc_id").cast(StringType)
+      val text = when(col("doc_id") % 4 === 0,
+          concat(lit("pаypal account "), id))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("fre​e gift "), id))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("ΒΑΝΚ alert "), id))
+        .otherwise(concat(lit("plain text "), id))
+      d.withColumn("text", text)
+        .selectExpr("doc_id", "spoof_skeleton(text) AS skeleton",
+          "mixed_script_tokens(text) AS n_mixed",
+          "invisible_count(text) AS n_invisible")
+    }),
+
+    // homoglyph dedup: the skeleton as the dedup KEY — three surface
+    // variants per payload group (Cyrillic о in "cоde" / ZWSP inside
+    // "code" / clean), collapsed by grouping on spoof_skeleton; the
+    // spoofed-variant count comes from the audit expressions (mixed +
+    // invisible > 0), NOT from the grouping arithmetic — two
+    // independent derivations the oracle cross-checks.
+    "d27_homoglyph_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").cast(LongType))
+      val g = (col("doc_id") % 97).cast(StringType)
+      val text = when(col("doc_id") % 3 === 0,
+          concat(lit("offer cоde "), g))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("offer co​de "), g))
+        .otherwise(concat(lit("offer code "), g))
+      d.withColumn("text", text)
+        .selectExpr("doc_id", "spoof_skeleton(text) AS skeleton",
+          "mixed_script_tokens(text) + invisible_count(text) AS spoofy")
+        .groupBy("skeleton")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          sum(when(col("spoofy") > 0, 1L).otherwise(0L)).as("n_spoofed"))
+    }),
+
     // streaming DISTINCT on a union-typed column — with st20 (GROUP
     // BY) and st21 (join) this closes every union-typed verb that
     // keys streaming state: distinct() lowers to Deduplicate, the
@@ -6041,6 +6087,31 @@ object SparkEntry {
         |SELECT src_host, dst_domain, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(resolved) AS first_url
         |FROM l GROUP BY 1, 2""".stripMargin,
+
+    // expected skeletons and counts replayed from construction
+    // arithmetic — zero Unicode logic on the oracle side
+    "t35_spoof_audit" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'paypal account ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'free gift ' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'BANK alert ' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'plain text ' || CAST(doc_id AS VARCHAR) END AS skeleton,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_mixed,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_invisible
+        |FROM documents""".stripMargin,
+
+    // the homoglyph groups replayed from the construction identity
+    // (doc_id % 97); spoofed-variant membership is doc_id % 3 < 2
+    "d27_homoglyph_dedup" ->
+      """SELECT 'offer code ' || CAST(doc_id % 97 AS VARCHAR) AS skeleton,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(SUM(CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spoofed
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // streaming == batch DISTINCT over the union values (typed json
     // is the value identity, NULL/variant-null one row)

@@ -29,7 +29,7 @@ class InterpretedParitySpec extends SparkSpec {
     "d3_minhash_lsh", "s1_ann_topk", "s2_ann_lsh", "s3_ann_ivf",
     "s4_kmeans", "s6_random_projection", "p51_jaro_linkage",
     "t32_blocklist", "t34_normalization", "p57_url_canonical",
-    "p58_link_graph")
+    "p58_link_graph", "t35_spoof_audit", "d27_homoglyph_dedup")
 
   /** Engine-ordering-free fingerprint of a result: JSON rows, sorted. */
   private def snapshot(name: String): Seq[String] =
