@@ -1346,7 +1346,10 @@ object SparkEntry {
       val rawIdx = Dedup.capDocFreq(
         Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          // partitioned by the cap/join key, then eagerly
+          // checkpointed (r10): see Dedup.hashedShingleIndex
+          .repartition(col("shingle"))
+          .localCheckpoint(true),
         Some(50))
       // UNVERIFIED candidates are enough for recall-vs-exact: the
       // verified set is cand ∩ {jaccard≥0.8} and exact IS
@@ -1358,6 +1361,10 @@ object SparkEntry {
       val exact = Dedup.ngramJaccardPairsFromIndex(
         rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
         threshold = 0.8).select("id_a", "id_b")
+        // referenced twice below (n_exact + the semi-join probe):
+        // checkpoint the small pair list so the exact pipeline — the
+        // expensive half of this query — runs once (r10)
+        .localCheckpoint(true)
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -3209,7 +3216,10 @@ object SparkEntry {
       val rawIdx = Dedup.capDocFreq(
         Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          // partitioned by the cap/join key, then eagerly
+          // checkpointed (r10): see Dedup.hashedShingleIndex
+          .repartition(col("shingle"))
+          .localCheckpoint(true),
         Some(50))
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
       graft.sources.Sink.writeBucketed(banded.filter(!(col("id") % 10 === 0)),
@@ -3234,10 +3244,13 @@ object SparkEntry {
       val rawIdx = Dedup.capDocFreq(
         Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          // partitioned by the cap/join key, then eagerly
+          // checkpointed (r10): see Dedup.hashedShingleIndex
+          .repartition(col("shingle"))
+          .localCheckpoint(true),
         Some(50))
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager (r10): index write + probe + caps share it
       val isBatch = col("id") % 10 === 0
       // ingest wrote the bucketed index (d19_index_build runs first in
       // Bench/Verify name order); build it here only if probed
@@ -3267,6 +3280,9 @@ object SparkEntry {
           threshold = 0.8)
         .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
         .select("id_a", "id_b")
+        // referenced twice (count + semi-join probe): checkpoint the
+        // small pair list so the exact pipeline runs once (r10)
+        .localCheckpoint(true)
       val found = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
