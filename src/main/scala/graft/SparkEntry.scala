@@ -1846,7 +1846,7 @@ object SparkEntry {
       // without it the n²/B join runs twice.
       val exact = Similarity.cosinePairs(emb, 0.45, blocks = 2)
         .select("id_a", "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -2176,7 +2176,10 @@ object SparkEntry {
           col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
-        .persist()
+        // eager checkpoint (r10): the wait-filter join and the
+        // late-count aggregate otherwise race the cold cache and each
+        // re-runs the lineitem~orders join (see Dedup.hashedShingleIndex)
+        .localCheckpoint(true)
       val nsup = l.groupBy(col("l_orderkey").as("ok"))
         .agg(countDistinct("l_suppkey").as("nsup"))
       val nlate = late.groupBy("ok").agg(count(lit(1)).as("nlate"))
@@ -2203,10 +2206,10 @@ object SparkEntry {
             * (lit(1).cast(DecimalType(3, 2))
               - col("l_discount").cast(DecimalType(4, 2))))
           .as("rev"))
-        // |suppliers|-sized; persisted so the max doesn't re-run the
-        // quarter's lineitem scan+aggregate (released by
-        // Engine.releaseCaches after each harness query — see q98)
-        .persist()
+        // |suppliers|-sized; eagerly checkpointed (r10) so the max
+        // scalar subquery and the equality join share one
+        // materialization of the quarter's lineitem scan+aggregate
+        .localCheckpoint(true)
       val mx = rev.agg(max("rev").as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("rev") === col("mx"))
@@ -5120,11 +5123,10 @@ object SparkEntry {
             (id, Multimodal.aHash64(Multimodal.encodeStripePng(id)).get)
           }
         }.toDF("doc_id", "phash")
-        // two consumers below; without this the codec pass runs twice.
-        // Like the d3/d6/d19 persists, reclaimed by the harness's
-        // per-query clearCache (queries are lazy builders, so an
-        // in-query unpersist would fire before the consumer runs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // two consumers below; eagerly checkpointed (r10) so the
+        // codec pass runs exactly once even with concurrent consumers
+        // (see Dedup.hashedShingleIndex)
+        .localCheckpoint(true)
       val clusters = hashed.groupBy("phash")
         .agg(min("doc_id").as("cluster_id"),
           count(lit(1)).as("cluster_size"))

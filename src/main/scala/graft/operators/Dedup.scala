@@ -515,7 +515,9 @@ object Dedup {
         length(col(textCol)).cast(LongType).as("len"),
         explode(shinglesOf(col(textCol), n, tokens)).as("shingle"))
       .select(col("id"), col("len"), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // key-partitioned eager checkpoint (r10): see hashedShingleIndex
+      .repartition(col("shingle"))
+      .localCheckpoint(true)
     val capped = capDocFreq(idx, maxDocFreq)
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = capped.toDF("id_a", "len_a", "shingle")
@@ -1081,7 +1083,11 @@ object Dedup {
     val assign = Clustering.kmeans(emb, k, iters, idCol, vecCol)
     val side = emb.join(assign, idCol)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // key-partitioned eager checkpoint (r10): both self-join sides
+      // key on cluster, so one shuffle here replaces both join-side
+      // exchanges and the cold-cache race (see hashedShingleIndex)
+      .repartition(col("cluster"))
+      .localCheckpoint(true)
     side.toDF("cluster", "id_a", "va")
       .join(side.toDF("cluster", "id_b", "vb"), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
