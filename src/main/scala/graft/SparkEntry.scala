@@ -22,6 +22,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  /** Expand-only fan-out for CPU-bound per-row stages (r10, guide §2.5
+    * input-skew / §2.6 idle capacity): the test tables are single-file,
+    * single-row-group parquet, so a scan is ONE task and a heavy
+    * projection (codec round-trips, cue parsing) serializes on one
+    * core. Repartition up to the session's parallelism ONLY when the
+    * input has fewer partitions — at production scale the scan already
+    * has more partitions than cores and this is a no-op (never a
+    * contraction). The shuffled payload is the scan projection (ids +
+    * text), not derived media bytes.
+    */
+  private def fan(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
+
   /** d19's stored band-index table, one per sf-dir — the name carries
     * the dir so a session that touches several scale factors can never
     * probe a stale index built from another one.
@@ -1344,12 +1359,9 @@ object SparkEntry {
       // one shingle explode feeds BOTH the LSH path and the exact
       // ground truth — built once, persisted, shared
       val rawIdx = Dedup.capDocFreq(
-        Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
+        Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          // partitioned by the cap/join key, then eagerly
-          // checkpointed (r10): see Dedup.hashedShingleIndex
-          .repartition(col("shingle"))
-          .localCheckpoint(true),
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         Some(50))
       // UNVERIFIED candidates are enough for recall-vs-exact: the
       // verified set is cand ∩ {jaccard≥0.8} and exact IS
@@ -1361,10 +1373,6 @@ object SparkEntry {
       val exact = Dedup.ngramJaccardPairsFromIndex(
         rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
         threshold = 0.8).select("id_a", "id_b")
-        // referenced twice below (n_exact + the semi-join probe):
-        // checkpoint the small pair list so the exact pipeline — the
-        // expensive half of this query — runs once (r10)
-        .localCheckpoint(true)
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -1846,7 +1854,7 @@ object SparkEntry {
       // without it the n²/B join runs twice.
       val exact = Similarity.cosinePairs(emb, 0.45, blocks = 2)
         .select("id_a", "id_b")
-        .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -2176,10 +2184,7 @@ object SparkEntry {
           col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
-        // eager checkpoint (r10): the wait-filter join and the
-        // late-count aggregate otherwise race the cold cache and each
-        // re-runs the lineitem~orders join (see Dedup.hashedShingleIndex)
-        .localCheckpoint(true)
+        .persist()
       val nsup = l.groupBy(col("l_orderkey").as("ok"))
         .agg(countDistinct("l_suppkey").as("nsup"))
       val nlate = late.groupBy("ok").agg(count(lit(1)).as("nlate"))
@@ -2206,10 +2211,10 @@ object SparkEntry {
             * (lit(1).cast(DecimalType(3, 2))
               - col("l_discount").cast(DecimalType(4, 2))))
           .as("rev"))
-        // |suppliers|-sized; eagerly checkpointed (r10) so the max
-        // scalar subquery and the equality join share one
-        // materialization of the quarter's lineitem scan+aggregate
-        .localCheckpoint(true)
+        // |suppliers|-sized; persisted so the max doesn't re-run the
+        // quarter's lineitem scan+aggregate (released by
+        // Engine.releaseCaches after each harness query — see q98)
+        .persist()
       val mx = rev.agg(max("rev").as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("rev") === col("mx"))
@@ -3217,12 +3222,9 @@ object SparkEntry {
     "d19_index_build" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val rawIdx = Dedup.capDocFreq(
-        Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
+        Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          // partitioned by the cap/join key, then eagerly
-          // checkpointed (r10): see Dedup.hashedShingleIndex
-          .repartition(col("shingle"))
-          .localCheckpoint(true),
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         Some(50))
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
       graft.sources.Sink.writeBucketed(banded.filter(!(col("id") % 10 === 0)),
@@ -3245,15 +3247,12 @@ object SparkEntry {
     "d19_index_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val rawIdx = Dedup.capDocFreq(
-        Dedup.shingleIndex(docs, "doc_id", "text", n = 3,
+        Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          // partitioned by the cap/join key, then eagerly
-          // checkpointed (r10): see Dedup.hashedShingleIndex
-          .repartition(col("shingle"))
-          .localCheckpoint(true),
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         Some(50))
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
-        .localCheckpoint(true) // eager (r10): index write + probe + caps share it
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val isBatch = col("id") % 10 === 0
       // ingest wrote the bucketed index (d19_index_build runs first in
       // Bench/Verify name order); build it here only if probed
@@ -3283,9 +3282,6 @@ object SparkEntry {
           threshold = 0.8)
         .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
         .select("id_a", "id_b")
-        // referenced twice (count + semi-join probe): checkpoint the
-        // small pair list so the exact pipeline runs once (r10)
-        .localCheckpoint(true)
       val found = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -4182,7 +4178,8 @@ object SparkEntry {
     // regression (dims, color model, scaler) breaks the hash.
     "m4_media_decode" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+      fan(t(s, dir, "documents").select(col("doc_id").cast(LongType)))
+        .as[Long]
         .mapPartitions { it =>
           it.map { id =>
             val w = (id % 64 + 16).toInt
@@ -4600,7 +4597,7 @@ object SparkEntry {
       })
       val vtt = concat(lit("WEBVTT - doc "), ids, lit("\n\n"),
         array_join(cueArr, "\n\n"))
-      t(s, dir, "documents")
+      fan(t(s, dir, "documents"))
         .select(id.as("doc_id"), Subtitles.parseCues(vtt).as("cues"))
         .select(col("doc_id"),
           size(col("cues")).cast(LongType).as("n_cues"),
@@ -5116,17 +5113,18 @@ object SparkEntry {
     // pass per image, one hash aggregate — no pairwise anything
     "m5_image_dedup" -> ((s, dir) => {
       import s.implicits._
-      val hashed = t(s, dir, "documents")
-        .select(col("doc_id").cast(LongType)).as[Long]
+      val hashed = fan(t(s, dir, "documents")
+          .select(col("doc_id").cast(LongType))).as[Long]
         .mapPartitions { it =>
           it.map { id =>
             (id, Multimodal.aHash64(Multimodal.encodeStripePng(id)).get)
           }
         }.toDF("doc_id", "phash")
-        // two consumers below; eagerly checkpointed (r10) so the
-        // codec pass runs exactly once even with concurrent consumers
-        // (see Dedup.hashedShingleIndex)
-        .localCheckpoint(true)
+        // two consumers below; without this the codec pass runs twice.
+        // Like the d3/d6/d19 persists, reclaimed by the harness's
+        // per-query clearCache (queries are lazy builders, so an
+        // in-query unpersist would fire before the consumer runs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clusters = hashed.groupBy("phash")
         .agg(min("doc_id").as("cluster_id"),
           count(lit(1)).as("cluster_size"))

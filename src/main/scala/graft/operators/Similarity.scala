@@ -311,13 +311,7 @@ object Similarity {
       .select(col("id"),
         posexplode(lshBucketsAll(col("v"), dim, bits, tables))
           .as(Seq("tbl", "bucket")))
-      // key-partitioned eager checkpoint (r10): the bucket-size
-      // aggregate and both self-join sides key on (tbl, bucket) — one
-      // shuffle replaces three, and the eager materialization stops
-      // concurrent consumers racing a cold cache (see
-      // Dedup.hashedShingleIndex)
-      .repartition(col("tbl"), col("bucket"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = bucketed.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("m"))
       .filter(col("m") <= maxBucket).select("tbl", "bucket")
@@ -396,6 +390,30 @@ object Similarity {
     * Returns `(idCol, codes array<int>, err double)` where `err` is the
     * squared reconstruction error of the row under its chosen codes.
     */
+  /** Train the `m` per-subspace PQ codebooks CONCURRENTLY (guide §2.6):
+    * each subspace's Lloyd loop is a chain of small driver-coordinated
+    * jobs, so running the m independent chains from a thread pool lets
+    * one chain's tasks fill the cluster while another waits on its
+    * collect round-trip. Each subspace's result is bit-identical to the
+    * sequential form (deterministic smallest-id seeding, independent
+    * inputs); only wall-clock changes.
+    */
+  private def trainSubspaces(trainOn: DataFrame, m: Int, sub: Int,
+                             k: Int, iters: Int, idCol: String,
+                             vecCol: String): Array[Array[Array[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Await.result(
+      Future.sequence((0 until m).toVector.map { j => Future {
+        Clustering.kmeansCentroids(
+          trainOn.select(col(idCol),
+            slice(col(vecCol), j * sub + 1, sub).as("sv")),
+          k, iters, idCol, "sv")
+      }}), Duration.Inf).toArray
+  }
+
   def productQuantize(emb: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
@@ -403,11 +421,12 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val trainOn = trainDf.getOrElse(emb)
-    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
-      Clustering.kmeansCentroids(
-        trainOn.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("sv")),
-        k, iters, idCol, "sv")
-    }
+    // m independent Lloyd loops: submit them from driver threads so
+    // each loop's small jobs back-fill the others' scheduling gaps
+    // (guide §2.6 overlap-independent-jobs) — results are per-subspace
+    // deterministic, identical to the sequential order
+    val books: Array[Array[Array[Double]]] = trainSubspaces(
+      trainOn, m, sub, k, iters, idCol, vecCol)
     def nearest(vec: Column, cells: Array[Array[Double]]): Column =
       org.apache.spark.sql.GraftSqlBridge.column(graft.plans.VecNearestCell(
         org.apache.spark.sql.GraftSqlBridge.expression(vec), cells))
@@ -482,11 +501,9 @@ object Similarity {
     // cost sampled-training contract as productQuantize) — only the
     // zero-shuffle encode pass below ever touches the full corpus
     val trainOn = trainDf.getOrElse(corpus)
-    val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
-      Clustering.kmeansCentroids(
-        trainOn.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("sv")),
-        codes, iters, idCol, "sv")
-    }
+    // concurrent per-subspace training (guide §2.6): see productQuantize
+    val books: Array[Array[Array[Double]]] = trainSubspaces(
+      trainOn, m, sub, codes, iters, idCol, vecCol)
     def qsub(v: Column, j: Int): Column =
       transform(slice(v, j * sub + 1, sub), x => x.cast("double"))
     // corpus: cell + m code columns + reconstructed norm (per-code
