@@ -1361,7 +1361,10 @@ object SparkEntry {
       val rawIdx = Dedup.capDocFreq(
         Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          // partitioned by the cap/join key, then eagerly
+          // checkpointed (r10): see Dedup.hashedShingleIndex
+          .repartition(col("shingle"))
+          .localCheckpoint(true),
         Some(50))
       // UNVERIFIED candidates are enough for recall-vs-exact: the
       // verified set is cand ∩ {jaccard≥0.8} and exact IS
@@ -1373,6 +1376,10 @@ object SparkEntry {
       val exact = Dedup.ngramJaccardPairsFromIndex(
         rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
         threshold = 0.8).select("id_a", "id_b")
+        // referenced twice below (n_exact + the semi-join probe):
+        // checkpoint the small pair list so the exact pipeline — the
+        // expensive half of this query — runs once (r10)
+        .localCheckpoint(true)
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -1854,7 +1861,7 @@ object SparkEntry {
       // without it the n²/B join runs twice.
       val exact = Similarity.cosinePairs(emb, 0.45, blocks = 2)
         .select("id_a", "id_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -2184,7 +2191,10 @@ object SparkEntry {
           col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
-        .persist()
+        // eager checkpoint (r10): the wait-filter join and the
+        // late-count aggregate otherwise race the cold cache and each
+        // re-runs the lineitem~orders join (see Dedup.hashedShingleIndex)
+        .localCheckpoint(true)
       val nsup = l.groupBy(col("l_orderkey").as("ok"))
         .agg(countDistinct("l_suppkey").as("nsup"))
       val nlate = late.groupBy("ok").agg(count(lit(1)).as("nlate"))
@@ -2211,10 +2221,10 @@ object SparkEntry {
             * (lit(1).cast(DecimalType(3, 2))
               - col("l_discount").cast(DecimalType(4, 2))))
           .as("rev"))
-        // |suppliers|-sized; persisted so the max doesn't re-run the
-        // quarter's lineitem scan+aggregate (released by
-        // Engine.releaseCaches after each harness query — see q98)
-        .persist()
+        // |suppliers|-sized; eagerly checkpointed (r10) so the max
+        // scalar subquery and the equality join share one
+        // materialization of the quarter's lineitem scan+aggregate
+        .localCheckpoint(true)
       val mx = rev.agg(max("rev").as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("rev") === col("mx"))
@@ -3224,7 +3234,10 @@ object SparkEntry {
       val rawIdx = Dedup.capDocFreq(
         Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          // partitioned by the cap/join key, then eagerly
+          // checkpointed (r10): see Dedup.hashedShingleIndex
+          .repartition(col("shingle"))
+          .localCheckpoint(true),
         Some(50))
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
       graft.sources.Sink.writeBucketed(banded.filter(!(col("id") % 10 === 0)),
@@ -3249,10 +3262,13 @@ object SparkEntry {
       val rawIdx = Dedup.capDocFreq(
         Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
             maxDocFreq = None, tokens = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          // partitioned by the cap/join key, then eagerly
+          // checkpointed (r10): see Dedup.hashedShingleIndex
+          .repartition(col("shingle"))
+          .localCheckpoint(true),
         Some(50))
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager (r10): index write + probe + caps share it
       val isBatch = col("id") % 10 === 0
       // ingest wrote the bucketed index (d19_index_build runs first in
       // Bench/Verify name order); build it here only if probed
@@ -3282,6 +3298,9 @@ object SparkEntry {
           threshold = 0.8)
         .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
         .select("id_a", "id_b")
+        // referenced twice (count + semi-join probe): checkpoint the
+        // small pair list so the exact pipeline runs once (r10)
+        .localCheckpoint(true)
       val found = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -4226,7 +4245,8 @@ object SparkEntry {
     // the binary-column audit that must never inflate image data
     "m7_png_header" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+      fan(t(s, dir, "documents").select(col("doc_id").cast(LongType)))
+        .as[Long]
         .mapPartitions { it =>
           it.map { id =>
             val w = (id % 64 + 16).toInt
@@ -5120,11 +5140,10 @@ object SparkEntry {
             (id, Multimodal.aHash64(Multimodal.encodeStripePng(id)).get)
           }
         }.toDF("doc_id", "phash")
-        // two consumers below; without this the codec pass runs twice.
-        // Like the d3/d6/d19 persists, reclaimed by the harness's
-        // per-query clearCache (queries are lazy builders, so an
-        // in-query unpersist would fire before the consumer runs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // two consumers below; eagerly checkpointed (r10) so the
+        // codec pass runs exactly once even with concurrent consumers
+        // (see Dedup.hashedShingleIndex)
+        .localCheckpoint(true)
       val clusters = hashed.groupBy("phash")
         .agg(min("doc_id").as("cluster_id"),
           count(lit(1)).as("cluster_size"))

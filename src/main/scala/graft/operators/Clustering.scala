@@ -45,7 +45,10 @@ object Clustering {
                       vecCol: String = "embedding"): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"k=$k and iters=$iters must be positive")
     val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager checkpoint (r10): the init collect and every iteration's
+      // assignment aggregate share one materialization, and each
+      // round's plan stays O(pts) (see Dedup.hashedShingleIndex)
+      .localCheckpoint(true)
     // deterministic init: the k smallest-id vectors, in id order
     var centroids: Array[Array[Double]] = pts.orderBy("id").limit(k).collect()
       .map(_.getSeq[Any](1).map {

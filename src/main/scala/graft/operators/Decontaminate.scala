@@ -53,10 +53,10 @@ object Decontaminate {
              bloomExpectedItems: Long = -1L): DataFrame = {
     val corpusIdx = Dedup.shingleIndex(corpus, idCol, textCol, n, None, tokens)
       .select(col("id"), xxhash64(col("shingle")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
     val benchSet = Dedup.shingleIndex(benchmark, idCol, textCol, n, None, tokens)
       .select(xxhash64(col("shingle")).as("h")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
 
     val candidates =
       if (bloomPrefilter) bloomFiltered(corpusIdx, benchSet, bloomExpectedItems)
@@ -100,10 +100,10 @@ object Decontaminate {
                  bloomExpectedItems: Long = -1L): DataFrame = {
     val corpusIdx = Dedup.shingleIndex(corpus, idCol, textCol, n, None, tokens)
       .select(col("id").as("id_a"), xxhash64(col("shingle")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
     val benchIdx = Dedup.shingleIndex(benchmark, idCol, textCol, n, None, tokens)
       .select(col("id").as("id_b"), xxhash64(col("shingle")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
     // full per-doc sizes BEFORE any prefilter — the Jaccard denominator
     // counts all of a doc's shingles, not just benchmark-overlapping ones
     val szA = corpusIdx.groupBy("id_a").agg(count(lit(1)).as("sz_a"))

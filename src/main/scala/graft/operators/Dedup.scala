@@ -113,7 +113,32 @@ object Dedup {
                                         tokens: Boolean): DataFrame =
     shingleIndex(fanOut(df), idCol, textCol, n, None, tokens)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Hash-partition BY THE JOIN KEY before checkpointing (guide
+      // §2.4 "two operations keyed the same way can share one
+      // exchange"): the doc-frequency aggregate, the anti-join probe
+      // and BOTH self-join sides all key on `shingle`, and the
+      // checkpoint's LogicalRDD preserves outputPartitioning — so the
+      // one shuffle paid here replaces the cap-aggregate exchange and
+      // both join-side exchanges (profiled at sf0.1: the join map
+      // stage was a single task reading the 1-partition checkpoint;
+      // now parallelism = shuffle.partitions). Width scales with
+      // spark.sql.shuffle.partitions, not a local constant.
+      .repartition(col("shingle"))
+      // EAGER localCheckpoint, not lazy persist (r10 optimization,
+      // guide §2.4/§5): the index feeds ~6 independent subtrees (df
+      // cap, anti-join probe, sizes, both self-join sides), several of
+      // which Spark launches as CONCURRENT broadcast-exchange jobs.
+      // With a lazy cache they all race the cold cache and each
+      // recomputes the explode (profiled at sf0.1: 8-9 duplicate
+      // documents scans per pass, ~24 stages); the eager checkpoint
+      // materializes the explode exactly once BEFORE consumers launch,
+      // and truncates lineage so each consumer's plan (and Catalyst
+      // re-analysis) is O(index), not O(scan+explode+hash). Same
+      // storage level underneath (MEMORY_AND_DISK blocks); on a
+      // multi-executor cluster an executor loss costs a job retry
+      // instead of a partition recompute — the CC-loop trade this repo
+      // already documents at connectedComponents.
+      .localCheckpoint(true)
 
   /** Drop index entries whose shingle occurs in more than `cap` docs —
     * the skew control for inverted-index self-joins (a shingle in k
@@ -250,7 +275,12 @@ object Dedup {
               s" i -> concat_ws(' ', slice(ts, i + 1, $shingleN)))"))
             .as("tok"))
     val toks = raw.distinct()
-      .persist() // feeds df counts, sizes, prefix build, and verify
+      // eager checkpoint, not lazy persist (r10, guide §2.4/§5): five
+      // consumers (df counts, sizes, prefix build, both verify joins)
+      // otherwise race the cold cache from concurrent broadcast jobs
+      // and each recomputes the explode+distinct; see
+      // hashedShingleIndex for the full rationale
+      .localCheckpoint(true)
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // rank each doc's tokens under the global (df, tok) rarity order;
@@ -344,7 +374,8 @@ object Dedup {
         .as("s"))
       .select(col("id"), xxhash64(col("s")).as("tok"))
       .distinct()
-      .persist()
+      // eager checkpoint (r10): see hashedShingleIndex
+      .localCheckpoint(true)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "tok")
@@ -358,7 +389,8 @@ object Dedup {
     val ranked = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wId))
-      .persist()
+      // eager checkpoint (r10): see hashedShingleIndex
+      .localCheckpoint(true)
     val prefix = ranked
       .filter(col("rn") <=
         col("n") - expr(s"(${tNum}L * n + ${tDen - 1}L) div ${tDen}L") + 1)
@@ -496,7 +528,9 @@ object Dedup {
         length(col(textCol)).cast(LongType).as("len"),
         explode(shinglesOf(col(textCol), n, tokens)).as("shingle"))
       .select(col("id"), col("len"), xxhash64(col("shingle")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // key-partitioned eager checkpoint (r10): see hashedShingleIndex
+      .repartition(col("shingle"))
+      .localCheckpoint(true)
     val capped = capDocFreq(idx, maxDocFreq)
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = capped.toDF("id_a", "len_a", "shingle")
@@ -563,7 +597,7 @@ object Dedup {
     minhashLshPairsFromIndex(
       capDocFreq(
         shingleIndex(df, idCol, textCol, n, None, tokens)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          .localCheckpoint(true), // eager (r10): see hashedShingleIndex
         maxDocFreq),
       k, bands, verifyThreshold, maxBucket)
 
@@ -605,7 +639,11 @@ object Dedup {
   def minhashLshCandidatesFromIndex(rawIdx: DataFrame, k: Int, bands: Int,
                                     maxBucket: Int = 200): DataFrame = {
     val banded = bandSignatures(rawIdx, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager checkpoint (r10): the bucket-size aggregate and both
+      // self-join sides otherwise race the cold cache and each re-runs
+      // the MinHashAgg signature aggregate (profiled at sf0.1: two
+      // concurrent ~15 s cache-fill stages); see hashedShingleIndex
+      .localCheckpoint(true)
     // skew guard: a bucket of m docs yields m² candidate pairs — drop
     // degenerate buckets (non-discriminative signatures) outright.
     // no-silent-caps: dropped doc-slot count observed as in/out counts
@@ -709,9 +747,26 @@ object Dedup {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // r10 optimization (guide §2.4): every round joins edges on
+      // `dst`, and the checkpoint's LogicalRDD preserves partitioning
+      // AND ordering — so hash-partitioning + in-partition sorting by
+      // dst ONCE here lets EnsureRequirements elide the edges-side
+      // exchange and sort in every iteration's sort-merge join: the
+      // (big, loop-invariant) edge relation is shuffled once per CC
+      // run instead of once per round. Width follows
+      // spark.sql.shuffle.partitions (AQE-coalesced locally).
+      .repartition(col("dst"))
+      .sortWithinPartitions("dst")
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // init = one propagation round for free (r10): the identity
+    // labeling's first loop round computes exactly
+    // min(id, min over neighbors) — but that value is available from
+    // the edge list with ONE aggregate (same cost as the old
+    // distinct(), which was also an aggregate over edges), so seeding
+    // with it saves a full join+agg+double round on every invocation.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("id"), least(col("id"), col("_mn")).as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -1041,7 +1096,11 @@ object Dedup {
     val assign = Clustering.kmeans(emb, k, iters, idCol, vecCol)
     val side = emb.join(assign, idCol)
       .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // key-partitioned eager checkpoint (r10): both self-join sides
+      // key on cluster, so one shuffle here replaces both join-side
+      // exchanges and the cold-cache race (see hashedShingleIndex)
+      .repartition(col("cluster"))
+      .localCheckpoint(true)
     side.toDF("cluster", "id_a", "va")
       .join(side.toDF("cluster", "id_b", "vb"), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))

@@ -229,7 +229,10 @@ object Sampling {
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager checkpoint (r10): per-round consumers otherwise race the
+      // cold cache (see Dedup.hashedShingleIndex); also truncates the
+      // k-round loop's re-analyzed lineage
+      .localCheckpoint(true)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var covered = Set.empty[String]
     for (round <- 1 to k) {

@@ -311,7 +311,13 @@ object Similarity {
       .select(col("id"),
         posexplode(lshBucketsAll(col("v"), dim, bits, tables))
           .as(Seq("tbl", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // key-partitioned eager checkpoint (r10): the bucket-size
+      // aggregate and both self-join sides key on (tbl, bucket) — one
+      // shuffle replaces three, and the eager materialization stops
+      // concurrent consumers racing a cold cache (see
+      // Dedup.hashedShingleIndex)
+      .repartition(col("tbl"), col("bucket"))
+      .localCheckpoint(true)
     val keep = bucketed.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("m"))
       .filter(col("m") <= maxBucket).select("tbl", "bucket")

@@ -156,28 +156,50 @@ object Stats {
     */
   def groupedMedianMad(df: DataFrame, groupCol: String,
                        valueCol: String): DataFrame = {
+    // r10 optimization (guide §2.4): the previous form ran
+    // weightedMedian2 twice plus three joins back to a persisted
+    // histogram (≈7 joins / 6 aggregates / 43 stages at sf0.1, with
+    // concurrent broadcast jobs racing the lazy cache). All of it is
+    // expressible as windows over the SAME per-group partitioning the
+    // histogram aggregate already establishes, so the whole statistic
+    // is: histogram → window stack → deviation histogram → window
+    // stack → one final aggregate (3 exchanges total, no joins, no
+    // persist). The integer algebra is unchanged — med2/mad4 exactly
+    // as before; the outlier rule |4v−2·med2| > 3·mad4 rewrites to
+    // 2·_dev2 > 3·mad4 because _dev2 = |2v−med2|, which is why the
+    // deviation histogram rows are enough and `h` is never re-joined.
+    val wg = Window.partitionBy(groupCol)
+    val cumW = Window.partitionBy(groupCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-(group, value) weights, cumulative weight, group total — the
+    // weightedMedian2 scaffolding with totals as a window, not a join
     val h = df.groupBy(groupCol, valueCol)
       .agg(count(lit(1)).as("_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val med = weightedMedian2(h, groupCol, valueCol, "_w")
+      .withColumn("_cum", sum(col("_w")).over(cumW))
+      .withColumn("n", sum(col("_w")).over(wg))
+    val med2c = (min(when(col("_cum") >= expr("(n + 1) div 2"),
+        col(valueCol))).over(wg) +
+      min(when(col("_cum") >= expr("n div 2 + 1"), col(valueCol))).over(wg))
     // deviation histogram: dev2 = |2v − med2| = 2·|v − median|, still
-    // integer; its doubled weighted median is 4·MAD
-    val dev = h.join(med, groupCol)
-      .select(col(groupCol),
-        abs(lit(2L) * col(valueCol) - col("med2")).as("_dev2"),
-        col("_w"))
-      .groupBy(groupCol, "_dev2").agg(sum("_w").as("_w"))
-    val mad4 = weightedMedian2(dev, groupCol, "_dev2", "_w")
-      .select(col(groupCol), col("med2").as("mad4"))
+    // integer; its doubled weighted median is 4·MAD. med2/n are
+    // constant per group, so carrying them as grouping keys adds no
+    // cardinality.
+    val dev = h.withColumn("med2", med2c)
+      .select(col(groupCol), col("n"), col("med2"),
+        abs(lit(2L) * col(valueCol) - col("med2")).as("_dev2"), col("_w"))
+      .groupBy(groupCol, "n", "med2", "_dev2").agg(sum("_w").as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(
+        Window.partitionBy(groupCol).orderBy("_dev2")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val mad4c = (min(when(col("_cum") >= expr("(n + 1) div 2"),
+        col("_dev2"))).over(wg) +
+      min(when(col("_cum") >= expr("n div 2 + 1"), col("_dev2"))).over(wg))
     // outlier rule in the same integer algebra:
-    // |v − med| > 3·MAD  ⟺  |4v − 2·med2| > 3·mad4
-    val out = h.join(med, groupCol).join(mad4, groupCol)
-      .groupBy(groupCol)
-      .agg(sum(when(
-        abs(lit(4L) * col(valueCol) - lit(2L) * col("med2"))
-          > lit(3L) * col("mad4"), col("_w")).otherwise(lit(0L)))
-        .as("n_outliers"))
-    med.join(mad4, groupCol).join(out, groupCol)
+    // |v − med| > 3·MAD ⟺ |4v − 2·med2| > 3·mad4 ⟺ 2·_dev2 > 3·mad4
+    dev.withColumn("mad4", mad4c)
+      .groupBy(col(groupCol), col("n"), col("med2"), col("mad4"))
+      .agg(sum(when(lit(2L) * col("_dev2") > lit(3L) * col("mad4"),
+          col("_w")).otherwise(lit(0L))).as("n_outliers"))
       .select(col(groupCol), col("n"),
         (col("med2").cast("double") / 2.0).as("median"),
         (col("mad4").cast("double") / 4.0).as("mad"),

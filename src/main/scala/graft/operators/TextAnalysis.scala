@@ -596,7 +596,10 @@ object TextAnalysis {
                     textCol: String = "text", n: Int = 3): DataFrame = {
     val idx = Dedup.shingleIndex(docs, idCol, textCol, n, tokens = true)
       .select(col("id"), xxhash64(col("shingle")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // key-partitioned eager checkpoint (r10): the df aggregate and
+      // the join back both key on h (see Dedup.hashedShingleIndex)
+      .repartition(col("h"))
+      .localCheckpoint(true)
     val df = idx.groupBy("h").agg(count(lit(1)).as("df"))
     idx.join(df, "h")
       .groupBy(col("id").as(idCol))
@@ -833,7 +836,9 @@ object TextAnalysis {
     // |docs| × buckets rows, far below the token stream it summarizes
     val dc = feats.groupBy("doc_id", "is_tgt", "b")
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager checkpoint (r10): four consumers (see
+      // Dedup.hashedShingleIndex)
+      .localCheckpoint(true)
     val rawB = dc.groupBy("b").agg(sum("c").as("rc"))
     val tgtB = dc.filter(col("is_tgt")).groupBy("b").agg(sum("c").as("tc"))
     val model = rawB.join(tgtB, Seq("b"), "left")
