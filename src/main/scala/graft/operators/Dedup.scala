@@ -639,11 +639,18 @@ object Dedup {
   def minhashLshCandidatesFromIndex(rawIdx: DataFrame, k: Int, bands: Int,
                                     maxBucket: Int = 200): DataFrame = {
     val banded = bandSignatures(rawIdx, k, bands)
-      // eager checkpoint (r10): the bucket-size aggregate and both
-      // self-join sides otherwise race the cold cache and each re-runs
-      // the MinHashAgg signature aggregate (profiled at sf0.1: two
-      // concurrent ~15 s cache-fill stages); see hashedShingleIndex
-      .localCheckpoint(true)
+      // EAGERLY-materialized persist (r10): the bucket-size aggregate
+      // and both self-join sides otherwise race the cold cache and
+      // each re-runs the MinHashAgg signature aggregate (profiled at
+      // sf0.1: two concurrent ~15 s cache-fill stages). persist+count,
+      // NOT localCheckpoint: a checkpointed LogicalRDD here changes
+      // the downstream plan shape enough that AQE's empty-relation
+      // propagation can skip the stage carrying the no-silent-caps
+      // CollectMetrics below on degenerate inputs (OperatorsSpec pins
+      // their delivery); the cached form keeps the b40451c-verified
+      // plan while the count() still kills the cold-cache race.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     // skew guard: a bucket of m docs yields m² candidate pairs — drop
     // degenerate buckets (non-discriminative signatures) outright.
     // no-silent-caps: dropped doc-slot count observed as in/out counts
