@@ -20,7 +20,7 @@ object Engine {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -43,7 +43,41 @@ object Engine {
       // drain. On a cluster, override to O(total executor cores) via
       // SPARK_GRAFT_CONF — same scaling rule as shuffle.partitions.
       .config("spark.graft.streaming.statePartitions", "8")
+      // r11 (guide §2.2 "M×R block growth"): force the sort-based
+      // shuffle writer (UnsafeShuffleWriter — one sorted file + index
+      // per MAP task) instead of BypassMergeSortShuffleWriter, which
+      // fires whenever reduce width R <= 200 and writes R files per map
+      // task, then mmaps + concatenates + deletes them. Thread dumps of
+      // d3_minhash_lsh at local[32] showed executor threads spending
+      // most of their RUNNABLE time in FileOutputStream.open0 /
+      // FileChannel.map/unmap from exactly that path: M=32 maps × R=32
+      // reduces = 1024 file creates + merges + deletes PER EXCHANGE.
+      // Measured (interleaved A/B, min-of-passes): d3 4.37→2.41 s, d26
+      // 4.64→2.59 s, d2 2.21→1.45 s, st8 1.20×, q98 1.12×, none worse
+      // than noise; per-stage executor task time on the dedup family
+      // dropped ~3× (40→13 s on d3). At production scale R > 200, so
+      // the sort writer is what runs ANYWAY — this aligns the local
+      // profile with at-scale behavior rather than tuning for local.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
+    // optional conf overrides, e.g.
+    // SPARK_GRAFT_CONF="spark.graft.rangeJoin.binSeconds=3600;spark.sql.x=y"
+    // — lets a driver toggle engine knobs (the range-join rewrite rule,
+    // AQE settings) without a code change. Applied at BUILDER time (not
+    // spark.conf.set) so core/static SparkConf entries (shuffle writer
+    // thresholds, memory settings) are settable too, not only SQL
+    // runtime confs.
+    val overrides = sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap {
+      conf => conf.split(';').map(_.trim).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => (k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entries must be key=value, got: $kv")
+        }
+      }
+    }
+    val spark = overrides
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerCapListener(spark)
@@ -57,19 +91,6 @@ object Engine {
     // (len over string vs list, parse_time's Go layouts) — registered
     // once here so SQL behavior doesn't depend on which entry point ran
     graft.sql.Dialect.registerFunctions(spark)
-    // optional runtime-conf overrides, e.g.
-    // SPARK_GRAFT_CONF="spark.graft.rangeJoin.binSeconds=3600;spark.sql.x=y"
-    // — lets a driver toggle engine knobs (the range-join rewrite rule,
-    // AQE settings) without a code change
-    sys.env.get("SPARK_GRAFT_CONF").foreach { conf =>
-      conf.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => spark.conf.set(k.trim, v.trim)
-          case _ => throw new IllegalArgumentException(
-            s"SPARK_GRAFT_CONF entries must be key=value, got: $kv")
-        }
-      }
-    }
     spark
   }
 

@@ -32,10 +32,8 @@ object SparkEntry {
     * contraction). The shuffled payload is the scan projection (ids +
     * text), not derived media bytes.
     */
-  private def fan(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
-  }
+  private def fan(df: DataFrame): DataFrame =
+    operators.Materialize.fanOut(df)
 
   /** d19's stored band-index table, one per sf-dir — the name carries
     * the dir so a session that touches several scale factors can never
@@ -1358,14 +1356,25 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       // one shingle explode feeds BOTH the LSH path and the exact
       // ground truth — built once, persisted, shared
-      val rawIdx = Dedup.capDocFreq(
-        Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
-            maxDocFreq = None, tokens = true)
-          // partitioned by the cap/join key, then eagerly
-          // checkpointed (r10): see Dedup.hashedShingleIndex
-          .repartition(col("shingle"))
-          .localCheckpoint(true),
-        Some(50))
+      // r11: the index materializes PRE-HASHED — (id, shingle =
+      // xxhash64(s), h2 = xxhash64(1, s)), three longs instead of a
+      // shingle string (identical downstream values: the exact arm's
+      // join key IS xxhash64(s), and MinHash's two Carter-Wegman base
+      // hashes ARE (shingle, h2)). The doc-frequency cap runs BEFORE
+      // the key-partitioned materialization (guide §2.5: hot shingles
+      // never reach the shuffle that would concentrate them; its
+      // equality classes move from strings to 64-bit hashes — the
+      // hashedShingleIndex tradeoff, oracle-gated), and partitioning
+      // by `shingle` makes the exact arm's self-join exchange-free.
+      val rawIdx = operators.Materialize.eagerByKey(
+        Dedup.capDocFreq(
+          Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
+              maxDocFreq = None, tokens = true)
+            .select(col("id"),
+              xxhash64(col("shingle")).as("shingle"),
+              xxhash64(lit(1), col("shingle")).as("h2")),
+          Some(50)),
+        col("shingle"))
       // UNVERIFIED candidates are enough for recall-vs-exact: the
       // verified set is cand ∩ {jaccard≥0.8} and exact IS
       // {jaccard≥0.8}, so exact ∩ verified(cand) = exact ∩ cand — a
@@ -1374,12 +1383,12 @@ object SparkEntry {
       val lsh = Dedup.minhashLshCandidatesFromIndex(rawIdx,
         k = 32, bands = 4)
       val exact = Dedup.ngramJaccardPairsFromIndex(
-        rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
+        rawIdx.select(col("id"), col("shingle")),
         threshold = 0.8).select("id_a", "id_b")
         // referenced twice below (n_exact + the semi-join probe):
-        // checkpoint the small pair list so the exact pipeline — the
+        // materialize the small pair list so the exact pipeline — the
         // expensive half of this query — runs once (r10)
-        .localCheckpoint(true)
+        .transform(operators.Materialize.eager)
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -1859,9 +1868,9 @@ object SparkEntry {
       // the production LSH arm stays full-corpus. Persisted: the
       // thresholded pair set is tiny and has two consumers below —
       // without it the n²/B join runs twice.
-      val exact = Similarity.cosinePairs(emb, 0.45, blocks = 2)
-        .select("id_a", "id_b")
-        .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
+      val exact = operators.Materialize.eager(
+        Similarity.cosinePairs(emb, 0.45, blocks = 2)
+          .select("id_a", "id_b"))
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -2191,10 +2200,10 @@ object SparkEntry {
           col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
-        // eager checkpoint (r10): the wait-filter join and the
-        // late-count aggregate otherwise race the cold cache and each
-        // re-runs the lineitem~orders join (see Dedup.hashedShingleIndex)
-        .localCheckpoint(true)
+        // eager (r10): the wait-filter join and the late-count
+        // aggregate otherwise race a lazy cache and each re-runs the
+        // lineitem~orders join
+        .transform(operators.Materialize.eager)
       val nsup = l.groupBy(col("l_orderkey").as("ok"))
         .agg(countDistinct("l_suppkey").as("nsup"))
       val nlate = late.groupBy("ok").agg(count(lit(1)).as("nlate"))
@@ -2221,10 +2230,10 @@ object SparkEntry {
             * (lit(1).cast(DecimalType(3, 2))
               - col("l_discount").cast(DecimalType(4, 2))))
           .as("rev"))
-        // |suppliers|-sized; eagerly checkpointed (r10) so the max
+        // |suppliers|-sized; eagerly materialized (r10) so the max
         // scalar subquery and the equality join share one
         // materialization of the quarter's lineitem scan+aggregate
-        .localCheckpoint(true)
+        .transform(operators.Materialize.eager)
       val mx = rev.agg(max("rev").as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("rev") === col("mx"))
@@ -3231,14 +3240,17 @@ object SparkEntry {
     // each contributing exactly `bands` (4) index rows.
     "d19_index_build" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val rawIdx = Dedup.capDocFreq(
-        Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
-            maxDocFreq = None, tokens = true)
-          // partitioned by the cap/join key, then eagerly
-          // checkpointed (r10): see Dedup.hashedShingleIndex
-          .repartition(col("shingle"))
-          .localCheckpoint(true),
-        Some(50))
+      // pre-hashed (shingle, h2) index, cap before the keyed shuffle
+      // (r11: see d3_minhash_lsh)
+      val rawIdx = operators.Materialize.eagerByKey(
+        Dedup.capDocFreq(
+          Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
+              maxDocFreq = None, tokens = true)
+            .select(col("id"),
+              xxhash64(col("shingle")).as("shingle"),
+              xxhash64(lit(1), col("shingle")).as("h2")),
+          Some(50)),
+        col("shingle"))
       val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
       graft.sources.Sink.writeBucketed(banded.filter(!(col("id") % 10 === 0)),
         d19IndexTable(dir), Seq("band", "sig"), numBuckets = 8,
@@ -3259,16 +3271,19 @@ object SparkEntry {
     // it IS the output the oracle checks).
     "d19_index_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val rawIdx = Dedup.capDocFreq(
-        Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
-            maxDocFreq = None, tokens = true)
-          // partitioned by the cap/join key, then eagerly
-          // checkpointed (r10): see Dedup.hashedShingleIndex
-          .repartition(col("shingle"))
-          .localCheckpoint(true),
-        Some(50))
-      val banded = Dedup.bandSignatures(rawIdx, k = 32, bands = 4)
-        .localCheckpoint(true) // eager (r10): index write + probe + caps share it
+      // pre-hashed (shingle, h2) index, cap before the keyed shuffle
+      // (r11: see d3_minhash_lsh)
+      val rawIdx = operators.Materialize.eagerByKey(
+        Dedup.capDocFreq(
+          Dedup.shingleIndex(Dedup.fanOut(docs), "doc_id", "text", n = 3,
+              maxDocFreq = None, tokens = true)
+            .select(col("id"),
+              xxhash64(col("shingle")).as("shingle"),
+              xxhash64(lit(1), col("shingle")).as("h2")),
+          Some(50)),
+        col("shingle"))
+      val banded = operators.Materialize.eager(
+        Dedup.bandSignatures(rawIdx, k = 32, bands = 4)) // index write + probe + caps share it
       val isBatch = col("id") % 10 === 0
       // ingest wrote the bucketed index (d19_index_build runs first in
       // Bench/Verify name order); build it here only if probed
@@ -3294,13 +3309,13 @@ object SparkEntry {
           greatest(col("pid"), col("cid")).as("id_b"))
         .distinct()
       val exact = Dedup.ngramJaccardPairsFromIndex(
-          rawIdx.select(col("id"), xxhash64(col("shingle")).as("shingle")),
+          rawIdx.select(col("id"), col("shingle")),
           threshold = 0.8)
         .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
         .select("id_a", "id_b")
-        // referenced twice (count + semi-join probe): checkpoint the
+        // referenced twice (count + semi-join probe): materialize the
         // small pair list so the exact pipeline runs once (r10)
-        .localCheckpoint(true)
+        .transform(operators.Materialize.eager)
       val found = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -5140,10 +5155,9 @@ object SparkEntry {
             (id, Multimodal.aHash64(Multimodal.encodeStripePng(id)).get)
           }
         }.toDF("doc_id", "phash")
-        // two consumers below; eagerly checkpointed (r10) so the
+        // two consumers below; eagerly materialized (r10) so the
         // codec pass runs exactly once even with concurrent consumers
-        // (see Dedup.hashedShingleIndex)
-        .localCheckpoint(true)
+        .transform(operators.Materialize.eager)
       val clusters = hashed.groupBy("phash")
         .agg(min("doc_id").as("cluster_id"),
           count(lit(1)).as("cluster_size"))

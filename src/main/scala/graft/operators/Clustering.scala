@@ -44,11 +44,11 @@ object Clustering {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"k=$k and iters=$iters must be positive")
-    val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      // eager checkpoint (r10): the init collect and every iteration's
-      // assignment aggregate share one materialization, and each
-      // round's plan stays O(pts) (see Dedup.hashedShingleIndex)
-      .localCheckpoint(true)
+    // eager (Materialize): the init collect and every iteration's
+    // assignment aggregate share one materialization, and each round's
+    // plan stays O(pts)
+    val pts = Materialize.eager(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
     // deterministic init: the k smallest-id vectors, in id order
     var centroids: Array[Array[Double]] = pts.orderBy("id").limit(k).collect()
       .map(_.getSeq[Any](1).map {

@@ -51,12 +51,12 @@ object Decontaminate {
              tokens: Boolean = true,
              bloomPrefilter: Boolean = true,
              bloomExpectedItems: Long = -1L): DataFrame = {
-    val corpusIdx = Dedup.shingleIndex(corpus, idCol, textCol, n, None, tokens)
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
-      .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
-    val benchSet = Dedup.shingleIndex(benchmark, idCol, textCol, n, None, tokens)
-      .select(xxhash64(col("shingle")).as("h")).distinct()
-      .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
+    val corpusIdx = Materialize.eager(
+      Dedup.shingleIndex(corpus, idCol, textCol, n, None, tokens)
+        .select(col("id"), xxhash64(col("shingle")).as("h")))
+    val benchSet = Materialize.eager(
+      Dedup.shingleIndex(benchmark, idCol, textCol, n, None, tokens)
+        .select(xxhash64(col("shingle")).as("h")).distinct())
 
     val candidates =
       if (bloomPrefilter) bloomFiltered(corpusIdx, benchSet, bloomExpectedItems)
@@ -98,12 +98,12 @@ object Decontaminate {
                  threshold: Double = 0.8, tokens: Boolean = true,
                  bloomPrefilter: Boolean = true,
                  bloomExpectedItems: Long = -1L): DataFrame = {
-    val corpusIdx = Dedup.shingleIndex(corpus, idCol, textCol, n, None, tokens)
-      .select(col("id").as("id_a"), xxhash64(col("shingle")).as("h"))
-      .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
-    val benchIdx = Dedup.shingleIndex(benchmark, idCol, textCol, n, None, tokens)
-      .select(col("id").as("id_b"), xxhash64(col("shingle")).as("h"))
-      .localCheckpoint(true) // eager (r10): see Dedup.hashedShingleIndex
+    val corpusIdx = Materialize.eager(
+      Dedup.shingleIndex(corpus, idCol, textCol, n, None, tokens)
+        .select(col("id").as("id_a"), xxhash64(col("shingle")).as("h")))
+    val benchIdx = Materialize.eager(
+      Dedup.shingleIndex(benchmark, idCol, textCol, n, None, tokens)
+        .select(col("id").as("id_b"), xxhash64(col("shingle")).as("h")))
     // full per-doc sizes BEFORE any prefilter — the Jaccard denominator
     // counts all of a doc's shingles, not just benchmark-overlapping ones
     val szA = corpusIdx.groupBy("id_a").agg(count(lit(1)).as("sz_a"))

@@ -79,17 +79,11 @@ object Dedup {
   private[graft] def shinglesOf(text: Column, n: Int, tokens: Boolean): Column =
     if (tokens) tokenShingles(text, n) else shingles(text, n)
 
-  /** Expand-only fan-out (r10, guide §2.6): single-file test inputs
-    * scan as ONE partition, so the tokenize+explode+hash map stage of
-    * every index build serializes on one core. Repartition up to the
-    * session's parallelism only when the input has fewer partitions —
-    * a no-op at production scale, a tiny (ids+text) round-robin
-    * shuffle locally.
+  /** Expand-only fan-out — moved to [[Materialize.fanOut]] (r11
+    * consolidation with SparkEntry's duplicate); kept as a forwarder
+    * for the operator-local call sites.
     */
-  private[graft] def fanOut(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
-  }
+  private[graft] def fanOut(df: DataFrame): DataFrame = Materialize.fanOut(df)
 
   /** (id, shingle) inverted index, optionally dropping shingles that
     * occur in more than `maxDocFreq` docs (skew control at scale).
@@ -104,41 +98,33 @@ object Dedup {
 
   /** The shared index-build prelude of the pair operators: hash the
     * shingles to 64 bits (same equality classes w.h.p., a fraction of
-    * the shuffle bytes) and persist BEFORE any doc-frequency cap, so
-    * the frequency pass and the anti-join probe share one explode.
+    * the shuffle bytes), drop doc-frequency-capped hot shingles, then
+    * materialize hash-partitioned BY THE JOIN KEY (guide §2.4 "two
+    * operations keyed the same way can share one exchange") — the
+    * sizes aggregate and both self-join sides all key on `shingle`,
+    * and the checkpoint's LogicalRDD preserves outputPartitioning, so
+    * the one shuffle paid here replaces every consumer-side exchange.
     * One place to change the hashing/persistence discipline.
+    *
+    * SKEW ORDER (r11, VERDICT r10 task 2 / guide §2.5): the cap runs
+    * BEFORE the key-repartition, so every occurrence of a hot shingle
+    * (a boilerplate span in ~all docs) is dropped before the shuffle
+    * that would concentrate it into one partition at materialization.
+    * The cap's frequency aggregate reads the lazy explode with
+    * map-side partial aggregation (the skew-absorbing shape) as a
+    * broadcast subtree of the SAME materialization job — the explode
+    * is evaluated twice inside that one job (bounded; no cross-query
+    * cold-cache race, which was the r10 problem), and hot rows are
+    * never materialized or shuffled at all.
     */
   private[graft] def hashedShingleIndex(df: DataFrame, idCol: String,
                                         textCol: String, n: Int,
-                                        tokens: Boolean): DataFrame =
-    shingleIndex(fanOut(df), idCol, textCol, n, None, tokens)
+                                        tokens: Boolean,
+                                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val hashed = shingleIndex(fanOut(df), idCol, textCol, n, None, tokens)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-      // Hash-partition BY THE JOIN KEY before checkpointing (guide
-      // §2.4 "two operations keyed the same way can share one
-      // exchange"): the doc-frequency aggregate, the anti-join probe
-      // and BOTH self-join sides all key on `shingle`, and the
-      // checkpoint's LogicalRDD preserves outputPartitioning — so the
-      // one shuffle paid here replaces the cap-aggregate exchange and
-      // both join-side exchanges (profiled at sf0.1: the join map
-      // stage was a single task reading the 1-partition checkpoint;
-      // now parallelism = shuffle.partitions). Width scales with
-      // spark.sql.shuffle.partitions, not a local constant.
-      .repartition(col("shingle"))
-      // EAGER localCheckpoint, not lazy persist (r10 optimization,
-      // guide §2.4/§5): the index feeds ~6 independent subtrees (df
-      // cap, anti-join probe, sizes, both self-join sides), several of
-      // which Spark launches as CONCURRENT broadcast-exchange jobs.
-      // With a lazy cache they all race the cold cache and each
-      // recomputes the explode (profiled at sf0.1: 8-9 duplicate
-      // documents scans per pass, ~24 stages); the eager checkpoint
-      // materializes the explode exactly once BEFORE consumers launch,
-      // and truncates lineage so each consumer's plan (and Catalyst
-      // re-analysis) is O(index), not O(scan+explode+hash). Same
-      // storage level underneath (MEMORY_AND_DISK blocks); on a
-      // multi-executor cluster an executor loss costs a job retry
-      // instead of a partition recompute — the CC-loop trade this repo
-      // already documents at connectedComponents.
-      .localCheckpoint(true)
+    Materialize.eagerByKey(capDocFreq(hashed, maxDocFreq), col("shingle"))
+  }
 
   /** Drop index entries whose shingle occurs in more than `cap` docs —
     * the skew control for inverted-index self-joins (a shingle in k
@@ -185,13 +171,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDocFreq: Option[Int] = None,
-                        tokens: Boolean = false): DataFrame = {
-    // persist BEFORE the cap so the frequency pass and the anti-join
-    // probe share one explode (capping inside shingleIndex would run
-    // the explode twice on an unpersisted plan)
-    val idx = hashedShingleIndex(df, idCol, textCol, n, tokens)
-    ngramJaccardPairsFromIndex(capDocFreq(idx, maxDocFreq), threshold)
-  }
+                        tokens: Boolean = false): DataFrame =
+    ngramJaccardPairsFromIndex(
+      hashedShingleIndex(df, idCol, textCol, n, tokens, maxDocFreq),
+      threshold)
 
   /** Asymmetric near-dup: shingle containment `C(A→B) = |A∩B| / |A|` —
     * the quotation/subset relationship symmetric Jaccard misses (a
@@ -208,8 +191,7 @@ object Dedup {
                        n: Int, threshold: Double,
                        maxDocFreq: Option[Int] = None,
                        tokens: Boolean = false): DataFrame = {
-    val idx = hashedShingleIndex(df, idCol, textCol, n, tokens)
-    val capped = capDocFreq(idx, maxDocFreq)
+    val capped = hashedShingleIndex(df, idCol, textCol, n, tokens, maxDocFreq)
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = capped.toDF("id_a", "shingle")
       .join(capped.toDF("id_b", "shingle"), "shingle")
@@ -274,13 +256,9 @@ object Dedup {
             s"transform(sequence(0, size(ts) - $shingleN)," +
               s" i -> concat_ws(' ', slice(ts, i + 1, $shingleN)))"))
             .as("tok"))
-    val toks = raw.distinct()
-      // eager checkpoint, not lazy persist (r10, guide §2.4/§5): five
-      // consumers (df counts, sizes, prefix build, both verify joins)
-      // otherwise race the cold cache from concurrent broadcast jobs
-      // and each recomputes the explode+distinct; see
-      // hashedShingleIndex for the full rationale
-      .localCheckpoint(true)
+    // eager (Materialize): five consumers (df counts, sizes, prefix
+    // build, both verify joins) otherwise race a lazy cold cache
+    val toks = Materialize.eager(raw.distinct())
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // rank each doc's tokens under the global (df, tok) rarity order;
@@ -364,7 +342,7 @@ object Dedup {
     // hashedShingleIndex tradeoff, identical to d2's); the global
     // rarity order becomes (df, hash) — still a total order shared by
     // both sides, which is all the PPJoin positional algebra needs.
-    val toks = fanOut(docs)
+    val toks = Materialize.eager(fanOut(docs)
       .select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("ts"))
       .filter(size(col("ts")) >= shingleN)
@@ -373,9 +351,7 @@ object Dedup {
           s" i -> concat_ws(' ', slice(ts, i + 1, $shingleN)))"))
         .as("s"))
       .select(col("id"), xxhash64(col("s")).as("tok"))
-      .distinct()
-      // eager checkpoint (r10): see hashedShingleIndex
-      .localCheckpoint(true)
+      .distinct())
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "tok")
@@ -386,11 +362,9 @@ object Dedup {
     val wId = org.apache.spark.sql.expressions.Window.partitionBy("id")
     // one ranked pass feeds BOTH the prefix (filtered) and the full
     // index (with positions, for the positional bound below)
-    val ranked = toks.join(dfreq, "tok")
+    val ranked = Materialize.eager(toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(wId))
-      // eager checkpoint (r10): see hashedShingleIndex
-      .localCheckpoint(true)
+      .withColumn("n", count(lit(1)).over(wId)))
     val prefix = ranked
       .filter(col("rn") <=
         col("n") - expr(s"(${tNum}L * n + ${tDen - 1}L) div ${tDen}L") + 1)
@@ -460,8 +434,8 @@ object Dedup {
                         textCol: String = "text", n: Int = 8,
                         minShared: Int = 1,
                         maxDocFreq: Option[Int] = None): DataFrame = {
-    val raw = hashedShingleIndex(docs, idCol, textCol, n, tokens = true)
-    val idx = capDocFreq(raw, maxDocFreq)
+    val idx = hashedShingleIndex(docs, idCol, textCol, n, tokens = true,
+        maxDocFreq)
       .select(col("id"), col("shingle").as("h"))
     val a = idx.toDF("id_a", "h")
     val b = idx.toDF("id_b", "h")
@@ -524,14 +498,14 @@ object Dedup {
                                   threshold: Double, maxLenDiff: Int,
                                   maxDocFreq: Option[Int] = None,
                                   tokens: Boolean = false): DataFrame = {
-    val idx = df.select(col(idCol).as("id"),
+    val raw = fanOut(df).select(col(idCol).as("id"),
         length(col(textCol)).cast(LongType).as("len"),
         explode(shinglesOf(col(textCol), n, tokens)).as("shingle"))
       .select(col("id"), col("len"), xxhash64(col("shingle")).as("shingle"))
-      // key-partitioned eager checkpoint (r10): see hashedShingleIndex
-      .repartition(col("shingle"))
-      .localCheckpoint(true)
-    val capped = capDocFreq(idx, maxDocFreq)
+    // cap BEFORE the key-partitioned materialization (r11): see
+    // hashedShingleIndex — hot shingles never reach the keyed shuffle
+    val capped = Materialize.eagerByKey(
+      capDocFreq(raw, maxDocFreq), col("shingle"))
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = capped.toDF("id_a", "len_a", "shingle")
       .join(capped.toDF("id_b", "len_b", "shingle"), "shingle")
@@ -572,9 +546,19 @@ object Dedup {
     */
   def minhashSignaturesFromIndex(rawIdx: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    val idx = rawIdx
-      .withColumn("h1", xxhash64(col("shingle")))
-      .withColumn("h2", xxhash64(lit(1), col("shingle")))
+    // r11: a PRE-HASHED index (id, shingle = xxhash64(s), h2 =
+    // xxhash64(1, s)) carries both Carter-Wegman base hashes as longs —
+    // the signature values are BIT-IDENTICAL (same hashes, computed in
+    // the index-build projection instead of here), but the
+    // materialized index is three fixed-width longs instead of a
+    // shingle string, so every consumer scan reads a fraction of the
+    // bytes. A plain (id, shingle: string) index hashes here as before.
+    val idx =
+      if (rawIdx.columns.contains("h2"))
+        rawIdx.withColumnRenamed("shingle", "h1")
+      else rawIdx
+        .withColumn("h1", xxhash64(col("shingle")))
+        .withColumn("h2", xxhash64(lit(1), col("shingle")))
     val agg = GraftSqlBridge.column(
       graft.plans.MinHashAgg(
         GraftSqlBridge.expression(col("h1")),
@@ -596,8 +580,18 @@ object Dedup {
                       maxDocFreq: Option[Int] = None): DataFrame =
     minhashLshPairsFromIndex(
       capDocFreq(
-        shingleIndex(df, idCol, textCol, n, None, tokens)
-          .localCheckpoint(true), // eager (r10): see hashedShingleIndex
+        // eager PRE-HASHED index (r11): both Carter-Wegman base hashes
+        // are computed from the shingle strings in the one explode
+        // projection and materialized as three longs — identical
+        // signature/verify values, a fraction of the bytes per
+        // consumer scan. Fan-width round-robin partitioning keeps hot
+        // shingles spread at materialization (guide §2.5); the cap's
+        // equality classes move from strings to 64-bit hashes (the
+        // hashedShingleIndex tradeoff, oracle-gated).
+        Materialize.eager(shingleIndex(fanOut(df), idCol, textCol, n,
+            None, tokens)
+          .select(col("id"), xxhash64(col("shingle")).as("shingle"),
+            xxhash64(lit(1), col("shingle")).as("h2"))),
         maxDocFreq),
       k, bands, verifyThreshold, maxBucket)
 
@@ -639,32 +633,28 @@ object Dedup {
   def minhashLshCandidatesFromIndex(rawIdx: DataFrame, k: Int, bands: Int,
                                     maxBucket: Int = 200): DataFrame = {
     val banded = bandSignatures(rawIdx, k, bands)
-      // EAGERLY-materialized persist (r10): the bucket-size aggregate
-      // and both self-join sides otherwise race the cold cache and
-      // each re-runs the MinHashAgg signature aggregate (profiled at
-      // sf0.1: two concurrent ~15 s cache-fill stages). persist+count,
-      // NOT localCheckpoint: a checkpointed LogicalRDD here changes
-      // the downstream plan shape enough that AQE's empty-relation
-      // propagation can skip the stage carrying the no-silent-caps
-      // CollectMetrics below on degenerate inputs (OperatorsSpec pins
-      // their delivery); the cached form keeps the b40451c-verified
-      // plan while the count() still kills the cold-cache race.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.count()
     // skew guard: a bucket of m docs yields m² candidate pairs — drop
     // degenerate buckets (non-discriminative signatures) outright.
-    // no-silent-caps: dropped doc-slot count observed as in/out counts
-    // AROUND the semi-join (the capDocFreq pattern) in the pass that
-    // already runs; Engine's listener logs when it binds. An observe on
-    // the sizes aggregate itself doesn't work: Catalyst pushes the
-    // m <= cap filter below the CollectMetrics node, so the metric
-    // would see the already-filtered rows.
+    // r11 (guide §2.4 "window partitioned like the aggregation needs
+    // no second shuffle"): the bucket size is a COUNT WINDOW over
+    // (band, sig) instead of the r10 aggregate + semi-join-back — one
+    // pass over one (band, sig) exchange that the self-join below
+    // reuses (ReuseExchange: both sides are the same subtree), so the
+    // r10 eager persist + count() barrier that existed only to stop
+    // the aggregate and the join sides racing a cold cache is gone
+    // (with it, the ADVICE-flagged build-time side effect). The
+    // MinHashAgg signature pass runs once, under the reused exchange.
+    // no-silent-caps: in/out counts observed around the window filter
+    // (the capDocFreq pattern); the filter reads the window column, so
+    // Catalyst cannot push it below the window (or the in-observe).
     val tag = capObsCounter.incrementAndGet()
-    val sizes = banded.groupBy("band", "sig").agg(count(lit(1)).as("m"))
-      .filter(col("m") <= maxBucket).select("band", "sig")
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "sig")
     val bounded = banded
       .observe(s"graft_bucketcap_in_${tag}_$maxBucket", count(lit(1)).as("n"))
-      .join(sizes, Seq("band", "sig"))
+      .withColumn("__m", count(lit(1)).over(wBucket))
+      .filter(col("__m") <= maxBucket)
+      .drop("__m")
       .observe(s"graft_bucketcap_out_${tag}_$maxBucket", count(lit(1)).as("n"))
     bounded.toDF("band", "sig", "id_a")
       .join(bounded.toDF("band", "sig", "id_b"), Seq("band", "sig"))
@@ -685,7 +675,13 @@ object Dedup {
     // millions of candidates that is billions of rows. The array form
     // joins |cands| rows against one per-doc array relation; same
     // intersection counts (the index is per-doc distinct).
-    val h = rawIdx.select(col("id"), xxhash64(col("shingle")).as("h"))
+    // pre-hashed index (r11): `shingle` already IS xxhash64(s) — reuse
+    // it instead of hashing the hash (values identical either way
+    // within each form; the per-doc distinct set is what the verify
+    // intersects)
+    val h = (if (rawIdx.columns.contains("h2"))
+        rawIdx.select(col("id"), col("shingle").as("h"))
+      else rawIdx.select(col("id"), xxhash64(col("shingle")).as("h")))
       .distinct()
     val docArrays = h.groupBy("id").agg(collect_list(col("h")).as("hs"))
     cand
@@ -750,31 +746,26 @@ object Dedup {
     // a lazy cache. (On a multi-executor cluster prefer a reliable
     // checkpoint dir for fault tolerance; local truncation is the
     // right single-process trade.)
-    val edges = p.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      // r10 optimization (guide §2.4): every round joins edges on
-      // `dst`, and the checkpoint's LogicalRDD preserves partitioning
-      // AND ordering — so hash-partitioning + in-partition sorting by
-      // dst ONCE here lets EnsureRequirements elide the edges-side
-      // exchange and sort in every iteration's sort-merge join: the
-      // (big, loop-invariant) edge relation is shuffled once per CC
-      // run instead of once per round. Width follows
-      // spark.sql.shuffle.partitions (AQE-coalesced locally).
-      .repartition(col("dst"))
-      .sortWithinPartitions("dst")
-      .localCheckpoint(true)
+    // r10 optimization (guide §2.4): every round joins edges on `dst`
+    // — partitioning + sorting by dst ONCE at materialization lets
+    // EnsureRequirements elide the edges-side exchange and sort in
+    // every iteration's sort-merge join: the (big, loop-invariant)
+    // edge relation is shuffled once per CC run, not once per round.
+    val edges = Materialize.eagerByKeySorted(
+      p.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")),
+      col("dst"))
     // init = one propagation round for free (r10): the identity
     // labeling's first loop round computes exactly
     // min(id, min over neighbors) — but that value is available from
     // the edge list with ONE aggregate (same cost as the old
     // distinct(), which was also an aggregate over edges), so seeding
     // with it saves a full join+agg+double round on every invocation.
-    var labels = edges.groupBy(col("src").as("id"))
+    var labels = Materialize.eager(edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_mn"))
-      .select(col("id"), least(col("id"), col("_mn")).as("comp"))
-      .localCheckpoint(true)
+      .select(col("id"), least(col("id"), col("_mn")).as("comp")))
     var iter = 0
     var converged = false
     var prevSum: java.math.BigDecimal = null
@@ -1101,13 +1092,12 @@ object Dedup {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val assign = Clustering.kmeans(emb, k, iters, idCol, vecCol)
-    val side = emb.join(assign, idCol)
-      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"))
-      // key-partitioned eager checkpoint (r10): both self-join sides
-      // key on cluster, so one shuffle here replaces both join-side
-      // exchanges and the cold-cache race (see hashedShingleIndex)
-      .repartition(col("cluster"))
-      .localCheckpoint(true)
+    // key-partitioned (r10): both self-join sides key on cluster, so
+    // one shuffle at materialization replaces both join-side exchanges
+    val side = Materialize.eagerByKey(
+      emb.join(assign, idCol)
+        .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v")),
+      col("cluster"))
     side.toDF("cluster", "id_a", "va")
       .join(side.toDF("cluster", "id_b", "vb"), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))

@@ -35,13 +35,13 @@ object Graph {
                scale: Long = 1000000000000L,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1 && dampingPct > 0 && dampingPct < 100)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
-    val verts = e.select(col("src").as("host"))
+    val e = Materialize.eager(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val verts = Materialize.eager(e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
-      .distinct().localCheckpoint(true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .distinct())
+    val outdeg = Materialize.eager(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val nV = verts.count() // the one driver scalar (bounded: one Long)
     require(nV > 0, "pageRank: the edge list is empty (no vertices)")
     val teleport = scale * (100L - dampingPct) / 100L / nV
@@ -120,12 +120,12 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    val orientedRaw = withDeg.select(
         when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("da")).otherwise(col("db")).as("du"),
         when(lowFirst, col("b")).otherwise(col("a")).as("w"),
         when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
-      .localCheckpoint(true) // reused 3x: wedge both sides + closing
+    val oriented = Materialize.eager(orientedRaw) // reused 3x
     val e1 = oriented.select(col("u"), col("w").as("v1"), col("dw").as("d1"))
     val e2 = oriented.select(col("u"), col("w").as("v2"), col("dw").as("d2"))
     val wedges = e1.join(e2, "u")
@@ -174,12 +174,12 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 2, scale: Long = 1000000L,
            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+    val e = Materialize.eager(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     require(e.head(1).nonEmpty, "hits: the edge list is empty")
-    val verts = e.select(col("src").as("host"))
+    val verts = Materialize.eager(e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     // (raw div (38,0)) parses as IntegralDivide on decimals -> BIGINT,
     // exact at any in-degree (the Long multiply would wrap at ~2^63)
     def normalized(raw: String, mx: String): Column =
@@ -230,9 +230,9 @@ object Graph {
     require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
     val und = canonicalUndirected(edges, srcCol, dstCol)
     // symmetric adjacency: BFS walks both directions of each edge
-    val adj = und.select(col("a").as("s"), col("b").as("d"))
-      .union(und.select(col("b").as("s"), col("a").as("d")))
-      .localCheckpoint(true)
+    val adj = Materialize.eager(
+      und.select(col("a").as("s"), col("b").as("d"))
+        .union(und.select(col("b").as("s"), col("a").as("d"))))
     var frontier = seeds.toDF("v").distinct()
       .localCheckpoint(false) // lazy: see pageRank's iteration-state note
     var visited = frontier
@@ -268,9 +268,9 @@ object Graph {
                        dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val und = canonicalUndirected(edges, srcCol, dstCol)
-    val adj = und.select(col("a").as("n"), col("b").as("nb"))
-      .union(und.select(col("b").as("n"), col("a").as("nb")))
-      .localCheckpoint(true)
+    val adj = Materialize.eager(
+      und.select(col("a").as("n"), col("b").as("nb"))
+        .union(und.select(col("b").as("n"), col("a").as("nb"))))
     var labels = adj.select(col("n").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint(false) // lazy: see pageRank's iteration-state note

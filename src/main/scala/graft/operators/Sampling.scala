@@ -229,10 +229,9 @@ object Sampling {
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-      // eager checkpoint (r10): per-round consumers otherwise race the
-      // cold cache (see Dedup.hashedShingleIndex); also truncates the
-      // k-round loop's re-analyzed lineage
-      .localCheckpoint(true)
+    // eager (Materialize): per-round consumers otherwise race a lazy
+    // cold cache; also truncates the k-round loop's re-analyzed lineage
+    val toksM = Materialize.eager(toks)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var covered = Set.empty[String]
     for (round <- 1 to k) {
@@ -256,7 +255,6 @@ object Sampling {
           .select("tok").collect().map(_.getString(0))
       }
     }
-    toks.unpersist()
     import spark.implicits._
     picked.toSeq.toDF("round", "doc_id", "gain")
   }

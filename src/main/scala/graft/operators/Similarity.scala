@@ -311,17 +311,19 @@ object Similarity {
       .select(col("id"),
         posexplode(lshBucketsAll(col("v"), dim, bits, tables))
           .as(Seq("tbl", "bucket")))
-      // key-partitioned eager checkpoint (r10): the bucket-size
-      // aggregate and both self-join sides key on (tbl, bucket) — one
-      // shuffle replaces three, and the eager materialization stops
-      // concurrent consumers racing a cold cache (see
-      // Dedup.hashedShingleIndex)
-      .repartition(col("tbl"), col("bucket"))
-      .localCheckpoint(true)
-    val keep = bucketed.groupBy("tbl", "bucket")
-      .agg(count(lit(1)).as("m"))
-      .filter(col("m") <= maxBucket).select("tbl", "bucket")
-    val bounded = bucketed.join(keep, Seq("tbl", "bucket"))
+    // r11 (guide §2.4, the minhashLshCandidatesFromIndex rework): the
+    // bucket-size cap is a COUNT WINDOW over (tbl, bucket) instead of
+    // the r10 aggregate + semi-join back onto an eagerly-checkpointed
+    // bucket table — one (tbl, bucket) exchange that the self-join
+    // below reuses (both sides are the same subtree), so the explode
+    // runs once under the reused exchange and the materialization
+    // barrier disappears with the three consumer passes it served.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("tbl", "bucket")
+    val bounded = bucketed
+      .withColumn("__m", count(lit(1)).over(wBucket))
+      .filter(col("__m") <= maxBucket)
+      .drop("__m")
     val pairs = bounded.toDF("tbl", "bucket", "id_a")
       .join(bounded.toDF("tbl", "bucket", "id_b"), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -407,16 +409,22 @@ object Similarity {
   private def trainSubspaces(trainOn: DataFrame, m: Int, sub: Int,
                              k: Int, iters: Int, idCol: String,
                              vecCol: String): Array[Array[Array[Double]]] = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     Await.result(
       Future.sequence((0 until m).toVector.map { j => Future {
-        Clustering.kmeansCentroids(
-          trainOn.select(col(idCol),
-            slice(col(vecCol), j * sub + 1, sub).as("sv")),
-          k, iters, idCol, "sv")
+        // blocking{}: each chain parks on Spark collect round-trips —
+        // tell the fork-join pool so chains beyond its core size get
+        // compensation threads instead of quietly serializing
+        // (ADVICE r10)
+        blocking {
+          Clustering.kmeansCentroids(
+            trainOn.select(col(idCol),
+              slice(col(vecCol), j * sub + 1, sub).as("sv")),
+            k, iters, idCol, "sv")
+        }
       }}), Duration.Inf).toArray
   }
 

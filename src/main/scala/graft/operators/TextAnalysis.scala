@@ -594,14 +594,16 @@ object TextAnalysis {
     */
   def noveltyScores(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 3): DataFrame = {
-    val idx = Dedup.shingleIndex(docs, idCol, textCol, n, tokens = true)
+    val idx = Dedup.shingleIndex(Materialize.fanOut(docs), idCol,
+        textCol, n, tokens = true)
       .select(col("id"), xxhash64(col("shingle")).as("h"))
-      // key-partitioned eager checkpoint (r10): the df aggregate and
-      // the join back both key on h (see Dedup.hashedShingleIndex)
-      .repartition(col("h"))
-      .localCheckpoint(true)
-    val df = idx.groupBy("h").agg(count(lit(1)).as("df"))
-    idx.join(df, "h")
+    // r11 (guide §2.4): corpus document frequency as a COUNT WINDOW
+    // over h instead of the r10 aggregate + join back onto a keyed
+    // eager checkpoint — the aggregate, the join AND the
+    // materialization barrier all collapse into one window pass over
+    // one exchange (plan: 2 exchanges total, explode runs once).
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    idx.withColumn("df", count(lit(1)).over(wH))
       .groupBy(col("id").as(idCol))
       .agg((sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
         count(lit(1)).cast("double")).as("novelty"))
@@ -692,9 +694,8 @@ object TextAnalysis {
     // returning a plan that still referenced segs would leak the
     // persisted table into the caller's session (bpeTrain's caller-
     // owns-the-unpersist contract)
-    val enc = segs.select(col("w"),
-      size(split(col("seg"), "  ")).cast("long").as("n_tok"))
-      .localCheckpoint(true)
+    val enc = Materialize.eager(segs.select(col("w"),
+      size(split(col("seg"), "  ")).cast("long").as("n_tok")))
     segs.unpersist()
     docs.select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
@@ -834,11 +835,8 @@ object TextAnalysis {
     // model, their totals, and the final scoring join) — persist so the
     // corpus-wide explode+aggregate runs ONCE; dc is bounded by
     // |docs| × buckets rows, far below the token stream it summarizes
-    val dc = feats.groupBy("doc_id", "is_tgt", "b")
-      .agg(count(lit(1)).as("c"))
-      // eager checkpoint (r10): four consumers (see
-      // Dedup.hashedShingleIndex)
-      .localCheckpoint(true)
+    val dc = Materialize.eager(feats.groupBy("doc_id", "is_tgt", "b")
+      .agg(count(lit(1)).as("c"))) // eager: four consumers
     val rawB = dc.groupBy("b").agg(sum("c").as("rc"))
     val tgtB = dc.filter(col("is_tgt")).groupBy("b").agg(sum("c").as("tc"))
     val model = rawB.join(tgtB, Seq("b"), "left")
